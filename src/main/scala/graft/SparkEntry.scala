@@ -1,13 +1,546 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.{Enrich, Hashing, Text, TimeFeatures, Vec}
+import graft.operators.{Aggregates, Dedup, Similarity}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Driver contract: one `queries` entry per implemented operator from
+ * SURVEY.md §2 (plus the training-data-pipeline extensions), each with a
+ * DuckDB-equivalent `oracleSql` twin on the same parquet tables.
+ *
+ * Determinism rules that make the oracle hash-match possible:
+ *  - double sums/avgs go through DECIMAL(28,6) (order-independent) on BOTH
+ *    engines — see graft.operators.Aggregates.exactSum;
+ *  - rounding uses floor(x*10^s+0.5)/10^s (pure IEEE-754) instead of the
+ *    engines' divergent round() builtins;
+ *  - hashes are md5-derived (bit-identical everywhere), not murmur3;
+ *  - scalar expressions keep the exact same association order in Scala and
+ *    SQL, so every double matches bit-for-bit;
+ *  - raw timestamps are never output (Spark µs vs DuckDB ns) — epoch
+ *    seconds / dates instead.
+ */
 object SparkEntry {
+
+  /**
+   * Table reader. `events.ts` is nanosecond-precision parquet, which Spark
+   * does not natively read (PARQUET_TYPE_ILLEGAL) — sessions set
+   * `spark.sql.legacy.parquet.nanosAsLong` and the raw nanos are converted
+   * to a µs timestamp here (integer DIV — no double rounding; test data is
+   * µs-precision so the truncation is lossless).
+   */
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else df
+  }
+
+  // ---------------------------------------------------------------- helpers
+
+  /**
+   * Deterministic synthetic weather columns derived from `events` — maps the
+   * reference's 16-field reading (SURVEY §1.2) onto the driver's test tables
+   * so every enrichment family (P6-P17) is exercised across all its branches
+   * (value spans 0.01..490 → temp −5..44 °C, precip 0..61 mm, wind 0..98
+   * km/h, vis 0..10 km, uv 0..12).
+   */
+  private def syntheticWeather(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id"), col("ts"),
+      (col("value") / 10.0 - 5.0).as("temperature_celsius"),
+      (col("value") % 100.0).as("humidity_percent"),
+      (col("value") / 5.0 + 940.0).as("pressure_hpa"),
+      (col("value") / 5.0).as("wind_speed_kmh"),
+      (col("value") / 8.0).as("precipitation_mm"),
+      (col("value") / 49.0).as("visibility_km"),
+      floor(col("value") / 40.0).cast("int").as("uv_index"))
+
+  /** The six enrichment families over the synthetic reading (EP1 semantics,
+    * glue_weather_etl.py:200-430 re-expressed; see graft.functions.Enrich). */
+  private def enriched(events: DataFrame): DataFrame =
+    syntheticWeather(events)
+      .withColumn("temperature_fahrenheit", Enrich.celsiusToFahrenheit(col("temperature_celsius")))
+      .withColumn("temperature_kelvin", Enrich.celsiusToKelvin(col("temperature_celsius")))
+      .withColumn("heat_index_celsius", Enrich.heatIndex(col("temperature_celsius"), col("humidity_percent")))
+      .withColumn("comfort_level", Enrich.comfortLevel(col("heat_index_celsius")))
+      .withColumn("weather_severity", Enrich.weatherSeverity(
+        col("precipitation_mm"), col("wind_speed_kmh"), col("visibility_km"), col("uv_index")))
+      .withColumn("alert_level", Enrich.alertLevel(
+        col("heat_index_celsius"), col("precipitation_mm"), col("wind_speed_kmh"),
+        col("visibility_km"), col("uv_index")))
+      .withColumn("hour_of_day", TimeFeatures.hourOfDay(col("ts")))
+      .withColumn("day_of_week", TimeFeatures.dayOfWeek(col("ts")))
+      .withColumn("is_weekend", TimeFeatures.isWeekend(col("ts")))
+      .withColumn("time_of_day", TimeFeatures.timeOfDay(col("ts")))
+      .withColumn("season", TimeFeatures.season(col("ts")))
+      .withColumn("reading_date", TimeFeatures.readingDate(col("ts")))
+      .withColumn("is_valid_temperature", Enrich.validIn(col("temperature_celsius"), -50, 60))
+      .withColumn("is_valid_humidity", Enrich.validIn(col("humidity_percent"), 0, 100))
+      .withColumn("is_valid_pressure", Enrich.validIn(col("pressure_hpa"), 950, 1050))
+      .withColumn("data_quality_score", Enrich.qualityScore(
+        col("is_valid_temperature"), col("is_valid_humidity"), col("is_valid_pressure")))
+      .drop("ts")
+
+  // --------------------------------------------------- oracle SQL fragments
+
+  /** DuckDB twin of syntheticWeather (identical association order). */
+  private val synthSql =
+    """SELECT event_id, ts,
+      | value/10.0-5.0 AS temperature_celsius,
+      | value%100.0 AS humidity_percent,
+      | value/5.0+940.0 AS pressure_hpa,
+      | value/5.0 AS wind_speed_kmh,
+      | value/8.0 AS precipitation_mm,
+      | value/49.0 AS visibility_km,
+      | CAST(floor(value/40.0) AS INTEGER) AS uv_index
+      |FROM events""".stripMargin
+
+  /** DuckDB twin of the full enrichment chain (layered so tf/simple/hi
+    * subexpressions are shared exactly like the Spark Column tree). */
+  private val enrichedSql = {
+    val full = "-42.379+2.04901523*tf+10.14333127*humidity_percent" +
+      "-0.22475541*tf*humidity_percent-0.00683783*tf*tf" +
+      "-0.05481717*humidity_percent*humidity_percent" +
+      "+0.00122874*tf*tf*humidity_percent" +
+      "+0.00085282*tf*humidity_percent*humidity_percent" +
+      "-0.00000199*tf*tf*humidity_percent*humidity_percent"
+    s"""SELECT event_id, temperature_celsius, humidity_percent, pressure_hpa,
+       | wind_speed_kmh, precipitation_mm, visibility_km, uv_index,
+       | floor((temperature_celsius*9.0/5.0+32.0)*10.0+0.5)/10.0 AS temperature_fahrenheit,
+       | floor((temperature_celsius+273.15)*10.0+0.5)/10.0 AS temperature_kelvin,
+       | heat_index_celsius,
+       | CASE WHEN heat_index_celsius<27.0 THEN 'Comfortable'
+       |      WHEN heat_index_celsius<32.0 THEN 'Caution'
+       |      WHEN heat_index_celsius<41.0 THEN 'Extreme Caution'
+       |      WHEN heat_index_celsius<54.0 THEN 'Danger'
+       |      ELSE 'Extreme Danger' END AS comfort_level,
+       | CASE WHEN precipitation_mm>50.0 THEN 'Extreme'
+       |      WHEN precipitation_mm>25.0 THEN 'Severe'
+       |      WHEN wind_speed_kmh>60.0 THEN 'Severe'
+       |      WHEN visibility_km<1.0 THEN 'Severe'
+       |      WHEN precipitation_mm>10.0 OR wind_speed_kmh>40.0 OR visibility_km<3.0 THEN 'Moderate'
+       |      WHEN uv_index>10.0 THEN 'Moderate'
+       |      ELSE 'Normal' END AS weather_severity,
+       | CASE WHEN heat_index_celsius>54.0 OR precipitation_mm>50.0 OR wind_speed_kmh>80.0 THEN 'CRITICAL'
+       |      WHEN heat_index_celsius>41.0 OR precipitation_mm>25.0 OR wind_speed_kmh>60.0 OR visibility_km<2.0 OR uv_index>10.0 THEN 'WARNING'
+       |      WHEN heat_index_celsius>32.0 OR precipitation_mm>10.0 OR wind_speed_kmh>40.0 OR uv_index>8.0 THEN 'WATCH'
+       |      ELSE 'NORMAL' END AS alert_level,
+       | CAST(hour(ts) AS INTEGER) AS hour_of_day,
+       | CAST(dayofweek(ts)+1 AS INTEGER) AS day_of_week,
+       | (dayofweek(ts)+1) IN (1,7) AS is_weekend,
+       | CASE WHEN hour(ts) BETWEEN 6 AND 11 THEN 'Morning'
+       |      WHEN hour(ts) BETWEEN 12 AND 17 THEN 'Afternoon'
+       |      WHEN hour(ts) BETWEEN 18 AND 21 THEN 'Evening'
+       |      ELSE 'Night' END AS time_of_day,
+       | CASE WHEN month(ts) IN (12,1,2) THEN 'Winter'
+       |      WHEN month(ts) IN (3,4,5) THEN 'Spring'
+       |      WHEN month(ts) IN (6,7,8) THEN 'Summer'
+       |      ELSE 'Autumn' END AS season,
+       | CAST(ts AS DATE) AS reading_date,
+       | temperature_celsius BETWEEN -50 AND 60 AS is_valid_temperature,
+       | humidity_percent BETWEEN 0 AND 100 AS is_valid_humidity,
+       | pressure_hpa BETWEEN 950 AND 1050 AS is_valid_pressure,
+       | CAST(CAST(temperature_celsius BETWEEN -50 AND 60 AS INTEGER)
+       |    + CAST(humidity_percent BETWEEN 0 AND 100 AS INTEGER)
+       |    + CAST(pressure_hpa BETWEEN 950 AND 1050 AS INTEGER) AS DOUBLE)/3.0*100.0 AS data_quality_score
+       |FROM (
+       |  SELECT *, CASE WHEN tf<80.0 THEN temperature_celsius
+       |                 ELSE floor((CASE WHEN simple>79.0 THEN $full ELSE simple END-32.0)*5.0/9.0*10.0+0.5)/10.0
+       |            END AS heat_index_celsius
+       |  FROM (
+       |    SELECT *, 0.5*(tf+61.0+(tf-68.0)*1.2+humidity_percent*0.094) AS simple
+       |    FROM (SELECT *, temperature_celsius*9.0/5.0+32.0 AS tf FROM ($synthSql))
+       |  )
+       |)""".stripMargin
+  }
+
+  /** Portable md5-derived 60-bit hash in DuckDB (twin of Hashing.stableHash60). */
+  private def duckHash(expr: String): String =
+    s"CAST(('0x' || substr(md5($expr),1,15)) AS BIGINT)"
+
+  /** DuckDB twin of Text.shingleSet (distinct word 3-grams). */
+  private def duckShingleSet(textCol: String, n: Int): String =
+    s"""list_distinct(CASE WHEN len(string_split($textCol,' ')) < $n THEN []
+       | ELSE list_transform(range(1, len(string_split($textCol,' '))-${n - 1}+1),
+       |   i -> array_to_string(list_slice(string_split($textCol,' '), i, i+${n - 1}), ' '))
+       | END)""".stripMargin
+
+  // ---------------------------------------------------------------- queries
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- relational core (SURVEY §2.4-2.7) ----
+
+    // A1-style wide aggregation with exact (order-independent) sums.
+    "q01_pricing_summary" -> ((s, dir) => {
+      import Aggregates._
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          exactSum(col("l_quantity")).as("sum_qty"),
+          exactSum(col("l_extendedprice")).as("sum_base_price"),
+          exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          exactAvg(col("l_quantity")).as("avg_qty"),
+          exactAvg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // Multi-way join: fact ⋈ dim ⋈ tiny dim (broadcast), grouped revenue.
+    "q02_revenue_by_nation" -> ((s, dir) => {
+      import Aggregates._
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(exactSum(col("o_totalprice")).as("revenue"), count(lit(1)).as("order_count"))
+    }),
+
+    // Top-k with deterministic tie-break (O1/O2).
+    "q03_top_customers" -> ((s, dir) => {
+      import Aggregates._
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(exactSum(col("o_totalprice")).as("revenue"), count(lit(1)).as("order_count"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .orderBy(col("revenue").desc, col("o_custkey").asc)
+        .limit(10)
+        .select("o_custkey", "c_name", "revenue", "order_count")
+    }),
+
+    // J1/W2: latest-per-group via single-shuffle window (not agg+self-join).
+    "q04_latest_event_per_user" -> ((s, dir) =>
+      Aggregates.latestPerGroup(t(s, dir, "events"), Seq("user_id"), "ts", "event_id")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("ts_epoch"), col("value"))),
+
+    // A4: deterministic MODE() WITHIN GROUP (ties → smallest value).
+    "q05_mode_event_type" -> ((s, dir) =>
+      Aggregates.deterministicMode(t(s, dir, "events"), Seq("user_id"), "event_type", "mode_event")),
+
+    // A1+A2+A3: daily summary with conditional counts and pct-of-group.
+    "q06_daily_event_summary" -> ((s, dir) => {
+      import Aggregates._
+      t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("reading_date"))
+        .agg(
+          count(lit(1)).as("event_count"),
+          exactAvg(col("value")).as("avg_value"),
+          exactSum(col("value")).as("sum_value"),
+          countIf(col("value") > 400.0).as("high_count"),
+          pctIf(col("value") > 400.0).as("high_pct"),
+          countDistinct(col("user_id")).as("distinct_users"))
+    }),
+
+    // A6/W1: distribution with percent-of-total window.
+    "q07_event_type_distribution" -> ((s, dir) =>
+      Aggregates.distributionWithPct(t(s, dir, "events"), "event_type")),
+
+    // D1: keyed dedup keeping deterministic first (min event_id).
+    "q08_dedup_first_event" -> ((s, dir) =>
+      Dedup.keepFirst(t(s, dir, "events"), Seq("user_id", "event_type"), "event_id")
+        .select("user_id", "event_type", "event_id")),
+
+    // D2: anti-join (customers with no order above threshold).
+    "q09_anti_join_quiet_customers" -> ((s, dir) => {
+      val bigOrders = t(s, dir, "orders").where(col("o_totalprice") > 300000.0)
+      t(s, dir, "customer")
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    }),
+
+    // D4: union-all of two tagged subsets.
+    "q10_union_tagged_events" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val hi = ev.where(col("event_type") === "purchase" && col("value") > 450.0)
+        .select(col("user_id"), col("event_id"), lit("high_purchase").as("tag"))
+      val er = ev.where(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), lit("error").as("tag"))
+      hi.unionByName(er)
+    }),
+
+    // ---- enrichment families P6-P17 ----
+
+    "q11_weather_enrichment" -> ((s, dir) => enriched(t(s, dir, "events"))),
+
+    // P4/P5: alert filter + column-subset projection.
+    "q12_alert_filter" -> ((s, dir) =>
+      enriched(t(s, dir, "events"))
+        .filter(col("alert_level").isin("WARNING", "CRITICAL"))
+        .select("event_id", "alert_level", "weather_severity", "heat_index_celsius",
+          "precipitation_mm", "wind_speed_kmh", "visibility_km", "uv_index")),
+
+    // A6 over the derived alert level.
+    "q13_alert_distribution" -> ((s, dir) =>
+      Aggregates.distributionWithPct(enriched(t(s, dir, "events")), "alert_level")),
+
+    // ---- text analysis (training-data extensions) ----
+
+    "q14_doc_token_stats" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        Text.tokenCount(col("text")).as("token_count"),
+        Text.avgTokenLength(col("text")).as("avg_token_len"),
+        Text.stopwordRatio(col("text")).as("stopword_ratio"))),
+
+    "q15_doc_quality_langid" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        Text.docQualityScore(col("text")).as("quality_score"),
+        Text.langIdHeuristic(col("text")).as("lang_pred"))),
+
+    // Exact dedup groups by content hash.
+    "q16_exact_text_dedup" -> ((s, dir) =>
+      Dedup.exactTextGroups(t(s, dir, "documents"), "doc_id", "text")),
+
+    // Order-sensitive rolling-hash fingerprint.
+    "q17_doc_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), Text.fingerprint(col("text")).as("fingerprint"))),
+
+    // Exact n-gram Jaccard near-dup pairs via shingle inverted index.
+    "q18_ngram_jaccard_pairs" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.5, maxBucket = 1000000)),
+
+    // MinHash signatures (16 portable universal hashes).
+    "q19_minhash_signatures" -> ((s, dir) =>
+      Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text", n = 3, numHashes = 16)),
+
+    // MinHash+LSH candidate pairs (4 bands × 4 rows) — rows-only check.
+    "q20_minhash_lsh_candidates" -> ((s, dir) =>
+      Dedup.minhashLshCandidates(
+        Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text", 3, 16), 16, 4)),
+
+    // SimHash 32-bit signatures.
+    "q21_simhash_signatures" -> ((s, dir) =>
+      Dedup.simhashSignatures(t(s, dir, "documents"), "doc_id", "text", bits = 32)),
+
+    // ---- similarity search (embeddings) ----
+
+    // Brute-force exact top-5 cosine neighbors for queries vec_id<10.
+    "q22_knn_bruteforce" -> ((s, dir) => {
+      val em = t(s, dir, "embeddings")
+      Similarity.bruteForceKnn(em, em.where(col("vec_id") < 10), k = 5)
+    }),
+
+    // Exact cosine near-dup pairs (baseline for the bucketed variant).
+    "q23_embedding_neardup_pairs" -> ((s, dir) =>
+      Similarity.exactNearDupPairs(t(s, dir, "embeddings"), threshold = 0.4)),
+
+    // IVF ANN (10 deterministic centroids, nprobe=1) — rows-only check.
+    "q24_knn_ivf" -> ((s, dir) => {
+      val em = t(s, dir, "embeddings")
+      Similarity.ivfKnn(em, em.where(col("vec_id") < 10),
+        em.where(col("vec_id") % 50 === 0), k = 5)
+    })
+  )
+
+  // -------------------------------------------------------------- oracleSql
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)/count(l_quantity) AS avg_qty,
+        | CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE)/count(l_discount) AS avg_disc,
+        | CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_revenue_by_nation" ->
+      """SELECT n_name,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        | CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders JOIN customer ON o_custkey=c_custkey JOIN nation ON c_nationkey=n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    "q03_top_customers" ->
+      """SELECT o_custkey, c_name, revenue, order_count FROM (
+        | SELECT o_custkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS order_count
+        | FROM orders GROUP BY o_custkey) r
+        |JOIN customer ON o_custkey=c_custkey
+        |ORDER BY revenue DESC, o_custkey ASC LIMIT 10""".stripMargin,
+
+    "q04_latest_event_per_user" ->
+      """SELECT user_id, event_id, event_type,
+        | CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch, value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+        |      FROM events) WHERE rn=1""".stripMargin,
+
+    "q05_mode_event_type" ->
+      """SELECT user_id, mode_event FROM (
+        | SELECT user_id, event_type AS mode_event,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY count(*) DESC, event_type ASC) rn
+        | FROM events GROUP BY user_id, event_type) WHERE rn=1""".stripMargin,
+
+    "q06_daily_event_summary" ->
+      """SELECT CAST(ts AS DATE) AS reading_date,
+        | CAST(count(*) AS BIGINT) AS event_count,
+        | CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)/count(value) AS avg_value,
+        | CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+        | CAST(sum(CASE WHEN value>400.0 THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+        | CAST(sum(CASE WHEN value>400.0 THEN 1 ELSE 0 END) AS DOUBLE)*100.0/count(*) AS high_pct,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q07_event_type_distribution" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+        | CAST(count(*) AS DOUBLE)*100.0/CAST(sum(count(*)) OVER () AS DOUBLE) AS pct
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q08_dedup_first_event" ->
+      """SELECT user_id, event_type, CAST(min(event_id) AS BIGINT) AS event_id
+        |FROM events GROUP BY user_id, event_type""".stripMargin,
+
+    "q09_anti_join_quiet_customers" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey AND o_totalprice>300000.0)""".stripMargin,
+
+    "q10_union_tagged_events" ->
+      """SELECT user_id, event_id, 'high_purchase' AS tag FROM events
+        | WHERE event_type='purchase' AND value>450.0
+        |UNION ALL
+        |SELECT user_id, event_id, 'error' AS tag FROM events WHERE event_type='error'""".stripMargin,
+
+    "q11_weather_enrichment" -> enrichedSql,
+
+    "q12_alert_filter" ->
+      s"""SELECT event_id, alert_level, weather_severity, heat_index_celsius,
+         | precipitation_mm, wind_speed_kmh, visibility_km, uv_index
+         |FROM ($enrichedSql) WHERE alert_level IN ('WARNING','CRITICAL')""".stripMargin,
+
+    "q13_alert_distribution" ->
+      s"""SELECT alert_level, CAST(count(*) AS BIGINT) AS cnt,
+         | CAST(count(*) AS DOUBLE)*100.0/CAST(sum(count(*)) OVER () AS DOUBLE) AS pct
+         |FROM ($enrichedSql) GROUP BY alert_level""".stripMargin,
+
+    "q14_doc_token_stats" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text,' ')) AS INTEGER) AS token_count,
+        | (CAST(length(text) AS DOUBLE) - (CAST(len(string_split(text,' ')) AS DOUBLE)-1.0))
+        |   / CAST(len(string_split(text,' ')) AS DOUBLE) AS avg_token_len,
+        | CAST(len(list_filter(string_split(text,' '), x->x='the'))
+        |    + len(list_filter(string_split(text,' '), x->x='a'))
+        |    + len(list_filter(string_split(text,' '), x->x='of'))
+        |    + len(list_filter(string_split(text,' '), x->x='and'))
+        |    + len(list_filter(string_split(text,' '), x->x='to')) AS DOUBLE)
+        |   / CAST(len(string_split(text,' ')) AS DOUBLE) AS stopword_ratio
+        |FROM documents""".stripMargin,
+
+    "q15_doc_quality_langid" ->
+      """WITH s AS (
+        | SELECT doc_id, text, string_split(text,' ') AS tk,
+        |  CAST(len(list_filter(string_split(text,' '), x->x='the'))
+        |     + len(list_filter(string_split(text,' '), x->x='a'))
+        |     + len(list_filter(string_split(text,' '), x->x='of'))
+        |     + len(list_filter(string_split(text,' '), x->x='and'))
+        |     + len(list_filter(string_split(text,' '), x->x='to')) AS DOUBLE)
+        |    / CAST(len(string_split(text,' ')) AS DOUBLE) AS swr,
+        |  (CAST(length(text) AS DOUBLE) - (CAST(len(string_split(text,' ')) AS DOUBLE)-1.0))
+        |    / CAST(len(string_split(text,' ')) AS DOUBLE) AS atl,
+        |  len(list_filter(string_split(text,' '), x->x='the'))
+        |   + len(list_filter(string_split(text,' '), x->x='a'))
+        |   + len(list_filter(string_split(text,' '), x->x='of')) AS en_hits,
+        |  len(list_filter(string_split(text,' '), x->x='le'))
+        |   + len(list_filter(string_split(text,' '), x->x='la'))
+        |   + len(list_filter(string_split(text,' '), x->x='et')) AS fr_hits,
+        |  len(list_filter(string_split(text,' '), x->x='el'))
+        |   + len(list_filter(string_split(text,' '), x->x='los'))
+        |   + len(list_filter(string_split(text,' '), x->x='y')) AS es_hits,
+        |  len(list_filter(string_split(text,' '), x->x='der'))
+        |   + len(list_filter(string_split(text,' '), x->x='die'))
+        |   + len(list_filter(string_split(text,' '), x->x='und')) AS de_hits
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(CAST(length(text) BETWEEN 50 AND 5000 AS INTEGER)
+        |    + CAST(swr > 0.01 AS INTEGER)
+        |    + CAST(atl BETWEEN 2.0 AND 12.0 AS INTEGER) AS DOUBLE)/3.0*100.0 AS quality_score,
+        | CASE WHEN fr_hits > en_hits AND fr_hits >= es_hits AND fr_hits >= de_hits THEN 'fr'
+        |      WHEN es_hits > en_hits AND es_hits >= de_hits THEN 'es'
+        |      WHEN de_hits > en_hits THEN 'de'
+        |      ELSE 'en' END AS lang_pred
+        |FROM s""".stripMargin,
+
+    "q16_exact_text_dedup" ->
+      """SELECT md5(text) AS text_md5, CAST(min(doc_id) AS BIGINT) AS keep_id,
+        | CAST(count(*) AS BIGINT) AS dup_count
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "q17_doc_fingerprint" ->
+      s"""SELECT doc_id,
+         | list_reduce(
+         |   list_transform(string_split(text,' '), t -> ${duckHash("t")} % 1000000007),
+         |   (a, b) -> (a*31 + b) % 1000000007) AS fingerprint
+         |FROM documents""".stripMargin,
+
+    "q18_ngram_jaccard_pairs" ->
+      s"""WITH sh AS (
+         | SELECT doc_id, unnest(${duckShingleSet("text", 3)}) AS shingle FROM documents),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (
+         | SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared
+         | FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+         | GROUP BY a.doc_id, b.doc_id)
+         |SELECT id_a, id_b,
+         | CAST(shared AS DOUBLE)/CAST(x.n + y.n - shared AS DOUBLE) AS jaccard
+         |FROM pairs JOIN sz x ON id_a=x.doc_id JOIN sz y ON id_b=y.doc_id
+         |WHERE CAST(shared AS DOUBLE)/CAST(x.n + y.n - shared AS DOUBLE) >= 0.5""".stripMargin,
+
+    "q19_minhash_signatures" -> {
+      val p = Hashing.MersennePrime
+      val mins = (0 until 16).map { i =>
+        val (a, b) = Hashing.coeffs(i)
+        s"CAST(min(($a*(h%$p)+$b)%$p) AS BIGINT) AS mh_$i"
+      }.mkString(",\n ")
+      s"""WITH sh AS (
+         | SELECT doc_id AS id, unnest(${duckShingleSet("text", 3)}) AS shingle FROM documents),
+         |h AS (SELECT id, ${duckHash("shingle")} AS h FROM sh)
+         |SELECT id, $mins FROM h GROUP BY id""".stripMargin
+    },
+
+    "q21_simhash_signatures" -> {
+      val bitSums = (0 until 32)
+        .map(j => s"sum(CASE WHEN ((h>>$j)&1)=1 THEN 1 ELSE -1 END) AS b_$j").mkString(",\n ")
+      val sig = (0 until 32)
+        .map(j => s"CASE WHEN b_$j>0 THEN ${1L << j}::BIGINT ELSE 0::BIGINT END")
+        .mkString("+")
+      s"""WITH toks AS (SELECT doc_id AS id, unnest(string_split(text,' ')) AS t FROM documents),
+         |h AS (SELECT id, ${duckHash("t")} AS h FROM toks),
+         |bits AS (SELECT id, $bitSums FROM h GROUP BY id)
+         |SELECT id, $sig AS simhash FROM bits""".stripMargin
+    },
+
+    "q22_knn_bruteforce" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |n AS (SELECT vec_id, e,
+        |       sqrt(list_reduce(list_transform(e, x -> x*x), (a,b) -> a+b)) AS nrm FROM v),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |       list_reduce(list_transform(list_zip(q.e, c.e), z -> z[1]*z[2]), (a,b) -> a+b)
+        |         / (q.nrm * c.nrm) AS cosine
+        |      FROM n q JOIN n c ON q.vec_id <> c.vec_id WHERE q.vec_id < 10)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine FROM (
+        | SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        | FROM s) WHERE rank <= 5""".stripMargin,
+
+    "q23_embedding_neardup_pairs" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |n AS (SELECT vec_id, e,
+        |       sqrt(list_reduce(list_transform(e, x -> x*x), (a,b) -> a+b)) AS nrm FROM v)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | list_reduce(list_transform(list_zip(a.e, b.e), z -> z[1]*z[2]), (a,b) -> a+b)
+        |   / (a.nrm * b.nrm) AS cosine
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE cosine >= 0.4""".stripMargin
+  )
 }

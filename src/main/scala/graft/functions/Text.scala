@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis functions for large-scale corpus processing (training-data
+ * pipeline extensions): tokenization, shingling, quality scoring, language
+ * heuristics, fingerprinting. All pure Column expressions — distributed,
+ * codegen'd, no driver-side loops.
+ */
+object Text {
+
+  /** Whitespace tokenization. `split` on a single-space regex matches the
+    * corpus contract (single-spaced text); DuckDB `string_split(text, ' ')`
+    * has identical semantics including empty tokens on repeated spaces. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Count of exact token matches (e.g. stopwords). */
+  def tokenOccurrences(text: Column, word: String): Column =
+    size(filter(tokens(text), t => t === word))
+
+  /** Word n-gram shingles: ["a","b","c","d"], n=3 → ["a b c","b c d"].
+    * Empty array when the document has fewer than n tokens. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Distinct shingle set (the unit of Jaccard similarity). */
+  def shingleSet(text: Column, n: Int): Column = array_distinct(shingles(text, n))
+
+  /** Mean token length implied by single-space joining:
+    * (chars − (n−1)) / n, exact double division. */
+  def avgTokenLength(text: Column): Column = {
+    val n = tokenCount(text).cast("double")
+    (length(text).cast("double") - (n - 1.0)) / n
+  }
+
+  /** Ratio of [a-z ] characters — printable-English heuristic. */
+  def alphaSpaceRatio(text: Column): Column =
+    length(regexp_replace(text, "[^a-z ]", "")).cast("double") /
+      length(text).cast("double")
+
+  /** Stopword ratio over a fixed marker list. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to")
+
+  def stopwordRatio(text: Column): Column = {
+    val sw = Stopwords.map(w => tokenOccurrences(text, w)).reduce(_ + _)
+    sw.cast("double") / tokenCount(text).cast("double")
+  }
+
+  /**
+   * Document quality score in [0,100]: weighted blend of length band,
+   * stopword presence, and mean token length band — the shape of the
+   * reference's data_quality_score (share-of-checks-passed × 100,
+   * glue_weather_etl.py:423-430) applied to text-corpus checks.
+   */
+  def docQualityScore(text: Column): Column = {
+    val lenOk = length(text).between(50, 5000)
+    val swOk = stopwordRatio(text) > 0.01
+    val tokOk = avgTokenLength(text).between(2.0, 12.0)
+    Enrich.qualityScore(lenOk, swOk, tokOk)
+  }
+
+  /**
+   * N-gram/stopword language-ID heuristic. Scores each candidate language by
+   * marker-token hits and picks the best (first-match on the CASE chain keeps
+   * it deterministic). Real corpora would use character-trigram profiles —
+   * the operator shape (pure-expression scoring, no shuffle) is the point.
+   */
+  def langIdHeuristic(text: Column): Column = {
+    def hits(words: Seq[String]): Column =
+      words.map(w => tokenOccurrences(text, w)).reduce(_ + _)
+    val en = hits(Seq("the", "a", "of"))
+    val fr = hits(Seq("le", "la", "et"))
+    val es = hits(Seq("el", "los", "y"))
+    val de = hits(Seq("der", "die", "und"))
+    when(fr > en && fr >= es && fr >= de, "fr")
+      .when(es > en && es >= de, "es")
+      .when(de > en, "de")
+      .otherwise("en")
+  }
+
+  /**
+   * Order-sensitive document fingerprint: left fold over tokens of
+   * acc*31 + stableHash60(token) reduced mod 1e9+7 each step (keeps every
+   * intermediate < 2^62 — no overflow in either Spark or DuckDB BIGINT).
+   * Two documents share a fingerprint iff their token streams are identical.
+   */
+  val FingerprintMod: Long = 1000000007L
+
+  def fingerprint(text: Column): Column =
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (acc, t) => (acc * 31L + Hashing.stableHash60(t) % FingerprintMod) % FingerprintMod
+    )
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/**
+ * Aggregation operators (reference analytics layer, SURVEY.md §2.5-2.7):
+ * daily summaries with conditional counts and percentage-of-group, ordered
+ * mode with deterministic tie-break, latest-per-group, distribution with
+ * window total. All single-shuffle hash aggregates; Catalyst plans the
+ * partial/final split and AQE coalesces the 5-group shuffles.
+ */
+object Aggregates {
+
+  /**
+   * Order-independent exact sum of a double column: sum in DECIMAL(28,6)
+   * then back to double. Plain double sums are order-dependent (FP addition
+   * is non-associative), which breaks both cross-engine verification and
+   * run-to-run reproducibility once partitioning changes — at 1000-executor
+   * scale the reduction order is never the same twice.
+   */
+  def exactSum(c: Column): Column =
+    sum(c.cast(DecimalType(28, 6))).cast("double")
+
+  /** Exact mean built from the exact sum (deterministic double division). */
+  def exactAvg(c: Column): Column = exactSum(c) / count(c)
+
+  /** SUM(CASE WHEN cond THEN 1 ELSE 0 END) — conditional count (A2). */
+  def countIf(cond: Column): Column = sum(when(cond, 1L).otherwise(0L))
+
+  /** Percentage of rows in the group satisfying cond (A3), exact division. */
+  def pctIf(cond: Column): Column =
+    countIf(cond).cast("double") * 100.0 / count(lit(1))
+
+  /**
+   * Deterministic MODE() WITHIN GROUP (A4): most frequent value; ties break
+   * to the smallest value (Postgres picks first in ORDER BY — same rule).
+   * Spark's built-in `mode()` is tie-arbitrary, so we take max_by over
+   * (count, reversed-rank of value) via a two-level aggregate:
+   * count per (keys, value) → argmax. Two shuffles on the same keys; the
+   * second exchange is narrow (one row per distinct value).
+   */
+  def deterministicMode(df: DataFrame, keys: Seq[String], valueCol: String, as: String): DataFrame = {
+    val counts = df.groupBy((keys :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__cnt").desc, col(valueCol).asc)
+    counts.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select((keys.map(col) :+ col(valueCol).as(as)): _*)
+  }
+
+  /**
+   * Latest row per group (J1/W2): row_number over (orderCol desc, tieBreak
+   * desc) = 1. Single shuffle on the group keys; with low-cardinality keys
+   * prefer this over groupBy(max)+self-join (one shuffle instead of two).
+   */
+  def latestPerGroup(df: DataFrame, keys: Seq[String], orderCol: String, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(orderCol).desc, col(tieBreak).desc)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /**
+   * Value distribution with percent-of-total (A6/W1): groupBy(col).count +
+   * unpartitioned window total. The window over () collapses to a single
+   * partition — safe ONLY on post-aggregation cardinality (here: #distinct
+   * values, tiny); never apply to raw rows.
+   */
+  def distributionWithPct(df: DataFrame, c: String): DataFrame = {
+    val counts = df.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+    counts.withColumn(
+      "pct",
+      col("cnt").cast("double") * 100.0 / sum("cnt").over(Window.partitionBy()).cast("double"))
+  }
+}

@@ -1,0 +1,179 @@
+package graft.operators
+
+import graft.functions.{Hashing, Text}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators, exact and approximate — the training-data-pipeline
+ * extensions (SURVEY.md §7.4.7) plus the reference's own keyed dedup
+ * (load_to_postgres.py:229-236).
+ *
+ * Scale design: exact dedup is one hash shuffle on the dedup key. Near-dup
+ * detection never materializes the O(n²) pair matrix — candidates come from
+ * an inverted index (shingle → docs) or LSH band buckets, so the join fans
+ * out only within buckets. Hot shingles are capped (`maxBucket`) the way
+ * production dedup pipelines drop stop-shingles.
+ */
+object Dedup {
+
+  /** Keyed dedup keeping a deterministic winner (min tieBreak) per key —
+    * unlike dropDuplicates, reproducible under any partitioning. */
+  def keepFirst(df: DataFrame, keys: Seq[String], tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tieBreak).asc)
+    df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  }
+
+  /**
+   * Exact content dedup by hash-groupBy (one shuffle on the 128-bit digest,
+   * never on the full text — at 100 TB the shuffle carries 32-byte keys,
+   * not documents).
+   */
+  def exactTextGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_md5"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** id → distinct word-n-gram shingle, exploded (the inverted-index input). */
+  def explodedShingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(Text.shingleSet(col(textCol), n)).as("shingle"))
+
+  /**
+   * Exact n-gram Jaccard near-dup pairs via shingle inverted index:
+   * shingle → co-occurring (id,id) pairs → count(shared) → Jaccard =
+   * shared / (|A| + |B| − shared). Hot shingles above `maxBucket` docs are
+   * dropped (stop-shingles) to bound the self-join fan-out; pairs sharing
+   * only stop-shingles can't be near-dups at sensible thresholds anyway.
+   */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, threshold: Double, maxBucket: Int = 1000): DataFrame = {
+    val sh = explodedShingles(docs, idCol, textCol, n)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("set_size"))
+
+    val capped = sh
+      .withColumn("__bucket", count(lit(1)).over(Window.partitionBy("shingle")))
+      .where(col("__bucket") <= maxBucket)
+      .drop("__bucket")
+
+    val a = capped.withColumnsRenamed(Map("id" -> "id_a"))
+    val b = capped.withColumnsRenamed(Map("id" -> "id_b"))
+    val shared = a.join(b, Seq("shingle"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared"))
+
+    shared
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "set_size" -> "size_a")), Seq("id_a"))
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "set_size" -> "size_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("shared").cast("double") /
+          (col("size_a") + col("size_b") - col("shared")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /**
+   * MinHash signature: for each doc, numHashes minima of a universal hash
+   * family over the portable 60-bit shingle hash. One aggregation shuffle;
+   * signature width is a constant (numHashes longs per doc).
+   */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, numHashes: Int): DataFrame = {
+    val sh = explodedShingles(docs, idCol, textCol, n)
+      .withColumn("h", Hashing.stableHash60(col("shingle")))
+    val mins = (0 until numHashes).map { i =>
+      val (ai, bi) = Hashing.coeffs(i)
+      min(Hashing.universalHash(col("h"), ai, bi)).as(s"mh_$i")
+    }
+    sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /**
+   * MinHash + LSH near-dup candidates: split the signature into `bands`
+   * bands of `numHashes/bands` rows, bucket by (band-index, band-values),
+   * emit pairs sharing any bucket. Output is distinct candidate pairs —
+   * verify with exact Jaccard for the final answer. Banding keeps the join
+   * within buckets: no O(n²) stage anywhere.
+   */
+  def minhashLshCandidates(signatures: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val bandCols = (0 until bands).map { bi =>
+      struct(lit(bi).as("band"),
+        concat_ws("_", (0 until rows).map(r => col(s"mh_${bi * rows + r}")): _*).as("sig"))
+    }
+    val buckets = signatures
+      .select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.sig"))
+    val a = buckets.withColumnsRenamed(Map("id" -> "id_a"))
+    val b = buckets.withColumnsRenamed(Map("id" -> "id_b"))
+    a.join(b, Seq("band", "sig"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** LSH candidates verified with exact Jaccard ≥ threshold. */
+  def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String, n: Int,
+                          numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+    val cands = minhashLshCandidates(minhashSignatures(docs, idCol, textCol, n, numHashes),
+      numHashes, bands)
+    val sets = docs.select(col(idCol).as("id"), Text.shingleSet(col(textCol), n).as("sset"))
+    cands
+      .join(sets.select(col("id").as("id_a"), col("sset").as("set_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sset").as("set_b")), Seq("id_b"))
+      .withColumn("shared", size(array_intersect(col("set_a"), col("set_b"))))
+      .withColumn("jaccard",
+        col("shared").cast("double") /
+          (size(col("set_a")) + size(col("set_b")) - col("shared")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /**
+   * SimHash: 32-bit locality-sensitive signature. Bit j of the signature is
+   * 1 iff the sum over tokens of ±1 (sign of bit j of the token hash) is
+   * positive. Computed as 32 conditional sums in one aggregation — no UDF,
+   * no per-row loops; near-dups = signatures within small Hamming distance.
+   */
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String, bits: Int = 32): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(Text.tokens(col(textCol))).as("tok"))
+      .withColumn("h", Hashing.stableHash60(col("tok")))
+    val bitSums = (0 until bits).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$j")
+    }
+    val agg = toks.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until bits).map { j =>
+      when(col(s"b_$j") > 0, lit(1L) * (1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+    agg.select(col("id"), sig.as("simhash"))
+  }
+
+  /** Near-dup pairs by simhash Hamming distance ≤ maxDist.
+    * Candidates via band buckets on signature bytes (each ≤maxDist pair
+    * must agree on ≥1 of maxDist+1 chunks — pigeonhole), then exact
+    * popcount filter. */
+  def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          maxDist: Int = 3, bits: Int = 32): DataFrame = {
+    val sigs = simhashSignatures(docs, idCol, textCol, bits)
+    val chunks = maxDist + 1
+    val width = bits / chunks
+    val chunkCols = (0 until chunks).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("simhash"), c * width).bitwiseAND((1L << width) - 1).as("key"))
+    }
+    val buckets = sigs.select(col("id"), col("simhash"),
+      explode(array(chunkCols: _*)).as("bk"))
+      .select(col("id"), col("simhash"), col("bk.chunk"), col("bk.key"))
+    val a = buckets.withColumnsRenamed(Map("id" -> "id_a", "simhash" -> "sig_a"))
+    val b = buckets.withColumnsRenamed(Map("id" -> "id_b", "simhash" -> "sig_b"))
+    a.join(b, Seq("chunk", "key"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .where(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+  }
+}

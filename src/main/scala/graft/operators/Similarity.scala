@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.functions.Vec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Approximate-nearest-neighbor search over embedding columns
+ * (training-data-pipeline extension, SURVEY.md §7.4.7).
+ *
+ * Scale design: the query set is the small side — always broadcast; the
+ * corpus never shuffles for brute force (map-side similarity + per-query
+ * top-k). The IVF variant buckets the corpus by nearest centroid so a query
+ * probes only nprobe/k of the data — the 100 TB path. Cosine is computed in
+ * deterministic double precision (see graft.functions.Vec).
+ */
+object Similarity {
+
+  /**
+   * Brute-force top-k cosine: broadcast(queries) ⨯ corpus → cosine →
+   * row_number per query. Exact baseline; cost O(|Q|·|C|·d) map work,
+   * one shuffle of |Q|·|C| *rows of (id, score)* — never the vectors.
+   */
+  def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Vec.cosine(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /**
+   * Assign every vector to its nearest centroid (max cosine, ties → smallest
+   * centroid id). Centroids are broadcast; assignment is one max_by
+   * aggregation keyed by the vector id — no O(n²) stage.
+   */
+  def assignToCentroids(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val c = broadcast(centroids.select(col("vec_id").as("centroid_id"), col("embedding").as("centv")))
+    vectors.select(col("vec_id"), col("embedding"))
+      .join(c)
+      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+        Vec.cosine(col("embedding"), col("centv")).as("ccos"))
+      .groupBy("vec_id")
+      .agg(
+        max_by(col("centroid_id"), struct(col("ccos"), -col("centroid_id"))).as("centroid_id"),
+        first(col("embedding")).as("embedding"))
+  }
+
+  /**
+   * IVF (inverted-file) ANN: partition corpus by nearest centroid; a query
+   * searches only its own nearest-centroid bucket (nprobe=1). Deterministic
+   * given a deterministic centroid choice, so it is exactly verifiable —
+   * recall vs brute force is the usual IVF trade, throughput scales with
+   * #buckets. At production scale the bucketed corpus would be written
+   * `partitionBy(centroid_id)` once and probed with partition pruning.
+   */
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, centroids: DataFrame, k: Int): DataFrame = {
+    val assignedCorpus = assignToCentroids(corpus, centroids)
+      .withColumnsRenamed(Map("vec_id" -> "neighbor_id", "embedding" -> "cv"))
+    val assignedQueries = assignToCentroids(queries, centroids)
+      .withColumnsRenamed(Map("vec_id" -> "query_id", "embedding" -> "qv"))
+    val scored = broadcast(assignedQueries)
+      .join(assignedCorpus, Seq("centroid_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Vec.cosine(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /**
+   * Exact embedding near-duplicate pairs: every (a,b), a<b, with cosine ≥
+   * threshold. O(n²) pair enumeration — the correctness baseline the
+   * bucketed variant below is verified against. Run it only on bounded
+   * corpora (or per-bucket inside the centroid variant).
+   */
+  def exactNearDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
+    val a = vectors.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = vectors.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), Vec.cosine(col("va"), col("vb")).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
+  /**
+   * Embedding near-duplicate pairs: all (a,b) with cosine ≥ threshold.
+   * Bucketed by nearest centroid first (near-identical vectors share a
+   * centroid with overwhelming probability), so the pair join stays within
+   * buckets instead of O(n²) over the corpus.
+   */
+  def embeddingNearDupPairs(vectors: DataFrame, centroids: DataFrame, threshold: Double): DataFrame = {
+    val assigned = assignToCentroids(vectors, centroids)
+    val a = assigned.select(col("centroid_id"), col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = assigned.select(col("centroid_id"), col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.join(b, Seq("centroid_id"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), Vec.cosine(col("va"), col("vb")).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Warehouse-table maintenance without a mutable store (SURVEY.md §7.4.1):
+ * the reference's Postgres `ON CONFLICT DO NOTHING` / `DO UPDATE` become
+ * idempotent Spark patterns over partitioned Parquet.
+ *
+ *  - insert-if-absent  → left-anti join against existing keys, then append
+ *  - upsert-by-group   → recompute + dynamic partition overwrite
+ *
+ * Both are safe under re-runs (the reference's Airflow job retries ×3).
+ * Partition layout is Hive-style event-time columns derived from the
+ * timestamp — the reference declares partitionBy("year","month","day","hour")
+ * but never creates the columns (glue_weather_etl.py:484, a latent defect);
+ * here they are always derived.
+ */
+object PartitionedStore {
+
+  /** Add Hive partition columns derived from an event-time column. */
+  def withTimePartitions(df: DataFrame, tsCol: String): DataFrame =
+    df.withColumn("year", year(col(tsCol)))
+      .withColumn("month", month(col(tsCol)))
+      .withColumn("day", dayofmonth(col(tsCol)))
+      .withColumn("hour", hour(col(tsCol)))
+
+  /** Append only rows whose key is not already present (ON CONFLICT DO
+    * NOTHING). The existing side is reduced to its key columns before the
+    * anti join — reads key columns only (Parquet column pruning), and the
+    * join shuffles keys, not payloads. */
+  def appendIfAbsent(spark: SparkSession, incoming: DataFrame, table: String,
+                     keys: Seq[String], partitionCols: Seq[String]): Long = {
+    val isFirstWrite = !new java.io.File(table).exists()
+    val fresh =
+      if (isFirstWrite) incoming
+      else {
+        val existingKeys = spark.read.parquet(table).select(keys.map(col): _*)
+        incoming.join(existingKeys, keys, "left_anti")
+      }
+    val deduped = graft.operators.Dedup.keepFirst(fresh, keys, keys.head)
+    val n = deduped.count()
+    if (n > 0)
+      deduped.write.mode("append").partitionBy(partitionCols: _*).parquet(table)
+    n
+  }
+
+  /** Recompute-and-replace upsert (ON CONFLICT DO UPDATE): dynamic partition
+    * overwrite rewrites only the partitions present in `updated` — the
+    * summary for one day replaces that day, other days untouched. */
+  def overwriteGroups(updated: DataFrame, table: String, partitionCols: Seq[String]): Unit =
+    updated.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(table)
+}
