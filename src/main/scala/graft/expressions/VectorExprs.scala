@@ -1,0 +1,127 @@
+package graft.expressions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/**
+ * Native Catalyst expressions for embedding math.
+ *
+ * The declarative versions in graft.functions.Vec (zip_with + aggregate)
+ * are semantically right but Spark's higher-order functions are
+ * CodegenFallback — every element goes through an interpreted lambda, which
+ * made the 12.5M-pair near-dup scan at sf0.1 take ~90 s. These expressions
+ * generate a tight Java loop inside whole-stage codegen instead (~30×
+ * faster), with IDENTICAL numeric semantics: elements cast float→double,
+ * each accumulator folded strictly left-to-right, cosine = dot /
+ * (sqrt(na) * sqrt(nb)) — so results stay bit-equal to both Vec.cosine and
+ * the external SQL oracle's list_reduce twin.
+ *
+ * Mismatched lengths return null (zip_with pads with null, which the
+ * declarative fold propagates to null — we mirror that contract).
+ */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = x.numElements()
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double dot = 0.0, na = 0.0, nb = 0.0;
+         |  int n = $a.numElements();
+         |  for (int i = 0; i < n; i++) {
+         |    double xi = (double) $a.getFloat(i);
+         |    double yi = (double) $b.getFloat(i);
+         |    dot += xi * yi; na += xi * xi; nb += yi * yi;
+         |  }
+         |  ${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Dot product with the same codegen/precision contract as CosineSimilarity. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    var dot = 0.0
+    var i = 0
+    val n = x.numElements()
+    while (i < n) {
+      dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    dot
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double dot = 0.0;
+         |  int n = $a.numElements();
+         |  for (int i = 0; i < n; i++) {
+         |    dot += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+         |  }
+         |  ${ev.value} = dot;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExprs {
+  /** Column API for the codegen cosine (drop-in for Vec.cosine on float arrays). */
+  def cosine(a: Column, b: Column): Column =
+    GraftSqlBridge.column(CosineSimilarity(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  def dot(a: Column, b: Column): Column =
+    GraftSqlBridge.column(DotProduct(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+}

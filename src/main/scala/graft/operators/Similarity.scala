@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.expressions.VectorExprs
 import graft.functions.Vec
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
@@ -27,7 +28,7 @@ object Similarity {
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        Vec.cosine(col("qv"), col("cv")).as("cosine"))
+        VectorExprs.cosine(col("qv"), col("cv")).as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -45,7 +46,7 @@ object Similarity {
     vectors.select(col("vec_id"), col("embedding"))
       .join(c)
       .select(col("vec_id"), col("embedding"), col("centroid_id"),
-        Vec.cosine(col("embedding"), col("centv")).as("ccos"))
+        VectorExprs.cosine(col("embedding"), col("centv")).as("ccos"))
       .groupBy("vec_id")
       .agg(
         max_by(col("centroid_id"), struct(col("ccos"), -col("centroid_id"))).as("centroid_id"),
@@ -69,7 +70,7 @@ object Similarity {
       .join(assignedCorpus, Seq("centroid_id"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        Vec.cosine(col("qv"), col("cv")).as("cosine"))
+        VectorExprs.cosine(col("qv"), col("cv")).as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -87,7 +88,7 @@ object Similarity {
     val a = vectors.select(col("vec_id").as("id_a"), col("embedding").as("va"))
     val b = vectors.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
     a.join(b, col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), Vec.cosine(col("va"), col("vb")).as("cosine"))
+      .select(col("id_a"), col("id_b"), VectorExprs.cosine(col("va"), col("vb")).as("cosine"))
       .where(col("cosine") >= threshold)
   }
 
@@ -103,7 +104,7 @@ object Similarity {
     val b = assigned.select(col("centroid_id"), col("vec_id").as("id_b"), col("embedding").as("vb"))
     a.join(b, Seq("centroid_id"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), Vec.cosine(col("va"), col("vb")).as("cosine"))
+      .select(col("id_a"), col("id_b"), VectorExprs.cosine(col("va"), col("vb")).as("cosine"))
       .where(col("cosine") >= threshold)
   }
 }
