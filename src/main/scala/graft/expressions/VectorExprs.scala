@@ -50,18 +50,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // every local must be fresh — this expression can appear many times in
+      // one generated class (janino rejects redefinition)
+      val (dot, na, nb) = (ctx.freshName("dot"), ctx.freshName("na"), ctx.freshName("nb"))
+      val (n, i, xi, yi) = (ctx.freshName("n"), ctx.freshName("i"), ctx.freshName("xi"), ctx.freshName("yi"))
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double dot = 0.0, na = 0.0, nb = 0.0;
-         |  int n = $a.numElements();
-         |  for (int i = 0; i < n; i++) {
-         |    double xi = (double) $a.getFloat(i);
-         |    double yi = (double) $b.getFloat(i);
-         |    dot += xi * yi; na += xi * xi; nb += yi * yi;
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  int $n = $a.numElements();
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xi = (double) $a.getFloat($i);
+         |    double $yi = (double) $b.getFloat($i);
+         |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |  }
-         |  ${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |}
        """.stripMargin
     })
@@ -97,16 +101,17 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (dot, n, i) = (ctx.freshName("dot"), ctx.freshName("n"), ctx.freshName("i"))
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double dot = 0.0;
-         |  int n = $a.numElements();
-         |  for (int i = 0; i < n; i++) {
-         |    dot += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+         |  double $dot = 0.0;
+         |  int $n = $a.numElements();
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |  }
-         |  ${ev.value} = dot;
+         |  ${ev.value} = $dot;
          |}
        """.stripMargin
     })

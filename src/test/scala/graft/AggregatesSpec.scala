@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Aggregates
+import org.apache.spark.sql.functions._
+
+class AggregatesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("deterministicMode breaks ties to the smallest value") {
+    val df = Seq(
+      ("u1", "b"), ("u1", "b"), ("u1", "a"), ("u1", "a"), ("u1", "c"),
+      ("u2", "z")).toDF("k", "v")
+    val m = Aggregates.deterministicMode(df, Seq("k"), "v", "mode_v")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m == Map("u1" -> "a", "u2" -> "z")) // a and b tie at 2; a < b
+  }
+
+  test("latestPerGroup picks max orderCol, tie-broken by tieBreak desc") {
+    val df = Seq(
+      ("u1", 1L, 10L), ("u1", 2L, 11L), ("u1", 2L, 9L),
+      ("u2", 5L, 1L)).toDF("k", "o", "t")
+    val got = Aggregates.latestPerGroup(df, Seq("k"), "o", "t")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("u1", 2L, 11L), ("u2", 5L, 1L)))
+  }
+
+  test("distributionWithPct sums to 100") {
+    val df = Seq("a", "a", "a", "b").toDF("v")
+    val rows = Aggregates.distributionWithPct(df, "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows == Set(("a", 3L, 75.0), ("b", 1L, 25.0)))
+  }
+
+  test("countIf/pctIf") {
+    val df = Seq(1, 2, 3, 4).toDF("x")
+    val r = df.agg(
+      Aggregates.countIf(col("x") > 2).as("c"),
+      Aggregates.pctIf(col("x") > 2).as("p")).head
+    assert(r.getLong(0) == 2L && r.getDouble(1) == 50.0)
+  }
+
+  test("exactSum is order-independent and matches plain arithmetic") {
+    // 0.1 added 1000 times: plain double fold drifts; decimal path is exact
+    val df = Seq.fill(1000)(0.1).toDF("x")
+    val s = df.agg(Aggregates.exactSum(col("x")).as("s")).head.getDouble(0)
+    assert(s == 100.0)
+    val avg = df.agg(Aggregates.exactAvg(col("x")).as("a")).head.getDouble(0)
+    assert(avg == 0.1)
+  }
+}

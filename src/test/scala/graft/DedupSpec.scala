@@ -1,0 +1,83 @@
+package graft
+
+import graft.functions.Text
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different words appear here today now"),
+    (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (5L, "tiny doc")                                     // < 3 tokens
+  ).toDF("doc_id", "text")
+
+  test("keepFirst keeps the min tie-break row per key") {
+    val df = Seq(("a", 3L), ("a", 1L), ("b", 2L)).toDF("k", "id")
+    val got = Dedup.keepFirst(df, Seq("k"), "id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSet
+    assert(got == Set("a" -> 1L, "b" -> 2L))
+  }
+
+  test("exactTextGroups groups identical content") {
+    val g = Dedup.exactTextGroups(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(g.contains((1L, 2L))) // docs 1 and 4 collapse, keeper = 1
+    assert(g.count(_._2 == 1L) == 3)
+  }
+
+  test("shingles: fewer than n tokens yields empty array") {
+    val s = docs.where(col("doc_id") === 5)
+      .select(Text.shingleSet(col("text"), 3).as("s")).head.getSeq[String](0)
+    assert(s.isEmpty)
+    val s1 = docs.where(col("doc_id") === 1)
+      .select(Text.shingles(col("text"), 3).as("s")).head.getSeq[String](0)
+    assert(s1.head == "the quick brown" && s1.size == 7)
+  }
+
+  test("ngramJaccardPairs finds exact and near dups with correct jaccard") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 4L)) == 1.0) // exact dup
+    // doc1 vs doc2: 7 shingles each, 6 shared -> 6/8
+    assert(pairs((1L, 2L)) == 0.75 && pairs((2L, 4L)) == 0.75)
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("hot-shingle cap drops high-fanout buckets") {
+    val many = (1L to 20L).map(i => (i, "same shared shingle text here")).toDF("doc_id", "text")
+    val capped = Dedup.ngramJaccardPairs(many, "doc_id", "text", 3, 0.1, maxBucket = 5)
+    assert(capped.count() == 0) // every shingle appears 20 > 5 times
+  }
+
+  test("minhash: identical docs get identical signatures, LSH catches them") {
+    val sigs = Dedup.minhashSignatures(docs.where(col("doc_id") =!= 5), "doc_id", "text", 3, 16)
+    val rows = sigs.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(rows(1L) == rows(4L))
+    assert(rows(1L) != rows(3L))
+    val cands = Dedup.minhashLshCandidates(sigs, 16, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 4L)))
+    assert(!cands.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("simhash: identical docs equal; near-dups within small hamming distance") {
+    val sigs = Dedup.simhashSignatures(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(4L))
+    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // hamming 0
+  }
+
+  test("fingerprint is order-sensitive") {
+    val fp = Seq((1L, "a b c"), (2L, "a b c"), (3L, "c b a"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Text.fingerprint(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L) && fp(1L) != fp(3L))
+  }
+}

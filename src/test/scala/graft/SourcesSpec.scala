@@ -1,0 +1,91 @@
+package graft
+
+import graft.sources.{JsonEnvelope, PartitionedStore}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft-test").toString
+
+  private val envelope =
+    """{"readings": [
+      |{"station_id":"WS001","city":"Mumbai","country":"India","latitude":19.07,"longitude":72.87,
+      | "timestamp":"2026-08-12T10:30:00","temperature_celsius":32.5,"humidity_percent":78.0,
+      | "pressure_hpa":1005.2,"wind_speed_kmh":12.3,"wind_direction":"SW","precipitation_mm":0.0,
+      | "visibility_km":8.5,"uv_index":9,"weather_condition":"Partly Cloudy","heat_index_celsius":41.2},
+      |{"station_id":"WS002","city":"Delhi","country":"India","latitude":28.7,"longitude":77.1,
+      | "timestamp":"2026-08-12T10:30:00","temperature_celsius":38.1,"humidity_percent":45.0,
+      | "pressure_hpa":998.7,"wind_speed_kmh":22.1,"wind_direction":"NW","precipitation_mm":12.5,
+      | "visibility_km":3.2,"uv_index":11,"weather_condition":"Haze","heat_index_celsius":43.0}
+      |]}""".stripMargin.replaceAll("\n", "")
+
+  test("JsonEnvelope flattens batch envelopes to one row per reading") {
+    val dir = tmp()
+    Files.writeString(java.nio.file.Paths.get(dir, "batch_1.json"), envelope)
+    val df = JsonEnvelope.readBatch(spark, dir)
+    assert(df.count() == 2)
+    assert(df.columns.toSeq == JsonEnvelope.readingSchema.map(_.name).toSeq)
+    assert(df.where(col("city") === "Mumbai").head.getAs[Double]("temperature_celsius") == 32.5)
+  }
+
+  test("parsePayload handles a payload column carrying envelopes") {
+    val df = Seq(envelope).toDF("data")
+    val parsed = JsonEnvelope.parsePayload(df, "data")
+    assert(parsed.count() == 2)
+    assert(parsed.select("station_id").collect().map(_.getString(0)).toSet == Set("WS001", "WS002"))
+  }
+
+  test("appendIfAbsent is idempotent (ON CONFLICT DO NOTHING semantics)") {
+    val table = tmp() + "/readings"
+    val batch = Seq(
+      ("WS001", "2026-08-12T10:00:00", 30.0),
+      ("WS002", "2026-08-12T10:00:00", 31.0))
+      .toDF("station_id", "timestamp", "temp")
+      .withColumn("ts", to_timestamp(col("timestamp")))
+    val keys = Seq("station_id", "timestamp")
+
+    val n1 = PartitionedStore.appendIfAbsent(spark, batch, table, keys, Seq.empty)
+    assert(n1 == 2)
+    // re-run: nothing new
+    val n2 = PartitionedStore.appendIfAbsent(spark, batch, table, keys, Seq.empty)
+    assert(n2 == 0)
+    // overlapping batch: only the new key lands
+    val batch2 = Seq(
+      ("WS001", "2026-08-12T10:00:00", 99.0), // dup key, different payload -> ignored
+      ("WS003", "2026-08-12T10:00:00", 28.0))
+      .toDF("station_id", "timestamp", "temp")
+      .withColumn("ts", to_timestamp(col("timestamp")))
+    val n3 = PartitionedStore.appendIfAbsent(spark, batch2, table, keys, Seq.empty)
+    assert(n3 == 1)
+    val stored = spark.read.parquet(table)
+    assert(stored.count() == 3)
+    assert(stored.where(col("station_id") === "WS001").head.getAs[Double]("temp") == 30.0)
+  }
+
+  test("overwriteGroups replaces only the touched partitions (upsert semantics)") {
+    val table = tmp() + "/summary"
+    val day1 = Seq(("2026-08-11", "Mumbai", 30.0), ("2026-08-11", "Delhi", 35.0),
+      ("2026-08-12", "Mumbai", 31.0)).toDF("summary_date", "city", "avg_temp")
+    PartitionedStore.overwriteGroups(day1, table, Seq("summary_date"))
+    // recompute day 2 with corrected numbers; day 1 must survive
+    val day2 = Seq(("2026-08-12", "Mumbai", 99.0), ("2026-08-12", "Delhi", 98.0))
+      .toDF("summary_date", "city", "avg_temp")
+    PartitionedStore.overwriteGroups(day2, table, Seq("summary_date"))
+    // partition values come back type-inferred (DateType) — stringify for compare
+    val got = spark.read.parquet(table)
+      .collect().map(r => (String.valueOf(r.getAs[Any]("summary_date")), r.getAs[String]("city")) -> r.getAs[Double]("avg_temp")).toMap
+    assert(got.size == 4)
+    assert(got(("2026-08-11", "Mumbai")) == 30.0)
+    assert(got(("2026-08-12", "Mumbai")) == 99.0)
+  }
+
+  test("withTimePartitions derives event-time partition columns") {
+    val df = Seq("2026-08-12T10:30:00").toDF("s")
+      .select(to_timestamp(col("s")).as("ts"))
+    val p = PartitionedStore.withTimePartitions(df, "ts").head
+    assert((p.getAs[Int]("year"), p.getAs[Int]("month"), p.getAs[Int]("day"), p.getAs[Int]("hour"))
+      == ((2026, 8, 12, 10)))
+  }
+}
