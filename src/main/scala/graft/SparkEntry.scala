@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Enrich, Hashing, Text, TimeFeatures, Vec}
-import graft.operators.{Aggregates, Dedup, Similarity}
+import graft.operators.{Aggregates, Dedup, Multimodal, Similarity}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -49,6 +49,11 @@ object SparkEntry {
   private def syntheticWeather(events: DataFrame): DataFrame =
     events.select(
       col("event_id"), col("ts"),
+      when(col("user_id") % 5 === 0, "Mumbai")
+        .when(col("user_id") % 5 === 1, "Delhi")
+        .when(col("user_id") % 5 === 2, "Bangalore")
+        .when(col("user_id") % 5 === 3, "Chennai")
+        .otherwise("Kolkata").as("city"),
       (col("value") / 10.0 - 5.0).as("temperature_celsius"),
       (col("value") % 100.0).as("humidity_percent"),
       (col("value") / 5.0 + 940.0).as("pressure_hpa"),
@@ -60,6 +65,11 @@ object SparkEntry {
   /** The six enrichment families over the synthetic reading (EP1 semantics,
     * glue_weather_etl.py:200-430 re-expressed; see graft.functions.Enrich). */
   private def enriched(events: DataFrame): DataFrame =
+    enrichedFull(events).drop("ts", "city")
+
+  /** Enrichment keeping the event-time and city columns (for the analytics
+    * layer: daily summary, current-status view). */
+  private def enrichedFull(events: DataFrame): DataFrame =
     syntheticWeather(events)
       .withColumn("temperature_fahrenheit", Enrich.celsiusToFahrenheit(col("temperature_celsius")))
       .withColumn("temperature_kelvin", Enrich.celsiusToKelvin(col("temperature_celsius")))
@@ -81,13 +91,17 @@ object SparkEntry {
       .withColumn("is_valid_pressure", Enrich.validIn(col("pressure_hpa"), 950, 1050))
       .withColumn("data_quality_score", Enrich.qualityScore(
         col("is_valid_temperature"), col("is_valid_humidity"), col("is_valid_pressure")))
-      .drop("ts")
 
   // --------------------------------------------------- oracle SQL fragments
 
   /** DuckDB twin of syntheticWeather (identical association order). */
   private val synthSql =
     """SELECT event_id, ts,
+      | CASE WHEN user_id%5=0 THEN 'Mumbai'
+      |      WHEN user_id%5=1 THEN 'Delhi'
+      |      WHEN user_id%5=2 THEN 'Bangalore'
+      |      WHEN user_id%5=3 THEN 'Chennai'
+      |      ELSE 'Kolkata' END AS city,
       | value/10.0-5.0 AS temperature_celsius,
       | value%100.0 AS humidity_percent,
       | value/5.0+940.0 AS pressure_hpa,
@@ -98,15 +112,16 @@ object SparkEntry {
       |FROM events""".stripMargin
 
   /** DuckDB twin of the full enrichment chain (layered so tf/simple/hi
-    * subexpressions are shared exactly like the Spark Column tree). */
-  private val enrichedSql = {
+    * subexpressions are shared exactly like the Spark Column tree).
+    * `extra` prepends pass-through columns (city/ts for the analytics layer). */
+  private def enrichedSqlWith(extra: String): String = {
     val full = "-42.379+2.04901523*tf+10.14333127*humidity_percent" +
       "-0.22475541*tf*humidity_percent-0.00683783*tf*tf" +
       "-0.05481717*humidity_percent*humidity_percent" +
       "+0.00122874*tf*tf*humidity_percent" +
       "+0.00085282*tf*humidity_percent*humidity_percent" +
       "-0.00000199*tf*tf*humidity_percent*humidity_percent"
-    s"""SELECT event_id, temperature_celsius, humidity_percent, pressure_hpa,
+    s"""SELECT ${extra}event_id, temperature_celsius, humidity_percent, pressure_hpa,
        | wind_speed_kmh, precipitation_mm, visibility_km, uv_index,
        | floor((temperature_celsius*9.0/5.0+32.0)*10.0+0.5)/10.0 AS temperature_fahrenheit,
        | floor((temperature_celsius+273.15)*10.0+0.5)/10.0 AS temperature_kelvin,
@@ -155,6 +170,9 @@ object SparkEntry {
        |  )
        |)""".stripMargin
   }
+
+  private val enrichedSql = enrichedSqlWith("")
+  private val enrichedFullSql = enrichedSqlWith("city, ts, ")
 
   /** Portable md5-derived 60-bit hash in DuckDB (twin of Hashing.stableHash60). */
   private def duckHash(expr: String): String =
@@ -339,7 +357,39 @@ object SparkEntry {
       val em = t(s, dir, "embeddings")
       Similarity.ivfKnn(em, em.where(col("vec_id") < 10),
         em.where(col("vec_id") % 50 === 0), k = 5)
-    })
+    }),
+
+    // ---- analytics layer (A1-A5, views) ----
+
+    // The reference's flagship daily aggregation incl. deterministic modes.
+    "q25_daily_weather_summary" -> ((s, dir) =>
+      graft.analytics.DailySummary.compute(enrichedFull(t(s, dir, "events")))),
+
+    // current_weather_status view: latest enriched reading per city (J1/W2).
+    "q26_current_weather_status" -> ((s, dir) =>
+      graft.analytics.Views.currentStatus(
+        enrichedFull(t(s, dir, "events")), "city", "ts", tieBreak = "event_id")
+        .select(col("city"), col("event_id"), unix_timestamp(col("ts")).as("ts_epoch"),
+          col("temperature_celsius"), col("alert_level"), col("comfort_level"))),
+
+    // ---- multimodal plumbing ----
+
+    // Binary payload + stub metadata decode (deterministic pseudo-header).
+    "q27_media_metadata" -> ((s, dir) =>
+      Multimodal.decodeMetadata(
+        Multimodal.withBinaryPayload(t(s, dir, "documents"), "text"))
+        .select("doc_id", "byte_len", "content_md5", "width", "height", "n_frames")),
+
+    // Frame fan-out: one row per fixed-size byte window.
+    "q28_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.withBinaryPayload(t(s, dir, "documents"), "text"), frameBytes = 100)
+        .select("doc_id", "frame_idx", "frame_md5")),
+
+    // mapPartitions feature extraction (byte histogram) — rows-only check.
+    "q29_media_features" -> ((s, dir) =>
+      Multimodal.byteHistogramFeatures(
+        Multimodal.withBinaryPayload(t(s, dir, "documents"), "text"), "doc_id"))
   )
 
   // -------------------------------------------------------------- oracleSql
@@ -541,6 +591,66 @@ object SparkEntry {
         | list_reduce(list_transform(list_zip(a.e, b.e), z -> z[1]*z[2]), (a,b) -> a+b)
         |   / (a.nrm * b.nrm) AS cosine
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
-        |WHERE cosine >= 0.4""".stripMargin
+        |WHERE cosine >= 0.4""".stripMargin,
+
+    "q25_daily_weather_summary" -> {
+      // roundAt(c, 2) twin: floor(c*100.0+0.5)/100.0
+      def r2(c: String) = s"floor(($c)*100.0+0.5)/100.0"
+      def decAvg(c: String) = s"CAST(sum(CAST($c AS DECIMAL(28,6))) AS DOUBLE)/count($c)"
+      def cntIf(cond: String) = s"CAST(sum(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT)"
+      def modeCte(valueCol: String, as: String) =
+        s"""SELECT city, reading_date, $valueCol AS $as FROM (
+           |  SELECT city, reading_date, $valueCol,
+           |   row_number() OVER (PARTITION BY city, reading_date
+           |                      ORDER BY count(*) DESC, $valueCol ASC) AS rn
+           |  FROM e GROUP BY city, reading_date, $valueCol) WHERE rn=1""".stripMargin
+      s"""WITH e AS ($enrichedFullSql),
+         |num AS (
+         | SELECT city, reading_date,
+         |  ${r2(decAvg("temperature_celsius"))} AS avg_temperature,
+         |  min(temperature_celsius) AS min_temperature,
+         |  max(temperature_celsius) AS max_temperature,
+         |  ${r2(decAvg("heat_index_celsius"))} AS avg_heat_index,
+         |  ${r2(decAvg("humidity_percent"))} AS avg_humidity,
+         |  ${r2(decAvg("pressure_hpa"))} AS avg_pressure,
+         |  ${r2(decAvg("wind_speed_kmh"))} AS avg_wind_speed,
+         |  ${r2("CAST(sum(CAST(precipitation_mm AS DECIMAL(28,6))) AS DOUBLE)")} AS total_precipitation,
+         |  max(precipitation_mm) AS max_precipitation,
+         |  CAST(count(*) AS BIGINT) AS reading_count,
+         |  ${cntIf("alert_level='NORMAL'")} AS normal_count,
+         |  ${cntIf("alert_level='WATCH'")} AS watch_count,
+         |  ${cntIf("alert_level='WARNING'")} AS warning_count,
+         |  ${cntIf("alert_level='CRITICAL'")} AS critical_count,
+         |  ${r2("CAST(sum(CASE WHEN alert_level IN ('WARNING','CRITICAL') THEN 1 ELSE 0 END) AS DOUBLE)*100.0/count(*)")} AS alert_percentage,
+         |  ${r2(decAvg("data_quality_score"))} AS avg_quality_score
+         | FROM e GROUP BY city, reading_date),
+         |cm AS (${modeCte("comfort_level", "dominant_comfort")}),
+         |sv AS (${modeCte("weather_severity", "dominant_severity")})
+         |SELECT num.*, dominant_comfort, dominant_severity
+         |FROM num JOIN cm USING (city, reading_date) JOIN sv USING (city, reading_date)""".stripMargin
+    },
+
+    "q26_current_weather_status" ->
+      s"""SELECT city, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+         | temperature_celsius, alert_level, comfort_level
+         |FROM (SELECT *, row_number() OVER (PARTITION BY city ORDER BY ts DESC, event_id DESC) AS rn
+         |      FROM ($enrichedFullSql)) WHERE rn=1""".stripMargin,
+
+    "q27_media_metadata" -> {
+      val h = duckHash("text") // md5(utf8 bytes of text) == md5 of the binary payload
+      s"""SELECT doc_id,
+         | CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+         | md5(text) AS content_md5,
+         | CAST(64 + $h%448 AS INTEGER) AS width,
+         | CAST(64 + ($h>>9)%448 AS INTEGER) AS height,
+         | CAST(1 + ($h>>18)%30 AS INTEGER) AS n_frames
+         |FROM documents""".stripMargin
+    },
+
+    "q28_frame_sample" ->
+      """SELECT doc_id, CAST(f.frame_idx AS INTEGER) AS frame_idx,
+        | md5(substr(text, f.frame_idx*100+1, 100)) AS frame_md5
+        |FROM documents,
+        | LATERAL (SELECT unnest(range(0, CAST(floor((octet_length(encode(text))-1)/100) AS BIGINT)+1)) AS frame_idx) f""".stripMargin
   )
 }

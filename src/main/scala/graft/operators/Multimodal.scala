@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.functions.Hashing
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+
+/**
+ * Multimodal-column plumbing for a training-data pipeline: media payloads
+ * are opaque `binary` columns with typed metadata; decode / frame-sample /
+ * feature-extract run distributed over partitions, never on the driver.
+ *
+ * The actual media codecs are NOT available in this environment, so the
+ * decode step is a clearly-marked DETERMINISTIC STUB (pseudo-metadata
+ * derived from the content hash). Everything around it — binary column
+ * handling, schema, explode-based frame fan-out, mapPartitions batch shape,
+ * partition-preserving narrow ops — is the real Spark-side design a decoder
+ * would plug into (swap `stub*` expressions for the codec call).
+ */
+object Multimodal {
+
+  /** Attach a binary payload column (here: the UTF-8 bytes of `textCol`;
+    * in production: the raw media bytes read from object storage). */
+  def withBinaryPayload(docs: DataFrame, textCol: String, as: String = "content"): DataFrame =
+    docs.withColumn(as, encode(col(textCol), "UTF-8"))
+
+  /**
+   * "Decode" media metadata — STUB: width/height/frame-count are derived
+   * deterministically from the md5 of the payload (a real implementation
+   * parses the container header here). Shape is the contract: one narrow
+   * projection, no shuffle, metadata typed int/string.
+   */
+  def decodeMetadata(df: DataFrame, binCol: String = "content"): DataFrame = {
+    val h = Hashing.stableHash60(col(binCol))
+    df.withColumn("byte_len", length(col(binCol)))
+      .withColumn("content_md5", md5(col(binCol)))
+      .withColumn("width", (lit(64) + h % 448).cast("int"))
+      .withColumn("height", (lit(64) + shiftright(h, 9) % 448).cast("int"))
+      .withColumn("n_frames", (lit(1) + shiftright(h, 18) % 30).cast("int"))
+  }
+
+  /**
+   * Frame sampling: fan one payload out to fixed-size byte windows
+   * (video → frames, audio → chunks). explode(sequence) is a narrow
+   * Generator — parallelism follows the input partitioning; at scale the
+   * frame rows inherit the parent file-split locality.
+   */
+  def sampleFrames(df: DataFrame, binCol: String = "content", frameBytes: Int = 100): DataFrame = {
+    val nFrames = floor((length(col(binCol)) - 1) / frameBytes).cast("int") + 1
+    df.withColumn("frame_idx", explode(sequence(lit(0), nFrames - 1)))
+      .withColumn("frame", substr(col(binCol), col("frame_idx") * frameBytes + 1, lit(frameBytes)))
+      .withColumn("frame_md5", md5(col("frame")))
+  }
+
+  /**
+   * Per-document feature extraction via mapPartitions — the pattern for
+   * heavyweight decoders (model inference, image feature nets): the
+   * iterator lets an implementation batch rows and amortize per-partition
+   * setup (load model once per partition, not per row). STUB feature:
+   * a normalized 16-bin byte histogram (deterministic, codec-free).
+   */
+  def byteHistogramFeatures(df: DataFrame, idCol: String, binCol: String = "content",
+                            bins: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs: Dataset[(Long, Array[Byte])] =
+      df.select(col(idCol).cast("long"), col(binCol)).as[(Long, Array[Byte])]
+    pairs.mapPartitions { it =>
+      // per-partition setup would go here (e.g. ??? -> load decoder/model)
+      it.map { case (id, bytes) =>
+        val hist = new Array[Float](bins)
+        var i = 0
+        while (i < bytes.length) {
+          hist(((bytes(i) & 0xff) * bins) / 256) += 1f
+          i += 1
+        }
+        if (bytes.length > 0) {
+          var j = 0
+          while (j < bins) { hist(j) /= bytes.length.toFloat; j += 1 }
+        }
+        (id, hist)
+      }
+    }.toDF(idCol, "features")
+  }
+}

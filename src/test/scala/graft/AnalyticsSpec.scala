@@ -1,0 +1,67 @@
+package graft
+
+import graft.analytics.{DailySummary, Views}
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Two cities, one day; Delhi has a WARNING reading and a comfort tie.
+  private def enriched = Seq(
+    ("Mumbai", "2026-08-12", 30.0, 36.0, 70.0, 1000.0, 10.0, 0.0, "Comfortable", "Normal", "NORMAL", 100.0),
+    ("Mumbai", "2026-08-12", 32.0, 38.0, 72.0, 1001.0, 12.0, 5.0, "Caution", "Normal", "NORMAL", 100.0),
+    ("Delhi", "2026-08-12", 40.0, 48.0, 30.0, 998.0, 20.0, 30.0, "Danger", "Severe", "WARNING", 100.0),
+    ("Delhi", "2026-08-12", 41.0, 50.0, 28.0, 999.0, 22.0, 0.0, "Extreme Caution", "Normal", "WATCH", 100.0)
+  ).toDF("city", "reading_date", "temperature_celsius", "heat_index_celsius",
+    "humidity_percent", "pressure_hpa", "wind_speed_kmh", "precipitation_mm",
+    "comfort_level", "weather_severity", "alert_level", "data_quality_score")
+
+  test("DailySummary: aggregates, tiers, pct, deterministic mode") {
+    val rows = DailySummary.compute(enriched)
+      .collect().map(r => r.getAs[String]("city") -> r).toMap
+    val mumbai = rows("Mumbai")
+    assert(mumbai.getAs[Double]("avg_temperature") == 31.0)
+    assert(mumbai.getAs[Double]("min_temperature") == 30.0)
+    assert(mumbai.getAs[Double]("max_temperature") == 32.0)
+    assert(mumbai.getAs[Long]("reading_count") == 2L)
+    assert(mumbai.getAs[Long]("normal_count") == 2L)
+    assert(mumbai.getAs[Double]("alert_percentage") == 0.0)
+    // comfort tie (1 each) -> smallest value alphabetically: "Caution"
+    assert(mumbai.getAs[String]("dominant_comfort") == "Caution")
+    val delhi = rows("Delhi")
+    assert(delhi.getAs[Long]("warning_count") == 1L && delhi.getAs[Long]("watch_count") == 1L)
+    assert(delhi.getAs[Double]("alert_percentage") == 50.0)
+    assert(delhi.getAs[Double]("total_precipitation") == 30.0)
+    assert(delhi.getAs[String]("dominant_severity") == "Normal") // tie: Normal < Severe
+  }
+
+  test("Views: recentAlerts filters and orders; currentStatus picks latest per city") {
+    val withTs = enriched.withColumn("ts",
+      to_timestamp(concat(col("reading_date"), lit(" 0"), monotonically_increasing_id() % 10, lit(":00:00"))))
+      .withColumn("station_id", col("city"))
+    assert(Views.recentAlerts(withTs).collect().map(_.getAs[String]("alert_level")).toSeq == Seq("WARNING"))
+    val cur = Views.currentStatus(withTs)
+    assert(cur.count() == 2) // one row per city
+  }
+
+  test("Multimodal: metadata stub, frame fan-out, histogram features") {
+    val docs = Seq((1L, "a" * 250), (2L, "xy")).toDF("doc_id", "text")
+    val withBin = Multimodal.withBinaryPayload(docs, "text")
+    val meta = Multimodal.decodeMetadata(withBin)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(meta(1L).getAs[Int]("byte_len") == 250)
+    assert(meta(1L).getAs[Int]("width") >= 64 && meta(1L).getAs[Int]("width") < 512)
+
+    val frames = Multimodal.sampleFrames(withBin, frameBytes = 100)
+    val byDoc = frames.groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc == Map(1L -> 3L, 2L -> 1L)) // 250 bytes -> 3 frames of <=100
+
+    val feats = Multimodal.byteHistogramFeatures(withBin, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(math.abs(feats(1L).sum - 1.0f) <= 1e-6f)
+    // doc1 is all 'a' (0x61): all mass in bin (0x61*16)/256 = 6
+    assert(feats(1L)(6) == 1.0f)
+  }
+}
