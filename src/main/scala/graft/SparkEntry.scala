@@ -325,7 +325,7 @@ object SparkEntry {
     // Exact n-gram Jaccard near-dup pairs via shingle inverted index.
     "q18_ngram_jaccard_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, threshold = 0.5, maxBucket = 1000000)),
+        n = 3, threshold = 0.5, maxBucket = Int.MaxValue)),
 
     // MinHash signatures (16 portable universal hashes).
     "q19_minhash_signatures" -> ((s, dir) =>

@@ -51,10 +51,20 @@ object Dedup {
     val sh = explodedShingles(docs, idCol, textCol, n)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("set_size"))
 
-    val capped = sh
-      .withColumn("__bucket", count(lit(1)).over(Window.partitionBy("shingle")))
-      .where(col("__bucket") <= maxBucket)
-      .drop("__bucket")
+    // Hot-shingle (stop-shingle) cap as a broadcast anti-join: the list of
+    // shingles appearing in > maxBucket docs is tiny by construction, so it
+    // broadcasts; this avoids the sort + full-width window shuffle a
+    // count-over-partition cap would cost on the raw shingle stream. The
+    // count shuffle is map-side combined (one row per distinct shingle per
+    // partition), and the anti join itself is narrow. Int.MaxValue disables
+    // the cap entirely (exact mode — no extra aggregation).
+    val capped =
+      if (maxBucket == Int.MaxValue) sh
+      else {
+        val hot = sh.groupBy("shingle").agg(count(lit(1)).as("__n"))
+          .where(col("__n") > maxBucket).select("shingle")
+        sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+      }
 
     val a = capped.withColumnsRenamed(Map("id" -> "id_a"))
     val b = capped.withColumnsRenamed(Map("id" -> "id_b"))
