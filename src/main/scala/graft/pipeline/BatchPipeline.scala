@@ -30,10 +30,14 @@ object BatchPipeline {
 
   def run(spark: SparkSession, rawDir: String, storeDir: String, summaryDir: String,
           minQuality: Double = 80.0): Result = {
-    // 1. load + enrich (same lineage the streaming job uses — EP1 ≡ EP2 logic)
+    // 1. load + enrich (same lineage the streaming job uses — EP1 ≡ EP2 logic).
+    // persist: the pipeline runs several actions (count, store append, three
+    // summary aggregations, validation) over this lineage — without caching,
+    // each re-reads and re-enriches the raw JSON.
     val raw = JsonEnvelope.readBatch(spark, s"$rawDir/*/*/*/*")
     val enriched = EnrichStream.enrich(raw)
       .withColumn("reading_date", to_date(col("timestamp_parsed")))
+      .persist()
     val loaded = enriched.count()
 
     // 2. dedup-append (D1 + D2): unique on (station_id, timestamp)
@@ -65,6 +69,8 @@ object BatchPipeline {
          |  avgQuality=$avgQuality validation=${if (ok) "PASSED" else "FAILED"}
          |${lines.mkString("\n")}""".stripMargin
 
-    Result(loaded, storedNew, summaryStored.count(), avgQuality, ok, report)
+    val result = Result(loaded, storedNew, summaryStored.count(), avgQuality, ok, report)
+    enriched.unpersist()
+    result
   }
 }

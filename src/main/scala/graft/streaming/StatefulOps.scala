@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Stateful Structured Streaming operators. The reference's streaming job is
+ * stateless (SURVEY §2.8), but a Spark-native engine exposes the state
+ * primitives its users reach for next: watermarked event-time windows and
+ * arbitrary per-key state. Both run identically over `readStream` (state
+ * store on executors, checkpointed) and batch DataFrames (degenerate state).
+ *
+ * Scale notes: windowed aggregation shuffles on (key, window) with partial
+ * aggregation map-side; the watermark bounds state size — without it the
+ * store grows forever. flatMapGroupsWithState keeps one state row per key
+ * in the executor state store (RocksDB-backed in production configs).
+ */
+object StatefulOps {
+
+  /**
+   * Tumbling event-time window aggregation with a watermark: per
+   * (station, window) averages/extremes of the reading stream. Late rows
+   * beyond `lateness` are dropped deterministically by the watermark.
+   */
+  def windowedWeather(readings: DataFrame, windowLen: String = "1 hour",
+                      lateness: String = "10 minutes"): DataFrame =
+    readings
+      .withColumn("event_time", to_timestamp(col("timestamp")))
+      .withWatermark("event_time", lateness)
+      .groupBy(col("station_id"), window(col("event_time"), windowLen))
+      .agg(
+        avg(col("temperature_celsius")).as("avg_temperature"),
+        max(col("temperature_celsius")).as("max_temperature"),
+        sum(col("precipitation_mm")).as("total_precipitation"),
+        count(lit(1)).as("reading_count"))
+      .select(col("station_id"), col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("avg_temperature"),
+        col("max_temperature"), col("total_precipitation"), col("reading_count"))
+
+  final case class AlertEvent(stationId: String, alertLevel: String, eventTime: java.sql.Timestamp)
+  final case class StreakState(current: Int, longest: Int)
+  final case class StreakUpdate(stationId: String, currentStreak: Int, longestStreak: Int)
+
+  /**
+   * Arbitrary stateful processing (flatMapGroupsWithState): track per
+   * station the current and longest run of consecutive alerting readings
+   * (WARNING/CRITICAL). Emits an update whenever a group sees data;
+   * processing-time timeout expires idle stations' state.
+   */
+  def alertStreaks(events: Dataset[AlertEvent],
+                   timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout()): Dataset[StreakUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.stationId)
+      .flatMapGroupsWithState(OutputMode.Append(), timeout) {
+        (station: String, rows: Iterator[AlertEvent], state: GroupState[StreakState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // per-station order within a batch: sort the (small) group by time
+            val sorted = rows.toSeq.sortBy(_.eventTime.getTime)
+            var s = state.getOption.getOrElse(StreakState(0, 0))
+            sorted.foreach { e =>
+              val cur = if (e.alertLevel == "WARNING" || e.alertLevel == "CRITICAL") s.current + 1 else 0
+              s = StreakState(cur, math.max(s.longest, cur))
+            }
+            state.update(s)
+            if (timeout != GroupStateTimeout.NoTimeout())
+              state.setTimeoutDuration("1 hour")
+            Iterator.single(StreakUpdate(station, s.current, s.longest))
+          }
+      }
+  }
+}

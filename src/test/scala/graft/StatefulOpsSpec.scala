@@ -1,0 +1,90 @@
+package graft
+
+import graft.sources.JsonEnvelope
+import graft.streaming.StatefulOps
+import graft.streaming.StatefulOps.{AlertEvent, StreakUpdate}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class StatefulOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def reading(station: String, ts: String, tempC: Double): String =
+    s"""{"station_id":"$station","city":"X","country":"India","latitude":1.0,"longitude":1.0,
+       |"timestamp":"$ts","temperature_celsius":$tempC,"humidity_percent":50.0,
+       |"pressure_hpa":1000.0,"wind_speed_kmh":5.0,"wind_direction":"N","precipitation_mm":2.0,
+       |"visibility_km":9.0,"uv_index":3,"weather_condition":"Cloudy","heat_index_celsius":$tempC}"""
+      .stripMargin.replaceAll("\n", "")
+
+  test("windowed aggregation with watermark over a file stream") {
+    val root = Files.createTempDirectory("graft-window").toString
+    val raw = s"$root/raw"; Files.createDirectories(java.nio.file.Paths.get(raw))
+    Files.writeString(java.nio.file.Paths.get(raw, "b1.json"),
+      s"""{"readings": [${reading("WS001", "2026-08-12T10:05:00", 30.0)},
+         |${reading("WS001", "2026-08-12T10:55:00", 34.0)},
+         |${reading("WS001", "2026-08-12T11:05:00", 20.0)},
+         |${reading("WS002", "2026-08-12T10:10:00", 25.0)}]}""".stripMargin.replaceAll("\n", " "))
+
+    val windowed = StatefulOps.windowedWeather(JsonEnvelope.readStream(spark, raw))
+    val q = windowed.writeStream
+      .format("parquet")
+      .option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    // append mode only emits windows the watermark has closed; write a later
+    // batch to advance the watermark past 11:00
+    Files.writeString(java.nio.file.Paths.get(raw, "b2.json"),
+      s"""{"readings": [${reading("WS001", "2026-08-12T13:00:00", 22.0)}]}""")
+    val q2 = windowed.writeStream
+      .format("parquet")
+      .option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(60000)
+
+    val out = spark.read.parquet(s"$root/out")
+      .collect().map(r => (r.getAs[String]("station_id"),
+        r.getAs[Timestamp]("window_start").toString, r.getAs[Long]("reading_count"),
+        r.getAs[Double]("avg_temperature"))).toSet
+    assert(out.contains(("WS001", "2026-08-12 10:00:00.0", 2L, 32.0)))
+    assert(out.contains(("WS001", "2026-08-12 11:00:00.0", 1L, 20.0)))
+    assert(out.contains(("WS002", "2026-08-12 10:00:00.0", 1L, 25.0)))
+  }
+
+  test("alertStreaks tracks consecutive alert runs per station (batch mode)") {
+    def e(st: String, lvl: String, min: Int) =
+      AlertEvent(st, lvl, Timestamp.valueOf(f"2026-08-12 10:$min%02d:00"))
+    val events = Seq(
+      e("WS001", "NORMAL", 1), e("WS001", "WARNING", 2), e("WS001", "CRITICAL", 3),
+      e("WS001", "WARNING", 4), e("WS001", "NORMAL", 5), e("WS001", "WARNING", 6),
+      e("WS002", "NORMAL", 1), e("WS002", "WATCH", 2)).toDS()
+    val got = StatefulOps.alertStreaks(events)
+      .collect().map(u => u.stationId -> ((u.currentStreak, u.longestStreak))).toMap
+    assert(got("WS001") == ((1, 3))) // WARNING,CRITICAL,WARNING = 3; ends on a fresh WARNING
+    assert(got("WS002") == ((0, 0))) // WATCH does not count as alerting
+  }
+
+  test("alertStreaks carries state across micro-batches (streaming mode)") {
+    val root = Files.createTempDirectory("graft-streak").toString
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[AlertEvent]
+    val stream = StatefulOps.alertStreaks(input.toDS())
+    val q = stream.writeStream.format("memory").queryName("streaks")
+      .option("checkpointLocation", s"$root/ckpt").outputMode("append").start()
+    def emit(rows: AlertEvent*): Unit = { input.addData(rows); q.processAllAvailable() }
+
+    emit(AlertEvent("WS001", "WARNING", Timestamp.valueOf("2026-08-12 10:00:00")))
+    emit(AlertEvent("WS001", "CRITICAL", Timestamp.valueOf("2026-08-12 10:01:00")))
+    val rows = spark.sql("SELECT * FROM streaks").as[StreakUpdate].collect()
+    q.stop()
+    // second batch continued the streak from checkpointed state: 2, not 1
+    assert(rows.map(u => (u.currentStreak, u.longestStreak)).toSet == Set((1, 1), (2, 2)))
+  }
+}
