@@ -12,6 +12,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JIT/codegen/parquet-reader initialization otherwise
+    // lands entirely on whichever query happens to run first (~3s skew)
+    try {
+      spark.range(1000000).selectExpr("sum(id)").collect()
+      SparkEntry.queries.head._2(spark, sfDir).write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
+
     // noop sink: forces FULL evaluation of every output column (count() would
     // let Catalyst prune the computed columns away and time an empty scan).
     val results = SparkEntry.queries.map { case (name, fn) =>

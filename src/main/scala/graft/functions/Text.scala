@@ -23,13 +23,11 @@ object Text {
     size(filter(tokens(text), t => t === word))
 
   /** Word n-gram shingles: ["a","b","c","d"], n=3 → ["a b c","b c d"].
-    * Empty array when the document has fewer than n tokens. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-  }
+    * Empty array when the document has fewer than n tokens. Native codegen
+    * single-pass implementation (graft.expressions.WordShingles) — the
+    * declarative transform+slice chain is interpreted and O(tokens²). */
+  def shingles(text: Column, n: Int): Column =
+    graft.expressions.WordShingles.column(text, n)
 
   /** Distinct shingle set (the unit of Jaccard similarity). */
   def shingleSet(text: Column, n: Int): Column = array_distinct(shingles(text, n))

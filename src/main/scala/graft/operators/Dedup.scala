@@ -100,27 +100,44 @@ object Dedup {
   }
 
   /**
+   * All (a,b), a<b pairs from a sorted id array — the within-bucket pair
+   * expansion shared by the LSH candidate generators. Pure expression
+   * (no UDF); bucket arrays are small by LSH design, so the quadratic
+   * expansion is bounded per bucket.
+   */
+  private def pairsFromSorted(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + 2, size(ids)),
+        y => struct(x.as("id_a"), y.as("id_b")))))
+
+  /**
    * MinHash + LSH near-dup candidates: split the signature into `bands`
    * bands of `numHashes/bands` rows, bucket by (band-index, band-values),
    * emit pairs sharing any bucket. Output is distinct candidate pairs —
-   * verify with exact Jaccard for the final answer. Banding keeps the join
-   * within buckets: no O(n²) stage anywhere.
+   * verify with exact Jaccard for the final answer.
+   *
+   * Pairs are generated INSIDE each bucket (collect_set + pairwise
+   * expansion), not by self-joining the bucket stream — the signature
+   * aggregation runs once instead of twice, and the only shuffles are the
+   * bucket groupBy and the final pair distinct. `maxBucket` drops
+   * degenerate hot buckets (identical-signature floods) the way the
+   * shingle cap drops stop-shingles.
    */
-  def minhashLshCandidates(signatures: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  def minhashLshCandidates(signatures: DataFrame, numHashes: Int, bands: Int,
+                           maxBucket: Int = 10000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val bandCols = (0 until bands).map { bi =>
       struct(lit(bi).as("band"),
         concat_ws("_", (0 until rows).map(r => col(s"mh_${bi * rows + r}")): _*).as("sig"))
     }
-    val buckets = signatures
+    signatures
       .select(col("id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("id"), col("bk.band"), col("bk.sig"))
-    val a = buckets.withColumnsRenamed(Map("id" -> "id_a"))
-    val b = buckets.withColumnsRenamed(Map("id" -> "id_b"))
-    a.join(b, Seq("band", "sig"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+      .groupBy(col("bk.band"), col("bk.sig"))
+      .agg(sort_array(collect_set(col("id"))).as("ids"))
+      .where(size(col("ids")).between(2, maxBucket))
+      .select(explode(pairsFromSorted(col("ids"))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
   }
 
@@ -174,14 +191,17 @@ object Dedup {
       struct(lit(c).as("chunk"),
         shiftright(col("simhash"), c * width).bitwiseAND((1L << width) - 1).as("key"))
     }
-    val buckets = sigs.select(col("id"), col("simhash"),
-      explode(array(chunkCols: _*)).as("bk"))
-      .select(col("id"), col("simhash"), col("bk.chunk"), col("bk.key"))
-    val a = buckets.withColumnsRenamed(Map("id" -> "id_a", "simhash" -> "sig_a"))
-    val b = buckets.withColumnsRenamed(Map("id" -> "id_b", "simhash" -> "sig_b"))
-    a.join(b, Seq("chunk", "key"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+    // within-bucket pair expansion (single pass over the signature stream;
+    // see minhashLshCandidates)
+    sigs.select(struct(col("id"), col("simhash")).as("item"),
+        explode(array(chunkCols: _*)).as("bk"))
+      .groupBy(col("bk.chunk"), col("bk.key"))
+      .agg(sort_array(collect_set(col("item"))).as("items"))
+      .where(size(col("items")) >= 2)
+      .select(explode(pairsFromSorted(col("items"))).as("p"))
+      .select(col("p.id_a.id").as("id_a"), col("p.id_b.id").as("id_b"),
+        col("p.id_a.simhash").as("sig_a"), col("p.id_b.simhash").as("sig_b"))
+      .distinct()
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .where(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming")
