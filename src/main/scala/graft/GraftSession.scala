@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Session factory with the engine's recommended configuration.
+ *
+ * Local mode sizes shuffle partitions to the core count (the 200 default
+ * just makes 32-core local runs schedule 6× too many tiny tasks). On a
+ * real cluster, size `spark.sql.shuffle.partitions` to ~2-3× total
+ * executor cores and let AQE coalesce — the skew-join and coalesce flags
+ * below are what keep 100 TB shuffles healthy; they are on by default in
+ * Spark 4 but pinned here as part of the engine contract.
+ */
+object GraftSession {
+
+  def local(cores: Int, appName: String = "graft"): SparkSession =
+    configure(SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString))
+      .getOrCreate()
+
+  /** Apply the engine's config contract to any builder (cluster or local). */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    // events.ts test data is nanosecond parquet (see SparkEntry.t)
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.ui.enabled", "false")
+}

@@ -1,0 +1,104 @@
+package graft
+
+import graft.functions.{Enrich, Text}
+import graft.gen.WeatherGenerator
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+/** Property-based invariants (SURVEY §5 test plan): evaluated through the
+  * engine in batches — one Spark job per property, not per case. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val temps = Gen.choose(-50.0, 60.0)
+  private val humidities = Gen.choose(0.0, 100.0)
+
+  private def evalPairs(pairs: Seq[(Double, Double)], expr: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column): Seq[Double] =
+    pairs.toDF("a", "b").select(expr(col("a"), col("b")).as("r"))
+      .collect().map(_.getDouble(0)).toSeq
+
+  test("property: F and K conversions invert to 1 decimal place") {
+    val cases = Gen.listOfN(200, temps).sample.get
+    val df = cases.toDF("c").select(
+      col("c"),
+      Enrich.celsiusToFahrenheit(col("c")).as("f"),
+      Enrich.celsiusToKelvin(col("c")).as("k")).collect()
+    df.foreach { r =>
+      val (c, f, k) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+      assert(math.abs((f - 32.0) * 5.0 / 9.0 - c) < 0.06, s"F inversion off for $c")
+      assert(math.abs(k - 273.15 - c) < 0.06, s"K inversion off for $c")
+    }
+  }
+
+  test("property: heat index >= passthrough threshold behavior and monotone in humidity") {
+    val ts = Gen.listOfN(60, Gen.choose(27.0, 45.0)).sample.get
+    val pairs = for (t <- ts; h <- Seq(20.0, 50.0, 80.0)) yield (t, h)
+    val his = evalPairs(pairs, Enrich.heatIndex)
+    pairs.zip(his).groupBy(_._1._1).foreach { case (_, group) =>
+      val byH = group.sortBy(_._1._2).map(_._2)
+      assert(byH.sliding(2).forall(w => w(0) <= w(1) + 1e-9),
+        s"heat index not monotone in humidity: $group")
+    }
+    // below 80F (26.66C): exact passthrough
+    val low = Gen.listOfN(50, Gen.choose(-50.0, 26.0)).sample.get.map((_, 90.0))
+    assert(evalPairs(low, Enrich.heatIndex) == low.map(_._1))
+  }
+
+  test("property: generator heat index is the engine heat index (differential oracle)") {
+    val pairs = (for {
+      t <- Gen.listOfN(300, temps).sample.get
+      h <- Seq(Gen.choose(0.0, 100.0).sample.get)
+    } yield (t, h)).distinct
+    val engine = evalPairs(pairs, Enrich.heatIndex)
+    val gen = pairs.map { case (t, h) => WeatherGenerator.heatIndexC(t, h) }
+    assert(engine == gen)
+  }
+
+  test("property: alert level ordering is monotone in each driver") {
+    val tiers = Map("NORMAL" -> 0, "WATCH" -> 1, "WARNING" -> 2, "CRITICAL" -> 3)
+    val precips = Seq(0.0, 5.0, 10.1, 25.1, 50.1)
+    val rows = precips.toDF("p").select(
+      Enrich.alertLevel(lit(20.0), col("p"), lit(0.0), lit(10.0), lit(0)).as("a"))
+      .collect().map(r => tiers(r.getString(0))).toSeq
+    assert(rows.sliding(2).forall(w => w(0) <= w(1)), s"not monotone in precip: $rows")
+    val winds = Seq(0.0, 40.1, 60.1, 80.1)
+    val w = winds.toDF("w").select(
+      Enrich.alertLevel(lit(20.0), lit(0.0), col("w"), lit(10.0), lit(0)).as("a"))
+      .collect().map(r => tiers(r.getString(0))).toSeq
+    assert(w.sliding(2).forall(x => x(0) <= x(1)), s"not monotone in wind: $w")
+  }
+
+  test("property: quality score lattice {0, 100/3, 200/3, 100}") {
+    val allowed = Set(0.0, 1.0 / 3.0 * 100.0, 2.0 / 3.0 * 100.0, 100.0)
+    val cases = Gen.listOfN(100, Gen.zip(Gen.oneOf(true, false), Gen.oneOf(true, false), Gen.oneOf(true, false))).sample.get
+    val scores = cases.toDF("a", "b", "c")
+      .select(Enrich.qualityScore(col("a"), col("b"), col("c")).as("q"))
+      .collect().map(_.getDouble(0))
+    assert(scores.forall(allowed.contains), scores.distinct.mkString(","))
+  }
+
+  test("property: shingles of k tokens has max(0, k-n+1) entries; join inverts") {
+    val wordGen = Gen.listOfN(8, Gen.alphaLowerChar).map(_.mkString)
+    val docs = Gen.listOfN(80, Gen.choose(0, 12).flatMap(k => Gen.listOfN(k, wordGen))).sample.get
+      .map(_.mkString(" "))
+    val n = 3
+    val rows = docs.toDF("text")
+      .select(col("text"), Text.shingles(col("text"), n).as("s")).collect()
+    rows.foreach { r =>
+      val toks = r.getString(0).split(" ", -1)
+      val sh = r.getSeq[String](1)
+      assert(sh.size == math.max(0, toks.length - n + 1))
+      // each shingle re-splits to exactly n consecutive tokens
+      sh.zipWithIndex.foreach { case (g, i) =>
+        assert(g.split(" ", -1).toSeq == toks.slice(i, i + n).toSeq)
+      }
+    }
+  }
+
+  test("property: fingerprint invariant under identity, changed by any token edit") {
+    val docs = Seq("alpha beta gamma delta", "alpha beta gamma delta epsilon",
+      "beta alpha gamma delta", "alpha beta gamma")
+    val fps = docs.toDF("text").select(Text.fingerprint(col("text"))).collect().map(_.getLong(0))
+    assert(fps.distinct.length == docs.length) // all four token streams differ
+  }
+}
