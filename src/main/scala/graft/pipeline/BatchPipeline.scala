@@ -34,7 +34,9 @@ object BatchPipeline {
     // persist: the pipeline runs several actions (count, store append, three
     // summary aggregations, validation) over this lineage — without caching,
     // each re-reads and re-enriches the raw JSON.
-    val raw = JsonEnvelope.readBatch(spark, s"$rawDir/*/*/*/*")
+    // typed ingestion boundary (SURVEY §1.4): schema mismatches fail at the
+    // encoder, not deep inside the enrichment lineage
+    val raw = JsonEnvelope.readTyped(spark, s"$rawDir/*/*/*/*").toDF()
     val enriched = EnrichStream.enrich(raw)
       .withColumn("reading_date", to_date(col("timestamp_parsed")))
       .persist()

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -42,6 +42,12 @@ object JsonEnvelope {
   /** Batch read of envelope JSON files → one flat row per reading. */
   def readBatch(spark: SparkSession, path: String, reading: StructType = readingSchema): DataFrame =
     flatten(spark.read.schema(envelopeSchema(reading)).json(path))
+
+  /** Typed ingestion boundary (SURVEY §1.4): same read, compile-time schema. */
+  def readTyped(spark: SparkSession, path: String): Dataset[graft.model.WeatherReading] = {
+    import spark.implicits._
+    readBatch(spark, path).as[graft.model.WeatherReading]
+  }
 
   /** Streaming read of the same layout (file-stream stand-in for the
     * reference's Kinesis source; identical downstream lineage). */

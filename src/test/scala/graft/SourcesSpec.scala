@@ -30,6 +30,15 @@ class SourcesSpec extends SparkSpec {
     assert(df.where(col("city") === "Mumbai").head.getAs[Double]("temperature_celsius") == 32.5)
   }
 
+  test("readTyped gives a compile-time-checked Dataset[WeatherReading]") {
+    val dir = tmp()
+    Files.writeString(java.nio.file.Paths.get(dir, "batch_1.json"), envelope)
+    val ds = JsonEnvelope.readTyped(spark, dir)
+    val mumbai = ds.filter(_.city.contains("Mumbai")).collect()
+    assert(mumbai.length == 1)
+    assert(mumbai.head.temperature_celsius.contains(32.5) && mumbai.head.uv_index.contains(9))
+  }
+
   test("parsePayload handles a payload column carrying envelopes") {
     val df = Seq(envelope).toDF("data")
     val parsed = JsonEnvelope.parsePayload(df, "data")
