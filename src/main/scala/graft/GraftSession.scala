@@ -14,12 +14,15 @@ import org.apache.spark.sql.SparkSession
  */
 object GraftSession {
 
-  def local(cores: Int, appName: String = "graft"): SparkSession =
-    configure(SparkSession.builder()
+  def local(cores: Int, appName: String = "graft"): SparkSession = {
+    val spark = configure(SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores.toString))
       .getOrCreate()
+    GraftExtensions.registerInto(spark) // graft_cosine/graft_dot/graft_shingles in SQL
+    spark
+  }
 
   /** Apply the engine's config contract to any builder (cluster or local). */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b

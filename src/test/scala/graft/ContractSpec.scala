@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Guards on the driver contract itself. */
+class ContractSpec extends SparkSpec {
+
+  test("every oracleSql key names an existing query") {
+    val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"oracleSql keys without queries: $unknown")
+  }
+
+  test("rows-only queries are the documented approximate ones") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == Set("q20_minhash_lsh_candidates", "q24_knn_ivf", "q29_media_features"),
+      s"unexpected rows-only set: $rowsOnly")
+  }
+
+  test("entry() returns rows on the smoke scale factor") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("graft SQL functions evaluate after registration") {
+    GraftExtensions.registerInto(spark)
+    val r = spark.sql(
+      """SELECT graft_cosine(array(1.0f, 0.0f), array(1.0f, 0.0f)) AS c,
+        |       graft_dot(array(1.0f, 2.0f), array(3.0f, 4.0f)) AS d,
+        |       graft_shingles('a b c d', 3) AS s""".stripMargin).head()
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) == 11.0)
+    assert(r.getSeq[String](2) == Seq("a b c", "b c d"))
+  }
+}
