@@ -389,7 +389,16 @@ object SparkEntry {
     // mapPartitions feature extraction (byte histogram) — rows-only check.
     "q29_media_features" -> ((s, dir) =>
       Multimodal.byteHistogramFeatures(
-        Multimodal.withBinaryPayload(t(s, dir, "documents"), "text"), "doc_id"))
+        Multimodal.withBinaryPayload(t(s, dir, "documents"), "text"), "doc_id")),
+
+    // Per-group top-k with deterministic tie-break (WindowGroupLimit path).
+    "q30_top_events_per_user" -> ((s, dir) =>
+      Aggregates.topKPerGroup(t(s, dir, "events"), Seq("user_id"), "value", "event_id", k = 3)
+        .select("user_id", "rank", "event_id", "value")),
+
+    // Gap-based sessionization (30-minute inactivity gap).
+    "q31_user_sessions" -> ((s, dir) =>
+      Aggregates.sessionize(t(s, dir, "events"), "user_id", "ts", gapSeconds = 1800))
   )
 
   // -------------------------------------------------------------- oracleSql
@@ -651,6 +660,30 @@ object SparkEntry {
       """SELECT doc_id, CAST(f.frame_idx AS INTEGER) AS frame_idx,
         | md5(substr(text, f.frame_idx*100+1, 100)) AS frame_md5
         |FROM documents,
-        | LATERAL (SELECT unnest(range(0, CAST(floor((octet_length(encode(text))-1)/100) AS BIGINT)+1)) AS frame_idx) f""".stripMargin
+        | LATERAL (SELECT unnest(range(0, CAST(floor((octet_length(encode(text))-1)/100) AS BIGINT)+1)) AS frame_idx) f""".stripMargin,
+
+    "q30_top_events_per_user" ->
+      """SELECT user_id, CAST(rank AS INTEGER) AS rank, event_id, value FROM (
+        | SELECT user_id, event_id, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rank
+        | FROM events) WHERE rank <= 3""".stripMargin,
+
+    "q31_user_sessions" ->
+      """WITH gapped AS (
+        | SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL THEN 1
+        |       WHEN floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800 THEN 1
+        |       ELSE 0 END AS new_session
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)),
+        |s AS (
+        | SELECT user_id, ts,
+        |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        | FROM gapped)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        | CAST(count(*) AS BIGINT) AS event_count,
+        | CAST(min(floor(epoch(ts))) AS BIGINT) AS start_epoch,
+        | CAST(max(floor(epoch(ts))) AS BIGINT) AS end_epoch
+        |FROM s GROUP BY user_id, session_id""".stripMargin
   )
 }

@@ -66,6 +66,45 @@ object Aggregates {
   }
 
   /**
+   * Top-k rows per group with a deterministic total order (generalizes
+   * latestPerGroup). WindowGroupLimit pushes the rank limit map-side, so
+   * each input partition forwards at most k rows per key into the single
+   * exchange — the shuffle never carries more than k·|groups| rows.
+   */
+  def topKPerGroup(df: DataFrame, keys: Seq[String], orderCol: String,
+                   tieBreak: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(orderCol).desc, col(tieBreak).asc)
+    df.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /**
+   * Gap-based sessionization: rows of a key belong to one session while
+   * consecutive event-time gaps stay within `gapSeconds`. Implemented as
+   * lag → boundary flag → running sum (the session id) — two window passes
+   * over ONE partitioning (single shuffle on the key), then a hash
+   * aggregate per session. The classic scale shape for clickstream
+   * sessionization; skewed users are the risk and AQE skew handling plus
+   * the bounded per-user row counts cover it.
+   */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String, gapSeconds: Long): DataFrame = {
+    val byTime = Window.partitionBy(col(keyCol)).orderBy(col(tsCol).asc)
+    val gapped = df
+      .withColumn("__prev", lag(col(tsCol), 1).over(byTime))
+      .withColumn("__new_session",
+        when(col("__prev").isNull, 1L)
+          .when(unix_timestamp(col(tsCol)) - unix_timestamp(col("__prev")) > gapSeconds, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("__new_session")).over(
+        byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    gapped.groupBy(col(keyCol), col("session_id"))
+      .agg(
+        count(lit(1)).as("event_count"),
+        min(unix_timestamp(col(tsCol))).as("start_epoch"),
+        max(unix_timestamp(col(tsCol))).as("end_epoch"))
+  }
+
+  /**
    * Value distribution with percent-of-total (A6/W1): groupBy(col).count +
    * unpartitioned window total. The window over () collapses to a single
    * partition — safe ONLY on post-aggregation cardinality (here: #distinct

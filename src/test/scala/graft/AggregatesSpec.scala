@@ -39,6 +39,26 @@ class AggregatesSpec extends SparkSpec {
     assert(r.getLong(0) == 2L && r.getDouble(1) == 50.0)
   }
 
+  test("topKPerGroup keeps k rows per key, deterministic on ties") {
+    val df = Seq(("u", 5.0, 1L), ("u", 5.0, 2L), ("u", 3.0, 3L), ("u", 1.0, 4L), ("v", 9.0, 5L))
+      .toDF("k", "v", "id")
+    val got = Aggregates.topKPerGroup(df, Seq("k"), "v", "id", 2)
+      .collect().map(r => (r.getString(0), r.getAs[Int]("rank"), r.getLong(2))).toSet
+    assert(got == Set(("u", 1, 1L), ("u", 2, 2L), ("v", 1, 5L))) // tie 5.0 -> smaller id first
+  }
+
+  test("sessionize splits on gaps over the threshold") {
+    val df = Seq(
+      ("u", "2026-08-12 10:00:00"), ("u", "2026-08-12 10:10:00"), // session 1
+      ("u", "2026-08-12 11:00:00"),                               // 50min gap -> session 2
+      ("u", "2026-08-12 11:20:00"),
+      ("w", "2026-08-12 09:00:00")
+    ).toDF("user_id", "s").select(col("user_id"), to_timestamp(col("s")).as("ts"))
+    val got = Aggregates.sessionize(df, "user_id", "ts", gapSeconds = 1800)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("u", 1L) -> 2L, ("u", 2L) -> 2L, ("w", 1L) -> 1L))
+  }
+
   test("exactSum is order-independent and matches plain arithmetic") {
     // 0.1 added 1000 times: plain double fold drifts; decimal path is exact
     val df = Seq.fill(1000)(0.1).toDF("x")
