@@ -55,4 +55,21 @@ object PartitionedStore {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*)
       .parquet(table)
+
+  /**
+   * Bucketed managed table for co-located joins: two tables bucketed on
+   * the same key with the same bucket count join WITHOUT a shuffle — the
+   * exchange both sides would pay is prepaid once at write time. The
+   * repartition before the write keeps one file per bucket (without it,
+   * every task writes a file per bucket it touches — at 1000 tasks × 64
+   * buckets that is 64k small files).
+   */
+  def writeBucketed(df: DataFrame, tableName: String, bucketCol: String, buckets: Int): Unit =
+    df.repartition(buckets, col(bucketCol))
+      .write
+      .mode("overwrite")
+      .format("parquet")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(tableName)
 }

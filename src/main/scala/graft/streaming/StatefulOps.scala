@@ -38,6 +38,19 @@ object StatefulOps {
         col("window.end").as("window_end"), col("avg_temperature"),
         col("max_temperature"), col("total_precipitation"), col("reading_count"))
 
+  /**
+   * Streaming dedup (D1/D2 in the streaming path): drop duplicate
+   * (station, timestamp) readings across micro-batches. The watermark
+   * bounds the dedup state — keys older than `lateness` are evicted, so
+   * the state store holds one entry per key per watermark horizon instead
+   * of growing forever.
+   */
+  def dedupStream(readings: DataFrame, lateness: String = "1 hour"): DataFrame =
+    readings
+      .withColumn("event_time", to_timestamp(col("timestamp")))
+      .withWatermark("event_time", lateness)
+      .dropDuplicates("station_id", "event_time")
+
   final case class AlertEvent(stationId: String, alertLevel: String, eventTime: java.sql.Timestamp)
   final case class StreakState(current: Int, longest: Int)
   final case class StreakUpdate(stationId: String, currentStreak: Int, longestStreak: Int)

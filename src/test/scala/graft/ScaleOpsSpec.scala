@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.{Aggregates, Skew}
+import graft.sources.{JsonEnvelope, PartitionedStore}
+import graft.streaming.StatefulOps
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedSumCount equals the plain aggregation") {
+    val df = (1 to 5000).map(i => (if (i % 100 == 0) "cold" + i else "HOT", i.toLong, i.toDouble))
+      .toDF("k", "id", "v") // 4950 rows on one hot key
+    val salted = Skew.saltedSumCount(df, Seq("k"), "v", "id", saltBuckets = 16)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val plain = df.groupBy("k").agg(sum("v"), count(lit(1)))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(salted == plain)
+  }
+
+  test("bucketed tables join without a shuffle") {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val facts = (1L to 1000L).map(i => (i % 50, i, i * 2.0)).toDF("key", "id", "v")
+    val dims = (0L until 50L).map(i => (i, s"dim_$i")).toDF("key", "name")
+    PartitionedStore.writeBucketed(facts, "graft_facts_b", "key", 8)
+    PartitionedStore.writeBucketed(dims, "graft_dims_b", "key", 8)
+    try {
+      // disable auto-broadcast so the join would otherwise shuffle both sides
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_facts_b").join(spark.table("graft_dims_b"), "key")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() == 1000)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS graft_facts_b")
+      spark.sql("DROP TABLE IF EXISTS graft_dims_b")
+    }
+  }
+
+  test("streaming dedup drops cross-batch duplicates within the watermark") {
+    val root = Files.createTempDirectory("graft-sdedup").toString
+    val raw = s"$root/raw"; Files.createDirectories(java.nio.file.Paths.get(raw))
+    def envelope(ts: String, temp: Double): String =
+      s"""{"readings": [{"station_id":"WS001","city":"X","country":"India","latitude":1.0,
+         |"longitude":1.0,"timestamp":"$ts","temperature_celsius":$temp,"humidity_percent":50.0,
+         |"pressure_hpa":1000.0,"wind_speed_kmh":5.0,"wind_direction":"N","precipitation_mm":0.0,
+         |"visibility_km":9.0,"uv_index":3,"weather_condition":"Cloudy","heat_index_celsius":$temp}]}"""
+        .stripMargin.replaceAll("\n", "")
+    def run(): Unit = {
+      val q = StatefulOps.dedupStream(JsonEnvelope.readStream(spark, raw))
+        .writeStream.format("parquet")
+        .option("path", s"$root/out").option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    Files.writeString(java.nio.file.Paths.get(raw, "b1.json"), envelope("2026-08-12T10:00:00", 30.0))
+    run()
+    // same (station, timestamp) again in a LATER batch, different payload
+    Files.writeString(java.nio.file.Paths.get(raw, "b2.json"), envelope("2026-08-12T10:00:00", 99.0))
+    Files.writeString(java.nio.file.Paths.get(raw, "b3.json"), envelope("2026-08-12T10:05:00", 31.0))
+    run()
+    val out = spark.read.parquet(s"$root/out")
+    assert(out.count() == 2) // duplicate dropped across micro-batches
+    assert(out.where(col("temperature_celsius") === 99.0).isEmpty)
+  }
+}
