@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Empirical scaling probe (not part of the driver gate): generates
+ * deterministic synthetic corpora at growing sizes entirely with Column
+ * expressions (no driver-side data, no RNG — reproducible and distributed)
+ * and times the operators whose scaling behavior matters most. A healthy
+ * engine shows ~linear growth for the signature/dedup paths and the
+ * documented bucket-bounded growth for pair generation.
+ *
+ * Usage: runMain graft.ScaleProbe [sizes csv, default 5000,20000,80000]
+ */
+object ScaleProbe {
+
+  private val Vocab = 400
+
+  /** N pseudo-documents of ~60 words drawn from a closed vocabulary by a
+    * hash mix — word w of doc d is fully determined by (d, w). */
+  def synthDocs(spark: SparkSession, n: Long): DataFrame = {
+    val words = transform(sequence(lit(0), lit(59)),
+      i => concat(lit("w"), pmod(xxhash64(col("id"), i), lit(Vocab))))
+    spark.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ", words).as("text"))
+  }
+
+  /** N unit-free pseudo-embeddings, dim 64, elements in [-1, 1). */
+  def synthEmbeddings(spark: SparkSession, n: Long): DataFrame = {
+    val vec = transform(sequence(lit(0), lit(63)),
+      i => ((pmod(xxhash64(col("id"), i), lit(2000)).cast("float") - 1000f) / 1000f).cast("float"))
+    spark.range(n).select(col("id").as("vec_id"), vec.as("embedding"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sizes = args.headOption.getOrElse("5000,20000,80000").split(",").map(_.trim.toLong)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.local(cpus, "graft-scaleprobe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // warmup
+    noop(synthDocs(spark, 1000))
+
+    sizes.foreach { n =>
+      val docs = synthDocs(spark, n).persist()
+      val em = synthEmbeddings(spark, n).persist()
+      docs.count(); em.count()
+
+      val tExact = time(noop(Dedup.exactTextGroups(docs, "doc_id", "text")))
+      val tSig = time(noop(Dedup.minhashSignatures(docs, "doc_id", "text", 3, 16)))
+      val tLsh = time(noop(Dedup.minhashLshCandidates(
+        Dedup.minhashSignatures(docs, "doc_id", "text", 3, 16), 16, 4)))
+      val tSim = time(noop(Dedup.simhashNearDupPairs(docs, "doc_id", "text", 3)))
+      val tJac = time(noop(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5, 1000)))
+      // centroid count scales with the corpus (bucket size ~500) — a fixed
+      // centroid count makes the in-bucket pair join quadratic
+      val centroids = em.where(col("vec_id") % 500 === 0)
+      val tIvf = time(noop(Similarity.ivfKnn(em, em.where(col("vec_id") < 10), centroids, 5)))
+      val tNd = time(noop(Similarity.embeddingNearDupPairs(em, centroids, 0.9)))
+
+      println(s"""{"n":$n,"exact_dedup":$tExact,"minhash_sig":$tSig,"lsh_cands":$tLsh,""" +
+        s""""simhash_pairs":$tSim,"jaccard_capped":$tJac,"ivf_knn":$tIvf,"embed_neardup":$tNd}""")
+      docs.unpersist(); em.unpersist()
+    }
+    spark.stop()
+  }
+}

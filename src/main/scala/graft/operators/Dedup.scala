@@ -179,11 +179,19 @@ object Dedup {
   }
 
   /** Near-dup pairs by simhash Hamming distance ≤ maxDist.
-    * Candidates via band buckets on signature bytes (each ≤maxDist pair
+    * Candidates via band buckets on signature chunks (each ≤maxDist pair
     * must agree on ≥1 of maxDist+1 chunks — pigeonhole), then exact
-    * popcount filter. */
+    * popcount filter.
+    *
+    * Chunk width = bits/(maxDist+1) bounds the bucket KEY SPACE at
+    * 2^width — with 32-bit signatures and maxDist=3 that is only 256 keys
+    * per chunk, so bucket sizes grow linearly with the corpus and the
+    * in-bucket pair expansion turns quadratic (measured 17× time at 16×
+    * docs in ScaleProbe). Default is therefore 64-bit signatures: 16-bit
+    * chunks → 65k keys, buckets stay O(n/65k). Pick bits so that
+    * 2^(bits/(maxDist+1)) ≫ corpus size / desired bucket size. */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                          maxDist: Int = 3, bits: Int = 32): DataFrame = {
+                          maxDist: Int = 3, bits: Int = 64): DataFrame = {
     val sigs = simhashSignatures(docs, idCol, textCol, bits)
     val chunks = maxDist + 1
     val width = bits / chunks

@@ -97,6 +97,11 @@ object Similarity {
    * Bucketed by nearest centroid first (near-identical vectors share a
    * centroid with overwhelming probability), so the pair join stays within
    * buckets instead of O(n²) over the corpus.
+   *
+   * The centroid COUNT is the scaling contract: in-bucket work is
+   * Σ bucket² ≈ n²/k for k centroids, so k must grow with the corpus —
+   * k ≈ n / targetBucketSize (e.g. 1000-row buckets), not a constant
+   * (ScaleProbe measured the fixed-k quadratic: 10× time at 16× rows).
    */
   def embeddingNearDupPairs(vectors: DataFrame, centroids: DataFrame, threshold: Double): DataFrame = {
     val assigned = assignToCentroids(vectors, centroids)
