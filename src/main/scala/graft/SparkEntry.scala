@@ -398,7 +398,19 @@ object SparkEntry {
 
     // Gap-based sessionization (30-minute inactivity gap).
     "q31_user_sessions" -> ((s, dir) =>
-      Aggregates.sessionize(t(s, dir, "events"), "user_id", "ts", gapSeconds = 1800))
+      Aggregates.sessionize(t(s, dir, "events"), "user_id", "ts", gapSeconds = 1800)),
+
+    // P1-family: schema-declared JSON payload parse (props column) + agg.
+    "q32_props_json_stats" -> ((s, dir) => {
+      import Aggregates._
+      t(s, dir, "events")
+        .withColumn("k", from_json(col("props"), lit("k INT")).getField("k"))
+        .groupBy("event_type")
+        .agg(
+          exactAvg(col("k").cast("double")).as("avg_k"),
+          countIf(col("k") > 50).as("high_k_count"),
+          count(lit(1)).as("event_count"))
+    })
   )
 
   // -------------------------------------------------------------- oracleSql
@@ -684,6 +696,14 @@ object SparkEntry {
         | CAST(count(*) AS BIGINT) AS event_count,
         | CAST(min(floor(epoch(ts))) AS BIGINT) AS start_epoch,
         | CAST(max(floor(epoch(ts))) AS BIGINT) AS end_epoch
-        |FROM s GROUP BY user_id, session_id""".stripMargin
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    "q32_props_json_stats" ->
+      """SELECT event_type,
+        | CAST(sum(CAST(CAST(CAST(json_extract_string(props,'$.k') AS INTEGER) AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)
+        |   / count(CAST(json_extract_string(props,'$.k') AS INTEGER)) AS avg_k,
+        | CAST(sum(CASE WHEN CAST(json_extract_string(props,'$.k') AS INTEGER) > 50 THEN 1 ELSE 0 END) AS BIGINT) AS high_k_count,
+        | CAST(count(*) AS BIGINT) AS event_count
+        |FROM events GROUP BY event_type""".stripMargin
   )
 }
