@@ -400,6 +400,21 @@ object SparkEntry {
     "q31_user_sessions" -> ((s, dir) =>
       Aggregates.sessionize(t(s, dir, "events"), "user_id", "ts", gapSeconds = 1800)),
 
+    // Exact interpolated percentiles per group (Spark `percentile` and
+    // DuckDB `quantile_cont` share the interpolation formula bit-for-bit).
+    "q33_value_percentiles" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          expr("percentile(value, 0.5)").as("median_value"),
+          expr("percentile(value, 0.9)").as("p90_value"),
+          count(lit(1)).as("event_count"))),
+
+    // Random-hyperplane LSH signatures over embeddings (deterministic
+    // planes, externally verifiable).
+    "q34_rp_lsh_signatures" -> ((s, dir) =>
+      Similarity.rpLshSignatures(t(s, dir, "embeddings"), RpPlanes)),
+
     // P1-family: schema-declared JSON payload parse (props column) + agg.
     "q32_props_json_stats" -> ((s, dir) => {
       import Aggregates._
@@ -412,6 +427,10 @@ object SparkEntry {
           count(lit(1)).as("event_count"))
     })
   )
+
+  /** Fixed hyperplanes for q34 (dim 64 embeddings, 16 bits, seed 42). */
+  private lazy val RpPlanes: Array[Array[Double]] =
+    graft.operators.Similarity.hyperplanes(dim = 64, bits = 16)
 
   // -------------------------------------------------------------- oracleSql
 
@@ -697,6 +716,24 @@ object SparkEntry {
         | CAST(min(floor(epoch(ts))) AS BIGINT) AS start_epoch,
         | CAST(max(floor(epoch(ts))) AS BIGINT) AS end_epoch
         |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    "q33_value_percentiles" ->
+      """SELECT event_type,
+        | quantile_cont(value, 0.5) AS median_value,
+        | quantile_cont(value, 0.9) AS p90_value,
+        | CAST(count(*) AS BIGINT) AS event_count
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q34_rp_lsh_signatures" -> {
+      // same literal plane coefficients, same left-to-right association
+      val sig = RpPlanes.zipWithIndex.map { case (h, j) =>
+        val dot = h.zipWithIndex
+          .map { case (c, i) => s"CAST(embedding[${i + 1}] AS DOUBLE)*($c)" }
+          .mkString("+")
+        s"CASE WHEN $dot > 0.0 THEN ${1L << j}::BIGINT ELSE 0::BIGINT END"
+      }.mkString("+")
+      s"SELECT vec_id, $sig AS rp_sig FROM embeddings"
+    },
 
     "q32_props_json_stats" ->
       """SELECT event_type,

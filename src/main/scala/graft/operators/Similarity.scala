@@ -79,6 +79,44 @@ object Similarity {
   }
 
   /**
+   * Deterministic random-hyperplane (signed random projection) LSH:
+   * bit j of the signature = sign of dot(v, h_j) for `bits` fixed
+   * hyperplanes. P(bit differs) = angle/π, so near-parallel vectors share
+   * signatures; candidates come from exact-signature buckets (optionally
+   * banded like minhash). Hyperplanes derive from a fixed seed —
+   * deterministic, so signatures are externally verifiable.
+   *
+   * Complements centroid bucketing: no centroid-selection step, works on
+   * corpora with no cluster structure; bucket count is 2^bits, so pick
+   * bits ≈ log2(corpus/targetBucket) (same key-space rule as simhash).
+   */
+  def hyperplanes(dim: Int, bits: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  def rpLshSignatures(vectors: DataFrame, planes: Array[Array[Double]]): DataFrame = {
+    val sig = planes.zipWithIndex.map { case (h, j) =>
+      // deterministic left-to-right dot with literal plane coefficients
+      val dot = h.zipWithIndex.map { case (c, i) =>
+        element_at(col("embedding"), i + 1).cast("double") * lit(c)
+      }.reduce(_ + _)
+      when(dot > 0.0, lit(1L) * (1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+    vectors.select(col("vec_id"), sig.as("rp_sig"))
+  }
+
+  /** Candidate near-dup pairs: vectors sharing the full signature bucket. */
+  def rpLshCandidates(vectors: DataFrame, planes: Array[Array[Double]]): DataFrame =
+    rpLshSignatures(vectors, planes)
+      .groupBy(col("rp_sig"))
+      .agg(sort_array(collect_set(col("vec_id"))).as("ids"))
+      .where(size(col("ids")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))")).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+
+  /**
    * Exact embedding near-duplicate pairs: every (a,b), a<b, with cosine ≥
    * threshold. O(n²) pair enumeration — the correctness baseline the
    * bucketed variant below is verified against. Run it only on bounded

@@ -58,6 +58,21 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("random-hyperplane LSH buckets catch planted near-identical vectors") {
+    val rnd = new Random(3)
+    val base = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+    val near = base.clone(); near(0) = near(0) + 1e-4f
+    val vecs = ((0L until 30L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+      ++ Seq((100L, base), (101L, near))).toDF("vec_id", "embedding")
+    val planes = Similarity.hyperplanes(dim = 16, bits = 12)
+    val cands = Similarity.rpLshCandidates(vecs, planes)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((100L, 101L)))
+    val sigs = Similarity.rpLshSignatures(vecs, planes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(100L) == sigs(101L))
+  }
+
   test("exactNearDupPairs finds planted duplicate pair only") {
     val rnd = new Random(1)
     val distinct = (0L until 10L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
