@@ -51,6 +51,34 @@ object StatefulOps {
       .withWatermark("event_time", lateness)
       .dropDuplicates("station_id", "event_time")
 
+  /**
+   * Stream-stream interval join: pair each alert with the readings of the
+   * same station within `windowSeconds` BEFORE the alert (root-cause
+   * context lookup). Both sides carry watermarks and the join condition
+   * time-bounds the buffered state, so each side's state store holds only
+   * the watermark horizon — the requirements for Spark to run a
+   * stream-stream join at all.
+   */
+  def alertContextJoin(readings: DataFrame, alerts: DataFrame,
+                       windowSeconds: Long, lateness: String = "10 minutes"): DataFrame = {
+    val r = readings
+      .withColumn("reading_time", to_timestamp(col("timestamp")))
+      .withWatermark("reading_time", lateness)
+      .select(col("station_id").as("r_station"), col("reading_time"),
+        col("temperature_celsius").as("context_temperature"))
+    val a = alerts
+      .withColumn("alert_time", to_timestamp(col("timestamp")))
+      .withWatermark("alert_time", lateness)
+      .select(col("station_id").as("a_station"), col("alert_time"),
+        col("alert_level"))
+    a.join(r,
+      col("a_station") === col("r_station") &&
+        col("reading_time") >= col("alert_time") - expr(s"INTERVAL $windowSeconds SECONDS") &&
+        col("reading_time") <= col("alert_time"))
+      .select(col("a_station").as("station_id"), col("alert_time"),
+        col("alert_level"), col("reading_time"), col("context_temperature"))
+  }
+
   final case class AlertEvent(stationId: String, alertLevel: String, eventTime: java.sql.Timestamp)
   final case class StreakState(current: Int, longest: Int)
   final case class StreakUpdate(stationId: String, currentStreak: Int, longestStreak: Int)

@@ -58,6 +58,34 @@ class StatefulOpsSpec extends SparkSpec {
     assert(out.contains(("WS002", "2026-08-12 10:00:00.0", 1L, 25.0)))
   }
 
+  test("stream-stream interval join pairs alerts with preceding readings") {
+    val root = Files.createTempDirectory("graft-ssjoin").toString
+    val rawR = s"$root/readings"; Files.createDirectories(java.nio.file.Paths.get(rawR))
+    val rawA = s"$root/alerts"; Files.createDirectories(java.nio.file.Paths.get(rawA))
+    // readings at 10:00 and 10:04; alert at 10:05 with a 5-minute window
+    Files.writeString(java.nio.file.Paths.get(rawR, "r.json"),
+      s"""{"readings": [${reading("WS001", "2026-08-12T10:00:00", 30.0)},
+         |${reading("WS001", "2026-08-12T10:04:00", 44.0)},
+         |${reading("WS001", "2026-08-12T09:30:00", 20.0)},
+         |${reading("WS002", "2026-08-12T10:04:30", 25.0)}]}""".stripMargin.replaceAll("\n", " "))
+    Files.writeString(java.nio.file.Paths.get(rawA, "a.json"),
+      s"""{"readings": [${reading("WS001", "2026-08-12T10:05:00", 44.0)}]}""")
+
+    val joined = StatefulOps.alertContextJoin(
+      JsonEnvelope.readStream(spark, rawR),
+      JsonEnvelope.readStream(spark, rawA).withColumn("alert_level", lit("WARNING")),
+      windowSeconds = 300)
+    val q = joined.writeStream.format("parquet")
+      .option("path", s"$root/out").option("checkpointLocation", s"$root/ckpt")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val out = spark.read.parquet(s"$root/out")
+      .collect().map(r => (r.getAs[String]("station_id"), r.getAs[Double]("context_temperature"))).toSet
+    // only WS001's readings within [10:00, 10:05] join; 09:30 and WS002 excluded
+    assert(out == Set(("WS001", 30.0), ("WS001", 44.0)))
+  }
+
   test("alertStreaks tracks consecutive alert runs per station (batch mode)") {
     def e(st: String, lvl: String, min: Int) =
       AlertEvent(st, lvl, Timestamp.valueOf(f"2026-08-12 10:$min%02d:00"))
