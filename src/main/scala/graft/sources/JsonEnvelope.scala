@@ -39,9 +39,13 @@ object JsonEnvelope {
   def envelopeSchema(reading: StructType = readingSchema): StructType =
     StructType(Seq(StructField("readings", ArrayType(reading))))
 
-  /** Batch read of envelope JSON files → one flat row per reading. */
-  def readBatch(spark: SparkSession, path: String, reading: StructType = readingSchema): DataFrame =
-    flatten(spark.read.schema(envelopeSchema(reading)).json(path))
+  /** Batch read of envelope JSON files → one flat row per reading.
+    * `multiLine` for pretty-printed one-document-per-file envelopes (the
+    * reference's raw archiver writes indent=2); default is JSON-lines. */
+  def readBatch(spark: SparkSession, path: String, reading: StructType = readingSchema,
+                multiLine: Boolean = false): DataFrame =
+    flatten(spark.read.schema(envelopeSchema(reading))
+      .option("multiLine", multiLine.toString).json(path))
 
   /** Typed ingestion boundary (SURVEY §1.4): same read, compile-time schema. */
   def readTyped(spark: SparkSession, path: String): Dataset[graft.model.WeatherReading] = {
