@@ -15,7 +15,9 @@ object Bench {
 
     // noop sink: forces FULL evaluation of every output column (count() would
     // let Catalyst prune the computed columns away and time an empty scan).
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // sorted: deterministic execution order keeps per-query numbers
+    // comparable across rounds (Map iteration order is hash-dependent)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
@@ -23,7 +25,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

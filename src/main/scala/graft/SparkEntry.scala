@@ -400,6 +400,17 @@ object SparkEntry {
     "q31_user_sessions" -> ((s, dir) =>
       Aggregates.sessionize(t(s, dir, "events"), "user_id", "ts", gapSeconds = 1800)),
 
+    // A8: health/system stats — global counts, exact distinct, freshness.
+    "q35_health_stats" -> ((s, dir) => {
+      import Aggregates._
+      enriched(t(s, dir, "events")).agg(
+        count(lit(1)).as("reading_count"),
+        countDistinct(col("uv_index")).as("distinct_uv_levels"),
+        max(col("event_id")).as("latest_event_id"),
+        exactAvg(col("data_quality_score")).as("avg_quality"),
+        countIf(col("alert_level") =!= "NORMAL").as("alerting_count"))
+    }),
+
     // Exact interpolated percentiles per group (Spark `percentile` and
     // DuckDB `quantile_cont` share the interpolation formula bit-for-bit).
     "q33_value_percentiles" -> ((s, dir) =>
@@ -716,6 +727,14 @@ object SparkEntry {
         | CAST(min(floor(epoch(ts))) AS BIGINT) AS start_epoch,
         | CAST(max(floor(epoch(ts))) AS BIGINT) AS end_epoch
         |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    "q35_health_stats" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS reading_count,
+         | CAST(count(DISTINCT uv_index) AS BIGINT) AS distinct_uv_levels,
+         | max(event_id) AS latest_event_id,
+         | CAST(sum(CAST(data_quality_score AS DECIMAL(28,6))) AS DOUBLE)/count(data_quality_score) AS avg_quality,
+         | CAST(sum(CASE WHEN alert_level <> 'NORMAL' THEN 1 ELSE 0 END) AS BIGINT) AS alerting_count
+         |FROM ($enrichedSql)""".stripMargin,
 
     "q33_value_percentiles" ->
       """SELECT event_type,
