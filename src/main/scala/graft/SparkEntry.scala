@@ -400,6 +400,13 @@ object SparkEntry {
     "q31_user_sessions" -> ((s, dir) =>
       Aggregates.sessionize(t(s, dir, "events"), "user_id", "ts", gapSeconds = 1800)),
 
+    // Dedup groups: near-dup pairs → connected components → keeper per
+    // cluster (the decision step of a dedup pipeline).
+    "q36_dedup_groups" -> ((s, dir) =>
+      graft.operators.Components.dedupGroups(
+        Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.5, maxBucket = Int.MaxValue))),
+
     // A8: health/system stats — global counts, exact distinct, freshness.
     "q35_health_stats" -> ((s, dir) => {
       import Aggregates._
@@ -438,6 +445,21 @@ object SparkEntry {
           count(lit(1)).as("event_count"))
     })
   )
+
+  /** DuckDB twin of ngramJaccardPairs (n=3, threshold 0.5, uncapped);
+    * shared by q18 and q36's component oracle. */
+  private val jaccardPairsSql =
+    s"""WITH sh AS (
+       | SELECT doc_id, unnest(${duckShingleSet("text", 3)}) AS shingle FROM documents),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |pairs AS (
+       | SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared
+       | FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+       | GROUP BY a.doc_id, b.doc_id)
+       |SELECT id_a, id_b,
+       | CAST(shared AS DOUBLE)/CAST(x.n + y.n - shared AS DOUBLE) AS jaccard
+       |FROM pairs JOIN sz x ON id_a=x.doc_id JOIN sz y ON id_b=y.doc_id
+       |WHERE CAST(shared AS DOUBLE)/CAST(x.n + y.n - shared AS DOUBLE) >= 0.5""".stripMargin
 
   /** Fixed hyperplanes for q34 (dim 64 embeddings, 16 bits, seed 42). */
   private lazy val RpPlanes: Array[Array[Double]] =
@@ -585,18 +607,7 @@ object SparkEntry {
          |   (a, b) -> (a*31 + b) % 1000000007) AS fingerprint
          |FROM documents""".stripMargin,
 
-    "q18_ngram_jaccard_pairs" ->
-      s"""WITH sh AS (
-         | SELECT doc_id, unnest(${duckShingleSet("text", 3)}) AS shingle FROM documents),
-         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |pairs AS (
-         | SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared
-         | FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
-         | GROUP BY a.doc_id, b.doc_id)
-         |SELECT id_a, id_b,
-         | CAST(shared AS DOUBLE)/CAST(x.n + y.n - shared AS DOUBLE) AS jaccard
-         |FROM pairs JOIN sz x ON id_a=x.doc_id JOIN sz y ON id_b=y.doc_id
-         |WHERE CAST(shared AS DOUBLE)/CAST(x.n + y.n - shared AS DOUBLE) >= 0.5""".stripMargin,
+    "q18_ngram_jaccard_pairs" -> jaccardPairsSql,
 
     "q19_minhash_signatures" -> {
       val p = Hashing.MersennePrime
@@ -727,6 +738,18 @@ object SparkEntry {
         | CAST(min(floor(epoch(ts))) AS BIGINT) AS start_epoch,
         | CAST(max(floor(epoch(ts))) AS BIGINT) AS end_epoch
         |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    "q36_dedup_groups" ->
+      s"""WITH RECURSIVE
+         |p AS (SELECT id_a, id_b FROM ($jaccardPairsSql)),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+         |nodes AS (SELECT DISTINCT src AS id FROM e),
+         |reach(id, r) AS (
+         | SELECT id, id FROM nodes
+         | UNION
+         | SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
+         |SELECT id, CAST(min(r) AS BIGINT) AS keep_id, (id = min(r)) AS is_keeper
+         |FROM reach GROUP BY id""".stripMargin,
 
     "q35_health_stats" ->
       s"""SELECT CAST(count(*) AS BIGINT) AS reading_count,

@@ -73,6 +73,24 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 4L))) // hamming 0
   }
 
+  test("connected components label pair graphs with the smallest reachable id") {
+    import graft.operators.Components
+    // components {1,2,3,4-chain} and {10,11}; 20 isolated (absent from pairs)
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val labels = Components.smallestIdPropagation(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("dedupGroups keeps exactly one doc per near-dup cluster end-to-end") {
+    import graft.operators.Components
+    val groups = Components.dedupGroups(
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // docs 1,2,4 cluster (keeper 1); doc 3 and 5 have no pairs
+    assert(groups == Set((1L, 1L, true), (2L, 1L, false), (4L, 1L, false)))
+  }
+
   test("fingerprint is order-sensitive") {
     val fp = Seq((1L, "a b c"), (2L, "a b c"), (3L, "c b a"))
       .toDF("doc_id", "text")
