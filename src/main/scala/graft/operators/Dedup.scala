@@ -51,26 +51,16 @@ object Dedup {
     val sh = explodedShingles(docs, idCol, textCol, n)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("set_size"))
 
-    // Hot-shingle (stop-shingle) cap as a broadcast anti-join: the list of
-    // shingles appearing in > maxBucket docs is tiny by construction, so it
-    // broadcasts; this avoids the sort + full-width window shuffle a
-    // count-over-partition cap would cost on the raw shingle stream. The
-    // count shuffle is map-side combined (one row per distinct shingle per
-    // partition), and the anti join itself is narrow. Int.MaxValue disables
-    // the cap entirely (exact mode — no extra aggregation).
-    val capped =
-      if (maxBucket == Int.MaxValue) sh
-      else {
-        val hot = sh.groupBy("shingle").agg(count(lit(1)).as("__n"))
-          .where(col("__n") > maxBucket).select("shingle")
-        sh.join(broadcast(hot), Seq("shingle"), "left_anti")
-      }
-
-    val a = capped.withColumnsRenamed(Map("id" -> "id_a"))
-    val b = capped.withColumnsRenamed(Map("id" -> "id_b"))
-    val shared = a.join(b, Seq("shingle"))
-      .where(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
+    // Pair counting via bucket expansion (not a self-join): group the
+    // shingle stream once, expand (a<b) pairs inside each posting list,
+    // count pair occurrences = shared shingles. One pass over the shingle
+    // stream instead of two sides of a join; the bucket-size filter IS the
+    // stop-shingle cap (no separate hot-list pass needed).
+    val shared = sh.groupBy("shingle")
+      .agg(sort_array(collect_set(col("id"))).as("ids"))
+      .where(size(col("ids")).between(2, maxBucket))
+      .select(explode(pairsFromSorted(col("ids"))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("shared"))
 
     shared

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /**
  * Stateful Structured Streaming operators. The reference's streaming job is
@@ -89,6 +89,39 @@ object StatefulOps {
    * (WARNING/CRITICAL). Emits an update whenever a group sees data;
    * processing-time timeout expires idle stations' state.
    */
+  /**
+   * The same streak tracker on Spark 4's transformWithState API — state
+   * lives in named, TTL-capable state variables (RocksDB-backed provider
+   * in production configs) instead of one opaque GroupState blob; timers
+   * and multiple state vars compose per processor. Functional twin of
+   * [[alertStreaks]] so both APIs are covered and cross-checked.
+   */
+  class StreakProcessor extends StatefulProcessor[String, AlertEvent, StreakUpdate] {
+    @transient private var state: ValueState[StreakState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[StreakState](
+        "streak", Encoders.product[StreakState], TTLConfig.NONE)
+
+    override def handleInputRows(station: String, rows: Iterator[AlertEvent],
+                                 timerValues: TimerValues): Iterator[StreakUpdate] = {
+      val sorted = rows.toSeq.sortBy(_.eventTime.getTime)
+      var s = Option(state.get()).getOrElse(StreakState(0, 0))
+      sorted.foreach { e =>
+        val cur = if (e.alertLevel == "WARNING" || e.alertLevel == "CRITICAL") s.current + 1 else 0
+        s = StreakState(cur, math.max(s.longest, cur))
+      }
+      state.update(s)
+      Iterator.single(StreakUpdate(station, s.current, s.longest))
+    }
+  }
+
+  def alertStreaksTws(events: Dataset[AlertEvent]): Dataset[StreakUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.stationId)
+      .transformWithState(new StreakProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
   def alertStreaks(events: Dataset[AlertEvent],
                    timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout()): Dataset[StreakUpdate] = {
     import events.sparkSession.implicits._

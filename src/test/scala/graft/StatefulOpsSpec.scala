@@ -99,6 +99,29 @@ class StatefulOpsSpec extends SparkSpec {
     assert(got("WS002") == ((0, 0))) // WATCH does not count as alerting
   }
 
+  test("transformWithState streak processor matches flatMapGroupsWithState across batches") {
+    val root = Files.createTempDirectory("graft-tws").toString
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState needs the RocksDB provider (multiple column
+    // families); the HDFS-backed default refuses
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[AlertEvent]
+    val q = StatefulOps.alertStreaksTws(input.toDS())
+      .writeStream.format("memory").queryName("tws_streaks")
+      .option("checkpointLocation", s"$root/ckpt").outputMode("append").start()
+    input.addData(Seq(AlertEvent("WS001", "WARNING", Timestamp.valueOf("2026-08-12 10:00:00"))))
+    q.processAllAvailable()
+    input.addData(Seq(AlertEvent("WS001", "CRITICAL", Timestamp.valueOf("2026-08-12 10:01:00")),
+      AlertEvent("WS002", "NORMAL", Timestamp.valueOf("2026-08-12 10:01:00"))))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM tws_streaks").as[StreakUpdate].collect()
+    q.stop()
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    assert(rows.map(u => (u.stationId, u.currentStreak, u.longestStreak)).toSet
+      == Set(("WS001", 1, 1), ("WS001", 2, 2), ("WS002", 0, 0)))
+  }
+
   test("alertStreaks carries state across micro-batches (streaming mode)") {
     val root = Files.createTempDirectory("graft-streak").toString
     implicit val sqlCtx = spark.sqlContext
