@@ -38,21 +38,21 @@ object Components {
 
     var converged = false
     var i = 0
+    var prevCache: DataFrame = null
     while (i < maxIters && !converged) {
       val neighborLabels = edges
         .join(labels.withColumnsRenamed(Map("id" -> "dst", "component" -> "dst_comp")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("dst_comp")).as("neighbor_min"))
-      val updated = labels.join(neighborLabels, Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("neighbor_min"), col("component"))).as("component"))
+      // change detection folded into the update join: one action per round
+      val joined = labels.join(neighborLabels, Seq("id"), "left")
+        .select(col("id"), col("component"),
+          least(col("component"), coalesce(col("neighbor_min"), col("component"))).as("new_component"))
         .persist()
-      val changed = updated.alias("u")
-        .join(labels.alias("l"), col("u.id") === col("l.id"))
-        .where(col("u.component") =!= col("l.component"))
-        .limit(1).count()
-      labels.unpersist()
-      labels = updated
+      val changed = joined.where(col("new_component") =!= col("component")).limit(1).count()
+      if (prevCache != null) prevCache.unpersist()
+      prevCache = joined
+      labels = joined.select(col("id"), col("new_component").as("component"))
       converged = changed == 0
       i += 1
     }
