@@ -400,6 +400,15 @@ object SparkEntry {
     "q31_user_sessions" -> ((s, dir) =>
       Aggregates.sessionize(t(s, dir, "events"), "user_id", "ts", gapSeconds = 1800)),
 
+    // Data-quality checks: one aggregation pass, one row per check.
+    "q37_quality_checks" -> ((s, dir) => {
+      import graft.analytics.QualityChecks
+      val weather = enriched(t(s, dir, "events"))
+        .withColumn("station_id", concat(lit("E"), col("event_id")))
+        .withColumn("timestamp", lit("x"))
+      QualityChecks.run(weather, QualityChecks.weatherChecks(weather))
+    }),
+
     // Dedup groups: near-dup pairs → connected components → keeper per
     // cluster (the decision step of a dedup pipeline).
     "q36_dedup_groups" -> ((s, dir) =>
@@ -738,6 +747,27 @@ object SparkEntry {
         | CAST(min(floor(epoch(ts))) AS BIGINT) AS start_epoch,
         | CAST(max(floor(epoch(ts))) AS BIGINT) AS end_epoch
         |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    "q37_quality_checks" ->
+      s"""WITH e AS ($enrichedSql),
+         |agg AS (
+         | SELECT
+         |  0::BIGINT AS null_station_id,
+         |  0::BIGINT AS null_timestamp,
+         |  CAST(sum(CASE WHEN NOT (temperature_celsius BETWEEN -50 AND 60) THEN 1 ELSE 0 END) AS BIGINT) AS temperature_out_of_range,
+         |  CAST(sum(CASE WHEN NOT (humidity_percent BETWEEN 0 AND 100) THEN 1 ELSE 0 END) AS BIGINT) AS humidity_out_of_range,
+         |  CAST(sum(CASE WHEN NOT (pressure_hpa BETWEEN 950 AND 1050) THEN 1 ELSE 0 END) AS BIGINT) AS pressure_out_of_range,
+         |  CAST(sum(CASE WHEN NOT (uv_index BETWEEN 0 AND 15) THEN 1 ELSE 0 END) AS BIGINT) AS uv_out_of_range,
+         |  CAST(count(*) AS BIGINT) AS total
+         | FROM e)
+         |SELECT c.check_name, c.violations, total, c.violations = 0 AS pass FROM agg,
+         | LATERAL (VALUES
+         |  ('null_station_id', null_station_id),
+         |  ('null_timestamp', null_timestamp),
+         |  ('temperature_out_of_range', temperature_out_of_range),
+         |  ('pressure_out_of_range', pressure_out_of_range),
+         |  ('humidity_out_of_range', humidity_out_of_range),
+         |  ('uv_out_of_range', uv_out_of_range)) AS c(check_name, violations)""".stripMargin,
 
     "q36_dedup_groups" ->
       s"""WITH RECURSIVE
