@@ -400,6 +400,23 @@ object SparkEntry {
     "q31_user_sessions" -> ((s, dir) =>
       Aggregates.sessionize(t(s, dir, "events"), "user_id", "ts", gapSeconds = 1800)),
 
+    // Trend analytics: day-over-day delta + lag-based 3-day moving average
+    // per city (lead/lag + frame semantics over aggregated rows — windows
+    // run on daily cardinality, never raw readings).
+    "q38_city_trends" -> ((s, dir) => {
+      import Aggregates._
+      val daily = enrichedFull(t(s, dir, "events"))
+        .groupBy(col("city"), col("reading_date"))
+        .agg(Enrich.roundAt(exactAvg(col("temperature_celsius")), 2).as("avg_t"))
+      val w = Window.partitionBy("city").orderBy("reading_date")
+      val l1 = lag(col("avg_t"), 1).over(w)
+      val l2 = lag(col("avg_t"), 2).over(w)
+      daily.select(col("city"), col("reading_date"), col("avg_t"),
+        (col("avg_t") - l1).as("delta"),
+        ((col("avg_t") + coalesce(l1, lit(0.0)) + coalesce(l2, lit(0.0))) /
+          (lit(1) + l1.isNotNull.cast("int") + l2.isNotNull.cast("int"))).as("ma3"))
+    }),
+
     // Data-quality checks: one aggregation pass, one row per check.
     "q37_quality_checks" -> ((s, dir) => {
       import graft.analytics.QualityChecks
@@ -747,6 +764,18 @@ object SparkEntry {
         | CAST(min(floor(epoch(ts))) AS BIGINT) AS start_epoch,
         | CAST(max(floor(epoch(ts))) AS BIGINT) AS end_epoch
         |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    "q38_city_trends" ->
+      s"""WITH daily AS (
+         | SELECT city, reading_date,
+         |  floor((CAST(sum(CAST(temperature_celsius AS DECIMAL(28,6))) AS DOUBLE)/count(temperature_celsius))*100.0+0.5)/100.0 AS avg_t
+         | FROM ($enrichedFullSql) GROUP BY city, reading_date)
+         |SELECT city, reading_date, avg_t,
+         | avg_t - lag(avg_t, 1) OVER w AS delta,
+         | (avg_t + coalesce(lag(avg_t, 1) OVER w, 0.0) + coalesce(lag(avg_t, 2) OVER w, 0.0))
+         |   / (1 + CAST(lag(avg_t, 1) OVER w IS NOT NULL AS INTEGER)
+         |        + CAST(lag(avg_t, 2) OVER w IS NOT NULL AS INTEGER)) AS ma3
+         |FROM daily WINDOW w AS (PARTITION BY city ORDER BY reading_date ASC)""".stripMargin,
 
     "q37_quality_checks" ->
       s"""WITH e AS ($enrichedSql),
