@@ -1,7 +1,6 @@
 package graft.operators
 
 import graft.expressions.VectorExprs
-import graft.functions.Vec
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._

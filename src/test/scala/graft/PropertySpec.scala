@@ -11,7 +11,6 @@ class PropertySpec extends SparkSpec {
   import spark.implicits._
 
   private val temps = Gen.choose(-50.0, 60.0)
-  private val humidities = Gen.choose(0.0, 100.0)
 
   private def evalPairs(pairs: Seq[(Double, Double)], expr: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column): Seq[Double] =
     pairs.toDF("a", "b").select(expr(col("a"), col("b")).as("r"))
