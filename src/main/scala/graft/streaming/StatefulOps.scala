@@ -52,6 +52,15 @@ object StatefulOps {
       .dropDuplicates("station_id", "event_time")
 
   /**
+   * Stream-static dimension enrichment: join the reading stream against a
+   * static dimension table (station metadata). Stateless for the stream —
+   * the static side is broadcast per micro-batch, no streaming state at
+   * all; the standard shape for reference-data lookups at any scale.
+   */
+  def withStationMetadata(readings: DataFrame, stations: DataFrame): DataFrame =
+    readings.join(broadcast(stations), Seq("station_id"), "left")
+
+  /**
    * Stream-stream interval join: pair each alert with the readings of the
    * same station within `windowSeconds` BEFORE the alert (root-cause
    * context lookup). Both sides carry watermarks and the join condition

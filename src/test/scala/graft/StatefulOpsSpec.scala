@@ -58,6 +58,24 @@ class StatefulOpsSpec extends SparkSpec {
     assert(out.contains(("WS002", "2026-08-12 10:00:00.0", 1L, 25.0)))
   }
 
+  test("stream-static join enriches the stream with broadcast dimension data") {
+    val root = Files.createTempDirectory("graft-ssdim").toString
+    val raw = s"$root/raw"; Files.createDirectories(java.nio.file.Paths.get(raw))
+    Files.writeString(java.nio.file.Paths.get(raw, "b.json"),
+      s"""{"readings": [${reading("WS001", "2026-08-12T10:00:00", 30.0)},
+         |${reading("WS999", "2026-08-12T10:00:00", 25.0)}]}""".stripMargin.replaceAll("\n", " "))
+    val stations = Seq(("WS001", "rooftop", 12)).toDF("station_id", "mount_type", "elevation_m")
+    val q = StatefulOps.withStationMetadata(JsonEnvelope.readStream(spark, raw), stations)
+      .select("station_id", "temperature_celsius", "mount_type", "elevation_m")
+      .writeStream.format("parquet")
+      .option("path", s"$root/out").option("checkpointLocation", s"$root/ckpt")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = spark.read.parquet(s"$root/out")
+      .collect().map(r => r.getString(0) -> Option(r.getString(2))).toMap
+    assert(out == Map("WS001" -> Some("rooftop"), "WS999" -> None)) // left join keeps unknowns
+  }
+
   test("stream-stream interval join pairs alerts with preceding readings") {
     val root = Files.createTempDirectory("graft-ssjoin").toString
     val rawR = s"$root/readings"; Files.createDirectories(java.nio.file.Paths.get(rawR))
