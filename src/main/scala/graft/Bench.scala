@@ -17,7 +17,10 @@ object Bench {
     // let Catalyst prune the computed columns away and time an empty scan).
     // sorted: deterministic execution order keeps per-query numbers
     // comparable across rounds (Map iteration order is hash-dependent)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args = query-name prefixes to run (local iteration); default all
+    val wanted = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => args.isEmpty || args.exists(n.startsWith) }
+    val results = wanted.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
@@ -26,7 +29,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     spark.stop()
+    // after stop(): Spark's shutdown logging goes to stderr, so this stays
+    // the final clean stdout line (fork output passes through unprefixed —
+    // see build.sbt outputStrategy)
+    println(json)
   }
 }

@@ -26,39 +26,40 @@ object Components {
    * @return (id, component) — component = smallest id reachable
    */
   def smallestIdPropagation(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
-    // persist: every round joins against the edges — without caching, each
-    // iteration (plus each convergence check) re-runs the whole upstream
-    // pair-generation pipeline (measured 4x on the jaccard input)
+    // Eager localCheckpoint, not persist: every round (and every convergence
+    // check) reads the edge list, and persist alone is lazy — a first action
+    // that short-circuits (e.g. limit) materializes only SOME partitions, so
+    // later rounds silently recompute the missing ones through the whole
+    // upstream pair-generation pipeline (this exact failure mode cost 5× in
+    // the round-1 bench). localCheckpoint materializes every partition NOW
+    // and truncates the lineage, so per-round cost is the tiny label join
+    // only, independent of how expensive `pairs` was to produce.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
-      .persist()
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
+      .localCheckpoint()
 
     var converged = false
     var i = 0
-    var prevCache: DataFrame = null
     while (i < maxIters && !converged) {
       val neighborLabels = edges
         .join(labels.withColumnsRenamed(Map("id" -> "dst", "component" -> "dst_comp")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("dst_comp")).as("neighbor_min"))
-      // change detection folded into the update join: one action per round
+      // checkpoint BEFORE the convergence probe: the probe then scans fully
+      // materialized blocks, and next round's labels carry no lineage
       val joined = labels.join(neighborLabels, Seq("id"), "left")
         .select(col("id"), col("component"),
           least(col("component"), coalesce(col("neighbor_min"), col("component"))).as("new_component"))
-        .persist()
+        .localCheckpoint()
       val changed = joined.where(col("new_component") =!= col("component")).limit(1).count()
-      if (prevCache != null) prevCache.unpersist()
-      prevCache = joined
       labels = joined.select(col("id"), col("new_component").as("component"))
       converged = changed == 0
       i += 1
     }
-    // labels was materialized by the convergence check; dropping the edge
-    // cache only costs a lineage recompute if cached partitions are evicted
-    edges.unpersist()
     labels
   }
 

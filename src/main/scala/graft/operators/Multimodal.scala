@@ -57,6 +57,11 @@ object Multimodal {
    * iterator lets an implementation batch rows and amortize per-partition
    * setup (load model once per partition, not per row). STUB feature:
    * a normalized 16-bin byte histogram (deterministic, codec-free).
+   *
+   * Output is one row per (document, bin) with scalar columns — an array
+   * column here would be un-sortable/un-hashable for downstream exact
+   * comparison tooling, and the long shape joins/aggregates naturally.
+   * Use `featureVectors` to fold back to one array row per document.
    */
   def byteHistogramFeatures(df: DataFrame, idCol: String, binCol: String = "content",
                             bins: Int = 16): DataFrame = {
@@ -66,19 +71,25 @@ object Multimodal {
       df.select(col(idCol).cast("long"), col(binCol)).as[(Long, Array[Byte])]
     pairs.mapPartitions { it =>
       // per-partition setup would go here (e.g. ??? -> load decoder/model)
-      it.map { case (id, bytes) =>
-        val hist = new Array[Float](bins)
+      it.flatMap { case (id, bytes) =>
+        val hist = new Array[Long](bins)
         var i = 0
         while (i < bytes.length) {
-          hist(((bytes(i) & 0xff) * bins) / 256) += 1f
+          hist(((bytes(i) & 0xff) * bins) / 256) += 1L
           i += 1
         }
-        if (bytes.length > 0) {
-          var j = 0
-          while (j < bins) { hist(j) /= bytes.length.toFloat; j += 1 }
+        (0 until bins).iterator.map { b =>
+          val v = if (bytes.length > 0) hist(b).toDouble / bytes.length else 0.0
+          (id, b, hist(b), v)
         }
-        (id, hist)
       }
-    }.toDF(idCol, "features")
+    }.toDF(idCol, "bin", "bin_count", "value")
   }
+
+  /** Fold the long-shape histogram back to a dense per-document vector
+    * (for similarity search over the extracted features). */
+  def featureVectors(features: DataFrame, idCol: String): DataFrame =
+    features.groupBy(col(idCol))
+      .agg(transform(array_sort(collect_list(struct(col("bin"), col("value")))),
+        s => s.getField("value").cast("float")).as("features"))
 }

@@ -36,20 +36,34 @@ object Similarity {
   }
 
   /**
-   * Assign every vector to its nearest centroid (max cosine, ties → smallest
-   * centroid id). Centroids are broadcast; assignment is one max_by
-   * aggregation keyed by the vector id — no O(n²) stage.
+   * Assign every vector to its `nprobe` nearest centroids (max cosine, ties →
+   * smallest centroid id); one output row per (vector, probed centroid).
+   * Centroids are broadcast; assignment is one aggregation keyed by the
+   * vector id — no O(n²) stage. The broadcast fan-out collapses map-side
+   * (partial aggregation), so the shuffle carries one row per vector
+   * regardless of centroid count.
    */
-  def assignToCentroids(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+  def assignToCentroids(vectors: DataFrame, centroids: DataFrame, nprobe: Int = 1): DataFrame = {
     val c = broadcast(centroids.select(col("vec_id").as("centroid_id"), col("embedding").as("centv")))
-    vectors.select(col("vec_id"), col("embedding"))
+    val scored = vectors.select(col("vec_id"), col("embedding"))
       .join(c)
       .select(col("vec_id"), col("embedding"), col("centroid_id"),
         VectorExprs.cosine(col("embedding"), col("centv")).as("ccos"))
-      .groupBy("vec_id")
-      .agg(
-        max_by(col("centroid_id"), struct(col("ccos"), -col("centroid_id"))).as("centroid_id"),
-        first(col("embedding")).as("embedding"))
+    if (nprobe == 1)
+      scored.groupBy("vec_id")
+        .agg(
+          max_by(col("centroid_id"), struct(col("ccos"), -col("centroid_id"))).as("centroid_id"),
+          first(col("embedding")).as("embedding"))
+    else
+      // top-nprobe via sorted-list slice in the same single shuffle:
+      // (−cos, id) sorts ascending = cosine desc with smallest-id tie-break
+      scored.groupBy("vec_id")
+        .agg(
+          slice(array_sort(collect_list(struct((-col("ccos")).as("nc"), col("centroid_id")))),
+            1, nprobe).as("tops"),
+          first(col("embedding")).as("embedding"))
+        .select(col("vec_id"), explode(col("tops")).as("top"), col("embedding"))
+        .select(col("vec_id"), col("top.centroid_id").as("centroid_id"), col("embedding"))
   }
 
   /**
@@ -130,23 +144,75 @@ object Similarity {
   }
 
   /**
-   * Embedding near-duplicate pairs: all (a,b) with cosine ≥ threshold.
-   * Bucketed by nearest centroid first (near-identical vectors share a
-   * centroid with overwhelming probability), so the pair join stays within
-   * buckets instead of O(n²) over the corpus.
+   * Embedding near-duplicate pairs, bucketed-approximate: pairs with cosine ≥
+   * threshold AMONG vectors sharing one of their `nprobe` nearest centroids.
+   * The pair join stays within buckets instead of O(n²) over the corpus —
+   * this IS the operator's contract (like IVF search, recall < 1 by design):
+   * truly near-identical vectors share a centroid with overwhelming
+   * probability; moderate-similarity pairs are found only if bucketing
+   * co-locates them, and multi-probe (nprobe ≥ 2) widens that net. Verified
+   * bit-exactly against an oracle expressing the same bucketed contract;
+   * exactNearDupPairs above is the exhaustive baseline for recall checks.
    *
    * The centroid COUNT is the scaling contract: in-bucket work is
-   * Σ bucket² ≈ n²/k for k centroids, so k must grow with the corpus —
-   * k ≈ n / targetBucketSize (e.g. 1000-row buckets), not a constant
-   * (ScaleProbe measured the fixed-k quadratic: 10× time at 16× rows).
+   * Σ bucket² ≈ n²·nprobe²/k for k centroids, so k must grow with the
+   * corpus — k ≈ n / targetBucketSize (e.g. 1000-row buckets), not a
+   * constant (ScaleProbe measured the fixed-k quadratic: 10× time at 16×
+   * rows).
    */
-  def embeddingNearDupPairs(vectors: DataFrame, centroids: DataFrame, threshold: Double): DataFrame = {
-    val assigned = assignToCentroids(vectors, centroids)
+  def embeddingNearDupPairs(vectors: DataFrame, centroids: DataFrame, threshold: Double,
+                            nprobe: Int = 1): DataFrame = {
+    val assigned = assignToCentroids(vectors, centroids, nprobe)
     val a = assigned.select(col("centroid_id"), col("vec_id").as("id_a"), col("embedding").as("va"))
     val b = assigned.select(col("centroid_id"), col("vec_id").as("id_b"), col("embedding").as("vb"))
-    a.join(b, Seq("centroid_id"))
+    val pairs = a.join(b, Seq("centroid_id"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), VectorExprs.cosine(col("va"), col("vb")).as("cosine"))
       .where(col("cosine") >= threshold)
+    // multi-probe can surface the same pair from two shared buckets; the
+    // cosine is bit-identical on both rows, so a plain distinct dedups it
+    if (nprobe == 1) pairs else pairs.distinct()
+  }
+
+  /**
+   * Deterministic Lloyd's k-means over the embedding column, so IVF/near-dup
+   * bucketing is self-contained (no externally supplied centroids).
+   *
+   *  - init: the k vectors with the smallest md5(vec_id) — a seedless,
+   *    order-independent pseudo-random draw, reproducible on any cluster;
+   *  - iterate: assign to nearest centroid (cosine), recompute each centroid
+   *    as the member mean. Means go through DECIMAL sums
+   *    (order-independent), so the result is bit-identical under any
+   *    partitioning — the property every downstream oracle check needs;
+   *  - each round is one broadcast-assign + one aggregation; labels never
+   *    shuffle the corpus twice. localCheckpoint cuts the per-round lineage.
+   *
+   * At production scale you would trade init quality for rounds with
+   * k-means|| oversampling; the loop shape (broadcast centroids, aggregate
+   * per dimension) is identical.
+   */
+  def trainCentroids(vectors: DataFrame, k: Int, iters: Int = 5): DataFrame = {
+    val init = vectors
+      .select(col("vec_id"), col("embedding"), md5(col("vec_id").cast("string")).as("h"))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(k)
+      .select(row_number().over(Window.orderBy(col("h"), col("vec_id"))).cast("long").as("vec_id"),
+        col("embedding"))
+    var centroids = init.localCheckpoint()
+    for (_ <- 1 to iters) {
+      val members = assignToCentroids(vectors, centroids)
+      // per-dimension decimal-exact mean; collect_list(struct(dim, m)) is
+      // re-sorted so the rebuilt array is position-stable
+      val next = members
+        .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy("centroid_id", "i")
+        .agg((sum(col("x").cast("decimal(28,8)")) / count(col("x"))).cast("float").as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+          s => s.getField("m")).as("embedding"))
+        .select(col("centroid_id").as("vec_id"), col("embedding"))
+      centroids = next.localCheckpoint()
+    }
+    centroids
   }
 }

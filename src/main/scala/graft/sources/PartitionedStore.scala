@@ -32,7 +32,12 @@ object PartitionedStore {
     * join shuffles keys, not payloads. */
   def appendIfAbsent(spark: SparkSession, incoming: DataFrame, table: String,
                      keys: Seq[String], partitionCols: Seq[String]): Long = {
-    val isFirstWrite = !new java.io.File(table).exists()
+    // Resolve through the Hadoop FileSystem of the table's URI — a bare
+    // java.io.File check silently reports "absent" for s3://-like paths,
+    // which would skip the anti-join and append duplicates.
+    val path = new org.apache.hadoop.fs.Path(table)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val isFirstWrite = !fs.exists(path)
     val fresh =
       if (isFirstWrite) incoming
       else {

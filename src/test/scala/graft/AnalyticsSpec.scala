@@ -58,7 +58,13 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(byDoc == Map(1L -> 3L, 2L -> 1L)) // 250 bytes -> 3 frames of <=100
 
-    val feats = Multimodal.byteHistogramFeatures(withBin, "doc_id")
+    val featRows = Multimodal.byteHistogramFeatures(withBin, "doc_id")
+    // long shape: one scalar row per (doc, bin), counts reconcile to byte_len
+    assert(featRows.where(col("doc_id") === 1L).count() == 16)
+    val cnt1 = featRows.where(col("doc_id") === 1L)
+      .agg(sum("bin_count")).head.getLong(0)
+    assert(cnt1 == 250L)
+    val feats = Multimodal.featureVectors(featRows, "doc_id")
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
     assert(math.abs(feats(1L).sum - 1.0f) <= 1e-6f)
     // doc1 is all 'a' (0x61): all mass in bin (0x61*16)/256 = 6

@@ -10,10 +10,11 @@ class ContractSpec extends SparkSpec {
     assert(unknown.isEmpty, s"oracleSql keys without queries: $unknown")
   }
 
-  test("rows-only queries are the documented approximate ones") {
+  test("every gate query carries a DuckDB oracle (no rows-only checks)") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("q20_minhash_lsh_candidates", "q24_knn_ivf", "q29_media_features"),
-      s"unexpected rows-only set: $rowsOnly")
+    assert(rowsOnly.isEmpty, s"unexpected rows-only set: $rowsOnly")
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
   test("entry() returns rows on the smoke scale factor") {
