@@ -29,7 +29,33 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+
+    // IVF quality row: recall@5 of the bucketed search (q24) and of a
+    // self-trained-centroid run against the exact brute force (q22). The
+    // approximate operators trade recall for the 100 TB plan — measure the
+    // trade, don't assert it.
+    val recalls = if (args.nonEmpty) "" else try {
+      import org.apache.spark.sql.functions.col
+      val brute = SparkEntry.queries("q22_knn_bruteforce")(spark, sfDir)
+        .select("query_id", "neighbor_id")
+      val ivf = SparkEntry.queries("q24_knn_ivf")(spark, sfDir)
+        .select("query_id", "neighbor_id")
+      val em = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val trained = graft.operators.Similarity.trainCentroids(em, k = 40, iters = 3)
+        .localCheckpoint()
+      def recallOf(np: Int): Double = {
+        val r = graft.operators.Similarity
+          .ivfKnn(em, em.where(col("vec_id") < 10), trained, k = 5, nprobe = np)
+          .select("query_id", "neighbor_id")
+        r.intersect(brute).count().toDouble / brute.count()
+      }
+      val r24 = ivf.intersect(brute).count().toDouble / brute.count()
+      s""","recall_ivf_at5":$r24,"recall_ivf_trained_at5":${recallOf(1)}""" +
+        s""","recall_ivf_trained_np4_at5":${recallOf(4)}"""
+    } catch { case e: Throwable => System.err.println(s"[bench] recall failed: $e"); "" }
+
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$recalls,"sf":"$sfDir"}"""
     spark.stop()
     // after stop(): Spark's shutdown logging goes to stderr, so this stays
     // the final clean stdout line (fork output passes through unprefixed —

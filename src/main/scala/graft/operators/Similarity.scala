@@ -74,19 +74,25 @@ object Similarity {
    * #buckets. At production scale the bucketed corpus would be written
    * `partitionBy(centroid_id)` once and probed with partition pruning.
    */
-  def ivfKnn(corpus: DataFrame, queries: DataFrame, centroids: DataFrame, k: Int): DataFrame = {
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, centroids: DataFrame, k: Int,
+             nprobe: Int = 1): DataFrame = {
     val assignedCorpus = assignToCentroids(corpus, centroids)
       .withColumnsRenamed(Map("vec_id" -> "neighbor_id", "embedding" -> "cv"))
-    val assignedQueries = assignToCentroids(queries, centroids)
+    // multi-probe applies to the QUERY side only: a query searches its
+    // nprobe nearest buckets; the corpus stays single-assigned (each vector
+    // stored once — the inverted-file invariant)
+    val assignedQueries = assignToCentroids(queries, centroids, nprobe)
       .withColumnsRenamed(Map("vec_id" -> "query_id", "embedding" -> "qv"))
-    val scored = broadcast(assignedQueries)
+    val hits = broadcast(assignedQueries)
       .join(assignedCorpus, Seq("centroid_id"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         VectorExprs.cosine(col("qv"), col("cv")).as("cosine"))
+    // a corpus vector is in exactly one bucket, so probes never duplicate a
+    // (query, neighbor) pair — no dedup stage needed at any nprobe
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    hits.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")
   }

@@ -73,6 +73,41 @@ class SimilaritySpec extends SparkSpec {
     assert(sigs(100L) == sigs(101L))
   }
 
+  test("trainCentroids recovers planted clusters and is run-to-run deterministic") {
+    val rnd = new Random(5)
+    val base1 = Array.fill(8)(rnd.nextFloat() + 2f)
+    val base2 = Array.fill(8)(rnd.nextFloat() - 3f)
+    def jitter(b: Array[Float]) = b.map(x => x + rnd.nextFloat() * 0.01f)
+    val vecs = ((0L until 20L).map(i => (i, jitter(base1)))
+      ++ (20L until 40L).map(i => (i, jitter(base2)))).toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(vecs, k = 2, iters = 3)
+    assert(cents.count() == 2)
+    // assignment splits exactly along the planted clusters
+    val assign = Similarity.assignToCentroids(vecs, cents)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("centroid_id")).toMap
+    val g1 = (0L until 20L).map(assign).toSet
+    val g2 = (20L until 40L).map(assign).toSet
+    assert(g1.size == 1 && g2.size == 1 && g1 != g2)
+    // decimal-sum means: bit-identical on a second run
+    val cents2 = Similarity.trainCentroids(vecs, k = 2, iters = 3)
+    assert(cents.except(cents2).isEmpty && cents2.except(cents).isEmpty)
+  }
+
+  test("multi-probe assignment widens the bucketed near-dup net") {
+    val rnd = new Random(9)
+    val vecs = (0L until 60L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val cents = vecs.where(col("vec_id") % 10 === 0)
+    val np1 = Similarity.embeddingNearDupPairs(vecs, cents, 0.3, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val np2 = Similarity.embeddingNearDupPairs(vecs, cents, 0.3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(np1.subsetOf(np2))
+    val exact = Similarity.exactNearDupPairs(vecs, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(np2.subsetOf(exact)) // bucketing never invents pairs
+  }
+
   test("exactNearDupPairs finds planted duplicate pair only") {
     val rnd = new Random(1)
     val distinct = (0L until 10L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
