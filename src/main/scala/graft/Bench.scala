@@ -10,7 +10,10 @@ object Bench {
     // lands entirely on whichever query happens to run first (~3s skew)
     try {
       spark.range(1000000).selectExpr("sum(id)").collect()
-      SparkEntry.queries.head._2(spark, sfDir).write.format("noop").mode("overwrite").save()
+      // warm the first TIMED query (sorted order) so its measured time is
+      // steady-state, not Map-iteration-dependent JIT noise
+      SparkEntry.queries.toSeq.minBy(_._1)._2(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
 
     // noop sink: forces FULL evaluation of every output column (count() would

@@ -60,14 +60,27 @@ object ScaleProbe {
         Dedup.minhashSignatures(docs, "doc_id", "text", 3, 16), 16, 4)))
       val tSim = time(noop(Dedup.simhashNearDupPairs(docs, "doc_id", "text", 3)))
       val tJac = time(noop(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5, 1000)))
-      // centroid count scales with the corpus (bucket size ~500) — a fixed
-      // centroid count makes the in-bucket pair join quadratic
-      val centroids = em.where(col("vec_id") % 500 === 0)
+      // Centroid-count law: assignment costs n·k, in-bucket pair work
+      // n²·nprobe²/k — the sum is minimized at k ≈ nprobe·√n (total
+      // O(n^1.5)). A FIXED k makes pair work quadratic; a LINEAR k makes
+      // assignment quadratic. Probe both paths at their balanced k.
+      val k1 = math.sqrt(n.toDouble).toLong.max(2)
+      val centroids = em.where(col("vec_id") % (n / k1).max(1) === 0)
+      val k2 = (2 * k1)
+      val centroids2 = em.where(col("vec_id") % (n / k2).max(1) === 0)
       val tIvf = time(noop(Similarity.ivfKnn(em, em.where(col("vec_id") < 10), centroids, 5)))
       val tNd = time(noop(Similarity.embeddingNearDupPairs(em, centroids, 0.9)))
+      val tNd2 = time(noop(Similarity.embeddingNearDupPairs(em, centroids2, 0.9,
+        nprobe = 2, maxBucket = 4 * (n / k1).toInt)))
+      // components over the capped jaccard pairs: the loop must stay
+      // O(rounds), independent of how expensive the pair input was
+      val tCc = time(noop(graft.operators.Components.dedupGroups(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5, 1000))))
+      val tTrain = time(noop(Similarity.trainCentroids(em, k = k1.toInt, iters = 2)))
 
       println(s"""{"n":$n,"exact_dedup":$tExact,"minhash_sig":$tSig,"lsh_cands":$tLsh,""" +
-        s""""simhash_pairs":$tSim,"jaccard_capped":$tJac,"ivf_knn":$tIvf,"embed_neardup":$tNd}""")
+        s""""simhash_pairs":$tSim,"jaccard_capped":$tJac,"ivf_knn":$tIvf,"embed_neardup":$tNd,""" +
+        s""""embed_neardup_np2":$tNd2,"components":$tCc,"kmeans_train":$tTrain}""")
       docs.unpersist(); em.unpersist()
     }
     spark.stop()

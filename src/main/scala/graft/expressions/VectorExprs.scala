@@ -120,6 +120,58 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * Dot product of a float-array column against a double-array (typically a
+ * literal hyperplane): Σ (double)x_i * c_i folded strictly left-to-right —
+ * bit-equal to the unrolled `element_at(v,i).cast(double) * lit(c_i)` sum
+ * it replaces, but ONE expression node instead of dim·bits of them (the
+ * unrolled RP-LSH tree was ~1024 nodes whose codegen dominated the query).
+ */
+case class DotProductFD(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_dot_fd"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    var dot = 0.0
+    var i = 0
+    val n = x.numElements()
+    while (i < n) {
+      dot += x.getFloat(i).toDouble * y.getDouble(i)
+      i += 1
+    }
+    dot
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (dot, n, i) = (ctx.freshName("dot"), ctx.freshName("n"), ctx.freshName("i"))
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0;
+         |  int $n = $a.numElements();
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += (double) $a.getFloat($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $dot;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
   /** Column API for the codegen cosine (drop-in for Vec.cosine on float arrays). */
   def cosine(a: Column, b: Column): Column =
@@ -128,5 +180,10 @@ object VectorExprs {
 
   def dot(a: Column, b: Column): Column =
     GraftSqlBridge.column(DotProduct(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** float-array ⋅ double-array (for literal hyperplanes). */
+  def dotFD(a: Column, b: Column): Column =
+    GraftSqlBridge.column(DotProductFD(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 }

@@ -55,15 +55,16 @@ object Similarity {
           max_by(col("centroid_id"), struct(col("ccos"), -col("centroid_id"))).as("centroid_id"),
           first(col("embedding")).as("embedding"))
     else
-      // top-nprobe via sorted-list slice in the same single shuffle:
-      // (−cos, id) sorts ascending = cosine desc with smallest-id tie-break
+      // top-nprobe via a BOUNDED top-k aggregate in the same single
+      // shuffle: (−cos, id) ascending = cosine desc with smallest-id
+      // tie-break. Bounded state matters — collect_list+slice holds all k
+      // centroid scores per vector in the aggregation buffer
       scored.groupBy("vec_id")
         .agg(
-          slice(array_sort(collect_list(struct((-col("ccos")).as("nc"), col("centroid_id")))),
-            1, nprobe).as("tops"),
+          graft.expressions.BoundedTopKAgg
+            .topIdsByKey(-col("ccos"), col("centroid_id"), nprobe).as("tops"),
           first(col("embedding")).as("embedding"))
-        .select(col("vec_id"), explode(col("tops")).as("top"), col("embedding"))
-        .select(col("vec_id"), col("top.centroid_id").as("centroid_id"), col("embedding"))
+        .select(col("vec_id"), explode(col("tops")).as("centroid_id"), col("embedding"))
   }
 
   /**
@@ -116,10 +117,10 @@ object Similarity {
 
   def rpLshSignatures(vectors: DataFrame, planes: Array[Array[Double]]): DataFrame = {
     val sig = planes.zipWithIndex.map { case (h, j) =>
-      // deterministic left-to-right dot with literal plane coefficients
-      val dot = h.zipWithIndex.map { case (c, i) =>
-        element_at(col("embedding"), i + 1).cast("double") * lit(c)
-      }.reduce(_ + _)
+      // codegen dot against the literal plane — same strict left-to-right
+      // association as the unrolled per-coefficient sum (bit-equal), but a
+      // single expression node per plane instead of one per coefficient
+      val dot = VectorExprs.dotFD(col("embedding"), lit(h))
       when(dot > 0.0, lit(1L) * (1L << j)).otherwise(0L)
     }.reduce(_ + _)
     vectors.select(col("vec_id"), sig.as("rp_sig"))
@@ -167,8 +168,25 @@ object Similarity {
    * rows).
    */
   def embeddingNearDupPairs(vectors: DataFrame, centroids: DataFrame, threshold: Double,
-                            nprobe: Int = 1): DataFrame = {
-    val assigned = assignToCentroids(vectors, centroids, nprobe)
+                            nprobe: Int = 1, maxBucket: Int = Int.MaxValue): DataFrame = {
+    // Materialize the assignment ONCE: the pair self-join reads it from
+    // both sides (and the cap's bucket count a third time) — left lazy,
+    // each reference re-runs the full n×k scoring pass (measured ~2× the
+    // whole operator at 80k rows).
+    val probed = assignToCentroids(vectors, centroids, nprobe).localCheckpoint()
+    // Hot-bucket cap, same control as the text-LSH maxBucket: centroid
+    // assignment is skew-prone (second-probe choices pile onto popular
+    // centroids — ScaleProbe measured 8× at 16× rows without the cap), and
+    // one oversized bucket turns the in-bucket join quadratic. Dropping a
+    // bucket above the cap loses only pairs whose SOLE shared bucket was
+    // the hot one — the trade every production near-dup pipeline makes.
+    val assigned =
+      if (maxBucket == Int.MaxValue) probed
+      else {
+        val ok = probed.groupBy("centroid_id").count()
+          .where(col("count") <= maxBucket).select("centroid_id")
+        probed.join(broadcast(ok), Seq("centroid_id"))
+      }
     val a = assigned.select(col("centroid_id"), col("vec_id").as("id_a"), col("embedding").as("va"))
     val b = assigned.select(col("centroid_id"), col("vec_id").as("id_b"), col("embedding").as("vb"))
     val pairs = a.join(b, Seq("centroid_id"))
