@@ -100,4 +100,21 @@ class PropertySpec extends SparkSpec {
     val fps = docs.toDF("text").select(Text.fingerprint(col("text"))).collect().map(_.getLong(0))
     assert(fps.distinct.length == docs.length) // all four token streams differ
   }
+
+  test("property: BoundedTopKAgg equals sort+slice under random keys and partitionings") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 500).map { _ =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(50) / 10.0, rnd.nextInt(1000).toLong)
+    }
+    for (k <- Seq(1, 2, 3); parts <- Seq(1, 7)) {
+      val df = rows.toDF("g", "key", "id").repartition(parts)
+      val fast = df.groupBy("g")
+        .agg(graft.expressions.BoundedTopKAgg.topIdsByKey(col("key"), col("id"), k).as("ids"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val slow = rows.groupBy(_._1).map { case (g, rs) =>
+        g -> rs.map(r => (r._2, r._3)).sorted.take(k).map(_._2).toSeq
+      }
+      assert(fast == slow, s"k=$k parts=$parts")
+    }
+  }
 }
