@@ -48,7 +48,13 @@ object Dedup {
    */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double, maxBucket: Int = 1000): DataFrame = {
+    // Jaccard counts DISTINCT shingles, so the pipeline only needs shingle
+    // IDENTITY — hash each to a 60-bit long up front and every downstream
+    // shuffle (posting-list groupBy, pair counts) carries 8-byte keys
+    // instead of ~n-word strings. Collision odds at 2^60 are ~(#shingles)²
+    // /2^61 — immaterial against the approximate alternatives' error rates.
     val sh = explodedShingles(docs, idCol, textCol, n)
+      .select(col("id"), Hashing.stableHash60(col("shingle")).as("shingle"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("set_size"))
 
     // Pair counting via bucket expansion (not a self-join): group the
@@ -131,11 +137,11 @@ object Dedup {
       .distinct()
   }
 
-  /** LSH candidates verified with exact Jaccard ≥ threshold. */
-  def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String, n: Int,
-                          numHashes: Int, bands: Int, threshold: Double): DataFrame = {
-    val cands = minhashLshCandidates(minhashSignatures(docs, idCol, textCol, n, numHashes),
-      numHashes, bands)
+  /** Exact-Jaccard verification of a candidate pair list — the final step
+    * of every LSH pipeline, exposed so candidates can come from any
+    * generator (minhash bands, simhash chunks, a cached candidate table). */
+  def jaccardVerify(cands: DataFrame, docs: DataFrame, idCol: String, textCol: String,
+                    n: Int, threshold: Double): DataFrame = {
     val sets = docs.select(col(idCol).as("id"), Text.shingleSet(col(textCol), n).as("sset"))
     cands
       .join(sets.select(col("id").as("id_a"), col("sset").as("set_a")), Seq("id_a"))
@@ -147,6 +153,14 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** LSH candidates verified with exact Jaccard ≥ threshold. */
+  def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String, n: Int,
+                          numHashes: Int, bands: Int, threshold: Double): DataFrame =
+    jaccardVerify(
+      minhashLshCandidates(minhashSignatures(docs, idCol, textCol, n, numHashes),
+        numHashes, bands),
+      docs, idCol, textCol, n, threshold)
 
   /**
    * SimHash: 32-bit locality-sensitive signature. Bit j of the signature is
