@@ -456,6 +456,32 @@ object SparkEntry {
     "q31_user_sessions" -> ((s, dir) =>
       Aggregates.sessionize(t(s, dir, "events"), "user_id", "ts", gapSeconds = 1800)),
 
+    // Point-in-time (as-of) join: each event sees the latest purchase of
+    // the same user at-or-before its own time — the label-leakage-safe
+    // feature lookup (one keyed window, not a range join).
+    "q42_asof_last_purchase" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("p_event"), col("value").as("p_value"))
+      graft.operators.AsOf.asOfJoin(
+        ev.select("user_id", "ts", "event_id"), purchases,
+        key = "user_id", time = "ts",
+        payload = Seq("p_event", "p_value"), tieBreak = "p_event")
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("ts_epoch"), col("p_event"), col("p_value"))
+    }),
+
+    // Deterministic hash-based train/val/test split (80/10/10) — stable
+    // under any partitioning/engine, summarized per split.
+    "q43_train_split" -> ((s, dir) => {
+      import Aggregates._
+      graft.operators.Sampling.assignSplits(t(s, dir, "events"), "event_id",
+        Seq("train" -> 8, "val" -> 1, "test" -> 1))
+        .groupBy("split", "event_type")
+        .agg(count(lit(1)).as("event_count"), exactSum(col("value")).as("sum_value"))
+    }),
+
     // Trend analytics: day-over-day delta + lag-based 3-day moving average
     // per city (lead/lag + frame semantics over aggregated rows — windows
     // run on daily cardinality, never raw readings).
@@ -945,6 +971,34 @@ object SparkEntry {
         | CAST(min(floor(epoch(ts))) AS BIGINT) AS start_epoch,
         | CAST(max(floor(epoch(ts))) AS BIGINT) AS end_epoch
         |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    // As-of: union both sides, carry the last non-null payload per user in
+    // (time, side, tie) order — right rows precede left rows at equal time
+    // (inclusive), equal-time purchases resolve by largest event id.
+    "q42_asof_last_purchase" ->
+      """WITH l AS (SELECT user_id, ts, event_id, 1 AS side, 0::BIGINT AS tie,
+        |                  NULL::BIGINT AS p_event, NULL::DOUBLE AS p_value FROM events),
+        |r AS (SELECT user_id, ts, NULL::BIGINT AS event_id, 0 AS side, event_id AS tie,
+        |             event_id AS p_event, value AS p_value FROM events
+        |      WHERE event_type='purchase'),
+        |u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+        |c AS (SELECT user_id, ts, event_id, side,
+        |        last_value(p_event IGNORE NULLS) OVER w AS p_event,
+        |        last_value(p_value IGNORE NULLS) OVER w AS p_value
+        |      FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, side ASC, tie ASC
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch, p_event, p_value
+        |FROM c WHERE side=1""".stripMargin,
+
+    "q43_train_split" -> {
+      val h = duckHash("CAST(event_id AS VARCHAR)")
+      s"""SELECT CASE WHEN h < 8 THEN 'train' WHEN h < 9 THEN 'val' ELSE 'test' END AS split,
+         | event_type,
+         | CAST(count(*) AS BIGINT) AS event_count,
+         | CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+         |FROM (SELECT *, $h % 10 AS h FROM events)
+         |GROUP BY 1, event_type""".stripMargin
+    },
 
     "q38_city_trends" ->
       s"""WITH daily AS (

@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.functions.Hashing
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic sampling & dataset splitting for training pipelines.
+ *
+ * Spark's `randomSplit`/`sample` are seed-dependent AND partitioning-
+ * dependent — re-running on a repartitioned table assigns different rows to
+ * train/test, which silently invalidates every downstream eval. These
+ * assign by a portable hash of a stable key instead: the same row lands in
+ * the same split on any cluster, any partitioning, any engine (md5-derived
+ * hash — verifiable in SQL, see the q43 oracle).
+ *
+ * Scale shape: pure narrow projection (zero shuffles) — the split column
+ * is a function of the key alone.
+ */
+object Sampling {
+
+  /**
+   * Split assignment by hash(key) mod Σweights: splits like
+   * ("train" -> 8, "val" -> 1, "test" -> 1) give a stable 80/10/10.
+   */
+  def splitColumn(key: Column, splits: Seq[(String, Int)]): Column = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), "weights must be positive")
+    val total = splits.map(_._2).sum
+    val bucket = pmod(Hashing.stableHash60(key.cast("string")), lit(total))
+    val (expr, _) = splits.foldLeft(Option.empty[Column] -> 0) {
+      case ((acc, cum), (name, weight)) =>
+        val upper = cum + weight
+        val branch = acc match {
+          case None    => when(bucket < upper, name)
+          case Some(c) => c.when(bucket < upper, name)
+        }
+        (Some(branch), upper)
+    }
+    expr.get
+  }
+
+  /** Attach the split label as a column (narrow; no shuffle). */
+  def assignSplits(df: DataFrame, keyCol: String, splits: Seq[(String, Int)],
+                   as: String = "split"): DataFrame =
+    df.withColumn(as, splitColumn(col(keyCol), splits))
+
+  /** Deterministic fraction-of-keyspace sample: keeps rows whose key hashes
+    * below `num`/`denom` of the hash range — stable under re-runs and
+    * engine-portable (unlike `sample(fraction, seed)`). */
+  def hashSample(df: DataFrame, keyCol: String, num: Int, denom: Int): DataFrame =
+    df.where(pmod(Hashing.stableHash60(col(keyCol).cast("string")), lit(denom)) < num)
+}

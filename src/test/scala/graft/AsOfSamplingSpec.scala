@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.{AsOf, Sampling}
+import org.apache.spark.sql.functions._
+
+class AsOfSamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asOfJoin attaches the latest at-or-before right row per key") {
+    val left = Seq(
+      (1L, 10L, 100L), (1L, 20L, 101L), (1L, 30L, 102L),
+      (2L, 15L, 200L)) // user 2 has no purchase before 15
+      .toDF("user_id", "t", "event_id")
+    val right = Seq(
+      (1L, 10L, 500L, 1.0),  // exactly at left t=10 -> inclusive match
+      (1L, 25L, 501L, 2.0),
+      (2L, 99L, 502L, 3.0))  // after user 2's event -> no match
+      .toDF("user_id", "t", "p_event", "p_value")
+    val out = AsOf.asOfJoin(left, right, "user_id", "t", Seq("p_event", "p_value"), "p_event")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        (Option(r.getAs[java.lang.Long]("p_event")).map(_.toLong), r.getAs[Any]("p_value"))).toMap
+    assert(out(100L)._1.contains(500L)) // inclusive at equal time
+    assert(out(101L)._1.contains(500L)) // before 25 -> still 500
+    assert(out(102L)._1.contains(501L)) // after 25 -> 501
+    assert(out(200L)._1.isEmpty)        // nothing at-or-before -> null
+  }
+
+  test("asOfJoin breaks equal-time right ties toward the largest tieBreak") {
+    val left = Seq((1L, 10L, 1L)).toDF("user_id", "t", "event_id")
+    val right = Seq((1L, 10L, 7L, 7.0), (1L, 10L, 9L, 9.0), (1L, 10L, 8L, 8.0))
+      .toDF("user_id", "t", "p_event", "p_value")
+    val out = AsOf.asOfJoin(left, right, "user_id", "t", Seq("p_event", "p_value"), "p_event")
+    assert(out.head.getAs[Long]("p_event") == 9L)
+  }
+
+  test("hash splits are stable under repartitioning and sum to the whole") {
+    val df = spark.range(10000).toDF("id")
+    val splits = Seq("train" -> 8, "val" -> 1, "test" -> 1)
+    val a = Sampling.assignSplits(df, "id", splits)
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = Sampling.assignSplits(df.repartition(13), "id", splits)
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b)                       // partitioning-independent
+    assert(a.values.sum == 10000L)       // total preserved
+    assert(a("train") > 7500 && a("train") < 8500) // ~80%
+    // same row -> same split on every evaluation
+    val twice = Sampling.assignSplits(df, "id", splits).withColumnRenamed("split", "s1")
+      .join(Sampling.assignSplits(df, "id", splits), "id")
+    assert(twice.where(col("s1") =!= col("split")).count() == 0)
+  }
+
+  test("hashSample keeps a stable ~fraction and is a subset across runs") {
+    val df = spark.range(10000).toDF("id")
+    val s1 = Sampling.hashSample(df, "id", 1, 10).collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.hashSample(df.repartition(7), "id", 1, 10).collect().map(_.getLong(0)).toSet
+    assert(s1 == s2)
+    assert(s1.size > 800 && s1.size < 1200)
+    // num/denom monotone: a 10% sample is inside the 20% sample
+    val s20 = Sampling.hashSample(df, "id", 2, 10).collect().map(_.getLong(0)).toSet
+    assert(s1.subsetOf(s20))
+  }
+}
