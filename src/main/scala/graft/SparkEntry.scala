@@ -472,6 +472,12 @@ object SparkEntry {
           unix_timestamp(col("ts")).as("ts_epoch"), col("p_event"), col("p_value"))
     }),
 
+    // Rolling point-in-time features: each event's strictly-before one-hour
+    // activity window per user (leakage-free rolling aggregates).
+    "q44_rolling_user_features" -> ((s, dir) =>
+      Aggregates.rollingFeatures(t(s, dir, "events"), "user_id", "ts", "value",
+        lookbackSec = 3600)),
+
     // Deterministic hash-based train/val/test split (80/10/10) — stable
     // under any partitioning/engine, summarized per split.
     "q43_train_split" -> ((s, dir) => {
@@ -989,6 +995,17 @@ object SparkEntry {
         |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch, p_event, p_value
         |FROM c WHERE side=1""".stripMargin,
+
+    // Range frame [−3600, −1] on epoch seconds: equal-epoch peers excluded
+    // by construction, so no peer-ordering ambiguity across engines.
+    "q44_rolling_user_features" ->
+      """SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+        | CAST(count(*) OVER w AS BIGINT) AS prior_count,
+        | CAST(sum(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS prior_sum,
+        | max(value) OVER w AS prior_max
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |             RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING)""".stripMargin,
 
     "q43_train_split" -> {
       val h = duckHash("CAST(event_id AS VARCHAR)")

@@ -105,6 +105,29 @@ object Aggregates {
   }
 
   /**
+   * Rolling point-in-time entity features: for every row, aggregates over
+   * the same key's rows in the `lookbackSec` seconds STRICTLY BEFORE it
+   * (range frame [−lookback, −1] on epoch seconds) — "user's activity in
+   * the hour before this event". Strictly-before matters twice: it keeps
+   * the feature leakage-free (the row never sees itself or same-instant
+   * peers), and it makes the frame peer-order-independent (equal-epoch
+   * rows are excluded, so no engine's peer ordering can change the
+   * answer). The sum goes through DECIMAL — order-independent like every
+   * other sum in the engine. One shuffle on the key.
+   */
+  def rollingFeatures(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+                      lookbackSec: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(unix_timestamp(col(tsCol)))
+      .rangeBetween(-lookbackSec, -1)
+    df.select(
+      col(keyCol), col("event_id"), unix_timestamp(col(tsCol)).as("ts_epoch"),
+      count(lit(1)).over(w).as("prior_count"),
+      sum(col(valueCol).cast(DecimalType(28, 6))).over(w).cast("double").as("prior_sum"),
+      max(col(valueCol)).over(w).as("prior_max"))
+  }
+
+  /**
    * Value distribution with percent-of-total (A6/W1): groupBy(col).count +
    * unpartitioned window total. The window over () collapses to a single
    * partition — safe ONLY on post-aggregation cardinality (here: #distinct

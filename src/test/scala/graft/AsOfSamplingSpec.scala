@@ -33,6 +33,25 @@ class AsOfSamplingSpec extends SparkSpec {
     assert(out.head.getAs[Long]("p_event") == 9L)
   }
 
+  test("rollingFeatures sees strictly-before rows only (leakage-free)") {
+    import graft.operators.Aggregates
+    val base = java.sql.Timestamp.valueOf("2026-08-12 10:00:00").getTime
+    def ts(s: Long) = new java.sql.Timestamp(base + s * 1000)
+    val ev = Seq(
+      (1L, ts(0), 10L, 5.0),
+      (1L, ts(100), 11L, 7.0),
+      (1L, ts(100), 12L, 9.0),   // same instant as 11 -> neither sees the other
+      (1L, ts(5000), 13L, 1.0))  // every prior row is >3600s old -> empty frame
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = Aggregates.rollingFeatures(ev, "user_id", "ts", "value", 3600)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("prior_count"), Option(r.getAs[Any]("prior_sum")))).toMap
+    assert(out(10L)._1 == 0 && out(10L)._2.isEmpty) // empty frame
+    assert(out(11L)._1 == 1)                        // sees event 10 only
+    assert(out(12L)._1 == 1)                        // same instant as 11: excluded
+    assert(out(13L)._1 == 0)                        // all priors older than lookback
+  }
+
   test("hash splits are stable under repartitioning and sum to the whole") {
     val df = spark.range(10000).toDF("id")
     val splits = Seq("train" -> 8, "val" -> 1, "test" -> 1)
