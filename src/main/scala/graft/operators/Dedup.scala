@@ -163,10 +163,13 @@ object Dedup {
       docs, idCol, textCol, n, threshold)
 
   /**
-   * SimHash: 32-bit locality-sensitive signature. Bit j of the signature is
-   * 1 iff the sum over tokens of ±1 (sign of bit j of the token hash) is
-   * positive. Computed as 32 conditional sums in one aggregation — no UDF,
-   * no per-row loops; near-dups = signatures within small Hamming distance.
+   * SimHash: locality-sensitive signature. Bit j of the signature is 1 iff
+   * the sum over tokens of ±1 (sign of bit j of the token hash) is
+   * positive. Computed as `bits` conditional sums in one aggregation — no
+   * UDF, no per-row loops; near-dups = signatures within small Hamming
+   * distance. (A typed counter-array aggregate was measured SLOWER than
+   * the wide codegen'd sums — encoder boxing per input row outweighs the
+   * expression width; see NOTES.md.)
    */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String, bits: Int = 32): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),

@@ -21,6 +21,13 @@ class ContractSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("every gate query executes at the smoke scale factor") {
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val n = fn(spark, "/root/testdata/sf0.001").count()
+      withClue(name)(assert(n >= 0))
+    }
+  }
+
   test("graft SQL functions evaluate after registration") {
     GraftExtensions.registerInto(spark)
     val r = spark.sql(
