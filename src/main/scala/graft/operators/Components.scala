@@ -8,16 +8,20 @@ import org.apache.spark.sql.functions._
  * pairwise matches (id_a, id_b) into dedup GROUPS (every doc labeled with
  * its group's smallest id, so "keep the smallest id per group" falls out).
  *
- * Algorithm: iterative smallest-label propagation. Each round every node
- * adopts the minimum label among itself and its neighbors; converges in
- * O(diameter) rounds. Near-dup graphs are unions of small cliques-ish
- * clusters (diameter 2-4), so a handful of rounds suffices; `maxIters`
- * bounds pathological chains and the loop exits early on fixpoint.
+ * Algorithm: smallest-label propagation with POINTER JUMPING. Each round
+ * every node adopts the minimum label among itself and its neighbors
+ * (one-hop propagation), then follows its label to that node's label
+ * (label(x) := label(label(x)) — the path-halving step of classic
+ * union-find / Shiloach-Vishkin). One-hop propagation alone converges in
+ * O(diameter) rounds, which silently returns WRONG labels on a chain
+ * longer than the iteration cap; the jump step squares the reach per
+ * round, so convergence is O(log diameter) — 25 rounds covers any graph
+ * that fits in storage. The loop still exits early on fixpoint (near-dup
+ * graphs are clique-ish, diameter 2-4 → 2-3 rounds).
  *
  * Scale shape per round: one join of labels against the (symmetrized) edge
- * list on the node id + one min-aggregate — both shuffle on the node id
- * and can reuse the same partitioning. Each round's label set is one row
- * per node, never materializing components as collections.
+ * list + one min-aggregate + one label self-join — all shuffling one row
+ * per node/edge, never materializing components as collections.
  */
 object Components {
 
@@ -25,7 +29,7 @@ object Components {
    * @param pairs edges (id_a, id_b), any orientation, dups fine
    * @return (id, component) — component = smallest id reachable
    */
-  def smallestIdPropagation(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+  def smallestIdPropagation(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     // Eager localCheckpoint, not persist: every round (and every convergence
     // check) reads the edge list, and persist alone is lazy — a first action
     // that short-circuits (e.g. limit) materializes only SOME partitions, so
@@ -49,11 +53,19 @@ object Components {
         .join(labels.withColumnsRenamed(Map("id" -> "dst", "component" -> "dst_comp")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("dst_comp")).as("neighbor_min"))
-      // checkpoint BEFORE the convergence probe: the probe then scans fully
-      // materialized blocks, and next round's labels carry no lineage
-      val joined = labels.join(neighborLabels, Seq("id"), "left")
+      // checkpoint BEFORE the self-join and the convergence probe: both
+      // read fully materialized blocks, and next round's labels carry no
+      // lineage (a lazy frame here re-runs the neighbor join per reader)
+      val hopped = labels.join(neighborLabels, Seq("id"), "left")
         .select(col("id"), col("component"),
-          least(col("component"), coalesce(col("neighbor_min"), col("component"))).as("new_component"))
+          least(col("component"), coalesce(col("neighbor_min"), col("component"))).as("mid"))
+        .localCheckpoint()
+      // pointer jump: label := label(label) — component ids are node ids,
+      // so the lookup is a self-join on the freshly hopped labels
+      val ptr = hopped.select(col("id").as("__pid"), col("mid").as("__pcomp"))
+      val joined = hopped.join(ptr, hopped("mid") === ptr("__pid"), "left")
+        .select(col("id"), col("component"),
+          least(col("mid"), coalesce(col("__pcomp"), col("mid"))).as("new_component"))
         .localCheckpoint()
       val changed = joined.where(col("new_component") =!= col("component")).limit(1).count()
       labels = joined.select(col("id"), col("new_component").as("component"))

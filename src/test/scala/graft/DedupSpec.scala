@@ -98,4 +98,34 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fp(1L) == fp(2L) && fp(1L) != fp(3L))
   }
+
+  test("components converge on a long chain (pointer jumping beats O(diameter))") {
+    // a 200-node path needs ~199 one-hop rounds — the pointer-jump step
+    // must collapse it within the default iteration cap
+    val chain = (0L until 199L).map(i => (i, i + 1, 1.0)).toDF("id_a", "id_b", "jaccard")
+    val labels = graft.operators.Components.smallestIdPropagation(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.length == 200)
+    assert(labels.forall(_._2 == 0L), "every node must reach the chain head")
+  }
+
+  test("degenerate corpora (empty/short/unicode/duplicate-only) never crash the pipelines") {
+    val weird = Seq(
+      (1L, ""),                       // empty text
+      (2L, "solo"),                   // single token, < shingle width
+      (3L, "héllo wörld héllo wörld"),// non-ASCII round-trips the hashes
+      (4L, "héllo wörld héllo wörld"))
+      .toDF("doc_id", "text")
+    // none of these may throw; shingle-less docs simply drop out
+    assert(Dedup.ngramJaccardPairs(weird, "doc_id", "text", 3, 0.5, 1000).count() == 1) // 3~4
+    assert(Dedup.minhashSignatures(weird, "doc_id", "text", 3, 16).count() == 2) // docs 3,4 only
+    assert(Dedup.simhashSignatures(weird, "doc_id", "text").count() == 4)
+    val exact = Dedup.exactTextGroups(weird, "doc_id", "text")
+    assert(exact.count() == 3) // docs 3,4 share a hash group
+    assert(graft.operators.Components.dedupGroups(
+      Dedup.ngramJaccardPairs(weird, "doc_id", "text", 3, 0.5, 1000)).count() == 2)
+    // empty pair input -> empty components, not a crash
+    val noPairs = Seq.empty[(Long, Long, Double)].toDF("id_a", "id_b", "jaccard")
+    assert(graft.operators.Components.dedupGroups(noPairs).count() == 0)
+  }
 }
