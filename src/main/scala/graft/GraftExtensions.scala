@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{CosineSimilarity, DotProduct, WordShingles}
+import graft.expressions.{CosineSimilarity, DotProduct, DotProductFD, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -35,6 +35,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_dot(arrayA, arrayB)")
         DotProduct(args.head, args(1))
+      }),
+    ("graft_dot_fd",
+      new ExpressionInfo(classOf[DotProductFD].getName, "graft_dot_fd"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_dot_fd(floatArray, doubleArray)")
+        DotProductFD(args.head, args(1))
       }),
     ("graft_shingles",
       new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),

@@ -72,6 +72,11 @@ object Components {
       converged = changed == 0
       i += 1
     }
+    // un-converged labels are silently WRONG (some nodes still carry a
+    // non-minimal id) — fail loudly rather than return them
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge within $maxIters rounds")
     labels
   }
 

@@ -33,9 +33,11 @@ class ContractSpec extends SparkSpec {
     val r = spark.sql(
       """SELECT graft_cosine(array(1.0f, 0.0f), array(1.0f, 0.0f)) AS c,
         |       graft_dot(array(1.0f, 2.0f), array(3.0f, 4.0f)) AS d,
+        |       graft_dot_fd(array(1.0f, 2.0f), array(3.0d, 4.0d)) AS dfd,
         |       graft_shingles('a b c d', 3) AS s""".stripMargin).head()
     assert(r.getDouble(0) == 1.0)
     assert(r.getDouble(1) == 11.0)
-    assert(r.getSeq[String](2) == Seq("a b c", "b c d"))
+    assert(r.getAs[Double]("dfd") == 11.0)
+    assert(r.getSeq[String](3) == Seq("a b c", "b c d"))
   }
 }
