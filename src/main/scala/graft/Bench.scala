@@ -6,23 +6,24 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local(cpus.toInt, "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
+    // optional args = query-name prefixes to run (local iteration); default all
+    val wanted = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => args.isEmpty || args.exists(n.startsWith) }
+
     // untimed warmup: JIT/codegen/parquet-reader initialization otherwise
-    // lands entirely on whichever query happens to run first (~3s skew)
+    // lands entirely on whichever query happens to run first (~3s skew) —
+    // warm the first query that will actually be TIMED (incl. under a
+    // prefix filter) so its measurement is steady-state
     try {
       spark.range(1000000).selectExpr("sum(id)").collect()
-      // warm the first TIMED query (sorted order) so its measured time is
-      // steady-state, not Map-iteration-dependent JIT noise
-      SparkEntry.queries.toSeq.minBy(_._1)._2(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
+      wanted.headOption.foreach(_._2(spark, sfDir)
+        .write.format("noop").mode("overwrite").save())
     } catch { case _: Throwable => () }
 
     // noop sink: forces FULL evaluation of every output column (count() would
     // let Catalyst prune the computed columns away and time an empty scan).
     // sorted: deterministic execution order keeps per-query numbers
     // comparable across rounds (Map iteration order is hash-dependent)
-    // optional args = query-name prefixes to run (local iteration); default all
-    val wanted = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => args.isEmpty || args.exists(n.startsWith) }
     val results = wanted.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -39,8 +40,12 @@ object Bench {
     // trade, don't assert it.
     val recalls = if (args.nonEmpty) "" else try {
       import org.apache.spark.sql.functions.col
+      // checkpoint every compared frame ONCE: each intersect+count is an
+      // action, and an un-materialized brute frame would re-run the full
+      // O(n²) scoring per action
       val brute = SparkEntry.queries("q22_knn_bruteforce")(spark, sfDir)
-        .select("query_id", "neighbor_id")
+        .select("query_id", "neighbor_id").localCheckpoint()
+      val bruteN = brute.count().toDouble
       val ivf = SparkEntry.queries("q24_knn_ivf")(spark, sfDir)
         .select("query_id", "neighbor_id")
       val em = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -50,9 +55,9 @@ object Bench {
         val r = graft.operators.Similarity
           .ivfKnn(em, em.where(col("vec_id") < 10), trained, k = 5, nprobe = np)
           .select("query_id", "neighbor_id")
-        r.intersect(brute).count().toDouble / brute.count()
+        r.intersect(brute).count() / bruteN
       }
-      val r24 = ivf.intersect(brute).count().toDouble / brute.count()
+      val r24 = ivf.intersect(brute).count() / bruteN
       s""","recall_ivf_at5":$r24,"recall_ivf_trained_at5":${recallOf(1)}""" +
         s""","recall_ivf_trained_np4_at5":${recallOf(4)}"""
     } catch { case e: Throwable => System.err.println(s"[bench] recall failed: $e"); "" }

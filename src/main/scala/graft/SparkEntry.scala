@@ -77,8 +77,12 @@ object SparkEntry {
    */
   private val stageMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
-  private def staged(s: SparkSession, dir: String, key: String)(build: => DataFrame): DataFrame =
+  private def staged(s: SparkSession, dir: String, key: String)(build: => DataFrame): DataFrame = {
+    // evict entries of stopped sessions — otherwise the map pins dead
+    // SparkSessions (and their cached blocks) for the JVM lifetime
+    stageMemo.keys.filter(_._1.sparkContext.isStopped).foreach(stageMemo.remove)
     stageMemo.getOrElseUpdate((s, dir, key), build.persist())
+  }
 
   private def enrichedFullShared(s: SparkSession, dir: String): DataFrame =
     staged(s, dir, "enriched")(enrichedFull(t(s, dir, "events")))
@@ -370,12 +374,14 @@ object SparkEntry {
       Dedup.jaccardVerify(lshCandidatesShared(s, dir), t(s, dir, "documents"),
         "doc_id", "text", n = 3, threshold = 0.5)),
 
-    // End-to-end SimHash near-dup: 64-bit signatures, pigeonhole chunk
-    // candidates, exact Hamming ≤ 3 filter (pigeonhole makes the bucketed
-    // plan EXACT, so the brute-force oracle matches bit-for-bit).
+    // End-to-end SimHash near-dup: 60-bit signatures (full informative
+    // width of the 60-bit token hash → four uniform 15-bit chunks),
+    // pigeonhole chunk candidates, exact Hamming ≤ 3 filter (pigeonhole
+    // makes the bucketed plan EXACT, so the brute-force oracle matches
+    // bit-for-bit).
     "q40_simhash_neardup_pairs" -> ((s, dir) =>
       Dedup.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
-        maxDist = 3, bits = 64)),
+        maxDist = 3, bits = 60)),
 
     // Capped-jaccard twin of q18: the stop-shingle cap (maxBucket) IS the
     // 100 TB plan — hot shingles above the cap are dropped before the pair
@@ -912,18 +918,19 @@ object SparkEntry {
         |        FROM bytes GROUP BY doc_id, (byte*16)//256)
         |SELECT d.doc_id, CAST(bins.bin AS INTEGER) AS bin,
         |       CAST(coalesce(c, 0) AS BIGINT) AS bin_count,
-        |       CAST(coalesce(c, 0) AS DOUBLE)/d.n AS value
+        |       CASE WHEN d.n = 0 THEN 0.0
+        |            ELSE CAST(coalesce(c, 0) AS DOUBLE)/d.n END AS value
         |FROM (SELECT doc_id, n FROM b) d
         |CROSS JOIN (SELECT unnest(range(0, 16)) AS bin) bins
         |LEFT JOIN cnt ON cnt.doc_id = d.doc_id AND cnt.bin = bins.bin""".stripMargin,
 
-    // 64-bit simhash brute-force Hamming oracle: the operator's pigeonhole
+    // 60-bit simhash brute-force Hamming oracle: the operator's pigeonhole
     // chunk-bucket candidates are provably exhaustive at maxDist=3 with 4
     // chunks, so the bucketed plan must equal the all-pairs answer.
     "q40_simhash_neardup_pairs" -> {
-      val bitSums = (0 until 64)
+      val bitSums = (0 until 60)
         .map(j => s"sum(CASE WHEN ((h>>$j)&1)=1 THEN 1 ELSE -1 END) AS b_$j").mkString(",\n ")
-      val sig = (0 until 64)
+      val sig = (0 until 60)
         .map(j => s"CASE WHEN b_$j>0 THEN (${1L << j})::BIGINT ELSE 0::BIGINT END")
         .mkString("+")
       s"""WITH toks AS (SELECT doc_id AS id, unnest(string_split(text,' ')) AS t FROM documents),

@@ -116,12 +116,12 @@ object Aggregates {
    * other sum in the engine. One shuffle on the key.
    */
   def rollingFeatures(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
-                      lookbackSec: Long): DataFrame = {
+                      lookbackSec: Long, idCol: String = "event_id"): DataFrame = {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(unix_timestamp(col(tsCol)))
       .rangeBetween(-lookbackSec, -1)
     df.select(
-      col(keyCol), col("event_id"), unix_timestamp(col(tsCol)).as("ts_epoch"),
+      col(keyCol), col(idCol), unix_timestamp(col(tsCol)).as("ts_epoch"),
       count(lit(1)).over(w).as("prior_count"),
       sum(col(valueCol).cast(DecimalType(28, 6))).over(w).cast("double").as("prior_sum"),
       max(col(valueCol)).over(w).as("prior_max"))

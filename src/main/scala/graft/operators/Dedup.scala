@@ -19,9 +19,16 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Keyed dedup keeping a deterministic winner (min tieBreak) per key —
-    * unlike dropDuplicates, reproducible under any partitioning. */
-  def keepFirst(df: DataFrame, keys: Seq[String], tieBreak: String): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tieBreak).asc)
+    * unlike dropDuplicates, reproducible under any partitioning. The
+    * tieBreak must vary WITHIN a key (a row id, or all payload columns via
+    * `keepFirstBy`) — a tie-break that is itself a key column is constant
+    * per window and the winner degrades to partitioning luck. */
+  def keepFirst(df: DataFrame, keys: Seq[String], tieBreak: String): DataFrame =
+    keepFirstBy(df, keys, Seq(tieBreak))
+
+  /** keepFirst with a multi-column tie-break (ordered ascending). */
+  def keepFirstBy(df: DataFrame, keys: Seq[String], tieBreaks: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(tieBreaks.map(col(_).asc): _*)
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
   }
 
@@ -194,11 +201,14 @@ object Dedup {
     * 2^width — with 32-bit signatures and maxDist=3 that is only 256 keys
     * per chunk, so bucket sizes grow linearly with the corpus and the
     * in-bucket pair expansion turns quadratic (measured 17× time at 16×
-    * docs in ScaleProbe). Default is therefore 64-bit signatures: 16-bit
-    * chunks → 65k keys, buckets stay O(n/65k). Pick bits so that
-    * 2^(bits/(maxDist+1)) ≫ corpus size / desired bucket size. */
+    * docs in ScaleProbe). Default is therefore 60-bit signatures (the
+    * full informative width of the md5-derived 60-bit token hash —
+    * requesting 64 would leave the top 4 bits identically zero and
+    * collapse the top chunk's key space 16×): 15-bit chunks → 32k keys,
+    * buckets stay O(n/32k). Pick bits so that 2^(bits/(maxDist+1)) ≫
+    * corpus size / desired bucket size. */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                          maxDist: Int = 3, bits: Int = 64): DataFrame = {
+                          maxDist: Int = 3, bits: Int = 60): DataFrame = {
     val sigs = simhashSignatures(docs, idCol, textCol, bits)
     val chunks = maxDist + 1
     val width = bits / chunks

@@ -53,7 +53,10 @@ object JdbcStore {
         val existingKeys = spark.read.jdbc(url, table, props).select(keys.map(col): _*)
         incoming.join(existingKeys, keys, "left_anti")
       }
-    val deduped = graft.operators.Dedup.keepFirst(fresh, keys, keys.head)
+    // within-batch dup keys: deterministic winner = smallest payload tuple
+    val payloadCols = incoming.columns.filterNot(keys.contains).toSeq
+    val deduped = graft.operators.Dedup.keepFirstBy(fresh, keys,
+        if (payloadCols.nonEmpty) payloadCols else Seq(keys.head))
       .localCheckpoint() // one computation serves both the count and the write
     val n = deduped.count()
     if (n > 0) {

@@ -44,7 +44,12 @@ object PartitionedStore {
         val existingKeys = spark.read.parquet(table).select(keys.map(col): _*)
         incoming.join(existingKeys, keys, "left_anti")
       }
-    val deduped = graft.operators.Dedup.keepFirst(fresh, keys, keys.head)
+    // within-batch dup keys: deterministic winner = smallest payload tuple
+    // (a key column as tie-break would be constant per window — the winner
+    // would be partitioning luck)
+    val payloadCols = incoming.columns.filterNot(keys.contains).toSeq
+    val deduped = graft.operators.Dedup.keepFirstBy(fresh, keys,
+      if (payloadCols.nonEmpty) payloadCols else Seq(keys.head))
     val n = deduped.count()
     if (n > 0)
       deduped.write.mode("append").partitionBy(partitionCols: _*).parquet(table)
