@@ -1,0 +1,50 @@
+package graft
+
+/**
+ * Enforced plan-shape invariants (the executable form of PLANS.md): a
+ * regression that adds a cartesian product, drops a broadcast, loses the
+ * rank-limit pushdown, or puts an exchange into a narrow pipeline fails
+ * here instead of waiting for a human to re-read the plan audit.
+ */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("no gate query ever plans a CartesianProduct") {
+    SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
+      withClue(q)(assert(!plan(q).contains("CartesianProduct")))
+    }
+  }
+
+  test("narrow pipelines plan zero exchanges") {
+    Seq("q11_weather_enrichment", "q12_alert_filter", "q14_doc_token_stats",
+      "q15_doc_quality_langid", "q17_doc_fingerprint", "q27_media_metadata",
+      "q28_frame_sample", "q29_media_features", "q34_rp_lsh_signatures").foreach { q =>
+      withClue(q)(assert(!plan(q).contains("Exchange hashpartitioning")))
+    }
+  }
+
+  test("dimension joins broadcast (no sort-merge join on the dim side)") {
+    val p = plan("q02_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("top-k queries keep the WindowGroupLimit rank pushdown") {
+    Seq("q04_latest_event_per_user", "q22_knn_bruteforce", "q26_current_weather_status",
+      "q30_top_events_per_user").foreach { q =>
+      withClue(q)(assert(plan(q).contains("WindowGroupLimit")))
+    }
+  }
+
+  test("near-dup pipelines never nested-loop over the corpus") {
+    // the only sanctioned BNLJ is the broadcast query/centroid scoring in
+    // the similarity queries; the text near-dup paths must have none
+    Seq("q18_ngram_jaccard_pairs", "q39_minhash_neardup_pairs",
+      "q40_simhash_neardup_pairs", "q41_ngram_jaccard_capped").foreach { q =>
+      withClue(q)(assert(!plan(q).contains("BroadcastNestedLoopJoin")))
+    }
+  }
+}
