@@ -484,6 +484,13 @@ object SparkEntry {
       Aggregates.rollingFeatures(t(s, dir, "events"), "user_id", "ts", "value",
         lookbackSec = 3600)),
 
+    // Class balancing: at most 300 events per event_type, drawn by
+    // hash-of-key rank (deterministic, not partition order).
+    "q45_class_balanced_sample" -> ((s, dir) =>
+      graft.operators.Sampling.capPerGroup(
+        t(s, dir, "events").select("event_type", "event_id", "user_id"),
+        groupCol = "event_type", keyCol = "event_id", maxPerGroup = 300)),
+
     // Deterministic hash-based train/val/test split (80/10/10) — stable
     // under any partitioning/engine, summarized per split.
     "q43_train_split" -> ((s, dir) => {
@@ -1013,6 +1020,14 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
         |             RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING)""".stripMargin,
+
+    "q45_class_balanced_sample" -> {
+      val h = duckHash("CAST(event_id AS VARCHAR)")
+      s"""SELECT event_type, event_id, user_id FROM (
+         | SELECT event_type, event_id, user_id,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY $h ASC, event_id ASC) AS rn
+         | FROM events) WHERE rn <= 300""".stripMargin
+    },
 
     "q43_train_split" -> {
       val h = duckHash("CAST(event_id AS VARCHAR)")

@@ -49,4 +49,21 @@ object Sampling {
     * engine-portable (unlike `sample(fraction, seed)`). */
   def hashSample(df: DataFrame, keyCol: String, num: Int, denom: Int): DataFrame =
     df.where(pmod(Hashing.stableHash60(col(keyCol).cast("string")), lit(denom)) < num)
+
+  /**
+   * Class balancing: keep at most `maxPerGroup` rows per group, chosen by
+   * hash-of-key rank (a deterministic pseudo-random draw — NOT "first N
+   * encountered", which depends on partitioning). One shuffle on the
+   * group key; the rank limit pushes down map-side (WindowGroupLimit), so
+   * each partition forwards at most maxPerGroup rows per group.
+   */
+  def capPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+                  maxPerGroup: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(Hashing.stableHash60(col(keyCol).cast("string")).asc, col(keyCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= maxPerGroup)
+      .drop("__rn")
+  }
 }

@@ -68,6 +68,20 @@ class AsOfSamplingSpec extends SparkSpec {
     assert(twice.where(col("s1") =!= col("split")).count() == 0)
   }
 
+  test("capPerGroup caps classes deterministically, independent of partitioning") {
+    val df = spark.range(3000)
+      .selectExpr("id", "CAST(id % 3 AS STRING) AS cls")
+    val a = Sampling.capPerGroup(df, "cls", "id", 100)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = Sampling.capPerGroup(df.repartition(11), "cls", "id", 100)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a == b)                                  // not "first N encountered"
+    assert(a.groupBy(_._2).forall(_._2.size == 100)) // exactly 100 per class
+    // a group under the cap is untouched
+    val small = Sampling.capPerGroup(df.where(col("id") < 30), "cls", "id", 100)
+    assert(small.count() == 30)
+  }
+
   test("hashSample keeps a stable ~fraction and is a subset across runs") {
     val df = spark.range(10000).toDF("id")
     val s1 = Sampling.hashSample(df, "id", 1, 10).collect().map(_.getLong(0)).toSet
