@@ -53,19 +53,20 @@ object Components {
         .join(labels.withColumnsRenamed(Map("id" -> "dst", "component" -> "dst_comp")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("dst_comp")).as("neighbor_min"))
-      // checkpoint BEFORE the self-join and the convergence probe: both
-      // read fully materialized blocks, and next round's labels carry no
-      // lineage (a lazy frame here re-runs the neighbor join per reader)
-      val hopped = labels.join(neighborLabels, Seq("id"), "left")
-        .select(col("id"), col("component"),
-          least(col("component"), coalesce(col("neighbor_min"), col("component"))).as("mid"))
-        .localCheckpoint()
       // pointer jump: label := label(label) — component ids are node ids,
-      // so the lookup is a self-join on the freshly hopped labels
-      val ptr = hopped.select(col("id").as("__pid"), col("mid").as("__pcomp"))
-      val joined = hopped.join(ptr, hopped("mid") === ptr("__pid"), "left")
+      // so the lookup is a self-join on the (checkpointed) labels. Both
+      // the hop and the jump read the SAME materialized labels, so the
+      // round needs only one new checkpoint; applying the jump to the
+      // pre-hop labels (rather than the hopped ones) keeps the same
+      // monotone fixpoint and still compounds the reach per round.
+      val ptr = labels.select(col("id").as("__pid"), col("component").as("__pcomp"))
+      val joined = labels
+        .join(neighborLabels, Seq("id"), "left")
+        .join(ptr, col("component") === col("__pid"), "left")
         .select(col("id"), col("component"),
-          least(col("mid"), coalesce(col("__pcomp"), col("mid"))).as("new_component"))
+          least(
+            least(col("component"), coalesce(col("neighbor_min"), col("component"))),
+            coalesce(col("__pcomp"), col("component"))).as("new_component"))
         .localCheckpoint()
       val changed = joined.where(col("new_component") =!= col("component")).limit(1).count()
       labels = joined.select(col("id"), col("new_component").as("component"))
