@@ -93,16 +93,19 @@ object SparkEntry {
     * pairs and verified near-dup pairs are materialized artifacts of a dedup
     * pipeline — computed once, consumed by banding (q20), verification
     * (q39), grouping (q36) and the operators' own gates. */
+  private def hashedShinglesShared(s: SparkSession, dir: String): DataFrame =
+    staged(s, dir, "shingles")(
+      Dedup.hashedShingles(t(s, dir, "documents"), "doc_id", "text", n = 3))
   private def minhashSigsShared(s: SparkSession, dir: String): DataFrame =
     staged(s, dir, "mhsig")(
-      Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text", n = 3, numHashes = 16))
+      Dedup.minhashFromHashed(hashedShinglesShared(s, dir), numHashes = 16))
   private def lshCandidatesShared(s: SparkSession, dir: String): DataFrame =
     staged(s, dir, "mhcands")(
       Dedup.minhashLshCandidates(minhashSigsShared(s, dir), numHashes = 16, bands = 4))
   private def jaccardPairsShared(s: SparkSession, dir: String): DataFrame =
     staged(s, dir, "jaccard")(
-      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, threshold = 0.5, maxBucket = Int.MaxValue))
+      Dedup.jaccardPairsFromHashed(hashedShinglesShared(s, dir),
+        threshold = 0.5, maxBucket = Int.MaxValue))
 
   /** Enrichment keeping the event-time and city columns (for the analytics
     * layer: daily summary, current-status view). */
@@ -387,8 +390,8 @@ object SparkEntry {
     // 100 TB plan — hot shingles above the cap are dropped before the pair
     // expansion; the oracle applies the same cap.
     "q41_ngram_jaccard_capped" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, threshold = 0.5, maxBucket = 5)),
+      Dedup.jaccardPairsFromHashed(hashedShinglesShared(s, dir),
+        threshold = 0.5, maxBucket = 5)),
 
     // SimHash 32-bit signatures.
     "q21_simhash_signatures" -> ((s, dir) =>

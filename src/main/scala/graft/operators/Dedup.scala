@@ -47,6 +47,17 @@ object Dedup {
         explode(Text.shingleSet(col(textCol), n)).as("shingle"))
 
   /**
+   * id → 60-bit hash of each distinct shingle — THE shared staging artifact
+   * of the text near-dup family: jaccard, minhash signatures and (via them)
+   * LSH candidates all consume exactly this stream. Production pipelines
+   * materialize it once; harnesses should persist it across consumers
+   * (md5-hashing the shingles is ~1/3 of each consumer's cost otherwise).
+   */
+  def hashedShingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    explodedShingles(docs, idCol, textCol, n)
+      .select(col("id"), Hashing.stableHash60(col("shingle")).as("h"))
+
+  /**
    * Exact n-gram Jaccard near-dup pairs via shingle inverted index:
    * shingle → co-occurring (id,id) pairs → count(shared) → Jaccard =
    * shared / (|A| + |B| − shared). Hot shingles above `maxBucket` docs are
@@ -54,14 +65,18 @@ object Dedup {
    * only stop-shingles can't be near-dups at sensible thresholds anyway.
    */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, threshold: Double, maxBucket: Int = 1000): DataFrame = {
-    // Jaccard counts DISTINCT shingles, so the pipeline only needs shingle
-    // IDENTITY — hash each to a 60-bit long up front and every downstream
-    // shuffle (posting-list groupBy, pair counts) carries 8-byte keys
-    // instead of ~n-word strings. Collision odds at 2^60 are ~(#shingles)²
-    // /2^61 — immaterial against the approximate alternatives' error rates.
-    val sh = explodedShingles(docs, idCol, textCol, n)
-      .select(col("id"), Hashing.stableHash60(col("shingle")).as("shingle"))
+                        n: Int, threshold: Double, maxBucket: Int = 1000): DataFrame =
+    jaccardPairsFromHashed(hashedShingles(docs, idCol, textCol, n), threshold, maxBucket)
+
+  /**
+   * Jaccard pairs over a (possibly pre-staged) hashed shingle stream.
+   * Jaccard counts DISTINCT shingles, so the pipeline only needs shingle
+   * IDENTITY — the 60-bit hash makes every downstream shuffle
+   * (posting-list groupBy, pair counts) carry 8-byte keys instead of
+   * ~n-word strings. Collision odds at 2^60 are ~(#shingles)²/2^61 —
+   * immaterial against the approximate alternatives' error rates.
+   */
+  def jaccardPairsFromHashed(sh: DataFrame, threshold: Double, maxBucket: Int): DataFrame = {
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("set_size"))
 
     // Pair counting via bucket expansion (not a self-join): group the
@@ -69,7 +84,7 @@ object Dedup {
     // count pair occurrences = shared shingles. One pass over the shingle
     // stream instead of two sides of a join; the bucket-size filter IS the
     // stop-shingle cap (no separate hot-list pass needed).
-    val shared = sh.groupBy("shingle")
+    val shared = sh.groupBy("h")
       .agg(sort_array(collect_set(col("id"))).as("ids"))
       .where(size(col("ids")).between(2, maxBucket))
       .select(explode(pairsFromSorted(col("ids"))).as("p"))
@@ -92,9 +107,12 @@ object Dedup {
    * signature width is a constant (numHashes longs per doc).
    */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, numHashes: Int): DataFrame = {
-    val sh = explodedShingles(docs, idCol, textCol, n)
-      .withColumn("h", Hashing.stableHash60(col("shingle")))
+                        n: Int, numHashes: Int): DataFrame =
+    minhashFromHashed(hashedShingles(docs, idCol, textCol, n), numHashes)
+
+  /** Minhash signatures over a (possibly pre-staged) hashed shingle stream —
+    * the same artifact the jaccard path consumes. */
+  def minhashFromHashed(sh: DataFrame, numHashes: Int): DataFrame = {
     val mins = (0 until numHashes).map { i =>
       val (ai, bi) = Hashing.coeffs(i)
       min(Hashing.universalHash(col("h"), ai, bi)).as(s"mh_$i")
