@@ -1028,7 +1028,8 @@ object SparkEntry {
       val h = duckHash("CAST(event_id AS VARCHAR)")
       s"""SELECT event_type, event_id, user_id FROM (
          | SELECT event_type, event_id, user_id,
-         |  row_number() OVER (PARTITION BY event_type ORDER BY $h ASC, event_id ASC) AS rn
+         |  row_number() OVER (PARTITION BY event_type
+         |                     ORDER BY $h ASC NULLS LAST, event_id ASC NULLS LAST) AS rn
          | FROM events) WHERE rn <= 300""".stripMargin
     },
 

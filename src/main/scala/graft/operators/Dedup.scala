@@ -27,9 +27,17 @@ object Dedup {
     keepFirstBy(df, keys, Seq(tieBreak))
 
   /** keepFirst with a multi-column tie-break (ordered ascending). */
-  def keepFirstBy(df: DataFrame, keys: Seq[String], tieBreaks: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(tieBreaks.map(col(_).asc): _*)
-    df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  def keepFirstBy(df: DataFrame, keys: Seq[String], tieBreaks: Seq[String]): DataFrame =
+    rankLimit(df, keys.map(col), tieBreaks.map(col(_).asc), 1)
+
+  /** The shared rank-limit idiom (row_number over a keyed window, keep the
+    * first n): one shuffle on the partition keys, and the rank bound
+    * pushes down map-side (WindowGroupLimit) so each partition forwards at
+    * most n rows per key. Used by keyed dedup and per-group sampling. */
+  def rankLimit(df: DataFrame, partitionCols: Seq[Column], orderCols: Seq[Column],
+                n: Int): DataFrame = {
+    val w = Window.partitionBy(partitionCols: _*).orderBy(orderCols: _*)
+    df.withColumn("__rn", row_number().over(w)).where(col("__rn") <= n).drop("__rn")
   }
 
   /**

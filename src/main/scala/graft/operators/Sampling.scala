@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
  * the same split on any cluster, any partitioning, any engine (md5-derived
  * hash — verifiable in SQL, see the q43 oracle).
  *
- * Scale shape: pure narrow projection (zero shuffles) — the split column
- * is a function of the key alone.
+ * Scale shape: split/sample assignment is a pure narrow projection (zero
+ * shuffles — the split column is a function of the key alone);
+ * capPerGroup is the one op here that shuffles (once, on the group key,
+ * with the rank limit pushed down map-side).
  */
 object Sampling {
 
@@ -58,12 +60,12 @@ object Sampling {
    * each partition forwards at most maxPerGroup rows per group.
    */
   def capPerGroup(df: DataFrame, groupCol: String, keyCol: String,
-                  maxPerGroup: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol))
-      .orderBy(Hashing.stableHash60(col(keyCol).cast("string")).asc, col(keyCol).asc)
-    df.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") <= maxPerGroup)
-      .drop("__rn")
-  }
+                  maxPerGroup: Int): DataFrame =
+    // nulls LAST explicitly: Spark ASC defaults to nulls-first, SQL engines
+    // to nulls-last — a null key would silently change which rows survive
+    // depending on the engine evaluating the same ordering
+    Dedup.rankLimit(df, Seq(col(groupCol)),
+      Seq(Hashing.stableHash60(col(keyCol).cast("string")).asc_nulls_last,
+        col(keyCol).asc_nulls_last),
+      maxPerGroup)
 }

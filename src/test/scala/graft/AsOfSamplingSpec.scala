@@ -76,6 +76,7 @@ class AsOfSamplingSpec extends SparkSpec {
     val b = Sampling.capPerGroup(df.repartition(11), "cls", "id", 100)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(a == b)                                  // not "first N encountered"
+    assert(a.size == 300)                           // cap actually selected rows
     assert(a.groupBy(_._2).forall(_._2.size == 100)) // exactly 100 per class
     // a group under the cap is untouched
     val small = Sampling.capPerGroup(df.where(col("id") < 30), "cls", "id", 100)

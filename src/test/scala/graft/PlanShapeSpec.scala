@@ -13,6 +13,9 @@ class PlanShapeSpec extends SparkSpec {
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
   test("no gate query ever plans a CartesianProduct") {
+    // limitation: localCheckpoint-based queries (q36) truncate lineage, so
+    // only their post-checkpoint plan is visible here — their per-round
+    // join shapes are pinned by their own operator specs instead
     SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
       withClue(q)(assert(!plan(q).contains("CartesianProduct")))
     }
