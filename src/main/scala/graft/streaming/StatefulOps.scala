@@ -52,6 +52,24 @@ object StatefulOps {
       .dropDuplicates("station_id", "event_time")
 
   /**
+   * Streaming ingest-time document dedup — the streaming twin of exact
+   * text dedup (Dedup.exactTextGroups): drop content-duplicate documents
+   * across micro-batches. The dedup key is the 128-bit content digest
+   * (state carries 32-byte keys, never documents), and it deliberately
+   * EXCLUDES the event time — identical content at different times is
+   * still a duplicate — so plain watermarked dropDuplicates would never
+   * evict state; `dropDuplicatesWithinWatermark` keys the dedup on the
+   * digest while still expiring entries past the watermark horizon.
+   */
+  def dedupDocStream(docs: DataFrame, timeCol: String, textCol: String,
+                     lateness: String = "24 hours"): DataFrame =
+    docs
+      .withColumn("event_time", to_timestamp(col(timeCol)))
+      .withWatermark("event_time", lateness)
+      .withColumn("text_md5", md5(col(textCol)))
+      .dropDuplicatesWithinWatermark("text_md5")
+
+  /**
    * Stream-static dimension enrichment: join the reading stream against a
    * static dimension table (station metadata). Stateless for the stream —
    * the static side is broadcast per micro-batch, no streaming state at

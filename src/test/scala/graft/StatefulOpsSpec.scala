@@ -140,6 +140,29 @@ class StatefulOpsSpec extends SparkSpec {
       == Set(("WS001", 1, 1), ("WS001", 2, 2), ("WS002", 0, 0)))
   }
 
+  test("dedupDocStream drops content duplicates across micro-batches") {
+    val root = Files.createTempDirectory("graft-docdedup").toString
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
+    val stream = StatefulOps.dedupDocStream(
+      input.toDS().toDF("ingested_at", "text"), "ingested_at", "text")
+    val q = stream.writeStream.format("memory").queryName("doc_dedup")
+      .option("checkpointLocation", s"$root/ckpt").outputMode("append").start()
+    input.addData(Seq(
+      ("2026-08-12 10:00:00", "the quick brown fox"),
+      ("2026-08-12 10:00:01", "a different document"),
+      ("2026-08-12 10:00:02", "the quick brown fox"))) // in-batch dup
+    q.processAllAvailable()
+    input.addData(Seq(
+      ("2026-08-12 10:05:00", "the quick brown fox"),   // cross-batch dup
+      ("2026-08-12 10:05:01", "a third document")))
+    q.processAllAvailable()
+    val texts = spark.sql("SELECT text FROM doc_dedup").collect().map(_.getString(0))
+    q.stop()
+    assert(texts.length == 3) // each distinct content survives exactly once
+    assert(texts.toSet == Set("the quick brown fox", "a different document", "a third document"))
+  }
+
   test("alertStreaks carries state across micro-batches (streaming mode)") {
     val root = Files.createTempDirectory("graft-streak").toString
     implicit val sqlCtx = spark.sqlContext
