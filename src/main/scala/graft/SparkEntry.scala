@@ -96,6 +96,9 @@ object SparkEntry {
   private def hashedShinglesShared(s: SparkSession, dir: String): DataFrame =
     staged(s, dir, "shingles")(
       Dedup.hashedShingles(t(s, dir, "documents"), "doc_id", "text", n = 3))
+  private def hashedTokensShared(s: SparkSession, dir: String): DataFrame =
+    staged(s, dir, "tokhash")(
+      Dedup.hashedTokens(t(s, dir, "documents"), "doc_id", "text"))
   private def minhashSigsShared(s: SparkSession, dir: String): DataFrame =
     staged(s, dir, "mhsig")(
       Dedup.minhashFromHashed(hashedShinglesShared(s, dir), numHashes = 16))
@@ -383,7 +386,7 @@ object SparkEntry {
     // makes the bucketed plan EXACT, so the brute-force oracle matches
     // bit-for-bit).
     "q40_simhash_neardup_pairs" -> ((s, dir) =>
-      Dedup.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+      Dedup.simhashNearDupPairsFromHashed(hashedTokensShared(s, dir),
         maxDist = 3, bits = 60)),
 
     // Capped-jaccard twin of q18: the stop-shingle cap (maxBucket) IS the
@@ -393,9 +396,9 @@ object SparkEntry {
       Dedup.jaccardPairsFromHashed(hashedShinglesShared(s, dir),
         threshold = 0.5, maxBucket = 5)),
 
-    // SimHash 32-bit signatures.
+    // SimHash 32-bit signatures (over the staged token-hash stream).
     "q21_simhash_signatures" -> ((s, dir) =>
-      Dedup.simhashSignatures(t(s, dir, "documents"), "doc_id", "text", bits = 32)),
+      Dedup.simhashFromHashed(hashedTokensShared(s, dir), bits = 32)),
 
     // ---- similarity search (embeddings) ----
 

@@ -204,10 +204,18 @@ object Dedup {
    * the wide codegen'd sums — encoder boxing per input row outweighs the
    * expression width; see NOTES.md.)
    */
-  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String, bits: Int = 32): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"),
-      explode(Text.tokens(col(textCol))).as("tok"))
-      .withColumn("h", Hashing.stableHash60(col("tok")))
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String, bits: Int = 32): DataFrame =
+    simhashFromHashed(hashedTokens(docs, idCol, textCol), bits)
+
+  /** id → 60-bit hash per token occurrence (NOT deduplicated — simhash
+    * weights by term frequency). Like hashedShingles, a shared staging
+    * artifact: every simhash width consumes the same stream. */
+  def hashedTokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), explode(Text.tokens(col(textCol))).as("tok"))
+      .select(col("id"), Hashing.stableHash60(col("tok")).as("h"))
+
+  /** SimHash over a (possibly pre-staged) hashed token stream. */
+  def simhashFromHashed(toks: DataFrame, bits: Int): DataFrame = {
     val bitSums = (0 until bits).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$j")
     }
@@ -234,8 +242,12 @@ object Dedup {
     * buckets stay O(n/32k). Pick bits so that 2^(bits/(maxDist+1)) ≫
     * corpus size / desired bucket size. */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                          maxDist: Int = 3, bits: Int = 60): DataFrame = {
-    val sigs = simhashSignatures(docs, idCol, textCol, bits)
+                          maxDist: Int = 3, bits: Int = 60): DataFrame =
+    simhashNearDupPairsFromHashed(hashedTokens(docs, idCol, textCol), maxDist, bits)
+
+  /** simhash near-dup over a (possibly pre-staged) hashed token stream. */
+  def simhashNearDupPairsFromHashed(toks: DataFrame, maxDist: Int, bits: Int): DataFrame = {
+    val sigs = simhashFromHashed(toks, bits)
     val chunks = maxDist + 1
     val width = bits / chunks
     val chunkCols = (0 until chunks).map { c =>
