@@ -58,8 +58,17 @@ object Bench {
         r.intersect(brute).count() / bruteN
       }
       val r24 = ivf.intersect(brute).count() / bruteN
+      // bucketed near-dup pair recall vs the exact O(n²) baseline (bench
+      // corpora are small enough to afford the exact run once)
+      val exactPairs = graft.operators.Similarity.exactNearDupPairs(em, 0.4)
+        .select("id_a", "id_b").localCheckpoint()
+      val bucketedPairs = SparkEntry.queries("q23_embedding_neardup_pairs")(spark, sfDir)
+        .select("id_a", "id_b")
+      val rPairs = bucketedPairs.intersect(exactPairs).count().toDouble /
+        math.max(1L, exactPairs.count())
       s""","recall_ivf_at5":$r24,"recall_ivf_trained_at5":${recallOf(1)}""" +
-        s""","recall_ivf_trained_np4_at5":${recallOf(4)}"""
+        s""","recall_ivf_trained_np4_at5":${recallOf(4)}""" +
+        s""","recall_neardup_np2":$rPairs"""
     } catch { case e: Throwable => System.err.println(s"[bench] recall failed: $e"); "" }
 
     val json =
