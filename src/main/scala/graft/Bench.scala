@@ -64,11 +64,15 @@ object Bench {
         .select("id_a", "id_b").localCheckpoint()
       val bucketedPairs = SparkEntry.queries("q23_embedding_neardup_pairs")(spark, sfDir)
         .select("id_a", "id_b")
-      val rPairs = bucketedPairs.intersect(exactPairs).count().toDouble /
-        math.max(1L, exactPairs.count())
+      val exactN = exactPairs.count()
+      // omit the key entirely when the baseline is empty — 0/0 printed as
+      // 0.0 would read as total bucketing failure instead of "nothing to
+      // recall at this threshold on this corpus"
+      val pairRecall =
+        if (exactN == 0) ""
+        else s""","recall_neardup_np2":${bucketedPairs.intersect(exactPairs).count().toDouble / exactN}"""
       s""","recall_ivf_at5":$r24,"recall_ivf_trained_at5":${recallOf(1)}""" +
-        s""","recall_ivf_trained_np4_at5":${recallOf(4)}""" +
-        s""","recall_neardup_np2":$rPairs"""
+        s""","recall_ivf_trained_np4_at5":${recallOf(4)}""" + pairRecall
     } catch { case e: Throwable => System.err.println(s"[bench] recall failed: $e"); "" }
 
     val json =

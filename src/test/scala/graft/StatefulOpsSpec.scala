@@ -140,27 +140,34 @@ class StatefulOpsSpec extends SparkSpec {
       == Set(("WS001", 1, 1), ("WS001", 2, 2), ("WS002", 0, 0)))
   }
 
-  test("dedupDocStream drops content duplicates across micro-batches") {
+  test("dedupDocStream drops duplicates within the watermark and evicts state past it") {
     val root = Files.createTempDirectory("graft-docdedup").toString
     implicit val sqlCtx = spark.sqlContext
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
     val stream = StatefulOps.dedupDocStream(
-      input.toDS().toDF("ingested_at", "text"), "ingested_at", "text")
+      input.toDS().toDF("ingested_at", "text"), "ingested_at", "text",
+      lateness = "10 minutes")
     val q = stream.writeStream.format("memory").queryName("doc_dedup")
       .option("checkpointLocation", s"$root/ckpt").outputMode("append").start()
     input.addData(Seq(
       ("2026-08-12 10:00:00", "the quick brown fox"),
       ("2026-08-12 10:00:01", "a different document"),
-      ("2026-08-12 10:00:02", "the quick brown fox"))) // in-batch dup
+      ("2026-08-12 10:00:02", "the quick brown fox"))) // in-batch dup -> dropped
     q.processAllAvailable()
     input.addData(Seq(
-      ("2026-08-12 10:05:00", "the quick brown fox"),   // cross-batch dup
-      ("2026-08-12 10:05:01", "a third document")))
+      ("2026-08-12 10:05:00", "the quick brown fox"),   // cross-batch dup within horizon -> dropped
+      ("2026-08-12 10:30:00", "a third document")))     // advances watermark to 10:20
+    q.processAllAvailable()
+    // fox's digest entry expired at 10:00+10min < watermark 10:20 -> state
+    // evicted; re-sent content past the horizon is re-admitted (THE
+    // distinction between dropDuplicatesWithinWatermark and a plain
+    // watermarked dropDuplicates, whose key would include event time)
+    input.addData(Seq(("2026-08-12 10:31:00", "the quick brown fox")))
     q.processAllAvailable()
     val texts = spark.sql("SELECT text FROM doc_dedup").collect().map(_.getString(0))
     q.stop()
-    assert(texts.length == 3) // each distinct content survives exactly once
-    assert(texts.toSet == Set("the quick brown fox", "a different document", "a third document"))
+    assert(texts.length == 4)
+    assert(texts.count(_ == "the quick brown fox") == 2) // once per horizon
   }
 
   test("alertStreaks carries state across micro-batches (streaming mode)") {
