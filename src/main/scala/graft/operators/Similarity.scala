@@ -234,8 +234,14 @@ object Similarity {
         .groupBy(col("centroid_id"))
         .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
           s => s.getField("m")).as("embedding"))
-        .select(col("centroid_id").as("vec_id"), col("embedding"))
-      centroids = next.localCheckpoint()
+        .select(col("centroid_id").as("vec_id"), col("embedding").as("new_emb"))
+      // a centroid that attracted no members keeps its previous position
+      // (deterministic "stale centroid" strategy) — dropping it would
+      // silently shrink k across iterations
+      val kept = centroids.select(col("vec_id"), col("embedding").as("old_emb"))
+        .join(next, Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("new_emb"), col("old_emb")).as("embedding"))
+      centroids = kept.localCheckpoint()
     }
     centroids
   }

@@ -93,6 +93,16 @@ class SimilaritySpec extends SparkSpec {
     assert(cents.except(cents2).isEmpty && cents2.except(cents).isEmpty)
   }
 
+  test("trainCentroids keeps empty clusters at their stale position (k never shrinks)") {
+    // two distinct point clouds but k=4: at least two centroids end up
+    // memberless (ties assign to the smallest centroid id) — they must
+    // survive, not silently vanish
+    val vecs = ((0L until 10L).map(i => (i, Array.fill(4)(1f)))
+      ++ (10L until 20L).map(i => (i, Array.fill(4)(-1f)))).toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(vecs, k = 4, iters = 3)
+    assert(cents.count() == 4)
+  }
+
   test("multi-probe assignment widens the bucketed near-dup net") {
     val rnd = new Random(9)
     val vecs = (0L until 60L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
