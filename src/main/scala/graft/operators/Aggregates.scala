@@ -105,6 +105,24 @@ object Aggregates {
   }
 
   /**
+   * Bounded-state percentiles for 100 TB groups: Spark's exact
+   * `percentile` buffers EVERY value of a group in the aggregation state —
+   * fine on test scale factors (and bit-matchable to a SQL oracle, which
+   * is why the gate query uses it), fatal on a billion-row group. This is
+   * the production path: `approx_percentile` keeps a fixed-size sketch per
+   * group (state is O(accuracy), not O(rows)), trading ≤1/accuracy rank
+   * error. Same call shape so a caller can swap exact↔approx with one
+   * word.
+   */
+  def approxPercentiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                        percentiles: Seq[Double], accuracy: Int = 10000): DataFrame = {
+    val aggs = percentiles.map(p =>
+      expr(s"approx_percentile($valueCol, ${p}D, $accuracy)").as(s"p${(p * 100).toInt}"))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /**
    * Rolling point-in-time entity features: for every row, aggregates over
    * the same key's rows in the `lookbackSec` seconds STRICTLY BEFORE it
    * (range frame [−lookback, −1] on epoch seconds) — "user's activity in

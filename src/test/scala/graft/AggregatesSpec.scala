@@ -67,4 +67,19 @@ class AggregatesSpec extends SparkSpec {
     val avg = df.agg(Aggregates.exactAvg(col("x")).as("a")).head.getDouble(0)
     assert(avg == 0.1)
   }
+
+  test("approxPercentiles tracks the exact percentile within rank tolerance") {
+    val df = spark.range(10000)
+      .selectExpr("CAST(id % 2 AS STRING) AS g", "CAST(id AS DOUBLE) AS v")
+    val approx = Aggregates.approxPercentiles(df, Seq("g"), "v", Seq(0.5, 0.9))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = df.groupBy("g")
+      .agg(expr("percentile(v, 0.5)").as("p50"), expr("percentile(v, 0.9)").as("p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    exact.foreach { case (g, (p50, p90)) =>
+      // sketch accuracy 10000 over 5000 rows per group -> near-exact here
+      assert(math.abs(approx(g)._1 - p50) <= 10.0, s"p50 group $g")
+      assert(math.abs(approx(g)._2 - p90) <= 10.0, s"p90 group $g")
+    }
+  }
 }
