@@ -73,6 +73,20 @@ class SourcesSpec extends SparkSpec {
     assert(stored.where(col("station_id") === "WS001").head.getAs[Double]("temp") == 30.0)
   }
 
+  test("appendIfAbsent resolves scheme-qualified URIs through the Hadoop FileSystem") {
+    // a java.io.File existence check silently reports "absent" for any
+    // URI-form path (file://, s3://, hdfs://) — the anti-join would be
+    // skipped and re-runs would append duplicates; this pins the Hadoop
+    // FileSystem resolution with an explicit scheme
+    val table = "file://" + tmp() + "/uri_readings"
+    val batch = Seq(("WS001", "2026-08-12T10:00:00", 30.0))
+      .toDF("station_id", "timestamp", "temp")
+    val keys = Seq("station_id", "timestamp")
+    assert(PartitionedStore.appendIfAbsent(spark, batch, table, keys, Seq.empty) == 1)
+    assert(PartitionedStore.appendIfAbsent(spark, batch, table, keys, Seq.empty) == 0)
+    assert(spark.read.parquet(table).count() == 1)
+  }
+
   test("overwriteGroups replaces only the touched partitions (upsert semantics)") {
     val table = tmp() + "/summary"
     val day1 = Seq(("2026-08-11", "Mumbai", 30.0), ("2026-08-11", "Delhi", 35.0),
