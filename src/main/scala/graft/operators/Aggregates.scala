@@ -116,8 +116,17 @@ object Aggregates {
    */
   def approxPercentiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
                         percentiles: Seq[Double], accuracy: Int = 10000): DataFrame = {
+    require(percentiles.nonEmpty, "at least one percentile required")
+    def label(p: Double): String = {
+      // decimal-exact label: 0.29 -> p29, 0.999 -> p99_9 (a truncating
+      // (p*100).toInt mislabels 0.29 as p28 and collides 0.99 with 0.999)
+      val pct = java.math.BigDecimal.valueOf(p)
+        .multiply(java.math.BigDecimal.valueOf(100))
+        .stripTrailingZeros.toPlainString
+      "p" + pct.replace(".", "_")
+    }
     val aggs = percentiles.map(p =>
-      expr(s"approx_percentile($valueCol, ${p}D, $accuracy)").as(s"p${(p * 100).toInt}"))
+      percentile_approx(col(valueCol), lit(p), lit(accuracy)).as(label(p)))
     df.groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
   }
