@@ -360,6 +360,14 @@ object SparkEntry {
     "q16_exact_text_dedup" -> ((s, dir) =>
       Dedup.exactTextGroups(t(s, dir, "documents"), "doc_id", "text")),
 
+    // Exact dedup on the CANONICAL form — case/punctuation/spacing variants
+    // collapse into one group (the normalize-then-hash production shape).
+    "q46_normalized_dedup" -> ((s, dir) =>
+      Dedup.exactTextGroups(
+        t(s, dir, "documents")
+          .withColumn("norm_text", Text.normalizeForDedup(col("text"))),
+        "doc_id", "norm_text")),
+
     // Order-sensitive rolling-hash fingerprint.
     "q17_doc_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -786,6 +794,15 @@ object SparkEntry {
       """SELECT md5(text) AS text_md5, CAST(min(doc_id) AS BIGINT) AS keep_id,
         | CAST(count(*) AS BIGINT) AS dup_count
         |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "q46_normalized_dedup" ->
+      """SELECT md5(n) AS text_md5, CAST(min(doc_id) AS BIGINT) AS keep_id,
+        | CAST(count(*) AS BIGINT) AS dup_count
+        |FROM (SELECT doc_id,
+        |        trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |             ' +', ' ', 'g')) AS n
+        |      FROM documents)
+        |GROUP BY md5(n)""".stripMargin,
 
     "q17_doc_fingerprint" ->
       s"""SELECT doc_id,

@@ -18,6 +18,18 @@ object Text {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /**
+   * Canonical form for dedup: lowercase, non-alphanumerics → space,
+   * whitespace collapsed, trimmed — so case/punctuation/spacing variants
+   * of the same content hash identically (the first normalization every
+   * production dedup pipeline applies before exact or near dedup).
+   * Restricted to patterns whose semantics are identical across regex
+   * engines (character classes and ' +' — no lookaround, no shorthand
+   * classes), so the result is verifiable in external SQL.
+   */
+  def normalizeForDedup(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
   /** Count of exact token matches (e.g. stopwords). */
   def tokenOccurrences(text: Column, word: String): Column =
     size(filter(tokens(text), t => t === word))

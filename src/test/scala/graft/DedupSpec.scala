@@ -99,6 +99,17 @@ class DedupSpec extends SparkSpec {
     assert(fp(1L) == fp(2L) && fp(1L) != fp(3L))
   }
 
+  test("normalized dedup collapses case/punctuation/spacing variants") {
+    val variants = Seq(
+      (1L, "Hello, World!"), (2L, "hello   world"), (3L, "HELLO-WORLD."),
+      (4L, "a different document"))
+      .toDF("doc_id", "text")
+    val groups = Dedup.exactTextGroups(
+      variants.withColumn("n", Text.normalizeForDedup(col("text"))), "doc_id", "n")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap // keep_id -> dup_count
+    assert(groups == Map(1L -> 3L, 4L -> 1L))
+  }
+
   test("components converge on a long chain (pointer jumping beats O(diameter))") {
     // a 200-node path needs ~199 one-hop rounds — the pointer-jump step
     // must collapse it within the default iteration cap
