@@ -1,0 +1,67 @@
+package graft
+
+import graft.functions.Text
+import org.apache.spark.sql.functions._
+
+/** Direct unit coverage for the text-analysis functions (they are also
+  * oracle-gated via q14/q15/q17/q46 — these pin the semantic corners the
+  * synthetic corpus may not exercise). */
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langIdHeuristic picks the language with the strongest marker tokens") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat with a hat"),
+      (2L, "le chat et la table et le livre"),
+      (3L, "el perro y los gatos y el sol"),
+      (4L, "der hund und die katze und der baum"),
+      (5L, "nothing matches any marker set here")) // falls back to en
+      .toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"), Text.langIdHeuristic(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "fr", 3L -> "es", 4L -> "de", 5L -> "en"))
+  }
+
+  test("docQualityScore rewards length, stopwords and sane token lengths") {
+    val good = "the quick brown fox jumps over a lazy dog and then runs to the hills again " * 2
+    val tooShort = "tiny"
+    val noStopwords = "lorem ipsum dolor sit amet consectetur adipiscing elit sed eiusmod tempor incididunt labore"
+    val scores = Seq((1L, good), (2L, tooShort), (3L, noStopwords))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Text.docQualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(1L) == 100.0)      // all three checks pass
+    assert(scores(2L) < scores(1L))  // length check fails
+    assert(scores(3L) < scores(1L))  // stopword-ratio check fails
+  }
+
+  test("token statistics on degenerate inputs") {
+    val rows = Seq((1L, ""), (2L, "one"), (3L, "a b"), (4L, "x  y")) // double space
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        Text.tokenCount(col("text")).as("n"),
+        Text.avgTokenLength(col("text")).as("avg"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    // split-on-space contract (matches DuckDB string_split): "" -> [""],
+    // repeated spaces produce empty tokens — documented corpus contract
+    assert(rows(1L)._1 == 1)
+    assert(rows(2L)._1 == 1 && rows(2L)._2 == 3.0)
+    assert(rows(3L)._1 == 2)
+    assert(rows(4L)._1 == 3) // "x", "", "y"
+  }
+
+  test("normalizeForDedup is idempotent and kills only formatting differences") {
+    val df = Seq(
+      ("The  QUICK-brown fox!", "the quick brown fox"),
+      ("the quick brown fox", "the quick brown fox"),
+      ("completely different", "completely different"))
+      .toDF("raw", "expected")
+      .select(Text.normalizeForDedup(col("raw")).as("n"),
+        Text.normalizeForDedup(Text.normalizeForDedup(col("raw"))).as("nn"),
+        col("expected"))
+    df.collect().foreach { r =>
+      assert(r.getString(0) == r.getString(2))
+      assert(r.getString(1) == r.getString(0)) // idempotent
+    }
+  }
+}
