@@ -55,8 +55,8 @@ object BatchPipeline {
     val summaryStored = spark.read.parquet(summaryDir)
 
     // 4. validate (X2: counts > 0, avg quality >= threshold, all stations seen)
-    val avgQuality = enriched.agg(avg(col("data_quality_score"))).head.getDouble(0)
-    val cities = enriched.select(countDistinct(col("city"))).head.getLong(0)
+    val avgQuality = enriched.agg(avg(col("data_quality_score"))).head().getDouble(0)
+    val cities = enriched.select(countDistinct(col("city"))).head().getLong(0)
     val ok = loaded > 0 && avgQuality >= minQuality && summaryStored.count() > 0
 
     // 5. report (X3)
