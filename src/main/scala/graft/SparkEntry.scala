@@ -356,6 +356,11 @@ object SparkEntry {
         Text.docQualityScore(col("text")).as("quality_score"),
         Text.langIdHeuristic(col("text")).as("lang_pred"))),
 
+    // Corpus vocabulary: top-100 tokens by occurrences with document
+    // frequency (tokenizer-training / IDF inputs).
+    "q47_vocab_topk" -> ((s, dir) =>
+      graft.operators.CorpusStats.topVocabulary(t(s, dir, "documents"), "text", k = 100)),
+
     // Exact dedup groups by content hash.
     "q16_exact_text_dedup" -> ((s, dir) =>
       Dedup.exactTextGroups(t(s, dir, "documents"), "doc_id", "text")),
@@ -794,6 +799,19 @@ object SparkEntry {
       """SELECT md5(text) AS text_md5, CAST(min(doc_id) AS BIGINT) AS keep_id,
         | CAST(count(*) AS BIGINT) AS dup_count
         |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "q47_vocab_topk" ->
+      """WITH tf AS (
+        | SELECT token, CAST(count(*) AS BIGINT) AS occurrences
+        | FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        | GROUP BY token),
+        |df AS (
+        | SELECT token, CAST(count(*) AS BIGINT) AS doc_freq
+        | FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        | GROUP BY token)
+        |SELECT token, occurrences, doc_freq
+        |FROM tf JOIN df USING (token)
+        |ORDER BY occurrences DESC, token ASC LIMIT 100""".stripMargin,
 
     "q46_normalized_dedup" ->
       """SELECT md5(n) AS text_md5, CAST(min(doc_id) AS BIGINT) AS keep_id,

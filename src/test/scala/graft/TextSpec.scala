@@ -50,6 +50,13 @@ class TextSpec extends SparkSpec {
     assert(rows(4L)._1 == 3) // "x", "", "y"
   }
 
+  test("topVocabulary ranks by occurrences with per-document frequency attached") {
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "b b b")).toDF("doc_id", "text")
+    val top = graft.operators.CorpusStats.topVocabulary(docs, "text", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(top.toSeq == Seq(("b", 4L, 2L), ("a", 3L, 2L)))
+  }
+
   test("normalizeForDedup is idempotent and kills only formatting differences") {
     val df = Seq(
       ("The  QUICK-brown fox!", "the quick brown fox"),
