@@ -361,6 +361,10 @@ object SparkEntry {
     "q47_vocab_topk" -> ((s, dir) =>
       graft.operators.CorpusStats.topVocabulary(t(s, dir, "documents"), "text", k = 100)),
 
+    // Per-document characteristic terms by tf·idf (exact-ratio idf).
+    "q48_tfidf_top_terms" -> ((s, dir) =>
+      graft.operators.CorpusStats.tfIdfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 5)),
+
     // Exact dedup groups by content hash.
     "q16_exact_text_dedup" -> ((s, dir) =>
       Dedup.exactTextGroups(t(s, dir, "documents"), "doc_id", "text")),
@@ -799,6 +803,23 @@ object SparkEntry {
       """SELECT md5(text) AS text_md5, CAST(min(doc_id) AS BIGINT) AS keep_id,
         | CAST(count(*) AS BIGINT) AS dup_count
         |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "q48_tfidf_top_terms" ->
+      """WITH tf AS (
+        | SELECT doc_id AS id, token, CAST(count(*) AS BIGINT) AS tf
+        | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        | GROUP BY doc_id, token),
+        |df AS (
+        | SELECT token, CAST(count(*) AS BIGINT) AS doc_freq
+        | FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        | GROUP BY token),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |scored AS (
+        | SELECT id, token, CAST(tf * n_docs AS DOUBLE)/doc_freq AS score
+        | FROM tf JOIN df USING (token) CROSS JOIN n)
+        |SELECT id, CAST(rank AS INTEGER) AS rank, token, score FROM (
+        | SELECT *, row_number() OVER (PARTITION BY id ORDER BY score DESC, token ASC) AS rank
+        | FROM scored) WHERE rank <= 5""".stripMargin,
 
     "q47_vocab_topk" ->
       """WITH tf AS (

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.Text
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -36,4 +37,29 @@ object CorpusStats {
       .join(docFrequencies(docs, textCol), Seq("token"))
       .orderBy(col("occurrences").desc, col("token").asc)
       .limit(k)
+
+  /**
+   * Top-k characteristic terms per document by tf·idf, with idf in exact
+   * ratio form N/df (no log: the usual log damping is a monotone transform
+   * that cannot change any ranking, and libm `log` is not bit-identical
+   * across engines — the ratio keeps the score exact integer-ratio
+   * arithmetic, externally verifiable). Shapes: per-doc term counts are
+   * one aggregation; doc frequencies join in by token (aggregated
+   * cardinality); the corpus size joins as a broadcast one-row frame (no
+   * driver-side action); top-k rides WindowGroupLimit.
+   */
+  def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val tf = docs.select(col(idCol).as("id"), explode(Text.tokens(col(textCol))).as("token"))
+      .groupBy("id", "token")
+      .agg(count(lit(1)).as("tf"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(docFrequencies(docs, textCol), Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("doc_freq"))
+    val w = Window.partitionBy("id").orderBy(col("score").desc, col("token").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("id"), col("rank"), col("token"), col("score"))
+  }
 }

@@ -57,6 +57,17 @@ class TextSpec extends SparkSpec {
     assert(top.toSeq == Seq(("b", 4L, 2L), ("a", 3L, 2L)))
   }
 
+  test("tfIdfTopTerms ranks rare-but-frequent-in-doc terms first") {
+    // "x" appears 3 times in doc 1 only (tf=3, df=1, N=3 -> score 9);
+    // "a" appears everywhere (df=3 -> score tf*3/3 = tf)
+    val docs = Seq((1L, "x x x a"), (2L, "a b"), (3L, "a b c")).toDF("doc_id", "text")
+    val top = graft.operators.CorpusStats.tfIdfTopTerms(docs, "doc_id", "text", 1)
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getDouble(3))).toMap
+    assert(top(1L) == ("x", 9.0))
+    assert(top(2L)._1 == "b")        // b: 1*3/2 = 1.5 beats a: 1*3/3 = 1.0
+    assert(top(3L) == ("c", 3.0))    // c is unique to doc 3: 1*3/1 = 3.0
+  }
+
   test("normalizeForDedup is idempotent and kills only formatting differences") {
     val df = Seq(
       ("The  QUICK-brown fox!", "the quick brown fox"),
