@@ -77,10 +77,13 @@ object ScaleProbe {
       val tCc = time(noop(graft.operators.Components.dedupGroups(
         Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5, 1000))))
       val tTrain = time(noop(Similarity.trainCentroids(em, k = k1.toInt, iters = 2)))
+      val tVocab = time(noop(graft.operators.CorpusStats.topVocabulary(docs, "text", 100)))
+      val tTfidf = time(noop(graft.operators.CorpusStats.tfIdfTopTerms(docs, "doc_id", "text", 5)))
 
       println(s"""{"n":$n,"exact_dedup":$tExact,"minhash_sig":$tSig,"lsh_cands":$tLsh,""" +
         s""""simhash_pairs":$tSim,"jaccard_capped":$tJac,"ivf_knn":$tIvf,"embed_neardup":$tNd,""" +
-        s""""embed_neardup_np2":$tNd2,"components":$tCc,"kmeans_train":$tTrain}""")
+        s""""embed_neardup_np2":$tNd2,"components":$tCc,"kmeans_train":$tTrain,""" +
+        s""""vocab_topk":$tVocab,"tfidf_terms":$tTfidf}""")
       docs.unpersist(); em.unpersist()
     }
     spark.stop()
