@@ -77,10 +77,16 @@ object Bench {
 
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$recalls,"sf":"$sfDir"}"""
+    SparkEntry.releaseStaged(spark) // past the last consumer — drop staging cache
     spark.stop()
-    // after stop(): Spark's shutdown logging goes to stderr, so this stays
-    // the final clean stdout line (fork output passes through unprefixed —
-    // see build.sbt outputStrategy)
+    // PRIMARY channel: a file — stdout passes through sbt, whose [info]/log
+    // prefixing has broken machine-parsing two rounds running. The file is
+    // written with plain java.nio, immune to any logging wrapper.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $out failed: $e") }
+    // courtesy copy on stdout (after stop() so shutdown logging, which goes
+    // to stderr, cannot interleave)
     println(json)
   }
 }

@@ -84,6 +84,16 @@ object SparkEntry {
     stageMemo.getOrElseUpdate((s, dir, key), build.persist())
   }
 
+  /** Unpersist and forget every staged frame of `s`. Callers that know
+    * they are past the last consumer (Verify/Bench mains, a finished
+    * pipeline run) release explicitly instead of pinning cache blocks for
+    * the session's lifetime — at real scale a staging table's memory is
+    * reclaimed the moment its final consumer commits. */
+  def releaseStaged(s: SparkSession): Unit =
+    stageMemo.keys.filter(_._1 == s).foreach { k =>
+      stageMemo.remove(k).foreach(_.unpersist(blocking = false))
+    }
+
   private def enrichedFullShared(s: SparkSession, dir: String): DataFrame =
     staged(s, dir, "enriched")(enrichedFull(t(s, dir, "events")))
   private def enrichedShared(s: SparkSession, dir: String): DataFrame =
@@ -96,9 +106,14 @@ object SparkEntry {
   private def hashedShinglesShared(s: SparkSession, dir: String): DataFrame =
     staged(s, dir, "shingles")(
       Dedup.hashedShingles(t(s, dir, "documents"), "doc_id", "text", n = 3))
-  private def hashedTokensShared(s: SparkSession, dir: String): DataFrame =
-    staged(s, dir, "tokhash")(
-      Dedup.hashedTokens(t(s, dir, "documents"), "doc_id", "text"))
+  // NOTE (round 3): the raw token-hash stream is deliberately NOT staged.
+  // Persisting the fully exploded per-occurrence stream (millions of tiny
+  // rows) costs more to materialize than its consumers save by not
+  // recomputing the narrow scan+explode+md5 (driver bench r2: q21 went
+  // 1.1 s → 11.5 s paying the cache write). Staging is for AGGREGATED
+  // artifacts — signatures, candidate pairs — which are corpus-cardinality,
+  // not token-cardinality. At 100 TB the same rule holds: a persisted token
+  // stream is a cluster-wide memory/disk flood for zero algorithmic benefit.
   private def minhashSigsShared(s: SparkSession, dir: String): DataFrame =
     staged(s, dir, "mhsig")(
       Dedup.minhashFromHashed(hashedShinglesShared(s, dir), numHashes = 16))
@@ -403,7 +418,7 @@ object SparkEntry {
     // makes the bucketed plan EXACT, so the brute-force oracle matches
     // bit-for-bit).
     "q40_simhash_neardup_pairs" -> ((s, dir) =>
-      Dedup.simhashNearDupPairsFromHashed(hashedTokensShared(s, dir),
+      Dedup.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
         maxDist = 3, bits = 60)),
 
     // Capped-jaccard twin of q18: the stop-shingle cap (maxBucket) IS the
@@ -413,9 +428,10 @@ object SparkEntry {
       Dedup.jaccardPairsFromHashed(hashedShinglesShared(s, dir),
         threshold = 0.5, maxBucket = 5)),
 
-    // SimHash 32-bit signatures (over the staged token-hash stream).
+    // SimHash 32-bit signatures (token stream recomputed, not staged — see
+    // the staging note above).
     "q21_simhash_signatures" -> ((s, dir) =>
-      Dedup.simhashFromHashed(hashedTokensShared(s, dir), bits = 32)),
+      Dedup.simhashSignatures(t(s, dir, "documents"), "doc_id", "text", bits = 32)),
 
     // ---- similarity search (embeddings) ----
 
@@ -506,6 +522,30 @@ object SparkEntry {
     "q44_rolling_user_features" -> ((s, dir) =>
       Aggregates.rollingFeatures(t(s, dir, "events"), "user_id", "ts", "value",
         lookbackSec = 3600)),
+
+    // Batch interval/range join: overlapping per-user campaign windows
+    // (derived deterministically from each user's event span) joined to
+    // events as an equi-join on (user, time-bucket) + residual range
+    // predicate. The fact side never amplifies — only intervals replicate,
+    // by ceil(span/bucket) each (see RangeJoin scaladoc).
+    "q49_range_join_campaigns" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("ts_epoch"))
+      val bounds = ev.groupBy("user_id")
+        .agg(min(col("ts_epoch")).as("mn"), max(col("ts_epoch")).as("mx"))
+      // three overlapping windows of length 2·len starting every len
+      // (len = ceil(span/3)) — integer math only, bit-identical cross-engine
+      val len = expr("(mx - mn + 3) DIV 3")
+      val iv = bounds
+        .select(col("user_id"), explode(sequence(lit(0L), lit(2L))).as("campaign_id"),
+          col("mn"), col("mx"))
+        .select(col("user_id"), col("campaign_id"),
+          (col("mn") + col("campaign_id") * len).as("start_epoch"),
+          least(col("mn") + (col("campaign_id") + 2) * len, col("mx") + 1).as("end_epoch"))
+      graft.operators.RangeJoin.joinByRange(ev, iv, Seq("user_id"),
+        "ts_epoch", "start_epoch", "end_epoch", bucketWidth = 7L * 86400)
+        .select("user_id", "event_id", "ts_epoch", "campaign_id", "start_epoch", "end_epoch")
+    }),
 
     // Class balancing: at most 300 events per event_type, drawn by
     // hash-of-key rank (deterministic, not partition order).
@@ -1082,6 +1122,19 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
         |             RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING)""".stripMargin,
+
+    // Range join: DuckDB plans the raw range predicate itself (IEJoin);
+    // the Spark side buckets — same pairs either way.
+    "q49_range_join_campaigns" ->
+      """WITH ev AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch FROM events),
+        |b AS (SELECT user_id, min(ts_epoch) AS mn, max(ts_epoch) AS mx FROM ev GROUP BY user_id),
+        |iv AS (SELECT user_id, c AS campaign_id,
+        |        mn + c * ((mx - mn + 3) // 3) AS start_epoch,
+        |        LEAST(mn + (c + 2) * ((mx - mn + 3) // 3), mx + 1) AS end_epoch
+        |       FROM b CROSS JOIN (SELECT CAST(unnest(range(3)) AS BIGINT) AS c))
+        |SELECT ev.user_id, ev.event_id, ev.ts_epoch, iv.campaign_id, iv.start_epoch, iv.end_epoch
+        |FROM ev JOIN iv ON ev.user_id = iv.user_id
+        | AND ev.ts_epoch >= iv.start_epoch AND ev.ts_epoch < iv.end_epoch""".stripMargin,
 
     "q45_class_balanced_sample" -> {
       val h = duckHash("CAST(event_id AS VARCHAR)")

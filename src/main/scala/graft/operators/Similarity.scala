@@ -202,27 +202,59 @@ object Similarity {
    * Deterministic Lloyd's k-means over the embedding column, so IVF/near-dup
    * bucketing is self-contained (no externally supplied centroids).
    *
-   *  - init: the k vectors with the smallest md5(vec_id) — a seedless,
-   *    order-independent pseudo-random draw, reproducible on any cluster;
+   *  - init: deterministic k-means++-style farthest-point selection over a
+   *    bounded pseudo-random sample — the `max(4k, 256)` vectors with the
+   *    smallest md5(vec_id) (a seedless, order-independent draw) are pulled
+   *    to the driver, the first centroid is the smallest-hash vector, and
+   *    each next centroid is the sample point maximizing its min cosine
+   *    distance to those already chosen (ties → earlier hash order). The
+   *    driver collect is BOUNDED by the sample size, never by the corpus —
+   *    the k-means|| oversample-then-refine shape, and it fixes the
+   *    round-2 defect where arbitrary-draw init clustered the seeds and
+   *    trained recall fell below the naive modulo bucketing;
    *  - iterate: assign to nearest centroid (cosine), recompute each centroid
    *    as the member mean. Means go through DECIMAL sums
    *    (order-independent), so the result is bit-identical under any
    *    partitioning — the property every downstream oracle check needs;
    *  - each round is one broadcast-assign + one aggregation; labels never
    *    shuffle the corpus twice. localCheckpoint cuts the per-round lineage.
-   *
-   * At production scale you would trade init quality for rounds with
-   * k-means|| oversampling; the loop shape (broadcast centroids, aggregate
-   * per dimension) is identical.
    */
   def trainCentroids(vectors: DataFrame, k: Int, iters: Int = 5): DataFrame = {
-    val init = vectors
+    val spark = vectors.sparkSession
+    val sampleSize = math.max(4 * k, 256)
+    val sample = vectors
       .select(col("vec_id"), col("embedding"), md5(col("vec_id").cast("string")).as("h"))
       .orderBy(col("h"), col("vec_id"))
-      .limit(k)
-      .select(row_number().over(Window.orderBy(col("h"), col("vec_id"))).cast("long").as("vec_id"),
-        col("embedding"))
-    var centroids = init.localCheckpoint()
+      .limit(sampleSize)
+      .select("embedding")
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    // greedy farthest-point on the driver: O(sample·k·d), sample-bounded
+    def cosDist(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      if (denom == 0.0) 1.0 else 1.0 - dot / denom
+    }
+    val kEff = math.min(k, sample.length)
+    val chosen = scala.collection.mutable.ArrayBuffer(0)
+    val minDist = sample.map(cosDist(_, sample(0)))
+    while (chosen.size < kEff) {
+      var best = 0; var bestD = -1.0
+      var i = 0
+      while (i < sample.length) { if (minDist(i) > bestD) { bestD = minDist(i); best = i }; i += 1 }
+      chosen += best
+      i = 0
+      while (i < sample.length) { val d = cosDist(sample(i), sample(best)); if (d < minDist(i)) minDist(i) = d; i += 1 }
+    }
+    val initRows: java.util.List[org.apache.spark.sql.Row] = new java.util.ArrayList()
+    chosen.zipWithIndex.foreach { case (idx, i) =>
+      initRows.add(org.apache.spark.sql.Row((i + 1).toLong, sample(idx).toSeq))
+    }
+    val initSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding", vectors.schema("embedding").dataType)))
+    var centroids = spark.createDataFrame(initRows, initSchema).localCheckpoint()
     for (_ <- 1 to iters) {
       val members = assignToCentroids(vectors, centroids)
       // per-dimension decimal-exact mean; collect_list(struct(dim, m)) is
