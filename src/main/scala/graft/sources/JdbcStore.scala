@@ -69,18 +69,37 @@ object JdbcStore {
 
   /** Replace whole groups (ON CONFLICT DO UPDATE at partition granularity):
     * delete the groups present in `updated`, then append — the JDBC twin of
-    * PartitionedStore.overwriteGroups' dynamic partition overwrite. */
+    * PartitionedStore.overwriteGroups' dynamic partition overwrite.
+    *
+    * The distinct group keys cross the driver to become DELETE parameters —
+    * bounded by design (groups are replacement partitions like summary
+    * dates, not rows), and `maxGroups` makes the bound EXPLICIT: the count
+    * is checked on the executors first, and exceeding it fails fast with
+    * the actual cardinality instead of silently hauling a mis-specified
+    * group column (e.g. a row key) through driver memory. Keys then stream
+    * via toLocalIterator in executeBatch chunks — driver footprint is one
+    * partition, not the full key set. */
   def replaceGroups(spark: SparkSession, updated: DataFrame, url: String, table: String,
                     groupCol: String, props: Properties = new Properties,
-                    columnTypes: String = ""): Unit = {
+                    columnTypes: String = "", maxGroups: Long = 100000L,
+                    deleteBatchSize: Int = 1000): Unit = {
     val toWrite = updated.localCheckpoint() // delete must not race the write's lineage
     if (tableExists(url, table, props)) {
-      val groups = toWrite.select(groupCol).distinct().collect()
+      val groups = toWrite.select(groupCol).distinct().localCheckpoint()
+      val n = groups.count()
+      require(n <= maxGroups,
+        s"replaceGroups: $n distinct '$groupCol' values exceeds maxGroups=$maxGroups — " +
+          "group-wise replace is for partition-granularity keys (dates, regions); " +
+          "for row-granularity upserts use appendIfAbsent or raise maxGroups explicitly")
       val conn = DriverManager.getConnection(url, props)
       try {
         val ps = conn.prepareStatement(s"""DELETE FROM $table WHERE "$groupCol" = ?""")
-        groups.foreach { r => ps.setObject(1, r.get(0)); ps.addBatch() }
-        ps.executeBatch()
+        var pending = 0
+        groups.toLocalIterator().forEachRemaining { r =>
+          ps.setObject(1, r.get(0)); ps.addBatch(); pending += 1
+          if (pending >= deleteBatchSize) { ps.executeBatch(); pending = 0 }
+        }
+        if (pending > 0) ps.executeBatch()
       } finally conn.close()
     }
     val w = toWrite.write.mode("append")

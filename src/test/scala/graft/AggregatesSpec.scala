@@ -82,4 +82,35 @@ class AggregatesSpec extends SparkSpec {
       assert(math.abs(approx(g)._2 - p90) <= 10.0, s"p90 group $g")
     }
   }
+
+  test("approxPercentiles holds the ≤ n/accuracy RANK guarantee on sf0.1 data") {
+    // the sketch's contract is about RANK, not value: the returned value's
+    // rank interval [#(<v)+1, #(≤v)] must intersect [p·n ± n/accuracy].
+    // Values can't be compared across engines (sketch internals differ) —
+    // rank tolerance is engine-independent, so it CAN gate on real data.
+    val acc = 1000
+    val ps = Seq(0.5, 0.9, 0.99)
+    val ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+      .select("event_type", "value")
+    val approx = Aggregates.approxPercentiles(ev, Seq("event_type"), "value", ps, acc)
+    val melted = approx.select(col("event_type"), explode(map(
+      lit(0.5), col("p50"), lit(0.9), col("p90"), lit(0.99), col("p99"))).as(Seq("p", "v")))
+    // one pass: per (group, percentile), the value's rank interval + group n
+    val checked = ev.join(melted, "event_type")
+      .groupBy("event_type", "p", "v")
+      .agg(expr("count_if(value < v)").as("below"),
+        expr("count_if(value <= v)").as("belowEq"),
+        count(lit(1)).as("n"))
+      .collect()
+    assert(checked.length == 15) // 5 event types × 3 percentiles
+    checked.foreach { r =>
+      val (p, below, belowEq, n) =
+        (r.getDouble(1), r.getLong(3), r.getLong(4), r.getLong(5))
+      val tol = n.toDouble / acc + 1
+      val (lo, hi) = (p * n - tol, p * n + tol)
+      assert(below + 1 <= hi && belowEq >= lo,
+        s"${r.getString(0)} p=$p: rank interval [${below + 1}, $belowEq] " +
+          s"outside [$lo, $hi] (n=$n)")
+    }
+  }
 }

@@ -52,4 +52,35 @@ class JdbcStoreSpec extends SparkSpec {
     assert(stored(("2026-08-12", "Mumbai")) == 29.5)
     assert(stored(("2026-08-12", "Delhi")) == 33.0)
   }
+
+  test("replaceGroups fails fast when group cardinality exceeds maxGroups") {
+    val seed = Seq(("g0", 0.0)).toDF("grp", "v")
+    val ddl = "grp VARCHAR(16)"
+    JdbcStore.replaceGroups(spark, seed, url, "capped", "grp", columnTypes = ddl)
+    // a mis-specified group column (row-granularity key) must not haul its
+    // whole key set through the driver — the guard trips on the EXECUTOR
+    // count before any key crosses
+    val rowKeyed = (1 to 500).map(i => (s"g$i", i.toDouble)).toDF("grp", "v")
+    val e = intercept[IllegalArgumentException] {
+      JdbcStore.replaceGroups(spark, rowKeyed, url, "capped", "grp",
+        columnTypes = ddl, maxGroups = 100)
+    }
+    assert(e.getMessage.contains("maxGroups"))
+    // the guarded call must not have deleted anything
+    assert(spark.read.jdbc(url, "capped", new java.util.Properties).count() == 1)
+  }
+
+  test("replaceGroups streams deletes in batches (high-cardinality path)") {
+    val ddl = "grp VARCHAR(16)"
+    val v1 = (1 to 250).map(i => (s"g$i", 1.0)).toDF("grp", "v")
+    JdbcStore.replaceGroups(spark, v1, url, "batched", "grp", columnTypes = ddl)
+    // replace all 250 groups with deleteBatchSize far below the key count —
+    // exercises multiple executeBatch flushes plus the final partial flush
+    val v2 = (1 to 250).map(i => (s"g$i", 2.0)).toDF("grp", "v")
+    JdbcStore.replaceGroups(spark, v2, url, "batched", "grp",
+      columnTypes = ddl, deleteBatchSize = 64)
+    val stored = spark.read.jdbc(url, "batched", new java.util.Properties)
+    assert(stored.count() == 250)
+    assert(stored.agg(min(col("v")), max(col("v"))).head == org.apache.spark.sql.Row(2.0, 2.0))
+  }
 }
