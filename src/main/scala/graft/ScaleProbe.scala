@@ -77,12 +77,17 @@ object ScaleProbe {
       val tCc = time(noop(graft.operators.Components.dedupGroups(
         Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5, 1000))))
       val tTrain = time(noop(Similarity.trainCentroids(em, k = k1.toInt, iters = 2)))
+      // assignment growth at k=√n: flat is n·k = n^1.5; the two-level
+      // hierarchy is n·√k·(1+w) — sub-n·k (time ratio should widen with n)
+      val tAssignFlat = time(noop(Similarity.assignToCentroids(em, centroids)))
+      val tAssignHier = time(noop(Similarity.assignToCentroidsHier(em, centroids)))
       val tVocab = time(noop(graft.operators.CorpusStats.topVocabulary(docs, "text", 100)))
       val tTfidf = time(noop(graft.operators.CorpusStats.tfIdfTopTerms(docs, "doc_id", "text", 5)))
 
       println(s"""{"n":$n,"exact_dedup":$tExact,"minhash_sig":$tSig,"lsh_cands":$tLsh,""" +
         s""""simhash_pairs":$tSim,"jaccard_capped":$tJac,"ivf_knn":$tIvf,"embed_neardup":$tNd,""" +
         s""""embed_neardup_np2":$tNd2,"components":$tCc,"kmeans_train":$tTrain,""" +
+        s""""assign_flat":$tAssignFlat,"assign_hier":$tAssignHier,""" +
         s""""vocab_topk":$tVocab,"tfidf_terms":$tTfidf}""")
       docs.unpersist(); em.unpersist()
     }

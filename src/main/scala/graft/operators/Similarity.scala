@@ -68,6 +68,59 @@ object Similarity {
   }
 
   /**
+   * Two-level (coarse/fine) centroid assignment — the billion-row scale
+   * path that breaks the n·k term of flat assignment (SCALE.md similarity
+   * section). Same output shape as [[assignToCentroids]]; the nearest-fine
+   * choice becomes APPROXIMATE (a vector only scores fine centroids
+   * reachable through its nearest coarse group).
+   *
+   *  - ~√k coarse representatives are drawn deterministically from the
+   *    fine centroids (every ⌈k/√k⌉-th in md5 order);
+   *  - each FINE centroid registers with its `fineReplication` nearest
+   *    coarse groups (boundary padding: a vector near a coarse frontier
+   *    still sees fine centroids that "belong" to the neighbor group);
+   *  - each vector scores coarse (n·√k), then only the fine members of
+   *    its nearest coarse group (n · √k·fineReplication on average).
+   *
+   * Total ≈ n·√k·(1+fineReplication) vs flat n·k — sub-n·k for k ≫
+   * (1+fineReplication)². Agreement with flat assignment and the
+   * sub-n·k growth are pinned by SimilaritySpec + ScaleProbe.
+   */
+  def assignToCentroidsHier(vectors: DataFrame, centroids: DataFrame, nprobe: Int = 1,
+                            fineReplication: Int = 2): DataFrame = {
+    val k = centroids.count() // centroid set is small by contract — cheap action
+    val ck = math.max(1L, math.round(math.sqrt(k.toDouble)))
+    val step = math.max(1L, k / ck)
+    val coarse = centroids
+      .select(col("vec_id"), col("embedding"),
+        row_number().over(Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))).as("__rn"))
+      .where((col("__rn") - 1) % step === 0)
+      .select(col("vec_id"), col("embedding"))
+    // fine → its nearest coarse groups; k·fineReplication rows, broadcast-size
+    val fineToCoarse = assignToCentroids(centroids, coarse, nprobe = fineReplication)
+      .select(col("centroid_id").as("__coarse_id"),
+        col("vec_id").as("__fine_id"), col("embedding").as("__fine_emb"))
+    val vecCoarse = assignToCentroids(vectors, coarse, nprobe = 1)
+      .select(col("vec_id"), col("embedding"), col("centroid_id").as("__coarse_id"))
+    val scored = vecCoarse.join(broadcast(fineToCoarse), Seq("__coarse_id"))
+      .select(col("vec_id"), col("embedding"), col("__fine_id"),
+        VectorExprs.cosine(col("embedding"), col("__fine_emb")).as("ccos"))
+    // identical reduction (and tie-break) to the flat path
+    if (nprobe == 1)
+      scored.groupBy("vec_id")
+        .agg(
+          max_by(col("__fine_id"), struct(col("ccos"), -col("__fine_id"))).as("centroid_id"),
+          first(col("embedding")).as("embedding"))
+    else
+      scored.groupBy("vec_id")
+        .agg(
+          graft.expressions.BoundedTopKAgg
+            .topIdsByKey(-col("ccos"), col("__fine_id"), nprobe).as("tops"),
+          first(col("embedding")).as("embedding"))
+        .select(col("vec_id"), explode(col("tops")).as("centroid_id"), col("embedding"))
+  }
+
+  /**
    * IVF (inverted-file) ANN: partition corpus by nearest centroid; a query
    * searches only its own nearest-centroid bucket (nprobe=1). Deterministic
    * given a deterministic centroid choice, so it is exactly verifiable —

@@ -118,6 +118,38 @@ class SimilaritySpec extends SparkSpec {
     assert(np2.subsetOf(exact)) // bucketing never invents pairs
   }
 
+  test("hierarchical assignment agrees with flat on clustered data and is deterministic") {
+    // 4 well-separated clusters of 50 vectors; 16 centroids drawn from the
+    // data (4 per cluster). On separated data the coarse routing cannot
+    // cross cluster boundaries, so hier ≡ flat for in-cluster vectors.
+    val rnd = new Random(7)
+    val protos = Array.fill(4)(Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    val vecs = (0L until 200L).map { i =>
+      val p = protos((i % 4).toInt)
+      (i, p.map(x => x + rnd.nextFloat() * 0.01f))
+    }.toDF("vec_id", "embedding")
+    val cents = vecs.where(col("vec_id") < 16)
+    val flat = Similarity.assignToCentroids(vecs, cents)
+      .select("vec_id", "centroid_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hier = Similarity.assignToCentroidsHier(vecs, cents)
+      .select("vec_id", "centroid_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hier.keySet == flat.keySet) // every vector assigned exactly once
+    val agree = flat.count { case (v, c) => hier(v) == c }
+    assert(agree >= 190, s"only $agree/200 agree with flat assignment")
+    // run-to-run determinism (md5-ordered coarse picks, tie-broken argmax)
+    val again = Similarity.assignToCentroidsHier(vecs, cents)
+      .select("vec_id", "centroid_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == hier)
+    // multi-probe shape parity with the flat path: nprobe distinct fine
+    // centroids per vector
+    val np2 = Similarity.assignToCentroidsHier(vecs, cents, nprobe = 2)
+    assert(np2.count() == 400)
+    assert(np2.select("vec_id", "centroid_id").distinct().count() == 400)
+  }
+
   test("exactNearDupPairs finds planted duplicate pair only") {
     val rnd = new Random(1)
     val distinct = (0L until 10L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
