@@ -22,6 +22,16 @@ object Hashing {
   def stableHash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Plain-Scala twin of [[stableHash60]] — same value for the same string.
+    * For code that hashes OUTSIDE a Column expression (streaming state
+    * functions, driver-side draws); HashingSpec pins the equality. */
+  def stableHash60Scala(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   /**
    * Universal-hash family over stableHash60 for minhash:
    * h_i(x) = (a_i * h(x) + b_i) mod p, with p = 2^31 − 1 (Mersenne prime).

@@ -106,6 +106,86 @@ object StatefulOps {
         col("alert_level"), col("reading_time"), col("context_temperature"))
   }
 
+  // ---- streaming twins of the batch feature operators (q44 / q45) ----
+
+  final case class TimedValue(key: Long, id: Long, epoch: Long, value: Double)
+  final case class RollingFeature(key: Long, id: Long, epoch: Long, priorCount: Long,
+                                  priorSum: Option[Double], priorMax: Option[Double])
+  final case class RollingBuf(epochs: Seq[Long], values: Seq[Double])
+
+  /**
+   * Streaming twin of `Aggregates.rollingFeatures` (q44): per key, each
+   * event's strictly-before `[epoch−lookback, epoch−1]` aggregates. State
+   * per key is ONLY the lookback horizon (entries older than the newest
+   * event minus lookback are evicted as events arrive) — bounded like every
+   * stateful op here. The sum mirrors the batch DECIMAL(28,6) path
+   * (per-value HALF_UP at scale 6, exact addition), so output is
+   * bit-identical to the batch operator for rows arriving in event-time
+   * order per key — the tested contract. Cross-batch LATE rows see the
+   * already-evicted horizon and their own frame may be short: the standard
+   * streaming relaxation (a watermark-driven variant would buffer and
+   * reorder; same state bound, higher latency).
+   */
+  def rollingFeaturesStream(events: Dataset[TimedValue], lookbackSec: Long): Dataset[RollingFeature] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[TimedValue], state: GroupState[RollingBuf]) =>
+          var epochs = state.getOption.map(_.epochs.toVector).getOrElse(Vector.empty)
+          var values = state.getOption.map(_.values.toVector).getOrElse(Vector.empty)
+          val out = Seq.newBuilder[RollingFeature]
+          rows.toSeq.sortBy(r => (r.epoch, r.id)).foreach { r =>
+            // evict below every possible future frame (event time is
+            // monotone per key under the in-order contract)
+            val lo = r.epoch - lookbackSec
+            val firstKeep = epochs.indexWhere(_ >= lo) match {
+              case -1 => epochs.size
+              case i  => i
+            }
+            epochs = epochs.drop(firstKeep); values = values.drop(firstKeep)
+            // strictly-before frame: same-epoch peers excluded, like batch
+            val inFrame = epochs.indices.takeWhile(i => epochs(i) <= r.epoch - 1)
+            val cnt = inFrame.size.toLong
+            val sum =
+              if (cnt == 0) None
+              else Some(inFrame.map(i => java.math.BigDecimal.valueOf(values(i))
+                  .setScale(6, java.math.RoundingMode.HALF_UP))
+                .reduce(_.add(_)).doubleValue)
+            val mx = if (cnt == 0) None else Some(inFrame.map(values).max)
+            out += RollingFeature(key, r.id, r.epoch, cnt, sum, mx)
+            epochs :+= r.epoch; values :+= r.value
+          }
+          state.update(RollingBuf(epochs, values))
+          out.result().iterator
+      }
+  }
+
+  final case class KeyedRow(group: String, id: Long)
+  final case class AdmitCount(n: Long)
+
+  /**
+   * Streaming twin of `Sampling.capPerGroup` (q45): admit at most
+   * `maxPerGroup` rows per group over the stream's lifetime. Within a
+   * micro-batch the draw uses the SAME hash-of-key order as the batch
+   * operator (so a single-batch run is bit-identical to batch); across
+   * batches admission is first-come — a stream cannot rank against future
+   * arrivals. State is one counter per group.
+   */
+  def capPerGroupStream(rows: Dataset[KeyedRow], maxPerGroup: Int): Dataset[KeyedRow] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.group)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (g: String, it: Iterator[KeyedRow], state: GroupState[AdmitCount]) =>
+          val have = state.getOption.map(_.n).getOrElse(0L)
+          val room = math.max(0L, maxPerGroup - have).toInt
+          val admitted = it.toSeq
+            .sortBy(r => (graft.functions.Hashing.stableHash60Scala(r.id.toString), r.id))
+            .take(room)
+          state.update(AdmitCount(have + admitted.size))
+          admitted.iterator
+      }
+  }
+
   final case class AlertEvent(stationId: String, alertLevel: String, eventTime: java.sql.Timestamp)
   final case class StreakState(current: Int, longest: Int)
   final case class StreakUpdate(stationId: String, currentStreak: Int, longestStreak: Int)

@@ -170,6 +170,69 @@ class StatefulOpsSpec extends SparkSpec {
     assert(texts.count(_ == "the quick brown fox") == 2) // once per horizon
   }
 
+  test("stableHash60Scala equals the Column stableHash60 (streaming draws match batch)") {
+    val keys = (0 until 200).map(i => s"k$i" * (i % 5 + 1)) :+ "" :+ "πü€"
+    val fromCol = keys.toDF("s")
+      .select(graft.functions.Hashing.stableHash60(col("s"))).as[Long].collect()
+    val fromScala = keys.map(graft.functions.Hashing.stableHash60Scala)
+    assert(fromCol.toSeq == fromScala)
+  }
+
+  test("rollingFeaturesStream matches batch rollingFeatures across micro-batches") {
+    import graft.streaming.StatefulOps.{RollingFeature, TimedValue}
+    val root = Files.createTempDirectory("graft-roll").toString
+    implicit val sqlCtx = spark.sqlContext
+    // two keys, epochs spaced so frames span the batch boundary; equal-epoch
+    // peers included to pin the strictly-before exclusion
+    val all = Seq(
+      TimedValue(1L, 10L, 100L, 1.25), TimedValue(1L, 11L, 150L, 2.5),
+      TimedValue(1L, 12L, 150L, 4.0), TimedValue(1L, 13L, 460L, 8.0),
+      TimedValue(1L, 14L, 700L, 16.0), TimedValue(2L, 20L, 120L, 3.3),
+      TimedValue(2L, 21L, 300L, 5.7), TimedValue(2L, 22L, 900L, 7.1))
+    val (b1, b2) = all.partition(_.epoch < 400) // in-order split per key
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[TimedValue]
+    val q = StatefulOps.rollingFeaturesStream(input.toDS(), lookbackSec = 360)
+      .writeStream.format("memory").queryName("rollstream")
+      .option("checkpointLocation", s"$root/ckpt").outputMode("append").start()
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    val got = spark.sql("SELECT * FROM rollstream").as[RollingFeature].collect()
+      .map(r => (r.key, r.id, r.epoch, r.priorCount, r.priorSum, r.priorMax)).toSet
+    q.stop()
+    val expected = graft.operators.Aggregates.rollingFeatures(
+        all.toDF("key", "id", "epoch", "value")
+          .withColumn("ts", timestamp_seconds(col("epoch"))),
+        "key", "ts", "value", lookbackSec = 360, idCol = "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]),
+        Option(r.get(5)).map(_.asInstanceOf[Double]))).toSet
+    assert(got == expected)
+  }
+
+  test("capPerGroupStream: single-batch draw is bit-identical to batch; cap holds across batches") {
+    import graft.streaming.StatefulOps.KeyedRow
+    val root = Files.createTempDirectory("graft-cap").toString
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (1L to 40L).map(i => KeyedRow(if (i % 2 == 0) "a" else "b", i))
+    // single batch: same hash-rank draw as Sampling.capPerGroup
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[KeyedRow]
+    val q = StatefulOps.capPerGroupStream(input.toDS(), maxPerGroup = 5)
+      .writeStream.format("memory").queryName("capstream")
+      .option("checkpointLocation", s"$root/ckpt").outputMode("append").start()
+    input.addData(rows); q.processAllAvailable()
+    val got1 = spark.sql("SELECT * FROM capstream").as[KeyedRow].collect().toSet
+    val batch = graft.operators.Sampling.capPerGroup(
+        rows.toDF("group", "id"), "group", "id", maxPerGroup = 5)
+      .select("group", "id").as[KeyedRow].collect().toSet
+    assert(got1 == batch)
+    // second batch: groups are full — nothing further admitted
+    input.addData((41L to 60L).map(i => KeyedRow(if (i % 2 == 0) "a" else "b", i)))
+    q.processAllAvailable()
+    val got2 = spark.sql("SELECT * FROM capstream").as[KeyedRow].collect()
+    q.stop()
+    assert(got2.length == 10 && got2.toSet == got1)
+  }
+
   test("alertStreaks carries state across micro-batches (streaming mode)") {
     val root = Files.createTempDirectory("graft-streak").toString
     implicit val sqlCtx = spark.sqlContext
