@@ -547,6 +547,13 @@ object SparkEntry {
         .select("user_id", "event_id", "ts_epoch", "campaign_id", "start_epoch", "end_epoch")
     }),
 
+    // Sequence packing: concat-then-chunk into 512-token training
+    // sequences, 4 independent shards (shard count = the parallelism knob
+    // for the inherently sequential per-shard cumsum; see Packing).
+    "q50_sequence_packing" -> ((s, dir) =>
+      graft.operators.Packing.packSequences(t(s, dir, "documents"), "doc_id",
+        Text.tokenCount(col("text")), shards = 4, maxTokens = 512)),
+
     // Class balancing: at most 300 events per event_type, drawn by
     // hash-of-key rank (deterministic, not partition order).
     "q45_class_balanced_sample" -> ((s, dir) =>
@@ -1135,6 +1142,24 @@ object SparkEntry {
         |SELECT ev.user_id, ev.event_id, ev.ts_epoch, iv.campaign_id, iv.start_epoch, iv.end_epoch
         |FROM ev JOIN iv ON ev.user_id = iv.user_id
         | AND ev.ts_epoch >= iv.start_epoch AND ev.ts_epoch < iv.end_epoch""".stripMargin,
+
+    // Packing: identical hash order, pmod shard, window cumsum, floor-div
+    // pack math (all-double floor division — exact below 2^53).
+    "q50_sequence_packing" -> {
+      val h = duckHash("CAST(doc_id AS VARCHAR)")
+      s"""WITH d AS (SELECT doc_id,
+         |  CAST(len(string_split(text,' ')) AS BIGINT) AS tokens,
+         |  $h AS h, $h % 4 AS shard FROM documents),
+         |o AS (SELECT doc_id, shard, tokens,
+         |  COALESCE(sum(tokens) OVER (PARTITION BY shard ORDER BY h ASC, doc_id ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+         | FROM d)
+         |SELECT doc_id, shard, tokens, start_offset,
+         | CAST(floor(CAST(start_offset AS DOUBLE)/512.0) AS BIGINT) AS pack_id,
+         | CAST(floor((CAST(start_offset AS DOUBLE)+tokens-1.0)/512.0) AS BIGINT)
+         |  - CAST(floor(CAST(start_offset AS DOUBLE)/512.0) AS BIGINT) + 1 AS spans_packs
+         |FROM o""".stripMargin
+    },
 
     "q45_class_balanced_sample" -> {
       val h = duckHash("CAST(event_id AS VARCHAR)")

@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.functions.Hashing
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Sequence packing for LLM pretraining (training-data-pipeline extension):
+ * concatenate documents and split the token stream into fixed-length
+ * training sequences — the standard "concat then chunk" packing step. Each
+ * document gets its shard, its token start offset in the shard's
+ * concatenated stream, the id of the sequence containing its first token
+ * (`pack_id`), and how many sequences it straddles (`spans_packs`).
+ *
+ * Determinism: concatenation order is (stableHash60(id), id) within a
+ * shard — a portable pseudo-random shuffle (packing wants decorrelated
+ * neighbors), reproducible on any cluster or engine.
+ *
+ * Scale shape: a cumulative sum is inherently sequential, so packing runs
+ * PER SHARD — the window partitions by shard, and shard count is the
+ * parallelism knob (pick shards ≫ executor count at 100 TB; production
+ * packing jobs shard exactly like this). One shuffle on the shard key;
+ * everything else is narrow arithmetic on the running offset.
+ */
+object Packing {
+
+  /**
+   * @param tokenCount Column producing the document's token count (e.g.
+   *                   `Text.tokenCount(col("text"))`)
+   * @param shards     number of independent packing streams
+   * @param maxTokens  training-sequence length in tokens
+   */
+  def packSequences(docs: DataFrame, idCol: String, tokenCount: Column,
+                    shards: Int, maxTokens: Int): DataFrame = {
+    require(shards > 0 && maxTokens > 0, "shards and maxTokens must be positive")
+    val h = Hashing.stableHash60(col(idCol).cast("string"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val packOf = (offset: Column) => floor(offset / maxTokens).cast("long")
+    docs
+      .select(col(idCol), tokenCount.cast("long").as("tokens"),
+        pmod(h, lit(shards)).cast("long").as("shard"), h.as("__h"))
+      .withColumn("start_offset", coalesce(sum(col("tokens")).over(w), lit(0L)))
+      .select(col(idCol), col("shard"), col("tokens"), col("start_offset"),
+        packOf(col("start_offset")).as("pack_id"),
+        // sequences overlapped by token interval [start, start+tokens-1]
+        // (for a zero-token doc the degenerate interval reports 1, or 0
+        // exactly at a pack boundary — deterministic either way)
+        (packOf(col("start_offset") + col("tokens") - 1) -
+          packOf(col("start_offset")) + 1).as("spans_packs"))
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Packing
+import org.apache.spark.sql.functions._
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = (1L to 200L)
+    .map(i => (i, Seq.fill((i % 37).toInt + 1)("w").mkString(" ")))
+    .toDF("doc_id", "text")
+
+  private def pack(df: org.apache.spark.sql.DataFrame) =
+    Packing.packSequences(df, "doc_id", graft.functions.Text.tokenCount(col("text")),
+      shards = 3, maxTokens = 64)
+
+  test("offsets are contiguous per shard and tokens are conserved") {
+    val rows = pack(docs).collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getLong(2))) // (shard, start, tokens)
+    rows.groupBy(_._1).foreach { case (shard, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.head._2 == 0L, s"shard $shard must start at offset 0")
+      sorted.sliding(2).foreach {
+        case Array((_, s1, t1), (_, s2, _)) =>
+          assert(s2 == s1 + t1, s"shard $shard: gap at offset $s2")
+        case _ =>
+      }
+    }
+    val totalPacked = rows.map(_._3).sum
+    val totalInput = docs.select(sum(size(split(col("text"), " ")))).head.getLong(0)
+    assert(totalPacked == totalInput)
+  }
+
+  test("pack_id and spans follow the token interval arithmetic") {
+    pack(docs).collect().foreach { r =>
+      val (tokens, start, packId, spans) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(packId == start / 64)
+      assert(spans == (start + tokens - 1) / 64 - start / 64 + 1)
+      // a doc can straddle a boundary at both ends: ≤ (tokens-1)/L + 2
+      assert(spans >= 1 && spans <= (tokens - 1) / 64 + 2)
+    }
+  }
+
+  test("packing is independent of input partitioning (deterministic order)") {
+    val a = pack(docs).collect().map(_.toSeq).toSet
+    val b = pack(docs.repartition(7)).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+}
