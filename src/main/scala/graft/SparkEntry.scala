@@ -547,6 +547,28 @@ object SparkEntry {
         .select("user_id", "event_id", "ts_epoch", "campaign_id", "start_epoch", "end_epoch")
     }),
 
+    // Repetition stats (Gopher/C4-style quality signal): duplicate-3gram
+    // fraction per document — narrow projection, no shuffle.
+    "q51_repetition_stats" -> ((s, dir) => {
+      val total = greatest(Text.tokenCount(col("text")) - 2, lit(0)).cast("long")
+      val distinctN = size(Text.shingleSet(col("text"), 3)).cast("long")
+      t(s, dir, "documents").select(
+        col("doc_id"), total.as("total_3grams"), distinctN.as("distinct_3grams"),
+        when(total > 0,
+          lit(1.0) - distinctN.cast("double") / total.cast("double"))
+          .otherwise(0.0).as("repetition_ratio"))
+    }),
+
+    // Benchmark decontamination: max train-set Jaccard per test doc
+    // (test = doc_id % 10 == 0). Cross-set inverted index — exact, since
+    // jaccard > 0 requires a shared shingle (see Dedup scaladoc).
+    "q52_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.crossSetContamination(
+        docs.where(col("doc_id") % 10 =!= 0), docs.where(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 3)
+    }),
+
     // Sequence packing: concat-then-chunk into 512-token training
     // sequences, 4 independent shards (shard count = the parallelism knob
     // for the inherently sequential per-shard cumsum; see Packing).
@@ -1142,6 +1164,36 @@ object SparkEntry {
         |SELECT ev.user_id, ev.event_id, ev.ts_epoch, iv.campaign_id, iv.start_epoch, iv.end_epoch
         |FROM ev JOIN iv ON ev.user_id = iv.user_id
         | AND ev.ts_epoch >= iv.start_epoch AND ev.ts_epoch < iv.end_epoch""".stripMargin,
+
+    "q51_repetition_stats" ->
+      s"""SELECT doc_id,
+         | CAST(GREATEST(len(string_split(text,' ')) - 2, 0) AS BIGINT) AS total_3grams,
+         | CAST(len(${duckShingleSet("text", 3)}) AS BIGINT) AS distinct_3grams,
+         | CASE WHEN GREATEST(len(string_split(text,' ')) - 2, 0) > 0
+         |  THEN 1.0 - CAST(len(${duckShingleSet("text", 3)}) AS DOUBLE)
+         |        / CAST(GREATEST(len(string_split(text,' ')) - 2, 0) AS DOUBLE)
+         |  ELSE 0.0 END AS repetition_ratio
+         |FROM documents""".stripMargin,
+
+    // Contamination: the oracle is the plain cross-join argmax (shared ≥ 1
+    // pairs only — matching the inverted index's reachable pairs); jaccard
+    // division uses identical integer operands, so doubles are bit-equal.
+    "q52_contamination" ->
+      s"""WITH tr AS (SELECT doc_id, ${duckShingleSet("text", 3)} AS sh
+         |            FROM documents WHERE doc_id % 10 <> 0),
+         |te AS (SELECT doc_id, ${duckShingleSet("text", 3)} AS sh
+         |       FROM documents WHERE doc_id % 10 = 0),
+         |pairs AS (SELECT te.doc_id AS test_id, tr.doc_id AS train_id,
+         |   len(list_intersect(te.sh, tr.sh)) AS shared,
+         |   len(te.sh) AS size_t, len(tr.sh) AS size_r
+         |  FROM te CROSS JOIN tr),
+         |scored AS (SELECT test_id, train_id,
+         |   CAST(shared AS DOUBLE) / CAST(size_t + size_r - shared AS DOUBLE) AS jaccard
+         |  FROM pairs WHERE shared >= 1)
+         |SELECT test_id, jaccard AS contamination, train_id AS matched_train_id
+         |FROM (SELECT *, row_number() OVER (PARTITION BY test_id
+         |        ORDER BY jaccard DESC, train_id ASC) AS rn FROM scored)
+         |WHERE rn = 1""".stripMargin,
 
     // Packing: identical hash order, pmod shard, window cumsum, floor-div
     // pack math (all-double floor division — exact below 2^53).

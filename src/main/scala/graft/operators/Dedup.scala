@@ -110,6 +110,51 @@ object Dedup {
   }
 
   /**
+   * Benchmark decontamination: for every TEST (eval-set) document, the
+   * maximum n-gram Jaccard against any TRAIN document, with the matching
+   * train doc (ties → smallest id). Same inverted-index shape as
+   * [[jaccardPairsFromHashed]], but the in-bucket expansion builds only
+   * CROSS-SET (test × train) pairs — within-set pairs never materialize.
+   *
+   * The output is EXACT, not approximate: jaccard > 0 ⟺ ≥ 1 shared
+   * shingle, and every sharing pair co-occurs in that shingle's posting
+   * list. Test docs sharing no shingle with any train doc emit no row
+   * (contamination 0 by definition). `maxBucket` is the usual
+   * stop-shingle cap for 100 TB corpora — pairs sharing only
+   * ubiquitous shingles can't be meaningfully contaminated; the gate
+   * query runs uncapped so the oracle is a plain cross-join argmax.
+   */
+  def crossSetContamination(train: DataFrame, test: DataFrame, idCol: String,
+                            textCol: String, n: Int,
+                            maxBucket: Int = Int.MaxValue): DataFrame = {
+    val tr = hashedShingles(train, idCol, textCol, n)
+    val te = hashedShingles(test, idCol, textCol, n)
+    val sizesTr = tr.groupBy(col("id").as("train_id")).agg(count(lit(1)).as("size_r"))
+    val sizesTe = te.groupBy(col("id").as("test_id")).agg(count(lit(1)).as("size_t"))
+    val shared = tr.withColumn("side", lit(0)).unionByName(te.withColumn("side", lit(1)))
+      .groupBy("h")
+      .agg(collect_set(when(col("side") === 0, col("id"))).as("train_ids"),
+        collect_set(when(col("side") === 1, col("id"))).as("test_ids"))
+      .where(size(col("train_ids")) >= 1 && size(col("test_ids")) >= 1 &&
+        size(col("train_ids")) + size(col("test_ids")) <= maxBucket)
+      .select(explode(flatten(transform(col("test_ids"), t =>
+        transform(col("train_ids"), r =>
+          struct(t.as("test_id"), r.as("train_id")))))).as("p"))
+      .groupBy(col("p.test_id").as("test_id"), col("p.train_id").as("train_id"))
+      .agg(count(lit(1)).as("shared"))
+    val scored = shared
+      .join(sizesTe, Seq("test_id"))
+      .join(sizesTr, Seq("train_id"))
+      .withColumn("jaccard",
+        col("shared").cast("double") /
+          (col("size_t") + col("size_r") - col("shared")).cast("double"))
+    rankLimit(scored, Seq(col("test_id")),
+        Seq(col("jaccard").desc, col("train_id").asc), 1)
+      .select(col("test_id"), col("jaccard").as("contamination"),
+        col("train_id").as("matched_train_id"))
+  }
+
+  /**
    * MinHash signature: for each doc, numHashes minima of a universal hash
    * family over the portable 60-bit shingle hash. One aggregation shuffle;
    * signature width is a constant (numHashes longs per doc).

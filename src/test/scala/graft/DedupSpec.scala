@@ -99,6 +99,23 @@ class DedupSpec extends SparkSpec {
     assert(fp(1L) == fp(2L) && fp(1L) != fp(3L))
   }
 
+  test("crossSetContamination finds the planted train twin and ignores disjoint docs") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (3L, "red orange yellow green blue indigo")).toDF("doc_id", "text")
+    val test = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"), // identical to train 1
+      (11L, "one two three four nine ten eleven"),  // partial overlap with train 2
+      (12L, "cat dog fish bird mouse horse")).toDF("doc_id", "text") // disjoint
+    val got = graft.operators.Dedup
+      .crossSetContamination(train, test, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(got(10L) == ((1.0, 1L)))
+    assert(got(11L)._2 == 2L && got(11L)._1 > 0.0 && got(11L)._1 < 1.0)
+    assert(!got.contains(12L)) // no shared shingle → no row (contamination 0)
+  }
+
   test("normalized dedup collapses case/punctuation/spacing variants") {
     val variants = Seq(
       (1L, "Hello, World!"), (2L, "hello   world"), (3L, "HELLO-WORLD."),
