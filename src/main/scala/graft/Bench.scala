@@ -23,14 +23,31 @@ object Bench {
     // noop sink: forces FULL evaluation of every output column (count() would
     // let Catalyst prune the computed columns away and time an empty scan).
     // sorted: deterministic execution order keeps per-query numbers
-    // comparable across rounds (Map iteration order is hash-dependent)
-    val results = wanted.map { case (name, fn) =>
+    // comparable across rounds (Map iteration order is hash-dependent).
+    // TWO full passes, report the per-query MIN: round-3's driver run showed
+    // uniform ~2× inflation plus 6-8s spikes on trivial aggregations (q32:
+    // a from_json groupBy at 8.0s that costs 0.8s unloaded) — machine
+    // contention, not engine cost. Min-of-2 isolates the engine. Staging is
+    // RELEASED between passes so each pass pays the first-consumer staging
+    // materialization — the min never hides that real, once-per-deployment
+    // cost. The JSON carries "passes":2 so rounds are compared like-for-like.
+    def onePass(): Seq[(String, Double)] = wanted.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val pass1 = onePass()
+    SparkEntry.releaseStaged(spark) // pass 2 re-pays staging materialization
+    val pass2 = onePass()
+    val results = pass1.zip(pass2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
+    // ms precision, fixed notation: the driver parses the metric line out of
+    // a bounded tail of captured stdout (~2000 chars incl. sbt's trailing
+    // [success] line); full-precision doubles pushed the line to 2078 chars
+    // in round 3 and its HEAD fell out of the window → parsed:null. 3
+    // decimals keeps 52 queries + recall rows comfortably under the window.
+    def f3(v: Double): String = "%.3f".format(v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
 
@@ -68,15 +85,16 @@ object Bench {
       // omit the key entirely when the baseline is empty — 0/0 printed as
       // 0.0 would read as total bucketing failure instead of "nothing to
       // recall at this threshold on this corpus"
+      def f4(v: Double): String = "%.4f".format(v)
       val pairRecall =
         if (exactN == 0) ""
-        else s""","recall_neardup_np2":${bucketedPairs.intersect(exactPairs).count().toDouble / exactN}"""
-      s""","recall_ivf_at5":$r24,"recall_ivf_trained_at5":${recallOf(1)}""" +
-        s""","recall_ivf_trained_np4_at5":${recallOf(4)}""" + pairRecall
+        else s""","recall_neardup_np2":${f4(bucketedPairs.intersect(exactPairs).count().toDouble / exactN)}"""
+      s""","recall_ivf_at5":${f4(r24)},"recall_ivf_trained_at5":${f4(recallOf(1))}""" +
+        s""","recall_ivf_trained_np4_at5":${f4(recallOf(4))}""" + pairRecall
     } catch { case e: Throwable => System.err.println(s"[bench] recall failed: $e"); "" }
 
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$recalls,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","passes":2,"queries":$qs$recalls,"sf":"$sfDir"}"""
     SparkEntry.releaseStaged(spark) // past the last consumer — drop staging cache
     spark.stop()
     // PRIMARY channel: a file — stdout passes through sbt, whose [info]/log

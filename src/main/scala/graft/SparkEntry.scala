@@ -1203,8 +1203,8 @@ object SparkEntry {
          |  CAST(len(string_split(text,' ')) AS BIGINT) AS tokens,
          |  $h AS h, $h % 4 AS shard FROM documents),
          |o AS (SELECT doc_id, shard, tokens,
-         |  COALESCE(sum(tokens) OVER (PARTITION BY shard ORDER BY h ASC, doc_id ASC
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+         |  CAST(COALESCE(sum(tokens) OVER (PARTITION BY shard ORDER BY h ASC, doc_id ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
          | FROM d)
          |SELECT doc_id, shard, tokens, start_offset,
          | CAST(floor(CAST(start_offset AS DOUBLE)/512.0) AS BIGINT) AS pack_id,

@@ -292,13 +292,20 @@ object Similarity {
     val kEff = math.min(k, sample.length)
     val chosen = scala.collection.mutable.ArrayBuffer(0)
     val minDist = sample.map(cosDist(_, sample(0)))
-    while (chosen.size < kEff) {
+    var exhausted = false
+    while (chosen.size < kEff && !exhausted) {
       var best = 0; var bestD = -1.0
       var i = 0
       while (i < sample.length) { if (minDist(i) > bestD) { bestD = minDist(i); best = i }; i += 1 }
-      chosen += best
-      i = 0
-      while (i < sample.length) { val d = cosDist(sample(i), sample(best)); if (d < minDist(i)) minDist(i) = d; i += 1 }
+      // bestD == 0 ⇒ every unchosen sample point is directionally identical
+      // to a chosen centroid: stop rather than emit duplicates (which would
+      // silently shrink effective k while keeping k distinct vec_ids)
+      if (bestD <= 0.0) exhausted = true
+      else {
+        chosen += best
+        i = 0
+        while (i < sample.length) { val d = cosDist(sample(i), sample(best)); if (d < minDist(i)) minDist(i) = d; i += 1 }
+      }
     }
     val initRows: java.util.List[org.apache.spark.sql.Row] = new java.util.ArrayList()
     chosen.zipWithIndex.foreach { case (idx, i) =>

@@ -78,7 +78,17 @@ object JdbcStore {
     * the actual cardinality instead of silently hauling a mis-specified
     * group column (e.g. a row key) through driver memory. Keys then stream
     * via toLocalIterator in executeBatch chunks — driver footprint is one
-    * partition, not the full key set. */
+    * partition, not the full key set.
+    *
+    * Atomicity: ALL deletes run in ONE transaction (autocommit off, single
+    * commit after the last batch) — a failure mid-delete rolls back and
+    * leaves the table untouched. The delete transaction and the Spark
+    * append are still separate operations on separate connections: a crash
+    * BETWEEN them leaves the groups deleted but not yet rewritten. That
+    * window is inherent to delete+append over plain JDBC (Spark's writer
+    * manages its own connections); re-running the call converges because
+    * the operation is idempotent — callers needing stronger guarantees
+    * should write to a staging table and swap server-side. */
   def replaceGroups(spark: SparkSession, updated: DataFrame, url: String, table: String,
                     groupCol: String, props: Properties = new Properties,
                     columnTypes: String = "", maxGroups: Long = 100000L,
@@ -93,13 +103,21 @@ object JdbcStore {
           "for row-granularity upserts use appendIfAbsent or raise maxGroups explicitly")
       val conn = DriverManager.getConnection(url, props)
       try {
-        val ps = conn.prepareStatement(s"""DELETE FROM $table WHERE "$groupCol" = ?""")
-        var pending = 0
-        groups.toLocalIterator().forEachRemaining { r =>
-          ps.setObject(1, r.get(0)); ps.addBatch(); pending += 1
-          if (pending >= deleteBatchSize) { ps.executeBatch(); pending = 0 }
+        conn.setAutoCommit(false) // one transaction across every delete batch
+        try {
+          val ps = conn.prepareStatement(s"""DELETE FROM $table WHERE "$groupCol" = ?""")
+          var pending = 0
+          groups.toLocalIterator().forEachRemaining { r =>
+            ps.setObject(1, r.get(0)); ps.addBatch(); pending += 1
+            if (pending >= deleteBatchSize) { ps.executeBatch(); pending = 0 }
+          }
+          if (pending > 0) ps.executeBatch()
+          conn.commit()
+        } catch {
+          case e: Throwable =>
+            try conn.rollback() catch { case _: Throwable => () }
+            throw e
         }
-        if (pending > 0) ps.executeBatch()
       } finally conn.close()
     }
     val w = toWrite.write.mode("append")

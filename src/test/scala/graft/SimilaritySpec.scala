@@ -93,14 +93,27 @@ class SimilaritySpec extends SparkSpec {
     assert(cents.except(cents2).isEmpty && cents2.except(cents).isEmpty)
   }
 
-  test("trainCentroids keeps empty clusters at their stale position (k never shrinks)") {
-    // two distinct point clouds but k=4: at least two centroids end up
-    // memberless (ties assign to the smallest centroid id) — they must
-    // survive, not silently vanish
+  test("trainCentroids caps k at the distinct directions in the sample (no duplicate centroids)") {
+    // two distinct directions but k=4: farthest-point init must STOP once
+    // every unchosen sample point is directionally identical to a chosen
+    // centroid — emitting duplicates would keep 4 vec_ids while silently
+    // shrinking effective k (the round-3 advice item). Scaled copies count
+    // as the same direction under cosine.
     val vecs = ((0L until 10L).map(i => (i, Array.fill(4)(1f)))
-      ++ (10L until 20L).map(i => (i, Array.fill(4)(-1f)))).toDF("vec_id", "embedding")
+      ++ (10L until 15L).map(i => (i, Array.fill(4)(2f)))   // same direction, scaled
+      ++ (15L until 20L).map(i => (i, Array.fill(4)(-1f)))).toDF("vec_id", "embedding")
     val cents = Similarity.trainCentroids(vecs, k = 4, iters = 3)
-    assert(cents.count() == 4)
+    val rows = cents.collect().map(_.getSeq[Float](1).toArray)
+    assert(rows.length == 2)
+    // and the two survivors are genuinely distinct directions
+    val d = {
+      val a = rows(0); val b = rows(1)
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      1.0 - dot / (na * nb)
+    }
+    assert(d > 0.5)
   }
 
   test("multi-probe assignment widens the bucketed near-dup net") {
