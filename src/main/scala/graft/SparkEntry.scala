@@ -660,8 +660,91 @@ object SparkEntry {
           exactAvg(col("k").cast("double")).as("avg_k"),
           countIf(col("k") > 50).as("high_k_count"),
           count(lit(1)).as("event_count"))
+    }),
+
+    // PII redaction: scrub emails/IPs/phones from synthesized contact
+    // messages (the corpus has no organic PII — the fixture plants it
+    // deterministically from customer columns, same construction in the
+    // oracle). Narrow projection; counts audited on the ORIGINAL text.
+    "q53_pii_redaction" -> ((s, dir) => {
+      val msg = piiMessage(t(s, dir, "customer"))
+      msg.select(col("c_custkey"),
+        md5(Text.redactPii(col("msg"))).as("redacted_md5"),
+        Text.piiCount(col("msg"), Text.EmailPattern).as("n_emails"),
+        Text.piiCount(col("msg"), Text.IpPattern).as("n_ips"),
+        Text.piiCount(col("msg"), Text.PhonePattern).as("n_phones"))
+    }),
+
+    // Overlapping token chunks (RAG/context-window ingestion): 32-token
+    // windows advancing by 24 — zero-shuffle generator fan-out.
+    "q54_doc_chunks" -> ((s, dir) =>
+      graft.operators.Chunking.chunkByTokens(t(s, dir, "documents"),
+        "doc_id", "text", chunkSize = 32, stride = 24)),
+
+    // Quantile binning (feature discretization): decile of `value` from
+    // one percentile aggregation broadcast back — never a global-sort
+    // ntile. Gate aggregates per (event_type, bin).
+    "q55_value_deciles" -> ((s, dir) => {
+      import Aggregates._
+      withQuantileBins(t(s, dir, "events"), "value", DecileProbs)
+        .groupBy("event_type", "bin")
+        .agg(count(lit(1)).as("n_events"),
+          min("value").as("min_value"), max("value").as("max_value"))
+    }),
+
+    // Data-mixture construction: per-source quotas (up/down-sample blend),
+    // deterministic hash-of-key draw.
+    "q56_source_mixture" -> ((s, dir) =>
+      graft.operators.Sampling.mixtureSample(t(s, dir, "documents"),
+          "source", "doc_id", MixtureQuotas, defaultQuota = 3)
+        .select("source", "doc_id")),
+
+    // Vocabulary coverage: per-doc OOV rate against the corpus's own
+    // top-20 vocab (31 distinct tokens exist — the cutoff bites).
+    "q57_oov_rate" -> ((s, dir) =>
+      graft.operators.CorpusStats.oovStats(t(s, dir, "documents"),
+          "doc_id", "text", vocabSize = 20)
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          col("oov_count"), col("oov_rate"))),
+
+    // Embedding int8 quantization: per-vector symmetric scale; gate
+    // reduces the quantized array to scalar stats (position-weighted
+    // checksum pins every element and position).
+    "q58_embedding_quantize" -> ((s, dir) => {
+      val q = Similarity.quantizeInt8(t(s, dir, "embeddings"))
+      q.select(col("vec_id"), col("scale"),
+        size(col("qvec")).cast("long").as("n_dims"),
+        aggregate(transform(col("qvec"), (x, i) => x * (i.cast("long") + 1L)),
+          lit(0L), (acc, v) => acc + v).as("checksum"),
+        array_min(col("qvec")).as("q_min"),
+        array_max(col("qvec")).as("q_max"))
     })
   )
+
+  /** Deterministic PII-bearing message synthesized from customer columns —
+    * email always present, phone on 2/3 of rows, IP on 1/4 (concat_ws
+    * skips the NULL branches on both engines). */
+  private def piiMessage(customer: DataFrame): DataFrame =
+    customer.select(col("c_custkey"), col("c_nationkey"),
+      concat_ws(" ",
+        lit("user"), col("c_name"), lit("email"),
+        concat(lower(col("c_mktsegment")), lit("."),
+          col("c_custkey").cast("string"), lit("@corp.example")),
+        when(col("c_custkey") % 3 =!= 0,
+          concat(lit("phone 555-"),
+            lpad((col("c_custkey") % 10000).cast("string"), 4, "0"))),
+        when(col("c_custkey") % 4 === 0,
+          concat(lit("ip 10."), (col("c_custkey") % 223).cast("string"),
+            lit("."), (col("c_nationkey") % 250).cast("string"),
+            lit("."), ((col("c_custkey") * 7) % 250).cast("string")))
+      ).as("msg"))
+
+  /** Interior decile probabilities shared by q55's query and oracle. */
+  private val DecileProbs: Seq[Double] = (1 to 9).map(_ / 10.0)
+
+  /** Source quotas shared by q56's query and oracle. */
+  private val MixtureQuotas: Map[String, Int] =
+    Map("src0" -> 12, "src1" -> 8, "src2" -> 5)
 
   /** DuckDB twin of ngramJaccardPairs (n=3, threshold 0.5, uncapped);
     * shared by q18 and q36's component oracle. */
@@ -1231,6 +1314,103 @@ object SparkEntry {
          |FROM (SELECT *, $h % 10 AS h FROM events)
          |GROUP BY 1, event_type""".stripMargin
     },
+
+    // PII redaction: message synthesis + regex patterns mirror the Scala
+    // exactly (portable regex subset; DuckDB needs the explicit 'g' flag —
+    // its regexp_replace defaults to first-match, Spark's to all).
+    "q53_pii_redaction" ->
+      s"""WITH m AS (SELECT c_custkey,
+         | concat_ws(' ', 'user', c_name, 'email',
+         |  lower(c_mktsegment) || '.' || CAST(c_custkey AS VARCHAR) || '@corp.example',
+         |  CASE WHEN c_custkey % 3 <> 0 THEN 'phone 555-' ||
+         |    lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') END,
+         |  CASE WHEN c_custkey % 4 = 0 THEN 'ip 10.' ||
+         |    CAST(c_custkey % 223 AS VARCHAR) || '.' ||
+         |    CAST(c_nationkey % 250 AS VARCHAR) || '.' ||
+         |    CAST((c_custkey * 7) % 250 AS VARCHAR) END) AS msg
+         | FROM customer)
+         |SELECT c_custkey,
+         | md5(regexp_replace(regexp_replace(regexp_replace(msg,
+         |   '[a-z0-9._]+@[a-z0-9.]+', '[EMAIL]', 'g'),
+         |   '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '[IP]', 'g'),
+         |   '[0-9]{3}-[0-9]{4}', '[PHONE]', 'g')) AS redacted_md5,
+         | CAST(len(regexp_extract_all(msg, '[a-z0-9._]+@[a-z0-9.]+')) AS BIGINT) AS n_emails,
+         | CAST(len(regexp_extract_all(msg, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS BIGINT) AS n_ips,
+         | CAST(len(regexp_extract_all(msg, '[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones
+         |FROM m""".stripMargin,
+
+    // Chunking: identical integer-in-double chunk-count arithmetic;
+    // list_slice is 1-based inclusive and clamps, like Spark's slice.
+    "q54_doc_chunks" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS toks,
+         |  CAST(len(string_split(text,' ')) AS BIGINT) AS n FROM documents),
+         |c AS (SELECT doc_id, toks,
+         |  CASE WHEN n <= 32 THEN 1
+         |       ELSE CAST(floor((n - 32 + 24 - 1)/24.0) AS BIGINT) + 1 END AS nc FROM d),
+         |e AS (SELECT doc_id, toks, unnest(range(0, nc)) AS chunk_idx FROM c)
+         |SELECT doc_id, chunk_idx, chunk_idx*24 AS start_tok,
+         | CAST(len(list_slice(toks, chunk_idx*24+1, chunk_idx*24+32)) AS BIGINT) AS chunk_tokens,
+         | md5(array_to_string(list_slice(toks, chunk_idx*24+1, chunk_idx*24+32), ' ')) AS chunk_md5
+         |FROM e""".stripMargin,
+
+    // Deciles: quantile_cont shares percentile's interpolation formula
+    // bit-for-bit (q33 precedent); the bin comparison chain is unrolled in
+    // the same order as the Scala expression.
+    "q55_value_deciles" -> {
+      val probList = DecileProbs.mkString("[", ", ", "]")
+      val binChain = DecileProbs.indices
+        .map(i => s"(CASE WHEN value > bounds[${i + 1}] THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH b AS (SELECT quantile_cont(value, $probList) AS bounds FROM events),
+         |a AS (SELECT event_type, value,
+         |  $binChain + 1 AS bin
+         | FROM events, b)
+         |SELECT event_type, CAST(bin AS BIGINT) AS bin,
+         | CAST(count(*) AS BIGINT) AS n_events,
+         | min(value) AS min_value, max(value) AS max_value
+         |FROM a GROUP BY event_type, bin""".stripMargin
+    },
+
+    "q56_source_mixture" -> {
+      val h = duckHash("CAST(doc_id AS VARCHAR)")
+      val quotaCase = MixtureQuotas.toSeq.sortBy(_._1)
+        .map { case (g, q) => s"WHEN '$g' THEN $q" }.mkString(" ")
+      s"""SELECT source, doc_id FROM (
+         | SELECT source, doc_id,
+         |  row_number() OVER (PARTITION BY source
+         |                     ORDER BY $h ASC NULLS LAST, doc_id ASC NULLS LAST) AS rn
+         | FROM documents)
+         |WHERE rn <= CASE source $quotaCase ELSE 3 END""".stripMargin
+    },
+
+    "q57_oov_rate" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS token
+         |  FROM documents),
+         |tf AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+         |v AS (SELECT token, 1 AS in_vocab FROM tf
+         |      ORDER BY c DESC, token ASC LIMIT 20)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         | CAST(sum(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_count,
+         | CAST(sum(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |   / CAST(count(*) AS DOUBLE) AS oov_rate
+         |FROM tok LEFT JOIN v USING (token) GROUP BY doc_id""".stripMargin,
+
+    // Quantization: scale = max|x|/127 with the same association order;
+    // round-half-up as explicit floor(x/scale + 0.5) on both engines
+    // (round() builtins disagree half-even vs half-away). Spark's
+    // transform index is 0-based (+1); generate_subscripts is 1-based.
+    "q58_embedding_quantize" ->
+      s"""WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         |  generate_subscripts(embedding, 1) AS i FROM embeddings),
+         |s AS (SELECT vec_id, max(abs(x)) / 127.0 AS scale FROM e GROUP BY vec_id),
+         |q AS (SELECT e.vec_id, scale, i,
+         |  CASE WHEN scale = 0 THEN 0
+         |       ELSE CAST(floor(x / scale + 0.5) AS BIGINT) END AS qv
+         | FROM e JOIN s USING (vec_id))
+         |SELECT vec_id, scale, CAST(count(*) AS BIGINT) AS n_dims,
+         | CAST(sum(qv * i) AS BIGINT) AS checksum,
+         | CAST(min(qv) AS BIGINT) AS q_min, CAST(max(qv) AS BIGINT) AS q_max
+         |FROM q GROUP BY vec_id, scale""".stripMargin,
 
     "q38_city_trends" ->
       s"""WITH daily AS (

@@ -155,6 +155,31 @@ object Aggregates {
   }
 
   /**
+   * Quantile binning (feature discretization): assign each row the bucket
+   * implied by the column's own quantiles — bin i+1 holds values in
+   * (bounds[i-1], bounds[i]]. The scale-safe shape for 100 TB: boundaries
+   * come from ONE aggregation (partial-combinable percentile state — never
+   * a global sort or a single-partition ntile window over raw rows), land
+   * in a one-row frame broadcast to every executor, and assignment is a
+   * codegen'd comparison chain (bin = 1 + Σ_i [value > bounds_i], unrolled
+   * per probability at plan time — no interpreted lambda in the hot path).
+   * The exact `percentile` matches SQL `quantile_cont` bit-for-bit (same
+   * interpolation formula); swap in approx_percentile for billion-row
+   * groups, same call shape.
+   */
+  def withQuantileBins(df: DataFrame, valueCol: String, probs: Seq[Double],
+                       as: String = "bin"): DataFrame = {
+    require(probs.nonEmpty && probs == probs.sorted && probs.forall(p => p > 0 && p < 1),
+      "probs must be sorted interior probabilities")
+    val bounds = df.agg(
+      expr(s"percentile($valueCol, array(${probs.mkString(",")}))").as("__bounds"))
+    val bin = probs.indices
+      .map(i => when(col(valueCol) > col("__bounds").getItem(i), 1L).otherwise(0L))
+      .reduce(_ + _) + 1L
+    df.crossJoin(broadcast(bounds)).withColumn(as, bin).drop("__bounds")
+  }
+
+  /**
    * Value distribution with percent-of-total (A6/W1): groupBy(col).count +
    * unpartitioned window total. The window over () collapses to a single
    * partition — safe ONLY on post-aggregation cardinality (here: #distinct

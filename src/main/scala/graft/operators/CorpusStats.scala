@@ -62,4 +62,28 @@ object CorpusStats {
       .where(col("rank") <= k)
       .select(col("id"), col("rank"), col("token"), col("score"))
   }
+
+  /**
+   * Per-document out-of-vocabulary rate against the corpus's own top-k
+   * vocabulary — the coverage check run before committing to a tokenizer
+   * vocab (high OOV ⇒ the vocab under-serves that document/language
+   * slice). Tie-break at the vocab cutoff is deterministic (count desc,
+   * token asc — same rule as [[topVocabulary]]).
+   *
+   * Scale shape: the vocab is aggregated cardinality (k rows) and joins
+   * the exploded token stream as a BROADCAST — the occurrence stream never
+   * shuffles for the lookup, only for the final per-doc aggregation.
+   */
+  def oovStats(docs: DataFrame, idCol: String, textCol: String, vocabSize: Int): DataFrame = {
+    val vocab = topVocabulary(docs, textCol, vocabSize)
+      .select(col("token"), lit(1).as("__in_vocab"))
+    docs.select(col(idCol).as("id"), explode(Text.tokens(col(textCol))).as("token"))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("oov_count"))
+      .withColumn("oov_rate",
+        col("oov_count").cast("double") / col("n_tokens").cast("double"))
+  }
 }

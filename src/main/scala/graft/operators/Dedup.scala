@@ -35,9 +35,16 @@ object Dedup {
     * pushes down map-side (WindowGroupLimit) so each partition forwards at
     * most n rows per key. Used by keyed dedup and per-group sampling. */
   def rankLimit(df: DataFrame, partitionCols: Seq[Column], orderCols: Seq[Column],
-                n: Int): DataFrame = {
+                n: Int): DataFrame =
+    rankLimitKeep(df, partitionCols, orderCols, n, as = "__rn").drop("__rn")
+
+  /** rankLimit retaining the rank column (callers that post-filter on a
+    * per-group bound — e.g. mixture quotas — need the rank after the
+    * constant limit has done the map-side pruning). */
+  def rankLimitKeep(df: DataFrame, partitionCols: Seq[Column], orderCols: Seq[Column],
+                    n: Int, as: String): DataFrame = {
     val w = Window.partitionBy(partitionCols: _*).orderBy(orderCols: _*)
-    df.withColumn("__rn", row_number().over(w)).where(col("__rn") <= n).drop("__rn")
+    df.withColumn(as, row_number().over(w)).where(col(as) <= n)
   }
 
   /**

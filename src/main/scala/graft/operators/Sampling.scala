@@ -68,4 +68,38 @@ object Sampling {
       Seq(Hashing.stableHash60(col(keyCol).cast("string")).asc_nulls_last,
         col(keyCol).asc_nulls_last),
       maxPerGroup)
+
+  /**
+   * Data-mixture construction: per-group quotas instead of capPerGroup's
+   * uniform cap — "12 docs from src0, 8 from src1, 3 from everything
+   * else" is exactly how pretraining blends weight sources (up-sample
+   * curated corpora, down-sample crawl). The draw per group is the same
+   * deterministic hash-of-key rank. Groups smaller than their quota
+   * contribute everything (standard mixture behavior — weights are caps,
+   * not guarantees).
+   *
+   * One shuffle on the group column. The rank limit stays map-side
+   * pushable (WindowGroupLimit) via the CONSTANT max-quota bound; the
+   * per-group quota then filters post-window — so each partition forwards
+   * at most max(quota) rows per group, and the variable part never blocks
+   * the pushdown.
+   */
+  def mixtureSample(df: DataFrame, groupCol: String, keyCol: String,
+                    quotas: Map[String, Int], defaultQuota: Int): DataFrame = {
+    require(defaultQuota >= 0 && quotas.values.forall(_ >= 0), "quotas must be >= 0")
+    val maxQuota = (quotas.values.toSeq :+ defaultQuota).max
+    // deterministic branch order (sorted keys) — map iteration order must
+    // never decide the expression tree
+    val quota = quotas.toSeq.sortBy(_._1)
+      .foldLeft(Option.empty[Column]) { case (acc, (g, q)) =>
+        Some(acc.fold(when(col(groupCol) === g, q))(_.when(col(groupCol) === g, q)))
+      }
+      .fold(lit(defaultQuota))(_.otherwise(defaultQuota))
+    Dedup.rankLimitKeep(df, Seq(col(groupCol)),
+        Seq(Hashing.stableHash60(col(keyCol).cast("string")).asc_nulls_last,
+          col(keyCol).asc_nulls_last),
+        maxQuota, as = "__rn")
+      .where(col("__rn") <= quota)
+      .drop("__rn")
+  }
 }

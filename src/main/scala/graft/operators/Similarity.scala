@@ -252,6 +252,29 @@ object Similarity {
   }
 
   /**
+   * Symmetric per-vector int8 quantization — the storage/serving form of
+   * an embedding corpus (4× smaller than float32; recall loss is
+   * negligible at 8 bits for cosine retrieval). scale = max|x|/127;
+   * q_i = floor(x_i/scale + 0.5) ∈ [−127, 127] (round-half-up written as
+   * an explicit floor so external SQL reproduces it bit-for-bit — the
+   * engines' round() builtins disagree on half-even vs half-away).
+   * All-zero vectors quantize to all-zero with scale 0.
+   *
+   * Scale shape: one narrow projection, zero shuffles — the max, the
+   * division and the rounding all run inside the row over the array
+   * (100 TB quantizes at scan speed). Output: vec_id, scale, qvec.
+   */
+  def quantizeInt8(vectors: DataFrame, idCol: String = "vec_id",
+                   embCol: String = "embedding"): DataFrame = {
+    val xd = transform(col(embCol), x => x.cast("double"))
+    val maxabs = array_max(transform(xd, x => abs(x)))
+    val qvec = when(maxabs === 0.0d, transform(xd, _ => lit(0L)))
+      .otherwise(transform(xd, x => floor(x / (maxabs / 127.0d) + 0.5d)))
+    vectors.select(col(idCol).as("vec_id"),
+      (maxabs / 127.0d).as("scale"), qvec.as("qvec"))
+  }
+
+  /**
    * Deterministic Lloyd's k-means over the embedding column, so IVF/near-dup
    * bucketing is self-contained (no externally supplied centroids).
    *
@@ -260,7 +283,9 @@ object Similarity {
    *    smallest md5(vec_id) (a seedless, order-independent draw) are pulled
    *    to the driver, the first centroid is the smallest-hash vector, and
    *    each next centroid is the sample point maximizing its min cosine
-   *    distance to those already chosen (ties → earlier hash order). The
+   *    distance to those already chosen (ties → earlier hash order; selection
+   *    stops early when every unchosen point is directionally identical to a
+   *    chosen one — k caps at the sample's distinct directions). The
    *    driver collect is BOUNDED by the sample size, never by the corpus —
    *    the k-means|| oversample-then-refine shape, and it fixes the
    *    round-2 defect where arbitrary-draw init clustered the seeds and

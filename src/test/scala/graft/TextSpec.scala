@@ -82,4 +82,32 @@ class TextSpec extends SparkSpec {
       assert(r.getString(1) == r.getString(0)) // idempotent
     }
   }
+
+  test("redactPii scrubs emails, IPs and phones; counts audit the original") {
+    val rows = Seq(
+      (1L, "mail bob.smith99@corp.example now"),
+      (2L, "srv at 10.0.255.7 and 192.168.1.1"),
+      (3L, "call 555-0142 twice 555-9999"),
+      (4L, "nothing sensitive here"),
+      (5L, "x@y.z from 1.2.3.4 dial 123-4567"))
+      .toDF("id", "msg")
+      .select(col("id"), Text.redactPii(col("msg")).as("red"),
+        Text.piiCount(col("msg"), Text.EmailPattern).as("e"),
+        Text.piiCount(col("msg"), Text.IpPattern).as("i"),
+        Text.piiCount(col("msg"), Text.PhonePattern).as("p"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows(1L) == (("mail [EMAIL] now", 1L, 0L, 0L)))
+    assert(rows(2L) == (("srv at [IP] and [IP]", 0L, 2L, 0L)))
+    assert(rows(3L) == (("call [PHONE] twice [PHONE]", 0L, 0L, 2L)))
+    assert(rows(4L) == (("nothing sensitive here", 0L, 0L, 0L)))
+    assert(rows(5L) == (("[EMAIL] from [IP] dial [PHONE]", 1L, 1L, 1L)))
+  }
+
+  test("redactPii replacement order: emails go before the number patterns eat them") {
+    // digits+dots inside an email local part must not be IP-redacted
+    val red = Seq(Tuple1("reach 1.2.3.4aa@host.example ok")).toDF("msg")
+      .select(Text.redactPii(col("msg"))).collect().head.getString(0)
+    assert(red == "reach [EMAIL] ok")
+  }
 }

@@ -1,0 +1,131 @@
+package graft
+
+import graft.operators.{Aggregates, Chunking, CorpusStats, Sampling, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Semantic corners of the round-4 training-pipeline operators (all five
+  * are also oracle-gated via q54-q58 — these pin properties the synthetic
+  * corpus may not exercise: exact chunk layouts, quota edges, degenerate
+  * vectors, partitioning-independence). */
+class TrainingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- Chunking ----
+
+  test("chunkByTokens layout: counts, offsets, overlap and tail clamp") {
+    // 10 tokens, chunkSize 4, stride 3 → chunks at 0,3,6 cover 0..9 with
+    // 1-token overlap; final chunk is full here (6+4=10)
+    val docs = Seq((1L, (0 until 10).map("t" + _).mkString(" "))).toDF("doc_id", "text")
+    val got = Chunking.chunkByTokens(docs, "doc_id", "text", chunkSize = 4, stride = 3)
+      .orderBy("chunk_idx")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((0L, 0L, 4L), (1L, 3L, 4L), (2L, 6L, 4L)))
+    // 11 tokens → one more window with a clamped 2-token tail
+    val docs11 = Seq((1L, (0 until 11).map("t" + _).mkString(" "))).toDF("doc_id", "text")
+    val tail = Chunking.chunkByTokens(docs11, "doc_id", "text", 4, 3)
+      .orderBy("chunk_idx").collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(tail.toSeq == Seq((0L, 4L), (3L, 4L), (6L, 4L), (9L, 2L)))
+  }
+
+  test("chunkByTokens: short docs yield exactly one chunk; every token is covered") {
+    val docs = Seq((1L, "a b"), (2L, "x")).toDF("doc_id", "text")
+    val one = Chunking.chunkByTokens(docs, "doc_id", "text", 8, 5).collect()
+    assert(one.length == 2 && one.forall(_.getLong(1) == 0L))
+    // coverage: with stride <= chunkSize, chunk spans tile [0, n)
+    val long = Seq((1L, (0 until 23).map("w" + _).mkString(" "))).toDF("doc_id", "text")
+    val spans = Chunking.chunkByTokens(long, "doc_id", "text", 7, 4)
+      .collect().map(r => (r.getLong(2), r.getLong(2) + r.getLong(3)))
+    val covered = spans.flatMap { case (s, e) => s until e }.toSet
+    assert(covered == (0L until 23L).toSet)
+  }
+
+  // ---- Quantile binning ----
+
+  test("withQuantileBins: bins are monotone in value and balanced on a uniform column") {
+    val df = (1 to 1000).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val binned = Aggregates.withQuantileBins(df, "v", (1 to 9).map(_ / 10.0))
+    val rows = binned.orderBy("v").collect().map(r => (r.getDouble(1), r.getLong(2)))
+    // monotone: sorting by value never decreases the bin
+    assert(rows.sliding(2).forall { case Array((_, a), (_, b)) => a <= b; case _ => true })
+    val counts = binned.groupBy("bin").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == (1L to 10L).toSet)
+    assert(counts.values.forall(c => c >= 99 && c <= 101)) // deciles of 1..1000
+  }
+
+  test("withQuantileBins is partitioning-independent") {
+    val df = (1 to 500).map(i => (i.toLong, (i * 37 % 101).toDouble)).toDF("id", "v")
+    val a = Aggregates.withQuantileBins(df, "v", Seq(0.25, 0.5, 0.75))
+      .select("id", "bin").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Aggregates.withQuantileBins(df.repartition(7), "v", Seq(0.25, 0.5, 0.75))
+      .select("id", "bin").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
+  // ---- Mixture sampling ----
+
+  test("mixtureSample honors per-group quotas, default quota, and small groups") {
+    val df = (0 until 100).map(i => (i.toLong, s"g${i % 4}"))
+      .toDF("id", "grp") // 25 rows per group
+      .union(Seq((1000L, "tiny")).toDF("id", "grp")) // 1-row group
+    val got = Sampling.mixtureSample(df, "grp", "id",
+      Map("g0" -> 10, "g1" -> 5), defaultQuota = 2)
+    val counts = got.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("g0" -> 10L, "g1" -> 5L, "g2" -> 2L, "g3" -> 2L, "tiny" -> 1L))
+  }
+
+  test("mixtureSample draw is deterministic under repartitioning") {
+    val df = (0 until 200).map(i => (i.toLong, s"g${i % 3}")).toDF("id", "grp")
+    val a = Sampling.mixtureSample(df, "grp", "id", Map("g0" -> 7), 4)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.mixtureSample(df.repartition(11), "grp", "id", Map("g0" -> 7), 4)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
+  // ---- OOV rate ----
+
+  test("oovStats counts occurrences outside the top-k vocab") {
+    // 'a' x6, 'b' x4, 'c' x2 → vocab(2) = {a, b}; c is OOV
+    val docs = Seq(
+      (1L, "a a a b b c"),
+      (2L, "a a a b b c")).toDF("doc_id", "text")
+    val got = CorpusStats.oovStats(docs, "doc_id", "text", vocabSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSet == Set((1L, 6L, 1L, 1.0 / 6.0), (2L, 6L, 1L, 1.0 / 6.0)))
+  }
+
+  test("oovStats vocab cutoff tie-breaks lexicographically") {
+    // b and c tie at 2 occurrences; vocabSize 2 keeps {a, b} (token asc)
+    val docs = Seq((1L, "a a a b b c c")).toDF("doc_id", "text")
+    val got = CorpusStats.oovStats(docs, "doc_id", "text", vocabSize = 2).collect()
+    assert(got.head.getLong(2) == 2L) // only the two c's are OOV
+  }
+
+  // ---- Int8 quantization ----
+
+  test("quantizeInt8 round-trips within half a scale step and hits the extremes") {
+    val vecs = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, -1.0f)),
+      (2L, Array(0.003f, 0.001f, -0.002f, 0.004f))).toDF("vec_id", "embedding")
+    val rows = Similarity.quantizeInt8(vecs).collect()
+    for (r <- rows) {
+      val scale = r.getDouble(1)
+      val q = r.getSeq[Long](2)
+      assert(q.forall(v => v >= -127 && v <= 127))
+      assert(q.max == 127L || q.min == -127L) // max-|x| element maps to an extreme
+      val orig = vecs.where(col("vec_id") === r.getLong(0))
+        .collect().head.getSeq[Float](1)
+      orig.zip(q).foreach { case (x, qi) =>
+        assert(math.abs(x.toDouble - qi * scale) <= scale / 2 + 1e-12)
+      }
+    }
+  }
+
+  test("quantizeInt8 maps the all-zero vector to zeros with scale 0") {
+    val vecs = Seq((1L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.quantizeInt8(vecs).collect().head
+    assert(r.getDouble(1) == 0.0 && r.getSeq[Long](2).forall(_ == 0L))
+  }
+}
