@@ -41,12 +41,14 @@ object Bench {
     SparkEntry.releaseStaged(spark) // pass 2 re-pays staging materialization
     val pass2 = onePass()
     val results = pass1.zip(pass2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
-    // ms precision, fixed notation: the driver parses the metric line out of
-    // a bounded tail of captured stdout (~2000 chars incl. sbt's trailing
-    // [success] line); full-precision doubles pushed the line to 2078 chars
-    // in round 3 and its HEAD fell out of the window → parsed:null. 3
-    // decimals keeps 52 queries + recall rows comfortably under the window.
-    def f3(v: Double): String = "%.3f".format(v)
+    // centisecond precision, fixed notation: the driver parses the metric
+    // line out of a bounded tail of captured stdout (2000 chars incl. sbt's
+    // ~71-char trailing [success] line → ≈1928 usable); full-precision
+    // doubles pushed round 3's line to 2078 chars and its HEAD fell out of
+    // the window → parsed:null. Two decimals keeps 58 queries + recall rows
+    // under the window with margin; finer timing than 10 ms is machine
+    // noise at this scale anyway.
+    def f3(v: Double): String = "%.2f".format(v)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -50,4 +50,33 @@ class PlanShapeSpec extends SparkSpec {
       withClue(q)(assert(!plan(q).contains("BroadcastNestedLoopJoin")))
     }
   }
+
+  test("redaction, chunking and quantization stay zero-shuffle projections") {
+    Seq("q53_pii_redaction", "q54_doc_chunks").foreach { q =>
+      withClue(q)(assert(!plan(q).contains("Exchange hashpartitioning")))
+    }
+    // q58 reduces the quantized array inside the row — the only exchange
+    // is none at all (narrow scan → project)
+    withClue("q58_embedding_quantize")(
+      assert(!plan("q58_embedding_quantize").contains("Exchange hashpartitioning")))
+  }
+
+  test("quantile binning broadcasts the one-row bounds frame, never sorts globally") {
+    val p = plan("q55_value_deciles")
+    assert(p.contains("BroadcastExchange"))
+    // the W1 anti-pattern this operator exists to avoid: a global-sort
+    // ntile window over the raw event stream. (A SinglePartition exchange
+    // DOES legitimately appear — under the percentile aggregate, carrying
+    // one partial state per partition, not raw rows.)
+    // (substring chosen to not match "perce-ntile(" in the aggregate)
+    assert(!p.contains("Window [ntile") && !p.contains(" ntile("))
+    assert(!p.contains("Sort [value"))
+  }
+
+  test("mixture sampling and OOV keep their map-side prunes") {
+    withClue("q56_source_mixture")(
+      assert(plan("q56_source_mixture").contains("WindowGroupLimit")))
+    withClue("q57_oov_rate")(
+      assert(plan("q57_oov_rate").contains("BroadcastHashJoin")))
+  }
 }
