@@ -83,12 +83,20 @@ object ScaleProbe {
       val tAssignHier = time(noop(Similarity.assignToCentroidsHier(em, centroids)))
       val tVocab = time(noop(graft.operators.CorpusStats.topVocabulary(docs, "text", 100)))
       val tTfidf = time(noop(graft.operators.CorpusStats.tfIdfTopTerms(docs, "doc_id", "text", 5)))
+      // round-4 prep ops: chunk/redact/quantize are narrow (expect flat to
+      // linear); oov is one broadcast-lookup + per-doc agg (linear)
+      val tChunk = time(noop(graft.operators.Chunking.chunkByTokens(docs, "doc_id", "text", 32, 24)))
+      val tRedact = time(noop(docs.select(col("doc_id"),
+        md5(graft.functions.Text.redactPii(col("text"))).as("m"))))
+      val tOov = time(noop(graft.operators.CorpusStats.oovStats(docs, "doc_id", "text", 100)))
+      val tQuant = time(noop(Similarity.quantizeInt8(em)))
 
       println(s"""{"n":$n,"exact_dedup":$tExact,"minhash_sig":$tSig,"lsh_cands":$tLsh,""" +
         s""""simhash_pairs":$tSim,"jaccard_capped":$tJac,"ivf_knn":$tIvf,"embed_neardup":$tNd,""" +
         s""""embed_neardup_np2":$tNd2,"components":$tCc,"kmeans_train":$tTrain,""" +
         s""""assign_flat":$tAssignFlat,"assign_hier":$tAssignHier,""" +
-        s""""vocab_topk":$tVocab,"tfidf_terms":$tTfidf}""")
+        s""""vocab_topk":$tVocab,"tfidf_terms":$tTfidf,""" +
+        s""""chunking":$tChunk,"redact":$tRedact,"oov":$tOov,"quantize":$tQuant}""")
       docs.unpersist(); em.unpersist()
     }
     spark.stop()

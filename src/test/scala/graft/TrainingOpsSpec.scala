@@ -128,4 +128,33 @@ class TrainingOpsSpec extends SparkSpec {
     val r = Similarity.quantizeInt8(vecs).collect().head
     assert(r.getDouble(1) == 0.0 && r.getSeq[Long](2).forall(_ == 0L))
   }
+
+  // ---- Streaming compatibility ----
+
+  test("redact + chunk compose as stateless streaming transforms, batch-identical") {
+    // the prep ops are narrow projections, so the SAME operator call runs
+    // on a readStream frame — no batch/streaming twin needed; pin that the
+    // streamed output matches the batch run on identical input
+    val root = java.nio.file.Files.createTempDirectory("graft-prep-stream").toString
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    def prep(df: org.apache.spark.sql.DataFrame) =
+      Chunking.chunkByTokens(
+        df.select(col("doc_id"), graft.functions.Text.redactPii(col("text")).as("text")),
+        "doc_id", "text", chunkSize = 4, stride = 3)
+    val q = prep(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("prep_stream")
+      .option("checkpointLocation", s"$root/ckpt").outputMode("append").start()
+    val rows = Seq(
+      (1L, "contact me at bob@corp.example for the data drop today ok"),
+      (2L, "server 10.2.3.4 rebooted at dawn"))
+    input.addData(rows)
+    q.processAllAvailable()
+    val streamed = spark.sql("SELECT * FROM prep_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(4))).toSet
+    q.stop()
+    val batch = prep(rows.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(4))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
 }
