@@ -75,7 +75,12 @@ object CorpusStats {
    * shuffles for the lookup, only for the final per-doc aggregation.
    */
   def oovStats(docs: DataFrame, idCol: String, textCol: String, vocabSize: Int): DataFrame = {
-    val vocab = topVocabulary(docs, textCol, vocabSize)
+    // rank by occurrence count only — topVocabulary's doc-frequency join
+    // would cost a second corpus scan + aggregation without changing the
+    // cutoff (the ranking ignores doc_freq)
+    val vocab = tokenFrequencies(docs, textCol)
+      .orderBy(col("occurrences").desc, col("token").asc)
+      .limit(vocabSize)
       .select(col("token"), lit(1).as("__in_vocab"))
     docs.select(col(idCol).as("id"), explode(Text.tokens(col(textCol))).as("token"))
       .join(broadcast(vocab), Seq("token"), "left")
