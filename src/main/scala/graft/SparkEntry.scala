@@ -707,6 +707,12 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_tokens"),
           col("oov_count"), col("oov_rate"))),
 
+    // Cleaning funnel: ordered quality cascade with first-failure
+    // attribution (thresholds chosen so every stage drops >0 docs at
+    // sf0.01: 58/17/27/1, 397 pass).
+    "q59_filter_funnel" -> ((s, dir) =>
+      graft.operators.Cleaning.funnelReport(t(s, dir, "documents"), funnelStages)),
+
     // Embedding int8 quantization: per-vector symmetric scale; gate
     // reduces the quantized array to scalar stats (position-weighted
     // checksum pins every element and position).
@@ -741,6 +747,19 @@ object SparkEntry {
 
   /** Interior decile probabilities shared by q55's query and oracle. */
   private val DecileProbs: Seq[Double] = (1 to 9).map(_ / 10.0)
+
+  /** q59's cleaning cascade (keep-predicates, first failure wins). The
+    * ratio predicates are built with the exact association order the
+    * oracle uses (int counts cast to double, one division). */
+  private def funnelStages: Seq[(String, Column)] = {
+    val ntok = Text.tokenCount(col("text"))
+    Seq(
+      "too_short" -> (col("n_chars") >= 120),
+      "too_few_tokens" -> (ntok >= 25),
+      "low_stopword" -> (Text.stopwordRatio(col("text")) > 0.02),
+      "high_repetition" -> (size(Text.shingleSet(col("text"), 3)).cast("double") /
+        (ntok - 2).cast("double") >= 0.97))
+  }
 
   /** Source quotas shared by q56's query and oracle. */
   private val MixtureQuotas: Map[String, Int] =
@@ -1411,6 +1430,28 @@ object SparkEntry {
          | CAST(sum(qv * i) AS BIGINT) AS checksum,
          | CAST(min(qv) AS BIGINT) AS q_min, CAST(max(qv) AS BIGINT) AS q_max
          |FROM q GROUP BY vec_id, scale""".stripMargin,
+
+    // Funnel: first-failing-stage CASE chain in the exact stage order and
+    // with the same int-counts-cast-to-double ratio construction.
+    "q59_filter_funnel" ->
+      s"""WITH d AS (SELECT n_chars,
+         |  CAST(len(string_split(text,' ')) AS BIGINT) AS ntok,
+         |  CAST(len(list_filter(string_split(text,' '),
+         |    t -> t IN ('the','a','of','and','to'))) AS BIGINT) AS sw,
+         |  CAST(len(${duckShingleSet("text", 3)}) AS BIGINT) AS d3
+         | FROM documents),
+         |s AS (SELECT CASE
+         |  WHEN NOT (n_chars >= 120) THEN 0
+         |  WHEN NOT (ntok >= 25) THEN 1
+         |  WHEN NOT (CAST(sw AS DOUBLE)/CAST(ntok AS DOUBLE) > 0.02) THEN 2
+         |  WHEN NOT (CAST(d3 AS DOUBLE)/CAST(ntok - 2 AS DOUBLE) >= 0.97) THEN 3
+         |  ELSE 4 END AS idx FROM d)
+         |SELECT CAST(idx AS BIGINT) AS drop_stage_idx,
+         | CASE idx WHEN 0 THEN 'too_short' WHEN 1 THEN 'too_few_tokens'
+         |          WHEN 2 THEN 'low_stopword' WHEN 3 THEN 'high_repetition'
+         |          ELSE 'pass' END AS drop_stage,
+         | CAST(count(*) AS BIGINT) AS n_docs
+         |FROM s GROUP BY idx""".stripMargin,
 
     "q38_city_trends" ->
       s"""WITH daily AS (

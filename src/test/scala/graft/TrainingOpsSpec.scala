@@ -129,6 +129,29 @@ class TrainingOpsSpec extends SparkSpec {
     assert(r.getDouble(1) == 0.0 && r.getSeq[Long](2).forall(_ == 0L))
   }
 
+  // ---- Cleaning funnel ----
+
+  test("funnelReport charges each doc to its FIRST failing stage; counts sum to corpus") {
+    import graft.operators.Cleaning
+    val docs = Seq(
+      (1L, 5L, 1L),   // fails both stages -> charged to the first only
+      (2L, 50L, 1L),  // passes len, fails tokens
+      (3L, 50L, 9L),  // passes all
+      (4L, 5L, 9L))   // fails len
+      .toDF("id", "chars", "toks")
+    val stages = Seq(
+      "short" -> (col("chars") >= 10L),
+      "few_tokens" -> (col("toks") >= 5L))
+    val rep = Cleaning.funnelReport(docs, stages).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(rep == Map("short" -> 2L, "few_tokens" -> 1L, "pass" -> 1L))
+    assert(rep.values.sum == 4L)
+    val kept = Cleaning.survivors(docs, stages).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L))
+    // survivors keep the original schema (stage columns dropped)
+    assert(Cleaning.survivors(docs, stages).columns.toSeq == Seq("id", "chars", "toks"))
+  }
+
   // ---- Streaming compatibility ----
 
   test("redact + chunk compose as stateless streaming transforms, batch-identical") {
