@@ -713,6 +713,11 @@ object SparkEntry {
     "q59_filter_funnel" -> ((s, dir) =>
       graft.operators.Cleaning.funnelReport(t(s, dir, "documents"), funnelStages)),
 
+    // Label-noise screen: per-vector margin between the own-class centroid
+    // and the nearest other class (negative = probable mislabel).
+    "q60_label_margins" -> ((s, dir) =>
+      Similarity.labelMargins(t(s, dir, "embeddings"))),
+
     // Embedding int8 quantization: per-vector symmetric scale; gate
     // reduces the quantized array to scalar stats (position-weighted
     // checksum pins every element and position).
@@ -1430,6 +1435,33 @@ object SparkEntry {
          | CAST(sum(qv * i) AS BIGINT) AS checksum,
          | CAST(min(qv) AS BIGINT) AS q_min, CAST(max(qv) AS BIGINT) AS q_max
          |FROM q GROUP BY vec_id, scale""".stripMargin,
+
+    // Label margins: centroid means follow the exactAvg shape
+    // (decimal-sum → double → /count → float round); cosine is the q22
+    // left-fold list_reduce twin of the codegen expression.
+    "q60_label_margins" ->
+      s"""WITH x AS (SELECT label, generate_subscripts(embedding, 1) AS i,
+         |  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+         |m AS (SELECT label, i,
+         |  CAST(CAST(sum(CAST(x AS DECIMAL(28,8))) AS DOUBLE)/count(x) AS FLOAT) AS m
+         | FROM x GROUP BY label, i),
+         |c AS (SELECT label AS c_label,
+         |  list(CAST(m AS DOUBLE) ORDER BY i) AS centroid FROM m GROUP BY label),
+         |v AS (SELECT vec_id, label,
+         |  list_transform(embedding, e -> CAST(e AS DOUBLE)) AS e FROM embeddings),
+         |s AS (SELECT vec_id, v.label, c_label,
+         |  list_reduce(list_transform(list_zip(e, centroid), z -> z[1]*z[2]), (a,b) -> a+b)
+         |  / (sqrt(list_reduce(list_transform(e, q -> q*q), (a,b) -> a+b))
+         |     * sqrt(list_reduce(list_transform(centroid, q -> q*q), (a,b) -> a+b))) AS cos
+         | FROM v, c),
+         |o AS (SELECT vec_id, label, c_label, cos,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_label ASC) AS rn
+         | FROM s WHERE c_label <> label)
+         |SELECT own.vec_id, own.label, own.cos AS own_cos,
+         | o.c_label AS nearest_other_label, o.cos AS other_cos,
+         | own.cos - o.cos AS margin
+         |FROM (SELECT vec_id, label, cos FROM s WHERE c_label = label) own
+         |JOIN o ON own.vec_id = o.vec_id AND o.rn = 1""".stripMargin,
 
     // Funnel: first-failing-stage CASE chain in the exact stage order and
     // with the same int-counts-cast-to-double ratio construction.

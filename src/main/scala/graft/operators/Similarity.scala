@@ -275,6 +275,60 @@ object Similarity {
   }
 
   /**
+   * Per-label mean embeddings (class centroids) — the aggregated artifact
+   * behind label-space diagnostics. Means run through DECIMAL sums cast to
+   * double before the (double/count) division, then round to float — the
+   * exactAvg shape, order-independent and reproducible in external SQL
+   * (decimal÷count division rules differ between engines; double division
+   * does not). One aggregation; output cardinality = |labels|.
+   */
+  def labelCentroids(vectors: DataFrame, labelCol: String = "label",
+                     embCol: String = "embedding"): DataFrame =
+    vectors
+      .select(col(labelCol).as("label"), posexplode(col(embCol)).as(Seq("i", "xf")))
+      .select(col("label"), col("i"), col("xf").cast("double").as("x"))
+      .groupBy("label", "i")
+      .agg((sum(col("x").cast("decimal(28,8)")).cast("double") / count(col("x")))
+        .cast("float").as("m"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+        s => s.getField("m")).as("centroid"))
+
+  /**
+   * Label-noise / class-separation diagnostics: for every vector, cosine
+   * to its OWN class centroid, the nearest OTHER class (ties → smallest
+   * label), and the margin between them. Negative margin = the vector sits
+   * closer to another class's centroid than its own — the standard cheap
+   * mislabel screen run before training on a labeled corpus.
+   *
+   * Scale shape: the centroid set (|labels| rows) collapses to a ONE-ROW
+   * broadcast array, so scoring is a narrow per-row pass (|labels| codegen
+   * cosines inside the row) — zero shuffles over the corpus; only the
+   * centroid aggregation itself shuffles (dimension-cardinality rows).
+   */
+  def labelMargins(vectors: DataFrame, labelCol: String = "label",
+                   embCol: String = "embedding"): DataFrame = {
+    val centsArr = labelCentroids(vectors, labelCol, embCol)
+      .agg(array_sort(collect_list(struct(col("label"), col("centroid")))).as("cents"))
+    val scores = transform(col("cents"), c =>
+      struct(c.getField("label").as("c_label"),
+        VectorExprs.cosine(col(embCol), c.getField("centroid")).as("cos")))
+    val own = element_at(filter(col("scores"), s =>
+      s.getField("c_label") === col("label")), 1).getField("cos")
+    val bestOther = array_max(transform(filter(col("scores"), s =>
+      s.getField("c_label") =!= col("label")), s =>
+      struct(s.getField("cos").as("cos"), (-s.getField("c_label")).as("nl"))))
+    vectors.select(col("vec_id"), col(labelCol).as("label"), col(embCol))
+      .crossJoin(broadcast(centsArr))
+      .withColumn("scores", scores)
+      .select(col("vec_id"), col("label"),
+        own.as("own_cos"),
+        (-bestOther.getField("nl")).cast("int").as("nearest_other_label"),
+        bestOther.getField("cos").as("other_cos"),
+        (own - bestOther.getField("cos")).as("margin"))
+  }
+
+  /**
    * Deterministic Lloyd's k-means over the embedding column, so IVF/near-dup
    * bucketing is self-contained (no externally supplied centroids).
    *

@@ -129,6 +129,35 @@ class TrainingOpsSpec extends SparkSpec {
     assert(r.getDouble(1) == 0.0 && r.getSeq[Long](2).forall(_ == 0L))
   }
 
+  // ---- Label margins ----
+
+  test("labelMargins flags a planted mislabel with a negative margin") {
+    val rnd = new scala.util.Random(11)
+    val protoA = Array.fill(8)(rnd.nextFloat() + 2f)
+    val protoB = Array.fill(8)(rnd.nextFloat() - 3f)
+    def near(p: Array[Float]) = p.map(x => x + rnd.nextFloat() * 0.01f)
+    val vecs = ((0L until 10L).map(i => (i, near(protoA), 0))
+      ++ (10L until 20L).map(i => (i, near(protoB), 1))
+      ++ Seq((99L, near(protoA), 1))) // A-cluster vector labeled B
+      .toDF("vec_id", "embedding", "label")
+    val m = Similarity.labelMargins(vecs)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getInt(3), r.getDouble(5))).toMap
+    assert(m(99L)._3 < 0)             // mislabel: own-class cos < other
+    assert(m(99L)._2 == 0)            // nearest other class is the true one
+    (0L until 20L).foreach(i => assert(m(i)._3 > 0, s"vec $i"))
+  }
+
+  test("labelMargins is partitioning-independent") {
+    val rnd = new scala.util.Random(13)
+    val vecs = (0L until 60L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.labelMargins(df).collect()
+        .map(r => (r.getLong(0), r.getDouble(2), r.getInt(3), r.getDouble(5))).toSet
+    assert(run(vecs) == run(vecs.repartition(13)))
+  }
+
   // ---- Cleaning funnel ----
 
   test("funnelReport charges each doc to its FIRST failing stage; counts sum to corpus") {
