@@ -672,7 +672,8 @@ object SparkEntry {
         md5(Text.redactPii(col("msg"))).as("redacted_md5"),
         Text.piiCount(col("msg"), Text.EmailPattern).as("n_emails"),
         Text.piiCount(col("msg"), Text.IpPattern).as("n_ips"),
-        Text.piiCount(col("msg"), Text.PhonePattern).as("n_phones"))
+        Text.piiCount(col("msg"), Text.PhonePattern).as("n_phones"),
+        Text.bpeishTokenCount(col("msg")).as("n_bpeish_tokens"))
     }),
 
     // Overlapping token chunks (RAG/context-window ingestion): 32-token
@@ -1360,7 +1361,8 @@ object SparkEntry {
          |   '[0-9]{3}-[0-9]{4}', '[PHONE]', 'g')) AS redacted_md5,
          | CAST(len(regexp_extract_all(msg, '[a-z0-9._]+@[a-z0-9.]+')) AS BIGINT) AS n_emails,
          | CAST(len(regexp_extract_all(msg, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS BIGINT) AS n_ips,
-         | CAST(len(regexp_extract_all(msg, '[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones
+         | CAST(len(regexp_extract_all(msg, '[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+         | CAST(len(regexp_extract_all(msg, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpeish_tokens
          |FROM m""".stripMargin,
 
     // Chunking: identical integer-in-double chunk-count arithmetic;

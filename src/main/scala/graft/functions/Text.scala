@@ -34,6 +34,19 @@ object Text {
   def tokenOccurrences(text: Column, word: String): Column =
     size(filter(tokens(text), t => t === word))
 
+  /**
+   * BPE-style pre-tokenizer count: letter runs, digit runs, and individual
+   * punctuation marks each count as one token — the GPT-2 pre-tokenization
+   * shape, which is what LLM cost/length accounting needs (whitespace
+   * counting undercounts structured text: "555-0042" is one whitespace
+   * token but three BPE-ish ones). The alternatives are disjoint character
+   * classes, so leftmost-first vs leftmost-longest regex engines agree.
+   */
+  val BpeishTokenPattern: String = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishTokenPattern), lit(0))).cast("long")
+
   /** Word n-gram shingles: ["a","b","c","d"], n=3 → ["a b c","b c d"].
     * Empty array when the document has fewer than n tokens. Native codegen
     * single-pass implementation (graft.expressions.WordShingles) — the

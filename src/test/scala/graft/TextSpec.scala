@@ -104,6 +104,18 @@ class TextSpec extends SparkSpec {
     assert(rows(5L) == (("[EMAIL] from [IP] dial [PHONE]", 1L, 1L, 1L)))
   }
 
+  test("bpeishTokenCount splits letter runs, digit runs and punctuation marks") {
+    val got = Seq(
+      (1L, "a1-b2.c"),              // a,1,-,b,2,.,c
+      (2L, "plain words only"),     // 3 — equals whitespace count on clean text
+      (3L, "Call 555-0042 now!"),   // Call,555,-,0042,now,!
+      (4L, ""))                     // empty -> 0
+      .toDF("id", "t")
+      .select(col("id"), graft.functions.Text.bpeishTokenCount(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 7L, 2L -> 3L, 3L -> 6L, 4L -> 0L))
+  }
+
   test("redactPii replacement order: emails go before the number patterns eat them") {
     // digits+dots inside an email local part must not be IP-redacted
     val red = Seq(Tuple1("reach 1.2.3.4aa@host.example ok")).toDF("msg")
