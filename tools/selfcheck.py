@@ -47,8 +47,16 @@ for qdir in sorted(glob.glob(f"{outdir}/q*")):
         continue
     exact = True
     approx = True
+    typefail = False
     for c in s.columns:
         sv, dv = s[c], d[c]
+        # int-on-one-side / float-on-the-other coerces clean here but the
+        # DRIVER hashes the typed values ('36' vs '36.0') and flips red —
+        # exactly how the round-3 q50 HUGEINT->float64 slip hid locally
+        if (sv.dtype.kind == "f") != (dv.dtype.kind == "f"):
+            print(f"{name:32s} TYPE MISMATCH col {c}: spark={sv.dtype} duck={dv.dtype}"
+                  " (numerically equal would STILL fail the driver hash)")
+            typefail = True
         if sv.dtype.kind == "f" or dv.dtype.kind == "f":
             sa, da = sv.astype(float).values, dv.astype(float).values
             if not np.array_equal(sa, da, equal_nan=True):
@@ -59,6 +67,9 @@ for qdir in sorted(glob.glob(f"{outdir}/q*")):
             if not sv.astype(str).equals(dv.astype(str)):
                 exact = False
                 approx = False
+    if typefail:
+        fails += 1
+        continue
     if exact:
         print(f"{name:32s} EXACT ({len(s)} rows)")
     elif approx:
