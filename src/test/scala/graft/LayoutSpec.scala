@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.Layout
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference Morton interleave (the obvious bit-twiddling twin). */
+  private def zRef(a: Long, b: Long, bits: Int): Long =
+    (0 until bits).map(i => (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))).sum
+
+  test("zorderKey matches the reference interleave and is monotone per coordinate") {
+    val pts = for (a <- 0L until 16L; b <- 0L until 16L) yield (a, b)
+    val got = pts.toDF("a", "b")
+      .select(col("a"), col("b"), Layout.zorderKey(col("a"), col("b"), bitsPer = 4).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pts.foreach { case (a, b) => assert(got((a, b)) == zRef(a, b, 4), s"($a,$b)") }
+    // fixing one coordinate, z is strictly increasing in the other
+    for (b <- 0L until 16L; a <- 1L until 16L)
+      assert(got((a, b)) > got((a - 1, b)))
+    // all 256 cells distinct (bijective on the 4-bit grid)
+    assert(got.values.toSet.size == 256)
+  }
+
+  test("z-ordered layout prunes files for point predicates on EITHER column") {
+    // 64x64 grid; 16 files. Sorted-by-a layout would give every file the
+    // full b range (no pruning on b); the Z layout tiles the grid so a
+    // point predicate on a OR b overlaps only a fraction of the files.
+    val root = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val grid = (for (a <- 0L until 64L; b <- 0L until 64L) yield (a, b)).toDF("a", "b")
+    Layout.writeZOrdered(grid, s"$root/z", "a", "b", numFiles = 16, bitsPer = 6)
+
+    // per-file min/max footer stats, as a reader's file-skipping would see
+    val stats = spark.read.parquet(s"$root/z")
+      .select(input_file_name().as("f"), col("a"), col("b"))
+      .groupBy("f")
+      .agg(min("a").as("a_lo"), max("a").as("a_hi"), min("b").as("b_lo"), max("b").as("b_hi"))
+      .collect()
+    assert(stats.length > 8) // layout actually produced many files
+    def overlapping(c: String, v: Long): Int = stats.count { r =>
+      val lo = r.getAs[Long](s"${c}_lo"); val hi = r.getAs[Long](s"${c}_hi")
+      lo <= v && v <= hi
+    }
+    // a point predicate on either column must skip at least half the files
+    assert(overlapping("a", 13L) <= stats.length / 2)
+    assert(overlapping("b", 47L) <= stats.length / 2)
+  }
+}
