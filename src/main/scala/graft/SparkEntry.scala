@@ -412,6 +412,17 @@ object SparkEntry {
       Dedup.jaccardVerify(lshCandidatesShared(s, dir), t(s, dir, "documents"),
         "doc_id", "text", n = 3, threshold = 0.5)),
 
+    // Cross-split leakage audit: the q39 near-dup pairs whose sides land in
+    // DIFFERENT hash splits (80/10/10 on doc_id, same assignment as q43) —
+    // the duplicate-shaped train/test contamination that split assignment
+    // alone cannot prevent. The split label is a pure function of the id,
+    // so this adds zero joins/shuffles over the pair pipeline.
+    "q61_split_leakage" -> ((s, dir) =>
+      graft.operators.Sampling.crossSplitLeakage(
+        Dedup.jaccardVerify(lshCandidatesShared(s, dir), t(s, dir, "documents"),
+          "doc_id", "text", n = 3, threshold = 0.5),
+        "id_a", "id_b", Seq("train" -> 8, "val" -> 1, "test" -> 1))),
+
     // End-to-end SimHash near-dup: 60-bit signatures (full informative
     // width of the 60-bit token hash → four uniform 15-bit chunks),
     // pigeonhole chunk candidates, exact Hamming ≤ 3 filter (pigeonhole
@@ -1039,6 +1050,20 @@ object SparkEntry {
       s"""SELECT j.id_a, j.id_b, j.jaccard
          |FROM ($jaccardPairsSql) j
          |JOIN ($lshCandidatesSql) c USING (id_a, id_b)""".stripMargin,
+
+    // q39 pairs labeled by the q43 hash split on each side; keep pairs whose
+    // sides disagree (split is a pure function of the id — no corpus join).
+    "q61_split_leakage" -> {
+      def sp(c: String) = {
+        val h = s"${duckHash(s"CAST($c AS VARCHAR)")} % 10"
+        s"CASE WHEN $h < 8 THEN 'train' WHEN $h < 9 THEN 'val' ELSE 'test' END"
+      }
+      s"""SELECT j.id_a, j.id_b, j.jaccard,
+         | ${sp("j.id_a")} AS split_a, ${sp("j.id_b")} AS split_b
+         |FROM ($jaccardPairsSql) j
+         |JOIN ($lshCandidatesSql) c USING (id_a, id_b)
+         |WHERE ${sp("j.id_a")} <> ${sp("j.id_b")}""".stripMargin
+    },
 
     "q21_simhash_signatures" -> {
       val bitSums = (0 until 32)

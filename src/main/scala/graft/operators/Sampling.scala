@@ -70,6 +70,28 @@ object Sampling {
       maxPerGroup)
 
   /**
+   * Cross-split leakage audit: near-duplicate pairs that span different
+   * dataset splits — the duplicate-shaped train/test contamination that
+   * split assignment alone cannot prevent (two near-identical documents
+   * hash to different splits, and the test member leaks the train member's
+   * content). Takes ANY pair frame (id_a, id_b, score…) — minhash, simhash
+   * or embedding near-dups — and labels each side with the SAME
+   * deterministic hash split as [[assignSplits]], keeping only pairs whose
+   * sides disagree.
+   *
+   * Scale shape: the split label is a pure function of the id, so this is
+   * a zero-shuffle narrow projection over the (already sub-quadratic) pair
+   * pipeline's output — no join back to the corpus, nothing new
+   * materializes at 100 TB beyond the pair stream itself.
+   */
+  def crossSplitLeakage(pairs: DataFrame, idA: String, idB: String,
+                        splits: Seq[(String, Int)]): DataFrame =
+    pairs
+      .withColumn("split_a", splitColumn(col(idA), splits))
+      .withColumn("split_b", splitColumn(col(idB), splits))
+      .where(col("split_a") =!= col("split_b"))
+
+  /**
    * Data-mixture construction: per-group quotas instead of capPerGroup's
    * uniform cap — "12 docs from src0, 8 from src1, 3 from everything
    * else" is exactly how pretraining blends weight sources (up-sample

@@ -83,6 +83,28 @@ class AsOfSamplingSpec extends SparkSpec {
     assert(small.count() == 30)
   }
 
+  test("crossSplitLeakage keeps exactly the pairs whose sides split apart") {
+    val splits = Seq("train" -> 8, "val" -> 1, "test" -> 1)
+    // all ordered pairs over a small id range: the expected answer is
+    // derivable row-by-row from assignSplits itself
+    val ids = spark.range(60).toDF("id")
+    val pairs = ids.select(col("id").as("id_a"))
+      .crossJoin(ids.select(col("id").as("id_b")))
+      .where(col("id_a") < col("id_b"))
+    val leak = Sampling.crossSplitLeakage(pairs, "id_a", "id_b", splits)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val label = Sampling.assignSplits(ids, "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = (for {
+      a <- 0L until 60L; b <- a + 1 until 60L if label(a) != label(b)
+    } yield (a, b)).toSet
+    assert(leak == expected)
+    // labels attached to the output agree with assignSplits per side
+    val row = Sampling.crossSplitLeakage(pairs, "id_a", "id_b", splits).head
+    assert(row.getAs[String]("split_a") == label(row.getAs[Long]("id_a")))
+    assert(row.getAs[String]("split_b") == label(row.getAs[Long]("id_b")))
+  }
+
   test("hashSample keeps a stable ~fraction and is a subset across runs") {
     val df = spark.range(10000).toDF("id")
     val s1 = Sampling.hashSample(df, "id", 1, 10).collect().map(_.getLong(0)).toSet

@@ -46,9 +46,16 @@ class PlanShapeSpec extends SparkSpec {
     // the only sanctioned BNLJ is the broadcast query/centroid scoring in
     // the similarity queries; the text near-dup paths must have none
     Seq("q18_ngram_jaccard_pairs", "q39_minhash_neardup_pairs",
-      "q40_simhash_neardup_pairs", "q41_ngram_jaccard_capped").foreach { q =>
+      "q40_simhash_neardup_pairs", "q41_ngram_jaccard_capped",
+      "q61_split_leakage").foreach { q =>
       withClue(q)(assert(!plan(q).contains("BroadcastNestedLoopJoin")))
     }
+  }
+
+  test("split-leakage labeling adds zero exchanges over the pair pipeline") {
+    def exchanges(p: String) = p.linesIterator.count(_.contains("Exchange "))
+    assert(exchanges(plan("q61_split_leakage")) ==
+      exchanges(plan("q39_minhash_neardup_pairs")))
   }
 
   test("redaction, chunking and quantization stay zero-shuffle projections") {
