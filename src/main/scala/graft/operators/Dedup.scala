@@ -136,7 +136,46 @@ object Dedup {
                             maxBucket: Int = Int.MaxValue): DataFrame = {
     val tr = hashedShingles(train, idCol, textCol, n)
     val te = hashedShingles(test, idCol, textCol, n)
-    val sizesTr = tr.groupBy(col("id").as("train_id")).agg(count(lit(1)).as("size_r"))
+    contaminationFromHashed(tr, tr, te, maxBucket)
+  }
+
+  /**
+   * [[crossSetContamination]] with a broadcast Bloom prefilter on the train
+   * shingle stream — the 100 TB shape. The eval set is tiny next to the
+   * training corpus, so its distinct shingle hashes fit a 2-probe bitmap
+   * ([[graft.expressions.BloomExprs]], m/8 bytes broadcast); train shingles
+   * that miss the bitmap are dropped AT THE SCAN, before the posting-list
+   * shuffle that dominates the exact plan. Results are bit-identical to the
+   * exact operator: a shared shingle is by definition in the test set,
+   * hence in the bitmap (no false negatives), and Bloom false positives
+   * reach a posting list with no test partner and emit nothing. Only
+   * |train set| sizes still need the full stream — a partial-aggregated
+   * count whose shuffle carries per-doc combiners, not occurrences.
+   */
+  def bloomContamination(train: DataFrame, test: DataFrame, idCol: String,
+                         textCol: String, n: Int, mBits: Int = 1 << 20,
+                         maxBucket: Int = Int.MaxValue): DataFrame = {
+    import graft.expressions.BloomExprs
+    // two consumers (bitmap build action + the pair pipeline): eager
+    // checkpoint, or the shingle explode re-runs per consumer
+    val te = hashedShingles(test, idCol, textCol, n).localCheckpoint()
+    val words = BloomExprs.buildBitmap(te, "h", mBits)
+    val trFull = hashedShingles(train, idCol, textCol, n)
+    val trHits = trFull.where(BloomExprs.mightContain(col("h"), words, mBits))
+    contaminationFromHashed(trHits, trFull, te, maxBucket)
+  }
+
+  /**
+   * Shared contamination core over hashed shingle streams. `trPairs` feeds
+   * the posting-list pair expansion (may be prefiltered — dropping train
+   * shingles absent from the test set cannot change any pair count);
+   * `trSizes` must be the UNFILTERED stream, since |train set| is the
+   * Jaccard denominator.
+   */
+  private[graft] def contaminationFromHashed(trPairs: DataFrame, trSizes: DataFrame,
+                                             te: DataFrame, maxBucket: Int): DataFrame = {
+    val tr = trPairs
+    val sizesTr = trSizes.groupBy(col("id").as("train_id")).agg(count(lit(1)).as("size_r"))
     val sizesTe = te.groupBy(col("id").as("test_id")).agg(count(lit(1)).as("size_t"))
     val shared = tr.withColumn("side", lit(0)).unionByName(te.withColumn("side", lit(1)))
       .groupBy("h")

@@ -116,6 +116,48 @@ class DedupSpec extends SparkSpec {
     assert(!got.contains(12L)) // no shared shingle → no row (contamination 0)
   }
 
+  test("bloomContamination is bit-identical to the exact operator and prunes the stream") {
+    // real corpus slice: train vs eval split of the sf0.001 documents table
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val train = docs.where(col("doc_id") % 10 =!= 0)
+    val test = docs.where(col("doc_id") % 10 === 0)
+    val exact = Dedup.crossSetContamination(train, test, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val bloom = Dedup.bloomContamination(train, test, "doc_id", "text", n = 3,
+      mBits = 1 << 16)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(bloom == exact) // FPs verified away, no FNs possible → identical
+
+    // the filter actually prunes: train shingles surviving the bitmap are a
+    // strict subset when train and test vocabularies mostly differ
+    val te = Dedup.hashedShingles(test, "doc_id", "text", 3).localCheckpoint()
+    val words = graft.expressions.BloomExprs.buildBitmap(te, "h", 1 << 16)
+    val tr = Dedup.hashedShingles(train, "doc_id", "text", 3)
+    val total = tr.count()
+    val survived = tr.where(
+      graft.expressions.BloomExprs.mightContain(col("h"), words, 1 << 16)).count()
+    assert(survived < total / 2, s"expected <50% survivors, got $survived/$total")
+  }
+
+  test("BitmapContains matches inserted hashes exactly (no false negatives)") {
+    import graft.expressions.BloomExprs
+    // strict codegen: a janino failure in doGenCode must THROW here, not
+    // silently fall back to interpreted eval
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val inserted = spark.range(1000).select(
+        graft.functions.Hashing.stableHash60(col("id").cast("string")).as("h"))
+      val words = BloomExprs.buildBitmap(inserted, "h", 1 << 16)
+      // every inserted hash hits — membership is exact for insertions
+      assert(inserted.where(!BloomExprs.mightContain(col("h"), words, 1 << 16)).count() == 0)
+      // a disjoint hash population mostly misses (FP rate ~ (1-e^(-2n/m))^2 ≈ 0.1%)
+      val other = spark.range(10000, 20000).select(
+        graft.functions.Hashing.stableHash60(col("id").cast("string")).as("h"))
+      val fp = other.where(BloomExprs.mightContain(col("h"), words, 1 << 16)).count()
+      assert(fp < 100, s"false-positive count $fp out of 10000 is implausibly high")
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("normalized dedup collapses case/punctuation/spacing variants") {
     val variants = Seq(
       (1L, "Hello, World!"), (2L, "hello   world"), (3L, "HELLO-WORLD."),
