@@ -90,13 +90,24 @@ object ScaleProbe {
         md5(graft.functions.Text.redactPii(col("text"))).as("m"))))
       val tOov = time(noop(graft.operators.CorpusStats.oovStats(docs, "doc_id", "text", 100)))
       val tQuant = time(noop(Similarity.quantizeInt8(em)))
+      // decontamination: exact vs bloom-prefiltered at a FIXED small eval
+      // set (the production shape — train grows, eval doesn't). The bloom
+      // run's advantage should widen with n as the prefilter drops an
+      // ever-larger train stream before the posting-list shuffle.
+      val evalSet = docs.where(col("doc_id") < 200)
+      val trainSet = docs.where(col("doc_id") >= 200)
+      val tContExact = time(noop(
+        Dedup.crossSetContamination(trainSet, evalSet, "doc_id", "text", 3)))
+      val tContBloom = time(noop(
+        Dedup.bloomContamination(trainSet, evalSet, "doc_id", "text", 3)))
 
       println(s"""{"n":$n,"exact_dedup":$tExact,"minhash_sig":$tSig,"lsh_cands":$tLsh,""" +
         s""""simhash_pairs":$tSim,"jaccard_capped":$tJac,"ivf_knn":$tIvf,"embed_neardup":$tNd,""" +
         s""""embed_neardup_np2":$tNd2,"components":$tCc,"kmeans_train":$tTrain,""" +
         s""""assign_flat":$tAssignFlat,"assign_hier":$tAssignHier,""" +
         s""""vocab_topk":$tVocab,"tfidf_terms":$tTfidf,""" +
-        s""""chunking":$tChunk,"redact":$tRedact,"oov":$tOov,"quantize":$tQuant}""")
+        s""""chunking":$tChunk,"redact":$tRedact,"oov":$tOov,"quantize":$tQuant,""" +
+        s""""contam_exact":$tContExact,"contam_bloom":$tContBloom}""")
       docs.unpersist(); em.unpersist()
     }
     spark.stop()

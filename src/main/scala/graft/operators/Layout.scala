@@ -46,4 +46,47 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /**
+   * Small-file compaction: rewrite a parquet directory into files of
+   * ~`targetBytes` each, sized from the table's ACTUAL on-disk bytes (not
+   * a row-count guess — row width varies wildly across text/embedding
+   * tables). The small-file problem is the operational failure mode of
+   * streaming sinks at scale: a table appended in minute micro-batches
+   * becomes millions of KB-files, and every scan pays per-file
+   * open/footer/listing costs that dwarf the data read. One round-robin
+   * shuffle (or a range shuffle when `clusterBy` is set, which also
+   * restores min/max locality on that column for post-compaction
+   * pruning), written to a staging dir and swapped in with two FileSystem
+   * renames — readers never observe a half-written table.
+   *
+   * Returns the output file count.
+   */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetBytes: Long = 128L << 20,
+              clusterBy: Option[String] = None): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(p).getLength
+    val numFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+
+    val df = spark.read.parquet(path)
+    val shaped = clusterBy match {
+      case Some(c) => df.repartitionByRange(numFiles, col(c)).sortWithinPartitions(c)
+      case None    => df.repartition(numFiles)
+    }
+    val staging = new org.apache.hadoop.fs.Path(path + "__compacting")
+    val retired = new org.apache.hadoop.fs.Path(path + "__retired")
+    fs.delete(staging, true); fs.delete(retired, true)
+    shaped.write.mode("overwrite").parquet(staging.toString)
+    // swap: old table out, staging in — two metadata renames, no copy
+    if (!fs.rename(p, retired)) sys.error(s"compact: could not retire $path")
+    if (!fs.rename(staging, p)) {
+      fs.rename(retired, p) // roll back — leave the table as it was
+      sys.error(s"compact: could not activate staging for $path")
+    }
+    fs.delete(retired, true)
+    numFiles
+  }
 }

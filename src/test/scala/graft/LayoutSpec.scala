@@ -46,4 +46,45 @@ class LayoutSpec extends SparkSpec {
     assert(overlapping("a", 13L) <= stats.length / 2)
     assert(overlapping("b", 47L) <= stats.length / 2)
   }
+
+  test("compact rewrites a fragmented table into few files, content intact") {
+    val root = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val path = s"$root/t"
+    spark.range(50000).selectExpr("id", "id % 97 AS k")
+      .repartition(64) // the streaming-sink fragmentation shape
+      .write.parquet(path)
+    def dataFiles = new java.io.File(path).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).toSeq
+    assert(dataFiles.size == 64)
+    val before = spark.read.parquet(path).orderBy("id").collect()
+
+    val target = dataFiles.map(_.length()).sum / 4 // aim for ~4 files
+    val n = Layout.compact(spark, path, targetBytes = target)
+    assert(n >= 3 && n <= 6, s"expected ~4 output files, planned $n")
+    assert(dataFiles.size == n) // table actually swapped in
+    // no staging/retired leftovers
+    assert(!new java.io.File(path + "__compacting").exists())
+    assert(!new java.io.File(path + "__retired").exists())
+    // content identical
+    assert(spark.read.parquet(path).orderBy("id").collect().sameElements(before))
+  }
+
+  test("compact with clusterBy restores min/max locality on the cluster column") {
+    val root = java.nio.file.Files.createTempDirectory("graft-compactc").toString
+    val path = s"$root/t"
+    // round-robin-fragmented: every small file spans the whole key range,
+    // so footer stats prune nothing
+    spark.range(40000).selectExpr("id", "id % 1000 AS k")
+      .repartition(32).write.parquet(path)
+    val bytes = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    Layout.compact(spark, path, targetBytes = bytes / 8, clusterBy = Some("id"))
+    val stats = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("id").as("lo"), max("id").as("hi")).collect()
+    assert(stats.length >= 4)
+    // clustered: a point predicate overlaps exactly one file's range
+    val hits = stats.count(r => r.getAs[Long]("lo") <= 20000L && 20000L <= r.getAs[Long]("hi"))
+    assert(hits == 1, s"expected 1 overlapping file, got $hits")
+  }
 }
