@@ -132,6 +132,21 @@ object Aggregates {
   }
 
   /**
+   * Bounded-state distinct counting for 100 TB groups — the cardinality
+   * twin of [[approxPercentiles]]. Exact `count(DISTINCT x)` plans an
+   * Expand plus a second aggregation whose state holds every distinct
+   * value per group — fine when the gate query counts a 5-value column,
+   * fatal counting users over a billion-event group. HLL++ keeps a
+   * fixed-size sketch per group (state O(1/rsd²), independent of
+   * cardinality) with ~rsd relative error. Same call shape as an exact
+   * groupBy so callers swap exact↔approx with one word.
+   */
+  def approxDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                     rsd: Double = 0.023): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(approx_count_distinct(col(valueCol), rsd).as(s"approx_distinct_$valueCol"))
+
+  /**
    * Rolling point-in-time entity features: for every row, aggregates over
    * the same key's rows in the `lookbackSec` seconds STRICTLY BEFORE it
    * (range frame [−lookback, −1] on epoch seconds) — "user's activity in

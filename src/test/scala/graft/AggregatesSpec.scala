@@ -68,6 +68,24 @@ class AggregatesSpec extends SparkSpec {
     assert(avg == 0.1)
   }
 
+  test("approxDistinct holds the HLL relative-error bound on sf0.1 data") {
+    // same gating philosophy as the percentile rank gate: sketch VALUES
+    // can't cross engines, but the relative-error contract is
+    // engine-independent, so it can gate on real data
+    val rsd = 0.023
+    val ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+      .select("event_type", "user_id")
+    val approx = Aggregates.approxDistinct(ev, Seq("event_type"), "user_id", rsd)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = ev.distinct().groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (g, n) =>
+      val err = math.abs(approx(g) - n).toDouble / n
+      assert(err <= 4 * rsd, s"group $g: approx ${approx(g)} vs exact $n (err $err)")
+    }
+  }
+
   test("approxPercentiles tracks the exact percentile within rank tolerance") {
     val df = spark.range(10000)
       .selectExpr("CAST(id % 2 AS STRING) AS g", "CAST(id AS DOUBLE) AS v")
