@@ -166,6 +166,22 @@ object Dedup {
   }
 
   /**
+   * Per-document contamination screen as a pure COLUMN: true iff ANY
+   * shingle of `textCol` hits the eval-set bitmap. The per-row form of
+   * [[bloomContamination]]'s prefilter — stateless, so it composes
+   * unchanged into Structured Streaming (screen documents against a
+   * benchmark suite AT INGEST, before they ever land in the corpus, with
+   * per-row cost independent of eval-set size). Bloom false positives
+   * can flag an uncontaminated doc (rate set by mBits); a true-flag
+   * pipeline routes to the exact check, a false flag is authoritative.
+   */
+  def bloomScreen(textCol: Column, n: Int, words: Array[Long], mBits: Int): Column = {
+    import graft.expressions.BloomExprs
+    exists(Text.shingleSet(textCol, n),
+      s => BloomExprs.mightContain(Hashing.stableHash60(s), words, mBits))
+  }
+
+  /**
    * Shared contamination core over hashed shingle streams. `trPairs` feeds
    * the posting-list pair expansion (may be prefiltered — dropping train
    * shingles absent from the test set cannot change any pair count);

@@ -252,6 +252,21 @@ object Similarity {
   }
 
   /**
+   * End-to-end semantic dedup: bucketed embedding near-dup pairs →
+   * connected components → smallest-id keeper per cluster — the
+   * embedding-space twin of the text pipeline's q36 (pairs from cosine
+   * buckets instead of shared shingles; identical group/keeper machinery).
+   * Returns (id, keep_id, is_keeper) for every vector that appears in ANY
+   * near-dup pair; vectors with no near-dup are implicit keepers — the
+   * sparse representation, since at 100 TB the pair stream is tiny next
+   * to the corpus and a dense corpus-sized label table would dwarf it.
+   */
+  def semanticDedupGroups(vectors: DataFrame, centroids: DataFrame, threshold: Double,
+                          nprobe: Int = 2, maxBucket: Int = Int.MaxValue): DataFrame =
+    graft.operators.Components.dedupGroups(
+      embeddingNearDupPairs(vectors, centroids, threshold, nprobe, maxBucket))
+
+  /**
    * Symmetric per-vector int8 quantization — the storage/serving form of
    * an embedding corpus (4× smaller than float32; recall loss is
    * negligible at 8 bits for cosine retrieval). scale = max|x|/127;

@@ -131,6 +131,32 @@ class SimilaritySpec extends SparkSpec {
     assert(np2.subsetOf(exact)) // bucketing never invents pairs
   }
 
+  test("semanticDedupGroups clusters planted duplicate families to one keeper each") {
+    val rnd = new Random(11)
+    // 3 duplicate families (near-identical copies of a prototype) + 40
+    // unrelated random vectors that must not join any family
+    val protos = Array.fill(3)(Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    def jitter(p: Array[Float]) = p.map(x => x + rnd.nextFloat() * 0.01f)
+    val family = for (f <- 0 until 3; c <- 0 until 4)
+      yield (100L * f + c, jitter(protos(f)))
+    val noise = (1000L until 1040L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val vecs = (family ++ noise).toDF("vec_id", "embedding")
+    val cents = vecs.where(col("vec_id") % 7 === 0)
+    val groups = Similarity.semanticDedupGroups(vecs, cents, threshold = 0.995,
+        nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // every family member labels to the family's smallest id
+    val byKeep = groups.groupBy(_._2)
+    assert(byKeep.keySet == Set(0L, 100L, 200L))
+    byKeep.foreach { case (keep, members) =>
+      assert(members.map(_._1).toSet == Set(keep, keep + 1, keep + 2, keep + 3))
+      assert(members.count(_._3) == 1) // exactly one keeper
+      assert(members.find(_._3).get._1 == keep) // the smallest id
+    }
+    // noise vectors appear in no group (implicit keepers)
+    assert(groups.forall(_._1 < 1000L))
+  }
+
   test("hierarchical assignment agrees with flat on clustered data and is deterministic") {
     // 4 well-separated clusters of 50 vectors; 16 centroids drawn from the
     // data (4 per cluster). On separated data the coarse routing cannot

@@ -170,6 +170,40 @@ class StatefulOpsSpec extends SparkSpec {
     assert(texts.count(_ == "the quick brown fox") == 2) // once per horizon
   }
 
+  test("bloomScreen flags contaminated docs identically in batch and streaming") {
+    import graft.operators.Dedup
+    val root = Files.createTempDirectory("graft-bloomscreen").toString
+    implicit val sqlCtx = spark.sqlContext
+    // eval set: two benchmark documents; bitmap over their shingle hashes
+    val eval = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "to be or not to be that is the question")).toDF("doc_id", "text")
+    val te = Dedup.hashedShingles(eval, "doc_id", "text", 3)
+    val words = graft.expressions.BloomExprs.buildBitmap(te, "h", 1 << 16)
+    val incoming = Seq(
+      "the quick brown fox jumps high",        // shares "the quick brown" etc -> flagged
+      "completely unrelated fresh content here", // clean
+      "wondering to be or not to be today",    // shares "to be or" -> flagged
+      "short doc")                             // < n words, no shingles -> clean
+    val screen = Dedup.bloomScreen(col("text"), 3, words, 1 << 16)
+    val batch = incoming.toDF("text").withColumn("flag", screen)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(batch("the quick brown fox jumps high"))
+    assert(!batch("completely unrelated fresh content here"))
+    assert(batch("wondering to be or not to be today"))
+    assert(!batch("short doc"))
+    // the SAME column over a stream, unchanged — and identical verdicts
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val q = input.toDS().toDF("text").withColumn("flag", screen)
+      .writeStream.format("memory").queryName("bloom_screen")
+      .option("checkpointLocation", s"$root/ckpt").outputMode("append").start()
+    input.addData(incoming)
+    q.processAllAvailable()
+    val streamed = spark.sql("SELECT text, flag FROM bloom_screen").collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    q.stop()
+    assert(streamed == batch)
+  }
+
   test("stableHash60Scala equals the Column stableHash60 (streaming draws match batch)") {
     val keys = (0 until 200).map(i => s"k$i" * (i % 5 + 1)) :+ "" :+ "πü€"
     val fromCol = keys.toDF("s")
