@@ -124,6 +124,11 @@ object SparkEntry {
     staged(s, dir, "jaccard")(
       Dedup.jaccardPairsFromHashed(hashedShinglesShared(s, dir),
         threshold = 0.5, maxBucket = Int.MaxValue))
+  // ONE definition of the end-to-end minhash near-dup pipeline — q39 gates
+  // it, q61 wraps it; a parameter change here moves both in lockstep
+  private def minhashNearDupShared(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardVerify(lshCandidatesShared(s, dir), t(s, dir, "documents"),
+      "doc_id", "text", n = 3, threshold = 0.5)
 
   /** Enrichment keeping the event-time and city columns (for the analytics
     * layer: daily summary, current-status view). */
@@ -408,9 +413,7 @@ object SparkEntry {
 
     // End-to-end MinHash near-dup: LSH candidates verified by exact Jaccard
     // (the operator a dedup consumer actually calls).
-    "q39_minhash_neardup_pairs" -> ((s, dir) =>
-      Dedup.jaccardVerify(lshCandidatesShared(s, dir), t(s, dir, "documents"),
-        "doc_id", "text", n = 3, threshold = 0.5)),
+    "q39_minhash_neardup_pairs" -> ((s, dir) => minhashNearDupShared(s, dir)),
 
     // Cross-split leakage audit: the q39 near-dup pairs whose sides land in
     // DIFFERENT hash splits (80/10/10 on doc_id, same assignment as q43) —
@@ -418,9 +421,7 @@ object SparkEntry {
     // alone cannot prevent. The split label is a pure function of the id,
     // so this adds zero joins/shuffles over the pair pipeline.
     "q61_split_leakage" -> ((s, dir) =>
-      graft.operators.Sampling.crossSplitLeakage(
-        Dedup.jaccardVerify(lshCandidatesShared(s, dir), t(s, dir, "documents"),
-          "doc_id", "text", n = 3, threshold = 0.5),
+      graft.operators.Sampling.crossSplitLeakage(minhashNearDupShared(s, dir),
         "id_a", "id_b", Seq("train" -> 8, "val" -> 1, "test" -> 1))),
 
     // End-to-end SimHash near-dup: 60-bit signatures (full informative

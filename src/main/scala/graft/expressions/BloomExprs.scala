@@ -37,9 +37,12 @@ case class BitmapContains(child: Expression, words: Array[Long], mBits: Int)
   override def prettyName: String = "graft_bitmap_contains"
 
   override def nullSafeEval(input: Any): Any = {
-    val h = input.asInstanceOf[Long] // stableHash60 is non-negative
-    val p1 = (h % mBits).toInt
-    val p2 = ((h >>> 30) % mBits).toInt
+    // floorMod, not %: stableHash60 is non-negative (identical results),
+    // but the documented fast-path swap to xxhash64 produces negative
+    // longs, and a plain % would index the word array negatively
+    val h = input.asInstanceOf[Long]
+    val p1 = java.lang.Math.floorMod(h, mBits.toLong).toInt
+    val p2 = java.lang.Math.floorMod(h >>> 30, mBits.toLong).toInt
     ((words(p1 >> 6) >>> (p1 & 63)) & 1L) == 1L &&
       ((words(p2 >> 6) >>> (p2 & 63)) & 1L) == 1L
   }
@@ -53,8 +56,8 @@ case class BitmapContains(child: Expression, words: Array[Long], mBits: Int)
       val p1 = ctx.freshName("p1")
       val p2 = ctx.freshName("p2")
       s"""
-         |int $p1 = (int) ($h % $mBits);
-         |int $p2 = (int) (($h >>> 30) % $mBits);
+         |int $p1 = (int) java.lang.Math.floorMod($h, ${mBits}L);
+         |int $p2 = (int) java.lang.Math.floorMod($h >>> 30, ${mBits}L);
          |${ev.value} = ((($w[$p1 >> 6] >>> ($p1 & 63)) & 1L) == 1L)
          |  && ((($w[$p2 >> 6] >>> ($p2 & 63)) & 1L) == 1L);
        """.stripMargin
@@ -68,12 +71,14 @@ case class BitmapContains(child: Expression, words: Array[Long], mBits: Int)
 object BloomExprs {
 
   /**
-   * Distributed bitmap build over a non-negative LongType hash column: the
-   * probe positions are computed executor-side and the DISTINCT positions
+   * Distributed bitmap build over a LongType hash column: the probe
+   * positions are computed executor-side and the DISTINCT positions
    * (≤ min(2·n, m) ints — bounded by the bitmap size, never by the input)
    * come back to the driver, which ORs them into the word array. The
    * returned array is m/8 bytes (2^20 bits = 128 KiB) — broadcast-class,
-   * like a dimension table in a broadcast join.
+   * like a dimension table in a broadcast join. Positions use pmod, the
+   * Column twin of the probe's floorMod, so negative hashes (xxhash64
+   * fast path) land identically on both sides.
    */
   def buildBitmap(df: DataFrame, hashCol: String, mBits: Int): Array[Long] = {
     require(mBits > 0, "mBits must be positive")
@@ -81,8 +86,8 @@ object BloomExprs {
     val positions = df
       .where(h.isNotNull)
       .select(explode(array(
-        (h % mBits).cast("int"),
-        (shiftrightunsigned(h, 30) % mBits).cast("int"))).as("p"))
+        pmod(h, lit(mBits.toLong)).cast("int"),
+        pmod(shiftrightunsigned(h, 30), lit(mBits.toLong)).cast("int"))).as("p"))
       .distinct()
       .collect()
       .map(_.getInt(0))

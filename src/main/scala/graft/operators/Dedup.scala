@@ -174,11 +174,15 @@ object Dedup {
    * per-row cost independent of eval-set size). Bloom false positives
    * can flag an uncontaminated doc (rate set by mBits); a true-flag
    * pipeline routes to the exact check, a false flag is authoritative.
+   * Null text screens false (a missing document shares nothing) so the
+   * column is always a usable boolean predicate.
    */
   def bloomScreen(textCol: Column, n: Int, words: Array[Long], mBits: Int): Column = {
     import graft.expressions.BloomExprs
-    exists(Text.shingleSet(textCol, n),
-      s => BloomExprs.mightContain(Hashing.stableHash60(s), words, mBits))
+    coalesce(
+      exists(Text.shingleSet(textCol, n),
+        s => BloomExprs.mightContain(Hashing.stableHash60(s), words, mBits)),
+      lit(false))
   }
 
   /**
@@ -188,9 +192,8 @@ object Dedup {
    * `trSizes` must be the UNFILTERED stream, since |train set| is the
    * Jaccard denominator.
    */
-  private[graft] def contaminationFromHashed(trPairs: DataFrame, trSizes: DataFrame,
+  private[graft] def contaminationFromHashed(tr: DataFrame, trSizes: DataFrame,
                                              te: DataFrame, maxBucket: Int): DataFrame = {
-    val tr = trPairs
     val sizesTr = trSizes.groupBy(col("id").as("train_id")).agg(count(lit(1)).as("size_r"))
     val sizesTe = te.groupBy(col("id").as("test_id")).agg(count(lit(1)).as("size_t"))
     val shared = tr.withColumn("side", lit(0)).unionByName(te.withColumn("side", lit(1)))

@@ -58,9 +58,19 @@ object Layout {
    * shuffle (or a range shuffle when `clusterBy` is set, which also
    * restores min/max locality on that column for post-compaction
    * pruning), written to a staging dir and swapped in with two FileSystem
-   * renames — readers never observe a half-written table.
+   * renames. The swap leaves a brief window where the path does not
+   * resolve (a reader between the renames sees table-not-found, never
+   * partial data) and a crash inside it strands the table at
+   * `path__retired` — the next compact() call detects and rolls that
+   * back. A table FORMAT (Delta/Iceberg) closes the window with an
+   * atomic metadata commit; this is the plain-filesystem shape.
    *
-   * Returns the output file count.
+   * Flat (unpartitioned) directories only: a Hive-partitioned table must
+   * be compacted per partition (subdirectories — including a streaming
+   * sink's `_spark_metadata` commit log — would be silently flattened or
+   * destroyed by a whole-table rewrite, so they are refused instead).
+   *
+   * Returns the actual output file count.
    */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetBytes: Long = 128L << 20,
@@ -68,7 +78,17 @@ object Layout {
     require(targetBytes > 0, "targetBytes must be positive")
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val totalBytes = fs.getContentSummary(p).getLength
+    val staging = new org.apache.hadoop.fs.Path(path + "__compacting")
+    val retired = new org.apache.hadoop.fs.Path(path + "__retired")
+    // crash recovery: a previous run that died between its two renames
+    // left the data at `retired` and nothing at `path` — restore first
+    if (!fs.exists(p) && fs.exists(retired)) fs.rename(retired, p)
+    require(fs.exists(p), s"compact: $path does not exist")
+    val kids = fs.listStatus(p)
+    require(!kids.exists(_.isDirectory),
+      s"compact: $path has subdirectories (partitioned table or streaming " +
+        "_spark_metadata) — compact each leaf partition directory instead")
+    val totalBytes = kids.map(_.getLen).sum
     val numFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
 
     val df = spark.read.parquet(path)
@@ -76,8 +96,6 @@ object Layout {
       case Some(c) => df.repartitionByRange(numFiles, col(c)).sortWithinPartitions(c)
       case None    => df.repartition(numFiles)
     }
-    val staging = new org.apache.hadoop.fs.Path(path + "__compacting")
-    val retired = new org.apache.hadoop.fs.Path(path + "__retired")
     fs.delete(staging, true); fs.delete(retired, true)
     shaped.write.mode("overwrite").parquet(staging.toString)
     // swap: old table out, staging in — two metadata renames, no copy
@@ -87,6 +105,8 @@ object Layout {
       sys.error(s"compact: could not activate staging for $path")
     }
     fs.delete(retired, true)
-    numFiles
+    // actual count: range partitions can come up empty on skewed/sampled
+    // boundaries and then write no file — report what exists, not the plan
+    fs.listStatus(p).count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
   }
 }

@@ -155,6 +155,13 @@ class DedupSpec extends SparkSpec {
         graft.functions.Hashing.stableHash60(col("id").cast("string")).as("h"))
       val fp = other.where(BloomExprs.mightContain(col("h"), words, 1 << 16)).count()
       assert(fp < 100, s"false-positive count $fp out of 10000 is implausibly high")
+
+      // the documented fast-path swap: NEGATIVE hashes (xxhash64) must
+      // round-trip build→probe identically, not index the bitmap negatively
+      val neg = spark.range(1000).select(xxhash64(col("id").cast("string")).as("h"))
+      assert(neg.where(col("h") < 0).count() > 0) // the population really is signed
+      val negWords = BloomExprs.buildBitmap(neg, "h", 1 << 16)
+      assert(neg.where(!BloomExprs.mightContain(col("h"), negWords, 1 << 16)).count() == 0)
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
 

@@ -69,6 +69,17 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(path).orderBy("id").collect().sameElements(before))
   }
 
+  test("compact refuses partitioned tables instead of flattening them") {
+    val root = java.nio.file.Files.createTempDirectory("graft-compactp").toString
+    val path = s"$root/t"
+    spark.range(1000).selectExpr("id", "id % 3 AS part")
+      .write.partitionBy("part").parquet(path)
+    val e = intercept[IllegalArgumentException](Layout.compact(spark, path))
+    assert(e.getMessage.contains("subdirectories"))
+    // the leaf partition dir itself compacts fine
+    assert(Layout.compact(spark, s"$path/part=0", targetBytes = 1L << 30) == 1)
+  }
+
   test("compact with clusterBy restores min/max locality on the cluster column") {
     val root = java.nio.file.Files.createTempDirectory("graft-compactc").toString
     val path = s"$root/t"
