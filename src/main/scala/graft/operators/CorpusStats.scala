@@ -39,6 +39,22 @@ object CorpusStats {
       .limit(k)
 
   /**
+   * Bounded-state approximate token heavy hitters — the open-domain form
+   * of [[topVocabulary]]. Exact counting holds one combiner per distinct
+   * token per partition; over raw 100 TB n-grams/URLs the distinct set
+   * itself is the memory problem. This runs ONE SpaceSaving sketch
+   * (k-counter hard bound, [[graft.expressions.SpaceSavingAgg]]) over the
+   * token stream: estimates only ever overcount (by ≤ inherited minima),
+   * and every token with true frequency above that bound is guaranteed
+   * present. Returns (token, estimate), count-desc.
+   */
+  def approxHeavyHitters(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    docs.select(explode(Text.tokens(col(textCol))).as("token"))
+      .agg(graft.expressions.SpaceSavingAgg.heavyHitters(col("token"), k).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e._1").as("token"), col("e._2").as("estimate"))
+
+  /**
    * Top-k characteristic terms per document by tf·idf, with idf in exact
    * ratio form N/df (no log: the usual log damping is a monotone transform
    * that cannot change any ranking, and libm `log` is not bit-identical

@@ -57,6 +57,40 @@ class TextSpec extends SparkSpec {
     assert(top.toSeq == Seq(("b", 4L, 2L), ("a", 3L, 2L)))
   }
 
+  test("approxHeavyHitters is exact when k covers the domain, bounded when it can't") {
+    import graft.operators.CorpusStats
+    // k ≥ distinct tokens: no eviction can happen -> exact counts in any
+    // merge order (the deterministic case)
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "b b b")).toDF("doc_id", "text")
+    val exact = CorpusStats.approxHeavyHitters(docs, "text", 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact == Map("a" -> 3L, "b" -> 4L, "c" -> 1L))
+
+    // open-domain shape on real data: truth from the exact counter, sketch
+    // at k=64. Gate only the ORDER-INDEPENDENT SpaceSaving guarantees —
+    // never undercounts, overcount ≤ n/k per merge level, and the heavy
+    // keys (truth > n) are present. (Which borderline keys appear is
+    // partition-order dependent, like any sketch's internals.)
+    val real = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val truth = real.select(explode(graft.functions.Text.tokens(col("text"))).as("t"))
+      .groupBy("t").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = truth.values.sum
+    val k = 64
+    val sketch = CorpusStats.approxHeavyHitters(real, "text", k)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sketch.size <= k)
+    // never undercounts; overcount bounded (2 merge levels: partial+final)
+    sketch.foreach { case (t, est) =>
+      val tr = truth(t)
+      assert(est >= tr, s"$t undercounted: $est < $tr")
+      assert(est - tr <= 2L * n / k, s"$t overcounted: $est vs $tr (n=$n)")
+    }
+    // every token heavier than the worst-case bound must be present
+    truth.filter(_._2 > 2L * n / k).keys.foreach { t =>
+      assert(sketch.contains(t), s"heavy token $t missing from sketch")
+    }
+  }
+
   test("tfIdfTopTerms ranks rare-but-frequent-in-doc terms first") {
     // "x" appears 3 times in doc 1 only (tf=3, df=1, N=3 -> score 9);
     // "a" appears everywhere (df=3 -> score tf*3/3 = tf)
