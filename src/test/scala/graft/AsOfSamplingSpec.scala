@@ -83,6 +83,20 @@ class AsOfSamplingSpec extends SparkSpec {
     assert(small.count() == 30)
   }
 
+  test("deterministicShuffle is a seeded permutation, stable under repartitioning") {
+    val df = spark.range(5000).toDF("id")
+    val o1 = Sampling.deterministicShuffle(df, "id", seed = 7L)
+      .collect().map(_.getLong(0))
+    val o2 = Sampling.deterministicShuffle(df.repartition(13), "id", seed = 7L)
+      .collect().map(_.getLong(0))
+    assert(o1.sameElements(o2))              // partitioning-independent order
+    assert(o1.toSet == (0L until 5000L).toSet) // a permutation, nothing lost
+    val other = Sampling.deterministicShuffle(df, "id", seed = 8L)
+      .collect().map(_.getLong(0))
+    assert(!o1.sameElements(other))          // seeds give independent epochs
+    assert(!o1.sameElements((0L until 5000L).toArray)) // actually shuffled
+  }
+
   test("crossSplitLeakage keeps exactly the pairs whose sides split apart") {
     val splits = Seq("train" -> 8, "val" -> 1, "test" -> 1)
     // all ordered pairs over a small id range: the expected answer is
