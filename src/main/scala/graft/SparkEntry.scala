@@ -572,11 +572,15 @@ object SparkEntry {
     }),
 
     // Benchmark decontamination: max train-set Jaccard per test doc
-    // (test = doc_id % 10 == 0). Cross-set inverted index — exact, since
-    // jaccard > 0 requires a shared shingle (see Dedup scaladoc).
+    // (test = doc_id % 10 == 0). Gates the BLOOM-PREFILTERED plan — the
+    // 100 TB shape (broadcast eval-set bitmap drops train shingles before
+    // the posting-list shuffle) — which is bit-identical to the exact
+    // cross-set inverted index (DedupSpec pins the equality; jaccard > 0
+    // requires a shared shingle, so the prefilter can't change any score),
+    // letting the plain cross-join argmax oracle verify the scale plan.
     "q52_contamination" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      Dedup.crossSetContamination(
+      Dedup.bloomContamination(
         docs.where(col("doc_id") % 10 =!= 0), docs.where(col("doc_id") % 10 === 0),
         "doc_id", "text", n = 3)
     }),
