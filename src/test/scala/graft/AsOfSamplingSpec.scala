@@ -93,8 +93,8 @@ class AsOfSamplingSpec extends SparkSpec {
     assert(o1.toSet == (0L until 5000L).toSet) // a permutation, nothing lost
     val other = Sampling.deterministicShuffle(df, "id", seed = 8L)
       .collect().map(_.getLong(0))
-    assert(!o1.sameElements(other))          // seeds give independent epochs
-    assert(!o1.sameElements((0L until 5000L).toArray)) // actually shuffled
+    assert(!o1.sameElements(other))   // seeds give independent epochs
+    assert(!o1.sameElements(o1.sorted)) // actually shuffled, not id order
   }
 
   test("crossSplitLeakage keeps exactly the pairs whose sides split apart") {
