@@ -1,0 +1,104 @@
+package graft.pipeline
+
+import graft.expressions.BloomExprs
+import graft.functions.Text
+import graft.operators.{Cleaning, Components, Dedup, Packing, Sampling}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * End-to-end training-corpus construction — the composition a pretraining
+ * data team actually runs, assembled ENTIRELY from the library's gated
+ * operators (nothing new computes here; this is the integration artifact
+ * proving the pieces compose):
+ *
+ *   1. quality funnel          Cleaning.survivors (first-failure stages)
+ *   2. normalized exact dedup  Text.normalizeForDedup + Dedup.keepFirst
+ *   3. minhash near-dedup      Dedup.minhashNearDupPairs → Components
+ *                              → drop non-keepers
+ *   4. eval decontamination    Dedup.bloomScreen (broadcast bitmap prunes
+ *                              the corpus side) → exact
+ *                              crossSetContamination ≥ threshold drops
+ *   5. split assignment        Sampling.assignSplits (hash-stable)
+ *   6. sequence packing        Packing.packSequences over the train split
+ *
+ * Every stage is hash-driven, so the same corpus yields identical
+ * surviving ids, splits and pack layout on any cluster or partitioning —
+ * the reproducibility a resumable 100 TB data job needs. The report
+ * carries per-stage counts so every dropped document is attributable.
+ *
+ * Scale shape: stages 1-2 are a narrow scan + one digest shuffle; stage 3
+ * is the sub-quadratic LSH pipeline; stage 4 touches only bloom-flagged
+ * docs (eval sets are tiny → the flagged fraction is, too); stages 5-6
+ * are a projection and one keyed shuffle.
+ */
+object CorpusPipeline {
+
+  final case class Report(
+      input: Long,
+      cleaned: Long,
+      afterExactDedup: Long,
+      afterNearDedup: Long,
+      contaminated: Long,
+      corpus: Long,
+      splitCounts: Map[String, Long],
+      trainSequences: Long)
+
+  def run(docs: DataFrame, evalDocs: DataFrame, idCol: String, textCol: String,
+          stages: Seq[(String, Column)],
+          nearDupThreshold: Double = 0.5,
+          contaminationThreshold: Double = 0.5,
+          splits: Seq[(String, Int)] = Seq("train" -> 8, "val" -> 1, "test" -> 1),
+          maxTokens: Int = 512,
+          packShards: Int = 4,
+          bloomBits: Int = 1 << 20): (DataFrame, Report) = {
+    val input = docs.count()
+
+    // 1-2: funnel, then canonicalize-and-keep-first. Checkpoint: the frame
+    // below feeds the near-dup pair pipeline, the keeper anti-join, the
+    // contamination screen AND stage counts — lazy lineage would re-run
+    // the funnel+dedup per consumer (NOTES invariant #4).
+    val cleaned = Cleaning.survivors(docs, stages)
+    val nCleaned = cleaned.count()
+    val exact = Dedup.keepFirst(
+        cleaned.withColumn("__norm", Text.normalizeForDedup(col(textCol))),
+        keys = Seq("__norm"), tieBreak = idCol)
+      .drop("__norm")
+      .localCheckpoint()
+    val nExact = exact.count()
+
+    // 3: near-dedup — pairs, components, drop every non-keeper
+    val pairs = Dedup.minhashNearDupPairs(exact, idCol, textCol,
+      n = 3, numHashes = 16, bands = 4, threshold = nearDupThreshold)
+    val losers = Components.dedupGroups(pairs)
+      .where(!col("is_keeper")).select(col("id").as(idCol))
+    val near = exact.join(losers, Seq(idCol), "left_anti").localCheckpoint()
+    val nNear = near.count()
+
+    // 4: decontamination — the bitmap screen prunes the corpus side to the
+    // docs sharing ≥1 shingle with the eval set (no false negatives), the
+    // exact scorer then runs only over that sliver
+    val evalShingles = Dedup.hashedShingles(evalDocs, idCol, textCol, n = 3)
+    val words = BloomExprs.buildBitmap(evalShingles, "h", bloomBits)
+    val flagged = near.where(Dedup.bloomScreen(col(textCol), 3, words, bloomBits))
+    val dirty = Dedup.crossSetContamination(evalDocs, flagged, idCol, textCol, n = 3)
+      .where(col("contamination") >= contaminationThreshold)
+      .select(col("test_id").as(idCol))
+    val corpus = near.join(dirty, Seq(idCol), "left_anti")
+      .withColumn("split", Sampling.splitColumn(col(idCol), splits))
+      .localCheckpoint()
+    val nCorpus = corpus.count()
+
+    // 5-6: split census + train-split packing
+    val splitCounts = corpus.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val packed = Packing.packSequences(
+      corpus.where(col("split") === "train"), idCol,
+      Text.tokenCount(col(textCol)), shards = packShards, maxTokens = maxTokens)
+    val nSeqs = packed.select("shard", "pack_id").distinct().count()
+
+    (corpus, Report(input, nCleaned, nExact, nNear,
+      contaminated = nNear - nCorpus,
+      corpus = nCorpus, splitCounts = splitCounts, trainSequences = nSeqs))
+  }
+}

@@ -49,4 +49,49 @@ class PipelineSpec extends SparkSpec {
     assert(r2.summaryRows == 5)
     assert(spark.read.parquet(s"$root/store").count() == 30)
   }
+
+  test("corpus pipeline: clean -> dedup -> decontaminate -> split -> pack, deterministic") {
+    import graft.pipeline.CorpusPipeline
+    import graft.functions.Text
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // eval set = copies of three corpus docs (planted contamination: any of
+    // those docs surviving dedup MUST then be dropped at stage 4)
+    val eval = docs.where(col("doc_id").isin(5L, 17L, 42L))
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val stages = Seq(
+      "too_short" -> (col("n_chars") >= 60),
+      "low_alpha" -> (Text.tokenCount(col("text")) >= 10))
+
+    val (corpus, r) = CorpusPipeline.run(docs, eval, "doc_id", "text", stages)
+    // stage counts: monotone funnel, everything attributable
+    assert(r.input == 500)
+    assert(r.cleaned <= r.input && r.afterExactDedup <= r.cleaned)
+    assert(r.afterNearDedup <= r.afterExactDedup && r.corpus <= r.afterNearDedup)
+    assert(r.contaminated == r.afterNearDedup - r.corpus)
+    assert(r.corpus > 100, s"implausibly few survivors: ${r.corpus}")
+    assert(r.splitCounts.values.sum == r.corpus)
+    assert(r.trainSequences > 0)
+
+    // planted eval twins are gone (whichever of 5/17/42 survived dedup)
+    val ids = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(5L) && !ids.contains(17L) && !ids.contains(42L))
+    // no exact-normalized duplicates survive
+    val dupGroups = corpus
+      .groupBy(Text.normalizeForDedup(col("text"))).count()
+      .where(col("count") > 1).count()
+    assert(dupGroups == 0)
+    // decontamination is exhaustive, verified with the EXACT operator
+    val residual = graft.operators.Dedup.crossSetContamination(
+      eval, corpus, "doc_id", "text", n = 3)
+      .where(col("contamination") >= 0.5).count()
+    assert(residual == 0)
+
+    // determinism: a repartitioned input yields the identical corpus+splits
+    val (corpus2, r2) = CorpusPipeline.run(docs.repartition(13), eval, "doc_id", "text", stages)
+    assert(r2 == r.copy(splitCounts = r2.splitCounts) && r2.splitCounts == r.splitCounts)
+    val s1 = corpus.select("doc_id", "split").collect().map(x => (x.getLong(0), x.getString(1))).toSet
+    val s2 = corpus2.select("doc_id", "split").collect().map(x => (x.getLong(0), x.getString(1))).toSet
+    assert(s1 == s2)
+  }
 }
