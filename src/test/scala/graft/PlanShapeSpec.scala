@@ -47,7 +47,7 @@ class PlanShapeSpec extends SparkSpec {
     // the similarity queries; the text near-dup paths must have none
     Seq("q18_ngram_jaccard_pairs", "q39_minhash_neardup_pairs",
       "q40_simhash_neardup_pairs", "q41_ngram_jaccard_capped",
-      "q61_split_leakage").foreach { q =>
+      "q52_contamination", "q61_split_leakage").foreach { q =>
       withClue(q)(assert(!plan(q).contains("BroadcastNestedLoopJoin")))
     }
   }
