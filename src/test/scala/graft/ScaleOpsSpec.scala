@@ -20,6 +20,20 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("AQE is live: post-shuffle partitions coalesce under the session contract") {
+    // the GraftSession contract claims adaptive coalescing — prove it's
+    // actually firing, not just configured: an 8-group aggregation over 32
+    // shuffle partitions must come back with far fewer post-shuffle
+    // partitions once AQE finalizes the plan
+    val df = spark.range(100000).groupBy(pmod(col("id"), lit(8)).as("k")).count()
+    df.collect() // materialize so the adaptive plan is final
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AQEShuffleRead"), s"adaptive plan missing:\n$plan")
+    val parts = df.rdd.getNumPartitions
+    val configured = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(parts < configured, s"no coalescing: $parts vs $configured")
+  }
+
   test("bucketed tables join without a shuffle") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     val facts = (1L to 1000L).map(i => (i % 50, i, i * 2.0)).toDF("key", "id", "v")
