@@ -170,6 +170,25 @@ class StatefulOpsSpec extends SparkSpec {
     assert(texts.count(_ == "the quick brown fox") == 2) // once per horizon
   }
 
+  test("SpaceSaving heavy hitters accumulate across micro-batches") {
+    import graft.expressions.SpaceSavingAgg
+    val root = Files.createTempDirectory("graft-hhstream").toString
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val agg = input.toDS().toDF("token")
+      .agg(SpaceSavingAgg.heavyHitters(col("token"), 10).as("hh"))
+    val q = agg.writeStream.format("memory").queryName("hh_stream")
+      .option("checkpointLocation", s"$root/ckpt").outputMode("complete").start()
+    input.addData("a", "a", "b"); q.processAllAvailable()
+    input.addData("b", "b", "c"); q.processAllAvailable()
+    val hh = spark.sql("SELECT explode(hh) AS e FROM hh_stream")
+      .selectExpr("e._1", "e._2").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    q.stop()
+    // k covers the domain -> exact counts, accumulated across both batches
+    assert(hh == Map("a" -> 2L, "b" -> 3L, "c" -> 1L))
+  }
+
   test("bloomScreen flags contaminated docs identically in batch and streaming") {
     import graft.operators.Dedup
     val root = Files.createTempDirectory("graft-bloomscreen").toString
