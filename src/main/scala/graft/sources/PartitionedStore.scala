@@ -56,6 +56,36 @@ object PartitionedStore {
     n
   }
 
+  /**
+   * Write-boundary CHECK-constraint enforcement — the Spark analog of the
+   * warehouse's CHECK constraints (reference `sql/create_tables.sql:70-72`
+   * rejects a violating row with a per-row error). A distributed append
+   * can't abort per-row, so the analog is split-and-quarantine: rows
+   * passing every check append via [[appendIfAbsent]]; violations land in
+   * `quarantineDir` with the FIRST failed constraint's name attached
+   * (`Cleaning.withDropStage` — same first-failure attribution as the
+   * corpus funnel, so quarantine counts sum and every rejection is
+   * attributable). One scan evaluates all checks; nothing silently drops.
+   *
+   * Returns (appendedNew, quarantined).
+   */
+  def appendChecked(spark: SparkSession, incoming: DataFrame, table: String,
+                    quarantineDir: String, checks: Seq[(String, org.apache.spark.sql.Column)],
+                    keys: Seq[String], partitionCols: Seq[String]): (Long, Long) = {
+    val staged = graft.operators.Cleaning.withDropStage(incoming, checks)
+      .localCheckpoint() // two consumers (valid append + quarantine write)
+    val valid = staged.where(col("drop_stage") === "pass")
+      .drop("drop_stage_idx", "drop_stage")
+    val rejected = staged.where(col("drop_stage") =!= "pass")
+      .withColumnRenamed("drop_stage", "violated_constraint")
+      .drop("drop_stage_idx")
+    val nRejected = rejected.count()
+    if (nRejected > 0)
+      rejected.write.mode("append").parquet(quarantineDir)
+    val nNew = appendIfAbsent(spark, valid, table, keys, partitionCols)
+    (nNew, nRejected)
+  }
+
   /** Recompute-and-replace upsert (ON CONFLICT DO UPDATE): dynamic partition
     * overwrite rewrites only the partitions present in `updated` — the
     * summary for one day replaces that day, other days untouched. */

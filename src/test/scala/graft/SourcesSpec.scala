@@ -111,4 +111,34 @@ class SourcesSpec extends SparkSpec {
     assert((p.getAs[Int]("year"), p.getAs[Int]("month"), p.getAs[Int]("day"), p.getAs[Int]("hour"))
       == ((2026, 8, 12, 10)))
   }
+
+  test("appendChecked quarantines CHECK violations with the failed constraint named") {
+    val root = Files.createTempDirectory("graft-checked").toString
+    // the reference warehouse's three CHECK constraints (create_tables.sql:70-72)
+    val checks = Seq(
+      "valid_temperature" -> col("temperature_celsius").between(-50, 60),
+      "valid_humidity" -> col("humidity_percent").between(0, 100),
+      "valid_uv" -> col("uv_index").between(0, 15))
+    val rows = Seq(
+      ("s1", 20.0, 50.0, 5, 2026),   // valid
+      ("s2", 99.0, 50.0, 5, 2026),   // temperature violation
+      ("s3", 20.0, 150.0, 5, 2026),  // humidity violation
+      ("s4", 20.0, 50.0, 99, 2026),  // uv violation (also would fail nothing else)
+      ("s5", -60.0, 150.0, 5, 2026)) // fails temp AND humidity -> FIRST check named
+      .toDF("station_id", "temperature_celsius", "humidity_percent", "uv_index", "year")
+    val (appended, quarantined) = PartitionedStore.appendChecked(
+      spark, rows, s"$root/store", s"$root/quarantine", checks,
+      keys = Seq("station_id"), partitionCols = Seq("year"))
+    assert(appended == 1 && quarantined == 4)
+    val q = spark.read.parquet(s"$root/quarantine")
+      .collect().map(r => r.getAs[String]("station_id") -> r.getAs[String]("violated_constraint")).toMap
+    assert(q == Map("s2" -> "valid_temperature", "s3" -> "valid_humidity",
+      "s4" -> "valid_uv", "s5" -> "valid_temperature"))
+    assert(spark.read.parquet(s"$root/store").count() == 1)
+    // re-run: idempotent on the store (ON CONFLICT DO NOTHING underneath)
+    val (again, _) = PartitionedStore.appendChecked(
+      spark, rows, s"$root/store", s"$root/quarantine2", checks,
+      keys = Seq("station_id"), partitionCols = Seq("year"))
+    assert(again == 0)
+  }
 }
