@@ -94,4 +94,20 @@ class PipelineSpec extends SparkSpec {
     val s2 = corpus2.select("doc_id", "split").collect().map(x => (x.getLong(0), x.getString(1))).toSet
     assert(s1 == s2)
   }
+
+  test("corpus pipeline degenerate inputs: empty eval set and empty corpus") {
+    import graft.pipeline.CorpusPipeline
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val stages = Seq("too_short" -> (col("n_chars") >= 60))
+    // empty eval set: nothing can be contaminated; pipeline runs clean
+    val noEval = docs.where(lit(false)).select(col("doc_id"), col("text"))
+    val (_, r1) = CorpusPipeline.run(docs, noEval, "doc_id", "text", stages)
+    assert(r1.contaminated == 0 && r1.corpus == r1.afterNearDedup)
+    // empty corpus: every count zero, no crash anywhere in the chain
+    val noDocs = docs.where(lit(false))
+    val (empty, r2) = CorpusPipeline.run(noDocs, noEval, "doc_id", "text", stages)
+    assert(r2.input == 0 && r2.corpus == 0 && r2.trainSequences == 0)
+    assert(empty.count() == 0)
+  }
 }
