@@ -23,6 +23,13 @@ import org.apache.spark.sql.functions.udaf
  * dependent; callers needing byte-stable output use the exact operator.
  * With k ≥ distinct(keys) no eviction ever happens and the result is
  * exact counts regardless of order.
+ *
+ * Cost note: eviction scans the k counters for the minimum — O(k) per
+ * unknown-key row once the buffer fills, so per-partition cost is
+ * O(rows·k) in the worst (heavy-tailed) case. Keep k in the hundreds-to-
+ * low-thousands per group; the classic Stream-Summary structure (count-
+ * bucketed doubly-linked lists, O(1) eviction) is the drop-in refinement
+ * if a profile ever shows this scan (tracked in NOTES next steps).
  */
 class SpaceSavingAgg(k: Int)
     extends Aggregator[String, Map[String, Long], Seq[(String, Long)]] {

@@ -54,11 +54,12 @@ object CorpusPipeline {
           bloomBits: Int = 1 << 20): (DataFrame, Report) = {
     val input = docs.count()
 
-    // 1-2: funnel, then canonicalize-and-keep-first. Checkpoint: the frame
-    // below feeds the near-dup pair pipeline, the keeper anti-join, the
-    // contamination screen AND stage counts — lazy lineage would re-run
-    // the funnel+dedup per consumer (NOTES invariant #4).
-    val cleaned = Cleaning.survivors(docs, stages)
+    // 1-2: funnel, then canonicalize-and-keep-first. Both frames checkpoint
+    // eagerly: each feeds multiple consumers (count + next stage; `exact`
+    // additionally the pair pipeline, the keeper anti-join and the screen)
+    // and lazy lineage would re-run the funnel scan per consumer (NOTES
+    // invariant #4).
+    val cleaned = Cleaning.survivors(docs, stages).localCheckpoint()
     val nCleaned = cleaned.count()
     val exact = Dedup.keepFirst(
         cleaned.withColumn("__norm", Text.normalizeForDedup(col(textCol))),
@@ -77,11 +78,16 @@ object CorpusPipeline {
 
     // 4: decontamination — the bitmap screen prunes the corpus side to the
     // docs sharing ≥1 shingle with the eval set (no false negatives), the
-    // exact scorer then runs only over that sliver
+    // exact scorer then runs only over that sliver. The eval shingle
+    // stream is checkpointed and REUSED by the bitmap build and the exact
+    // scorer (contaminationFromHashed) — eval docs shingle+hash once
     val evalShingles = Dedup.hashedShingles(evalDocs, idCol, textCol, n = 3)
+      .localCheckpoint()
     val words = BloomExprs.buildBitmap(evalShingles, "h", bloomBits)
     val flagged = near.where(Dedup.bloomScreen(col(textCol), 3, words, bloomBits))
-    val dirty = Dedup.crossSetContamination(evalDocs, flagged, idCol, textCol, n = 3)
+    val dirty = Dedup.contaminationFromHashed(
+        evalShingles, evalShingles,
+        Dedup.hashedShingles(flagged, idCol, textCol, n = 3), Int.MaxValue)
       .where(col("contamination") >= contaminationThreshold)
       .select(col("test_id").as(idCol))
     val corpus = near.join(dirty, Seq(idCol), "left_anti")
@@ -95,7 +101,15 @@ object CorpusPipeline {
     val packed = Packing.packSequences(
       corpus.where(col("split") === "train"), idCol,
       Text.tokenCount(col(textCol)), shards = packShards, maxTokens = maxTokens)
-    val nSeqs = packed.select("shard", "pack_id").distinct().count()
+    // sequence count per shard = ceil(total tokens / maxTokens), read off
+    // the pack layout's end offset. Counting DISTINCT pack_id instead
+    // undercounts: a doc longer than maxTokens spans packs that contain no
+    // document START and so never appear as a pack_id of their own.
+    val nSeqs = packed
+      .groupBy("shard")
+      .agg(ceil(max(col("start_offset") + col("tokens")) / maxTokens).as("seqs"))
+      .agg(coalesce(sum(col("seqs")), lit(0L))) // empty train split -> 0
+      .head().getLong(0)
 
     (corpus, Report(input, nCleaned, nExact, nNear,
       contaminated = nNear - nCorpus,

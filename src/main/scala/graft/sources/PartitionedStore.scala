@@ -66,8 +66,11 @@ object PartitionedStore {
    * (`Cleaning.withDropStage` — same first-failure attribution as the
    * corpus funnel, so quarantine counts sum and every rejection is
    * attributable). One scan evaluates all checks; nothing silently drops.
+   * BOTH sides write through [[appendIfAbsent]] on the same keys, so a
+   * retried batch (the reference's Airflow ×3) duplicates neither stored
+   * rows nor quarantine rows.
    *
-   * Returns (appendedNew, quarantined).
+   * Returns (appendedNew, newlyQuarantined).
    */
   def appendChecked(spark: SparkSession, incoming: DataFrame, table: String,
                     quarantineDir: String, checks: Seq[(String, org.apache.spark.sql.Column)],
@@ -79,9 +82,7 @@ object PartitionedStore {
     val rejected = staged.where(col("drop_stage") =!= "pass")
       .withColumnRenamed("drop_stage", "violated_constraint")
       .drop("drop_stage_idx")
-    val nRejected = rejected.count()
-    if (nRejected > 0)
-      rejected.write.mode("append").parquet(quarantineDir)
+    val nRejected = appendIfAbsent(spark, rejected, quarantineDir, keys, Seq.empty)
     val nNew = appendIfAbsent(spark, valid, table, keys, partitionCols)
     (nNew, nRejected)
   }

@@ -21,10 +21,11 @@ class ScaleOpsSpec extends SparkSpec {
   }
 
   test("AQE is live: post-shuffle partitions coalesce under the session contract") {
-    // the GraftSession contract claims adaptive coalescing — prove it's
-    // actually firing, not just configured: an 8-group aggregation over 32
-    // shuffle partitions must come back with far fewer post-shuffle
-    // partitions once AQE finalizes the plan
+    // the spec session is built through GraftSession.configure (SparkSpec),
+    // so this gates the CONTRACT's adaptive flags, not Spark defaults: a
+    // tiny 8-group aggregation over the configured shuffle partitions must
+    // come back coalesced once AQE finalizes the plan
+    assert(spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true")
     val df = spark.range(100000).groupBy(pmod(col("id"), lit(8)).as("k")).count()
     df.collect() // materialize so the adaptive plan is final
     val plan = df.queryExecution.executedPlan.toString

@@ -135,10 +135,12 @@ class SourcesSpec extends SparkSpec {
     assert(q == Map("s2" -> "valid_temperature", "s3" -> "valid_humidity",
       "s4" -> "valid_uv", "s5" -> "valid_temperature"))
     assert(spark.read.parquet(s"$root/store").count() == 1)
-    // re-run: idempotent on the store (ON CONFLICT DO NOTHING underneath)
-    val (again, _) = PartitionedStore.appendChecked(
-      spark, rows, s"$root/store", s"$root/quarantine2", checks,
+    // re-run against the SAME dirs: idempotent on BOTH sides (a retried
+    // batch duplicates neither stored rows nor quarantine rows)
+    val (again, requarantined) = PartitionedStore.appendChecked(
+      spark, rows, s"$root/store", s"$root/quarantine", checks,
       keys = Seq("station_id"), partitionCols = Seq("year"))
-    assert(again == 0)
+    assert(again == 0 && requarantined == 0)
+    assert(spark.read.parquet(s"$root/quarantine").count() == 4)
   }
 }
