@@ -100,6 +100,13 @@ object ScaleProbe {
         Dedup.crossSetContamination(trainSet, evalSet, "doc_id", "text", 3)))
       val tContBloom = time(noop(
         Dedup.bloomContamination(trainSet, evalSet, "doc_id", "text", 3)))
+      // capped twin: the closed synthetic vocabulary saturates at large n
+      // (eval-overlapping shingles recur linearly → uncapped in-bucket
+      // |test|×|train| expansion goes super-linear); the stop-shingle cap
+      // is the designed bound — this row shows it restoring the curve
+      val tContCapped = time(noop(
+        Dedup.bloomContamination(trainSet, evalSet, "doc_id", "text", 3,
+          maxBucket = 1000)))
 
       println(s"""{"n":$n,"exact_dedup":$tExact,"minhash_sig":$tSig,"lsh_cands":$tLsh,""" +
         s""""simhash_pairs":$tSim,"jaccard_capped":$tJac,"ivf_knn":$tIvf,"embed_neardup":$tNd,""" +
@@ -107,7 +114,8 @@ object ScaleProbe {
         s""""assign_flat":$tAssignFlat,"assign_hier":$tAssignHier,""" +
         s""""vocab_topk":$tVocab,"tfidf_terms":$tTfidf,""" +
         s""""chunking":$tChunk,"redact":$tRedact,"oov":$tOov,"quantize":$tQuant,""" +
-        s""""contam_exact":$tContExact,"contam_bloom":$tContBloom}""")
+        s""""contam_exact":$tContExact,"contam_bloom":$tContBloom,""" +
+        s""""contam_capped":$tContCapped}""")
       docs.unpersist(); em.unpersist()
     }
     spark.stop()
