@@ -306,6 +306,55 @@ object Dedup {
       docs, idCol, textCol, n, threshold)
 
   /**
+   * Incremental LSH candidates — the daily-batch production shape: a new
+   * crawl batch arrives, the corpus's minhash signatures are already in a
+   * store (computed once at ingest), and the only question is "which NEW
+   * docs near-duplicate anything (new or old)?". Old×old pairs were
+   * answered on previous days and must not be re-expanded — in a mature
+   * corpus almost every bucket is dominated by old members, so the naive
+   * re-run's pair work is ~|corpus|²-shaped while the incremental run's
+   * is |new|-shaped. Same cross-set bucket trick as
+   * [[crossSetContamination]]: buckets collect old and new ids
+   * SEPARATELY, emit new×old + new×new only; a bucket with no new member
+   * emits nothing (and contributes nothing to the shuffle beyond its
+   * grouped row).
+   *
+   * `newSigs`/`oldSigs`: signature frames shaped like
+   * [[minhashSignatures]] output (id, mh_0..mh_{numHashes-1}).
+   * Output: distinct (id_a, id_b) with id_a < id_b, ≥1 side new.
+   */
+  def incrementalLshCandidates(newSigs: DataFrame, oldSigs: DataFrame,
+                               numHashes: Int, bands: Int,
+                               maxBucket: Int = 10000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val bandCols = (0 until bands).map { bi =>
+      struct(lit(bi).as("band"),
+        concat_ws("_", (0 until rows).map(r => col(s"mh_${bi * rows + r}")): _*).as("sig"))
+    }
+    def explodeBands(sigs: DataFrame, isNew: Int): DataFrame = sigs
+      .select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("bk"), lit(isNew).as("is_new"))
+    val buckets = explodeBands(newSigs, 1).unionByName(explodeBands(oldSigs, 0))
+      .groupBy(col("bk.band"), col("bk.sig"))
+      .agg(sort_array(collect_set(when(col("is_new") === 1, col("id")))).as("new_ids"),
+        sort_array(collect_set(when(col("is_new") === 0, col("id")))).as("old_ids"))
+      .where(size(col("new_ids")) >= 1 &&
+        size(col("new_ids")) + size(col("old_ids")) <= maxBucket)
+    // new×old cross pairs + new×new within-pairs; old×old never expands
+    val crossPairs = buckets
+      .select(explode(flatten(transform(col("new_ids"), a =>
+        transform(col("old_ids"), b =>
+          struct(least(a, b).as("id_a"), greatest(a, b).as("id_b")))))).as("p"))
+    val newPairs = buckets
+      .select(explode(pairsFromSorted(col("new_ids"))).as("p"))
+    crossPairs.unionByName(newPairs)
+      .select(col("p.id_a"), col("p.id_b"))
+      .where(col("id_a") =!= col("id_b"))
+      .distinct()
+  }
+
+  /**
    * SimHash: locality-sensitive signature. Bit j of the signature is 1 iff
    * the sum over tokens of ±1 (sign of bit j of the token hash) is
    * positive. Computed as `bits` conditional sums in one aggregation — no

@@ -165,6 +165,30 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
 
+  test("incrementalLshCandidates equals the full run restricted to new-sided pairs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sigsAll = Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, numHashes = 16)
+      .localCheckpoint() // consumed by full run AND both incremental sides
+    val newIds = docs.where(col("doc_id") % 5 === 0).select("doc_id")
+    val full = Dedup.minhashLshCandidates(sigsAll, 16, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val isNew = newIds.collect().map(_.getLong(0)).toSet
+    val expected = full.filter(p => isNew(p._1) || isNew(p._2))
+    val inc = Dedup.incrementalLshCandidates(
+        sigsAll.join(newIds.withColumnRenamed("doc_id", "id"), Seq("id")),
+        sigsAll.join(newIds.withColumnRenamed("doc_id", "id"), Seq("id"), "left_anti"),
+        16, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc == expected)        // nothing lost, nothing invented
+    assert(expected.nonEmpty)      // the corpus actually has planted near-dups
+    // old×old pairs never appear
+    assert(inc.forall(p => isNew(p._1) || isNew(p._2)))
+    // empty new batch: nothing to do, nothing emitted
+    val none = Dedup.incrementalLshCandidates(
+      sigsAll.where(lit(false)), sigsAll, 16, 4)
+    assert(none.count() == 0)
+  }
+
   test("normalized dedup collapses case/punctuation/spacing variants") {
     val variants = Seq(
       (1L, "Hello, World!"), (2L, "hello   world"), (3L, "HELLO-WORLD."),
