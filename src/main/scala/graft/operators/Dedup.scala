@@ -249,6 +249,19 @@ object Dedup {
       transform(slice(ids, i + 2, size(ids)),
         y => struct(x.as("id_a"), y.as("id_b")))))
 
+  /** Banded bucket keys over a minhash signature frame — ONE definition
+    * shared by the full and incremental candidate generators (a band-key
+    * scheme change must move both, or their spec-pinned equivalence
+    * silently breaks). */
+  private def bandKeyCols(numHashes: Int, bands: Int): Seq[Column] = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    (0 until bands).map { bi =>
+      struct(lit(bi).as("band"),
+        concat_ws("_", (0 until rows).map(r => col(s"mh_${bi * rows + r}")): _*).as("sig"))
+    }
+  }
+
   /**
    * MinHash + LSH near-dup candidates: split the signature into `bands`
    * bands of `numHashes/bands` rows, bucket by (band-index, band-values),
@@ -264,14 +277,8 @@ object Dedup {
    */
   def minhashLshCandidates(signatures: DataFrame, numHashes: Int, bands: Int,
                            maxBucket: Int = 10000): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-    val bandCols = (0 until bands).map { bi =>
-      struct(lit(bi).as("band"),
-        concat_ws("_", (0 until rows).map(r => col(s"mh_${bi * rows + r}")): _*).as("sig"))
-    }
     signatures
-      .select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), explode(array(bandKeyCols(numHashes, bands): _*)).as("bk"))
       .groupBy(col("bk.band"), col("bk.sig"))
       .agg(sort_array(collect_set(col("id"))).as("ids"))
       .where(size(col("ids")).between(2, maxBucket))
@@ -322,33 +329,36 @@ object Dedup {
    * `newSigs`/`oldSigs`: signature frames shaped like
    * [[minhashSignatures]] output (id, mh_0..mh_{numHashes-1}).
    * Output: distinct (id_a, id_b) with id_a < id_b, ≥1 side new.
+   *
+   * Shuffle shape: the new batch's distinct bucket keys broadcast as a
+   * semi-join filter over the store's exploded bands, so old rows in
+   * buckets no new doc touches are dropped AT THE SCAN — the bucket
+   * groupBy shuffles |new|·bands plus only the matching store rows, not
+   * the |corpus|·bands stream. (The store scan itself remains; a store
+   * PARTITIONED by band/sig-prefix would prune that too.)
    */
   def incrementalLshCandidates(newSigs: DataFrame, oldSigs: DataFrame,
                                numHashes: Int, bands: Int,
                                maxBucket: Int = 10000): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-    val bandCols = (0 until bands).map { bi =>
-      struct(lit(bi).as("band"),
-        concat_ws("_", (0 until rows).map(r => col(s"mh_${bi * rows + r}")): _*).as("sig"))
-    }
     def explodeBands(sigs: DataFrame, isNew: Int): DataFrame = sigs
-      .select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), explode(array(bandKeyCols(numHashes, bands): _*)).as("bk"))
       .select(col("id"), col("bk"), lit(isNew).as("is_new"))
-    val buckets = explodeBands(newSigs, 1).unionByName(explodeBands(oldSigs, 0))
+    // two consumers (bucket-key build + the union below): eager checkpoint
+    val newBands = explodeBands(newSigs, 1).localCheckpoint()
+    val touched = newBands.select(col("bk")).distinct()
+    val oldRelevant = explodeBands(oldSigs, 0).join(broadcast(touched), Seq("bk"))
+    newBands.unionByName(oldRelevant)
       .groupBy(col("bk.band"), col("bk.sig"))
       .agg(sort_array(collect_set(when(col("is_new") === 1, col("id")))).as("new_ids"),
         sort_array(collect_set(when(col("is_new") === 0, col("id")))).as("old_ids"))
       .where(size(col("new_ids")) >= 1 &&
-        size(col("new_ids")) + size(col("old_ids")) <= maxBucket)
-    // new×old cross pairs + new×new within-pairs; old×old never expands
-    val crossPairs = buckets
-      .select(explode(flatten(transform(col("new_ids"), a =>
-        transform(col("old_ids"), b =>
-          struct(least(a, b).as("id_a"), greatest(a, b).as("id_b")))))).as("p"))
-    val newPairs = buckets
-      .select(explode(pairsFromSorted(col("new_ids"))).as("p"))
-    crossPairs.unionByName(newPairs)
+        (size(col("new_ids")) + size(col("old_ids"))).between(2, maxBucket))
+      .select(explode(concat(
+        // new×old cross pairs ++ new×new within-pairs; old×old never expands
+        flatten(transform(col("new_ids"), a =>
+          transform(col("old_ids"), b =>
+            struct(least(a, b).as("id_a"), greatest(a, b).as("id_b"))))),
+        pairsFromSorted(col("new_ids")))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .where(col("id_a") =!= col("id_b"))
       .distinct()
