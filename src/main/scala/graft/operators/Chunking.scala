@@ -49,4 +49,48 @@ object Chunking {
         size(col("ctoks")).cast("long").as("chunk_tokens"),
         md5(array_join(col("ctoks"), " ")).as("chunk_md5"))
   }
+
+  /**
+   * Sentence-aware chunking — the RAG-ingestion variant that never cuts
+   * mid-sentence: split on sentence boundaries ([.!?] runs + whitespace),
+   * then assign each sentence to the chunk its cumulative token offset
+   * falls in. A sentence that would straddle a boundary belongs wholly to
+   * the chunk where it STARTS, so chunks can exceed `maxTokens` by at
+   * most one sentence (offset-based assignment, same rule as Packing's
+   * pack_id — sequential greedy repacking per doc would not be
+   * expressible as a window).
+   *
+   * One row per (doc, chunk): chunk_idx, sentence array, token count.
+   * Scale shape: sentences explode (narrow), ONE window shuffle keyed on
+   * the doc id for the cumulative offset, then a chunk groupBy on
+   * (doc, chunk_idx) — both shuffles carry sentence/chunk cardinality,
+   * and every window/group is bounded by a single document's sentences.
+   */
+  def chunkBySentences(docs: DataFrame, idCol: String, textCol: String,
+                       maxTokens: Int): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    import org.apache.spark.sql.expressions.Window
+    // split keeps order; filter empties from trailing punctuation
+    val sentences = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(filter(split(col(textCol), "[.!?]+\\s*"), s => length(s) > 0))
+          .as(Seq("sent_idx", "sentence")))
+      .withColumn("sent_tokens", Text.tokenCount(col("sentence")))
+    val w = Window.partitionBy("doc_id").orderBy("sent_idx")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sentences
+      .withColumn("start_offset", coalesce(sum(col("sent_tokens")).over(w), lit(0L)))
+      .withColumn("chunk_idx", floor(col("start_offset") / maxTokens).cast("long"))
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(
+        // sentences stay in document order: collect_list preserves the
+        // (single-partition-per-doc) window output order after the
+        // groupBy's sort-based fallback is NOT guaranteed — sort by the
+        // carried index instead of trusting arrival order
+        sort_array(collect_list(struct(col("sent_idx"), col("sentence")))).as("s"),
+        sum(col("sent_tokens")).as("chunk_tokens"))
+      .select(col("doc_id"), col("chunk_idx"),
+        transform(col("s"), x => x.getField("sentence")).as("sentences"),
+        col("chunk_tokens"))
+  }
 }

@@ -27,6 +27,34 @@ class TrainingOpsSpec extends SparkSpec {
     assert(tail.toSeq == Seq((0L, 4L), (3L, 4L), (6L, 4L), (9L, 2L)))
   }
 
+  test("chunkBySentences never cuts mid-sentence and conserves tokens") {
+    // sentences of 3/4/2/5 tokens; maxTokens=6 → offsets 0,3,7,9 →
+    // chunks 0,0,1,1: the 4-token sentence STARTS at offset 3 (<6) so it
+    // stays in chunk 0 (which then holds 7 > maxTokens — the documented
+    // one-sentence-over allowance)
+    val docs = Seq((1L, "a b c. d e f g! h i? j k l m n.")).toDF("doc_id", "text")
+    val got = Chunking.chunkBySentences(docs, "doc_id", "text", maxTokens = 6)
+      .orderBy("chunk_idx").collect()
+      .map(r => (r.getLong(1), r.getSeq[String](2), r.getLong(3)))
+    assert(got.length == 2)
+    assert(got(0) == ((0L, Seq("a b c", "d e f g"), 7L)))
+    assert(got(1) == ((1L, Seq("h i", "j k l m n"), 7L)))
+    // token conservation across every doc of the real corpus + sentence
+    // order stays document order regardless of partitioning
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    val chunks = Chunking.chunkBySentences(real.repartition(7), "doc_id", "text", 64)
+    val perDoc = chunks.groupBy("doc_id")
+      .agg(sum("chunk_tokens").as("t")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val truth = real.select(col("doc_id"),
+      graft.functions.Text.tokenCount(col("text")).cast("long").as("t")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // sentence splitting merges/drops only punctuation-and-space runs; the
+    // corpus text has no sentence punctuation inside tokens, so totals match
+    assert(perDoc.keySet == truth.keySet)
+    perDoc.foreach { case (id, t) => assert(t == truth(id), s"doc $id") }
+  }
+
   test("chunkByTokens: short docs yield exactly one chunk; every token is covered") {
     val docs = Seq((1L, "a b"), (2L, "x")).toDF("doc_id", "text")
     val one = Chunking.chunkByTokens(docs, "doc_id", "text", 8, 5).collect()
