@@ -119,6 +119,28 @@ class AsOfSamplingSpec extends SparkSpec {
     assert(row.getAs[String]("split_b") == label(row.getAs[Long]("id_b")))
   }
 
+  test("negativeSamples draws k stable non-self negatives per anchor") {
+    val df = spark.range(500).toDF("id")
+    val a = Sampling.negativeSamples(df, "id", k = 4, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // exactly k rows per anchor, ranks 0..k-1, never the anchor itself
+    val byAnchor = a.groupBy(_._1)
+    assert(byAnchor.size == 500 && byAnchor.values.forall(_.length == 4))
+    assert(a.forall { case (anchor, _, neg) => neg != anchor })
+    assert(byAnchor.values.forall(_.map(_._2).sorted.toSeq == Seq(0, 1, 2, 3)))
+    // deterministic under repartitioning; a different seed redraws
+    val b = Sampling.negativeSamples(df.repartition(11), "id", 4, 7L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(a.toSet == b.toSet)
+    val c = Sampling.negativeSamples(df, "id", 4, 8L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(a.toSet != c.toSet)
+    // roughly uniform usage: no id hogs the negative pool (2000 draws over
+    // 500 ids → expected 4 uses; a deterministic-hash pathology would spike)
+    val usage = a.groupBy(_._3).view.mapValues(_.length)
+    assert(usage.values.max <= 20, s"max usage ${usage.values.max}")
+  }
+
   test("hashSample keeps a stable ~fraction and is a subset across runs") {
     val df = spark.range(10000).toDF("id")
     val s1 = Sampling.hashSample(df, "id", 1, 10).collect().map(_.getLong(0)).toSet
