@@ -61,6 +61,13 @@ object Chunking {
    * expressible as a window).
    *
    * One row per (doc, chunk): chunk_idx, sentence array, token count.
+   * Every input document appears — one (chunk 0, empty sentences, 0
+   * tokens) row for empty/null/punctuation-only text, matching
+   * chunkByTokens's every-doc contract. chunk_idx values are
+   * OFFSET-DERIVED and may skip (a single sentence spanning multiple
+   * chunk widths owns only the index where it starts); consumers needing
+   * dense 0..n−1 indices re-rank with a per-doc window.
+   *
    * Scale shape: sentences explode (narrow), ONE window shuffle keyed on
    * the doc id for the cumulative offset, then a chunk groupBy on
    * (doc, chunk_idx) — both shuffles carry sentence/chunk cardinality,
@@ -70,12 +77,15 @@ object Chunking {
                        maxTokens: Int): DataFrame = {
     require(maxTokens > 0, "maxTokens must be positive")
     import org.apache.spark.sql.expressions.Window
-    // split keeps order; filter empties from trailing punctuation
+    // split keeps order; filter drops empties from trailing punctuation.
+    // posexplode_OUTER keeps sentence-less docs (empty/null/punct-only
+    // text) as a single null-sentence row → their chunk-0 row below
     val sentences = docs
       .select(col(idCol).as("doc_id"),
-        posexplode(filter(split(col(textCol), "[.!?]+\\s*"), s => length(s) > 0))
+        posexplode_outer(filter(split(col(textCol), "[.!?]+\\s*"), s => length(s) > 0))
           .as(Seq("sent_idx", "sentence")))
-      .withColumn("sent_tokens", Text.tokenCount(col("sentence")))
+      .withColumn("sent_tokens",
+        coalesce(Text.tokenCount(col("sentence")), lit(0)))
     val w = Window.partitionBy("doc_id").orderBy("sent_idx")
       .rowsBetween(Window.unboundedPreceding, -1)
     sentences
@@ -83,11 +93,13 @@ object Chunking {
       .withColumn("chunk_idx", floor(col("start_offset") / maxTokens).cast("long"))
       .groupBy(col("doc_id"), col("chunk_idx"))
       .agg(
-        // sentences stay in document order: collect_list preserves the
-        // (single-partition-per-doc) window output order after the
-        // groupBy's sort-based fallback is NOT guaranteed — sort by the
-        // carried index instead of trusting arrival order
-        sort_array(collect_list(struct(col("sent_idx"), col("sentence")))).as("s"),
+        // sentences stay in document order: collect_list's arrival order
+        // after the shuffle is NOT guaranteed — sort by the carried index
+        // (collect_list also skips the null placeholder row's struct-free
+        // entry via the when-filter, leaving sentence-less docs an empty
+        // array)
+        sort_array(collect_list(when(col("sentence").isNotNull,
+          struct(col("sent_idx"), col("sentence"))))).as("s"),
         sum(col("sent_tokens")).as("chunk_tokens"))
       .select(col("doc_id"), col("chunk_idx"),
         transform(col("s"), x => x.getField("sentence")).as("sentences"),

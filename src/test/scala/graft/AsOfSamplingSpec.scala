@@ -139,6 +139,13 @@ class AsOfSamplingSpec extends SparkSpec {
     // 500 ids → expected 4 uses; a deterministic-hash pathology would spike)
     val usage = a.groupBy(_._3).view.mapValues(_.length)
     assert(usage.values.max <= 20, s"max usage ${usage.values.max}")
+    // string ids work (hashing casts, like every Sampling op) and null
+    // ids are dropped up front rather than killing the job mid-stage
+    val strs = Seq("doc-a", "doc-b", "doc-c", null).toDF("id")
+    val s = Sampling.negativeSamples(strs, "id", k = 2, seed = 1L)
+      .collect().map(r => (r.getString(0), r.getString(2)))
+    assert(s.length == 6)                       // 3 non-null anchors × 2
+    assert(s.forall { case (anchor, neg) => anchor != null && neg != null && anchor != neg })
   }
 
   test("hashSample keeps a stable ~fraction and is a subset across runs") {

@@ -53,6 +53,18 @@ class TrainingOpsSpec extends SparkSpec {
     // corpus text has no sentence punctuation inside tokens, so totals match
     assert(perDoc.keySet == truth.keySet)
     perDoc.foreach { case (id, t) => assert(t == truth(id), s"doc $id") }
+
+    // sentence-less docs (empty / punct-only / null) still appear: one
+    // chunk-0 row, empty sentences, zero tokens — the every-doc contract
+    val edge = Seq((10L, ""), (11L, "..."), (12L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val er = Chunking.chunkBySentences(edge, "doc_id", "text", 6)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getSeq[String](2), r.getLong(3)))).toMap
+    assert(er.keySet == Set(10L, 11L, 12L))
+    er.values.foreach { case (idx, sents, toks) =>
+      assert(idx == 0L && sents.isEmpty && toks == 0L)
+    }
   }
 
   test("chunkByTokens: short docs yield exactly one chunk; every token is covered") {
