@@ -252,6 +252,32 @@ object Similarity {
   }
 
   /**
+   * Deterministic mean-pooling: element-wise mean of a group's vectors —
+   * chunk embeddings → document embedding, the standard aggregation
+   * between a chunk-level encoder and doc-level retrieval/dedup. Built
+   * ORDER-INDEPENDENTLY (the engine's determinism rule): positions
+   * explode, each (group, position) sums through DECIMAL — so a
+   * 1000-executor reduction never adds floats in two different orders —
+   * and the array reassembles sorted by position. Two aggregations, both
+   * shuffling aggregated (group×dim) cardinality, not raw vectors; a
+   * float-buffer typed Aggregator would be one shuffle but
+   * partition-order-dependent in the low bits, which breaks the
+   * hash-verifiable contract every other operator keeps.
+   */
+  def meanPool(df: DataFrame, groupCol: String, vecCol: String,
+               as: String = "embedding"): DataFrame = {
+    import graft.operators.Aggregates.exactAvg
+    df
+      .select(col(groupCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col(groupCol), col("pos"))
+      .agg(exactAvg(col("v").cast("double")).as("m"))
+      .groupBy(col(groupCol))
+      .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("s"))
+      .select(col(groupCol),
+        transform(col("s"), x => x.getField("m").cast("float")).as(as))
+  }
+
+  /**
    * End-to-end semantic dedup: bucketed embedding near-dup pairs →
    * connected components → smallest-id keeper per cluster — the
    * embedding-space twin of the text pipeline's q36 (pairs from cosine

@@ -131,6 +131,21 @@ class SimilaritySpec extends SparkSpec {
     assert(np2.subsetOf(exact)) // bucketing never invents pairs
   }
 
+  test("meanPool averages element-wise, order-independently") {
+    val vecs = Seq(
+      (1L, Array(1f, 2f, 3f)), (1L, Array(3f, 4f, 5f)),
+      (2L, Array(10f, 0f, -2f)))
+      .toDF("doc_id", "embedding")
+    def pooled(df: org.apache.spark.sql.DataFrame) =
+      Similarity.meanPool(df, "doc_id", "embedding")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toList).toMap
+    val a = pooled(vecs)
+    assert(a(1L) == List(2f, 3f, 4f))
+    assert(a(2L) == List(10f, 0f, -2f)) // singleton group passes through
+    // bit-identical under repartitioning (decimal per-position sums)
+    assert(pooled(vecs.repartition(7)) == a)
+  }
+
   test("semanticDedupGroups clusters planted duplicate families to one keeper each") {
     val rnd = new Random(11)
     // 3 duplicate families (near-identical copies of a prototype) + 40
