@@ -90,6 +90,46 @@ object CorpusStats {
    * the exploded token stream as a BROADCAST — the occurrence stream never
    * shuffles for the lookup, only for the final per-doc aggregation.
    */
+  /**
+   * Corpus data card: the one-row release summary a data team attaches to
+   * a dataset drop — document/token totals, length distribution, exact
+   * duplicate rate (via content fingerprints), language mix and mean
+   * quality, all from ONE pass over the corpus plus one
+   * aggregated-cardinality pass for the duplicate rate. Every number is
+   * deterministic (DECIMAL means, exact counts) so two releases of the
+   * same corpus produce byte-identical cards.
+   *
+   * Output (single row): n_docs, n_tokens, avg_tokens, p50_tokens,
+   * max_tokens, distinct_fingerprints, dup_rate, n_langs, top_lang,
+   * avg_quality.
+   */
+  def corpusReport(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.operators.Aggregates.exactAvg
+    val enriched = docs.select(
+      col(idCol).as("id"),
+      Text.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      Text.fingerprint(col(textCol)).as("fp"),
+      Text.langIdHeuristic(col(textCol)).as("lang"),
+      Text.docQualityScore(col(textCol)).as("quality"))
+    val langTop = enriched.groupBy("lang").count()
+      .orderBy(col("count").desc, col("lang").asc).limit(1)
+      .select(col("lang").as("top_lang"))
+    val base = enriched.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("n_tokens"),
+      exactAvg(col("n_tokens")).as("avg_tokens"),
+      expr("percentile(n_tokens, 0.5)").as("p50_tokens"),
+      max(col("n_tokens")).as("max_tokens"),
+      countDistinct(col("fp")).as("distinct_fingerprints"),
+      countDistinct(col("lang")).as("n_langs"),
+      exactAvg(col("quality")).as("avg_quality"))
+    base
+      .withColumn("dup_rate",
+        (col("n_docs") - col("distinct_fingerprints")).cast("double") /
+          col("n_docs").cast("double"))
+      .crossJoin(langTop) // one row × one row
+  }
+
   def oovStats(docs: DataFrame, idCol: String, textCol: String, vocabSize: Int): DataFrame = {
     // rank by occurrence count only — topVocabulary's doc-frequency join
     // would cost a second corpus scan + aggregation without changing the

@@ -57,6 +57,22 @@ class TextSpec extends SparkSpec {
     assert(top.toSeq == Seq(("b", 4L, 2L), ("a", 3L, 2L)))
   }
 
+  test("corpusReport summarizes a corpus deterministically in one row") {
+    import graft.operators.CorpusStats
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def card(df: org.apache.spark.sql.DataFrame) =
+      CorpusStats.corpusReport(df, "doc_id", "text").collect().head
+    val r = card(docs)
+    assert(r.getAs[Long]("n_docs") == 500)
+    assert(r.getAs[Long]("n_tokens") > 0 && r.getAs[Long]("max_tokens") >= r.getAs[Double]("p50_tokens"))
+    val dupRate = r.getAs[Double]("dup_rate")
+    assert(dupRate >= 0.0 && dupRate < 1.0)
+    assert(r.getAs[Long]("n_langs") >= 1 && r.getAs[String]("top_lang").nonEmpty)
+    // byte-identical under repartitioning — a data card must not depend on
+    // how the release happened to be partitioned
+    assert(card(docs.repartition(13)) == r)
+  }
+
   test("approxHeavyHitters is exact when k covers the domain, bounded when it can't") {
     import graft.operators.CorpusStats
     // k ≥ distinct tokens: no eviction can happen -> exact counts in any
