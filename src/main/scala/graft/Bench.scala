@@ -46,11 +46,18 @@ object Bench {
     // line out of a bounded tail of captured stdout (2000 chars incl. sbt's
     // ~71-char trailing [success] line → ≈1928 usable); full-precision
     // doubles pushed round 3's line to 2078 chars and its HEAD fell out of
-    // the window → parsed:null. Two decimals keeps 58 queries + recall rows
-    // under the window with margin; finer timing than 10 ms is machine
-    // noise at this scale anyway.
-    def f3(v: Double): String = "%.2f".format(v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+    // the window → parsed:null. Two decimals keeps the query rows under the
+    // window with margin; finer timing than 10 ms is machine noise at this
+    // scale anyway. Locale.ROOT: under a comma-decimal host locale the
+    // default-locale format would emit {"q01":0,86,...} — unparseable.
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    // short keys (q18, not q18_ngram_jaccard_pairs): the descriptive suffix
+    // cost ~15 chars/query and left the 61-gate line ~23 chars from
+    // overflowing the driver's tail window. The qNN prefix is unique by
+    // construction (names are assigned qNN_*); full names stay in
+    // CORRECTNESS_r*.json via Verify.
+    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
 
@@ -88,7 +95,8 @@ object Bench {
       // omit the key entirely when the baseline is empty — 0/0 printed as
       // 0.0 would read as total bucketing failure instead of "nothing to
       // recall at this threshold on this corpus"
-      def f4(v: Double): String = "%.4f".format(v)
+      def f4(v: Double): String =
+        String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
       val pairRecall =
         if (exactN == 0) ""
         else s""","recall_neardup_np2":${f4(bucketedPairs.intersect(exactPairs).count().toDouble / exactN)}"""
@@ -97,7 +105,8 @@ object Bench {
     } catch { case e: Throwable => System.err.println(s"[bench] recall failed: $e"); "" }
 
     // line budget: the driver's 2000-char stdout tail minus sbt's trailing
-    // [success] line leaves ≈1928 usable chars; 61 queries × %.2f ≈ 1905.
+    // [success] line leaves ≈1928 usable chars; with short qNN keys, 61
+    // queries × %.2f ≈ 980 — room for tens of additional gates.
     // Methodology fields that would push past it (passes=2, full sf path)
     // live in NOTES.md instead of the JSON.
     val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString

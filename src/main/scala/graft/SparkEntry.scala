@@ -1386,10 +1386,10 @@ object SparkEntry {
          | FROM customer)
          |SELECT c_custkey,
          | md5(regexp_replace(regexp_replace(regexp_replace(msg,
-         |   '[a-z0-9._]+@[a-z0-9.]+', '[EMAIL]', 'g'),
+         |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '[EMAIL]', 'g'),
          |   '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '[IP]', 'g'),
          |   '[0-9]{3}-[0-9]{4}', '[PHONE]', 'g')) AS redacted_md5,
-         | CAST(len(regexp_extract_all(msg, '[a-z0-9._]+@[a-z0-9.]+')) AS BIGINT) AS n_emails,
+         | CAST(len(regexp_extract_all(msg, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS BIGINT) AS n_emails,
          | CAST(len(regexp_extract_all(msg, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS BIGINT) AS n_ips,
          | CAST(len(regexp_extract_all(msg, '[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
          | CAST(len(regexp_extract_all(msg, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpeish_tokens

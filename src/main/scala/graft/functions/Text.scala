@@ -117,8 +117,15 @@ object Text {
    * of the contract (emails first — their local part would otherwise be
    * partially eaten by the number patterns; then IPs, whose dotted runs
    * must be gone before the bare phone pattern scans).
+   *
+   * Best-effort by design, with exact charset limits: emails are
+   * RFC-5322-common ([A-Za-z0-9._%+-] local, [A-Za-z0-9.-] domain — mixed
+   * case included; quoted locals and IDN domains are not), IPs are dotted
+   * quads without range validation, phones are NNN-NNNN shapes only. A
+   * production scrubber would layer NER on top; the regex tier is the
+   * zero-shuffle screen that must never miss the common shapes.
    */
-  val EmailPattern: String = "[a-z0-9._]+@[a-z0-9.]+"
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
   val IpPattern: String = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
   val PhonePattern: String = "[0-9]{3}-[0-9]{4}"
 

@@ -124,10 +124,18 @@ object CorpusStats {
       countDistinct(col("lang")).as("n_langs"),
       exactAvg(col("quality")).as("avg_quality"))
     base
+      // empty-corpus guard (round-4 advice): n_docs = 0 would make dup_rate
+      // 0/0 → null, and a crossJoin with the then-EMPTY langTop would drop
+      // the row entirely — a caller reading .head() on an empty release
+      // crashes instead of seeing zeros. Left join on a constant key keeps
+      // the one base row alive (top_lang null when there is no corpus).
       .withColumn("dup_rate",
-        (col("n_docs") - col("distinct_fingerprints")).cast("double") /
-          col("n_docs").cast("double"))
-      .crossJoin(langTop) // one row × one row
+        when(col("n_docs") > 0,
+          (col("n_docs") - col("distinct_fingerprints")).cast("double") /
+            col("n_docs").cast("double")).otherwise(lit(0.0)))
+      .withColumn("__k", lit(1))
+      .join(langTop.withColumn("__k", lit(1)), Seq("__k"), "left")
+      .drop("__k")
   }
 
   def oovStats(docs: DataFrame, idCol: String, textCol: String, vocabSize: Int): DataFrame = {

@@ -348,7 +348,7 @@ object Similarity {
    * centroid aggregation itself shuffles (dimension-cardinality rows).
    */
   def labelMargins(vectors: DataFrame, labelCol: String = "label",
-                   embCol: String = "embedding"): DataFrame = {
+                   embCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val centsArr = labelCentroids(vectors, labelCol, embCol)
       .agg(array_sort(collect_list(struct(col("label"), col("centroid")))).as("cents"))
     val scores = transform(col("cents"), c =>
@@ -356,17 +356,24 @@ object Similarity {
         VectorExprs.cosine(col(embCol), c.getField("centroid")).as("cos")))
     val own = element_at(filter(col("scores"), s =>
       s.getField("c_label") === col("label")), 1).getField("cos")
-    val bestOther = array_max(transform(filter(col("scores"), s =>
-      s.getField("c_label") =!= col("label")), s =>
-      struct(s.getField("cos").as("cos"), (-s.getField("c_label")).as("nl"))))
-    vectors.select(col("vec_id"), col(labelCol).as("label"), col(embCol))
+    // nearest other class, ties → smallest label: max cosine first, then
+    // the min label among the argmax set — no arithmetic negation, so the
+    // label column keeps its own type (string labels work; non-int
+    // numerics are not truncated). The equality filter compares a value
+    // read back out of the same array, so it is exact.
+    val others = filter(col("scores"), s => s.getField("c_label") =!= col("label"))
+    val bestCos = array_max(transform(others, s => s.getField("cos")))
+    val nearestOther = array_min(transform(
+      filter(others, s => s.getField("cos") === bestCos),
+      s => s.getField("c_label")))
+    vectors.select(col(idCol).as("vec_id"), col(labelCol).as("label"), col(embCol))
       .crossJoin(broadcast(centsArr))
       .withColumn("scores", scores)
       .select(col("vec_id"), col("label"),
         own.as("own_cos"),
-        (-bestOther.getField("nl")).cast("int").as("nearest_other_label"),
-        bestOther.getField("cos").as("other_cos"),
-        (own - bestOther.getField("cos")).as("margin"))
+        nearestOther.as("nearest_other_label"),
+        bestCos.as("other_cos"),
+        (own - bestCos).as("margin"))
   }
 
   /**

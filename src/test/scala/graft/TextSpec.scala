@@ -71,6 +71,12 @@ class TextSpec extends SparkSpec {
     // byte-identical under repartitioning — a data card must not depend on
     // how the release happened to be partitioned
     assert(card(docs.repartition(13)) == r)
+    // empty release (round-4 advice): still exactly ONE row, zeros not
+    // nulls for the counts, null top_lang — .head() must not crash
+    val empty = card(docs.where(lit(false)))
+    assert(empty.getAs[Long]("n_docs") == 0L)
+    assert(empty.getAs[Double]("dup_rate") == 0.0)
+    assert(empty.getAs[String]("top_lang") == null)
   }
 
   test("approxHeavyHitters is exact when k covers the domain, bounded when it can't") {
@@ -139,7 +145,9 @@ class TextSpec extends SparkSpec {
       (2L, "srv at 10.0.255.7 and 192.168.1.1"),
       (3L, "call 555-0142 twice 555-9999"),
       (4L, "nothing sensitive here"),
-      (5L, "x@y.z from 1.2.3.4 dial 123-4567"))
+      (5L, "x@y.z from 1.2.3.4 dial 123-4567"),
+      (6L, "ping John.Doe+tag@Gmail.com today"),
+      (7L, "cc first-last%x@my-host.co too"))
       .toDF("id", "msg")
       .select(col("id"), Text.redactPii(col("msg")).as("red"),
         Text.piiCount(col("msg"), Text.EmailPattern).as("e"),
@@ -152,6 +160,10 @@ class TextSpec extends SparkSpec {
     assert(rows(3L) == (("call [PHONE] twice [PHONE]", 0L, 0L, 2L)))
     assert(rows(4L) == (("nothing sensitive here", 0L, 0L, 0L)))
     assert(rows(5L) == (("[EMAIL] from [IP] dial [PHONE]", 1L, 1L, 1L)))
+    // mixed case and +/%/- charset (round-4 advice): these previously
+    // survived the lowercase-only pattern entirely or in part
+    assert(rows(6L) == (("ping [EMAIL] today", 1L, 0L, 0L)))
+    assert(rows(7L) == (("cc [EMAIL] too", 1L, 0L, 0L)))
   }
 
   test("bpeishTokenCount splits letter runs, digit runs and punctuation marks") {
