@@ -746,8 +746,29 @@ object SparkEntry {
           lit(0L), (acc, v) => acc + v).as("checksum"),
         array_min(col("qvec")).as("q_min"),
         array_max(col("qvec")).as("q_max"))
-    })
+    }),
+
+    // Substring/span-level dedup: merged token ranges covered by a
+    // 20-token passage that also appears in another document — the
+    // repeated-boilerplate class doc-level Jaccard never catches. Gate
+    // runs uncapped so the oracle is the plain HAVING-count shape.
+    "q62_dup_span_ranges" -> ((s, dir) =>
+      graft.operators.Dedup.duplicatedSpanRanges(t(s, dir, "documents"),
+        "doc_id", "text", window = SpanWindow, maxBucket = Int.MaxValue)
+        .withColumnRenamed("id", "doc_id")),
+
+    // Span-sharing pairs: shared distinct 20-token passages per doc pair
+    // plus the longest contiguous aligned token run.
+    "q63_dup_span_pairs" -> ((s, dir) =>
+      graft.operators.Dedup.duplicateSpanPairs(t(s, dir, "documents"),
+        "doc_id", "text", window = SpanWindow, minShared = 1,
+        maxBucket = Int.MaxValue))
   )
+
+  /** Span window (tokens) shared by q62/q63 and their oracles — 20 fits
+    * this corpus's 10-100-token documents; production boilerplate removal
+    * would run 50. */
+  private val SpanWindow = 20
 
   /** Deterministic PII-bearing message synthesized from customer columns —
     * email always present, phone on 2/3 of rows, IP on 1/4 (concat_ws
@@ -801,6 +822,19 @@ object SparkEntry {
        | CAST(shared AS DOUBLE)/CAST(x.n + y.n - shared AS DOUBLE) AS jaccard
        |FROM pairs JOIN sz x ON id_a=x.doc_id JOIN sz y ON id_b=y.doc_id
        |WHERE CAST(shared AS DOUBLE)/CAST(x.n + y.n - shared AS DOUBLE) >= 0.5""".stripMargin
+
+  /** DuckDB twin of Dedup.spanHashes on `documents` (window = SpanWindow):
+    * position-indexed sliding token windows as strings (span identity ≡
+    * hash identity), 0-based `pos` matching Spark's posexplode. Shared by
+    * q62 and q63. */
+  private lazy val spanCte: String = {
+    val w = SpanWindow
+    s"""t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+       |ix AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-${w - 1})) AS i
+       |       FROM t WHERE len(toks) >= $w),
+       |sp AS (SELECT doc_id, CAST(i-1 AS BIGINT) AS pos,
+       |       array_to_string(toks[i:i+${w - 1}],' ') AS span FROM ix)""".stripMargin
+  }
 
   /** Fixed hyperplanes for q34 (dim 64 embeddings, 16 bits, seed 42). */
   private lazy val RpPlanes: Array[Array[Double]] =
@@ -1594,6 +1628,44 @@ object SparkEntry {
         |   / count(CAST(json_extract_string(props,'$.k') AS INTEGER)) AS avg_k,
         | CAST(sum(CASE WHEN CAST(json_extract_string(props,'$.k') AS INTEGER) > 50 THEN 1 ELSE 0 END) AS BIGINT) AS high_k_count,
         | CAST(count(*) AS BIGINT) AS event_count
-        |FROM events GROUP BY event_type""".stripMargin
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    // Span dedup: duplicated windows marked by a cross-doc HAVING, then the
+    // textbook gaps-and-islands interval merge — same lag/running-sum
+    // construction as the Spark window chain.
+    "q62_dup_span_ranges" ->
+      s"""WITH $spanCte,
+         |d AS (SELECT span FROM sp GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
+         |m AS (SELECT sp.doc_id, sp.pos FROM sp JOIN d USING (span)),
+         |f AS (SELECT doc_id, pos,
+         |  CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + $SpanWindow
+         |       THEN 1 ELSE 0 END AS nw
+         | FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |g AS (SELECT doc_id, pos, sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM f)
+         |SELECT doc_id, min(pos) AS span_start,
+         | max(pos) + ${SpanWindow - 1} AS span_end,
+         | CAST(count(*) AS BIGINT) AS n_windows
+         |FROM g GROUP BY doc_id, grp""".stripMargin,
+
+    // Span pairs: the oracle may self-join on the span string (reference
+    // semantics — the Spark plan is the single-pass bucket expansion);
+    // aligned runs via the same diagonal gaps-and-islands row_number trick.
+    "q63_dup_span_pairs" ->
+      s"""WITH $spanCte,
+         |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.span,
+         |        a.pos AS pa, b.pos AS pb
+         |       FROM sp a JOIN sp b ON a.span = b.span AND a.doc_id < b.doc_id),
+         |sh AS (SELECT id_a, id_b, CAST(count(DISTINCT span) AS BIGINT) AS shared_spans
+         |       FROM pr GROUP BY 1, 2),
+         |ru AS (SELECT id_a, id_b, pa, pa - pb AS diag,
+         |        pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb ORDER BY pa) AS isl
+         |       FROM pr),
+         |rc AS (SELECT id_a, id_b, count(*) AS run FROM ru GROUP BY id_a, id_b, diag, isl),
+         |mx AS (SELECT id_a, id_b, CAST(max(run) + ${SpanWindow - 1} AS BIGINT) AS longest_token_run
+         |       FROM rc GROUP BY 1, 2)
+         |SELECT sh.id_a, sh.id_b, sh.shared_spans, mx.longest_token_run
+         |FROM sh JOIN mx USING (id_a, id_b)
+         |WHERE shared_spans >= 1""".stripMargin
   )
 }

@@ -365,6 +365,121 @@ object Dedup {
   }
 
   /**
+   * id → (pos, h): position-indexed sliding-window token hashes — the span
+   * inverted-index input. Same construction as [[hashedShingles]] but NOT
+   * deduplicated and with the 0-based window start position kept: span
+   * dedup needs to know WHERE a duplicated passage sits, not just that the
+   * document contains it. Window `w` spans tokens [pos, pos+w−1].
+   */
+  def spanHashes(docs: DataFrame, idCol: String, textCol: String, window: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+        posexplode(Text.shingles(col(textCol), window)).as(Seq("pos", "span")))
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        Hashing.stableHash60(col("span")).as("h"))
+
+  /**
+   * Substring/span-level exact dedup, per document: the merged token ranges
+   * of `textCol` covered by a `window`-token passage that also appears in
+   * at least one OTHER document — the "repeated 50-token boilerplate /
+   * license / chat-template" class that whole-document Jaccard at sensible
+   * thresholds never catches (two long documents sharing one paragraph sit
+   * far below 0.5). Downstream, a cleaner cuts exactly these ranges.
+   *
+   * Same single-pass bucket-expansion shape as [[jaccardPairsFromHashed]]
+   * (group the span stream by hash once, emit the positions back out of
+   * qualifying posting lists — never a self-join): one aggregation shuffle
+   * on the 8-byte span hash, then one shuffle on the doc id for the
+   * interval merge. `maxBucket` caps degenerate hot spans (the stop-shingle
+   * rule); a span in more documents than that is boilerplate by definition
+   * — callers wanting it anyway raise the cap.
+   *
+   * Interval merge: windows at starts p, q (p<q) overlap or adjoin iff
+   * q ≤ p+window, so a run boundary is a gap > window; merged ranges are
+   * [min start, max start + window−1]. Output: (id, span_start, span_end,
+   * n_windows) with 0-based inclusive token positions.
+   */
+  def duplicatedSpanRanges(docs: DataFrame, idCol: String, textCol: String,
+                           window: Int, maxBucket: Int = 10000): DataFrame = {
+    val marked = spanHashes(docs, idCol, textCol, window)
+      .groupBy("h")
+      .agg(collect_list(struct(col("id"), col("pos"))).as("occs"))
+      .where(size(array_distinct(transform(col("occs"), o => o.getField("id")))) >= 2 &&
+        size(col("occs")) <= maxBucket)
+      .select(explode(col("occs")).as("o"))
+      .select(col("o.id").as("id"), col("o.pos").as("pos"))
+    // (id,pos) rows are unique by construction — each position carries
+    // exactly one span hash, so no distinct pass is needed before the merge
+    val w = Window.partitionBy("id").orderBy("pos")
+    val flagged = marked.withColumn("__new",
+      when(lag(col("pos"), 1).over(w).isNull ||
+        col("pos") > lag(col("pos"), 1).over(w) + window, 1).otherwise(0))
+    flagged
+      .withColumn("__grp",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id"), col("__grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(window - 1).cast("long")).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select("id", "span_start", "span_end", "n_windows")
+  }
+
+  /**
+   * Span-sharing document pairs: for every (a,b) sharing at least
+   * `minShared` distinct `window`-token passages, the shared-span count and
+   * the longest CONTIGUOUS shared token run (aligned windows at constant
+   * positional offset, consecutive starts — run of r windows = r+window−1
+   * tokens). The pair-level companion of [[duplicatedSpanRanges]]:
+   * ranges say where to cut, this says which documents plagiarize which
+   * and how much.
+   *
+   * Shape: one groupBy on the span hash, cross-doc pair expansion INSIDE
+   * each posting list (sorted by (id,pos), upper triangle, same-doc pairs
+   * filtered — never a self-join), then a pair-keyed window for the
+   * gaps-and-islands run detection. The expanded pair stream feeds two
+   * aggregations (distinct-span count + run length), so it is eagerly
+   * checkpointed once — it is pair-cardinality, bounded by `maxBucket`.
+   */
+  def duplicateSpanPairs(docs: DataFrame, idCol: String, textCol: String,
+                         window: Int, minShared: Long = 1,
+                         maxBucket: Int = 10000): DataFrame = {
+    val pairs = spanHashes(docs, idCol, textCol, window)
+      .groupBy("h")
+      .agg(sort_array(collect_list(struct(col("id"), col("pos")))).as("occs"))
+      .where(size(array_distinct(transform(col("occs"), o => o.getField("id")))) >= 2 &&
+        size(col("occs")) <= maxBucket)
+      .select(col("h"), explode(crossDocPairs(col("occs"))).as("p"))
+      .select(col("h"), col("p.id_a").as("id_a"), col("p.pos_a").as("pos_a"),
+        col("p.id_b").as("id_b"), col("p.pos_b").as("pos_b"))
+      .localCheckpoint() // two aggregation consumers below
+    val shared = pairs.groupBy("id_a", "id_b")
+      .agg(countDistinct(col("h")).as("shared_spans"))
+    // aligned-run islands: within (pair, pos_a−pos_b), consecutive pos_a
+    // values share pos_a − row_number() — count each island, keep the max
+    val wr = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    val longest = pairs
+      .withColumn("diag", col("pos_a") - col("pos_b"))
+      .withColumn("__isl", col("pos_a") - row_number().over(wr))
+      .groupBy("id_a", "id_b", "diag", "__isl")
+      .agg(count(lit(1)).as("run"))
+      .groupBy("id_a", "id_b")
+      .agg((max(col("run")) + lit(window - 1).cast("long")).as("longest_token_run"))
+    shared.join(longest, Seq("id_a", "id_b"))
+      .where(col("shared_spans") >= minShared)
+      .select("id_a", "id_b", "shared_spans", "longest_token_run")
+  }
+
+  /** Cross-document (a,b) position pairs from a (id,pos)-sorted occurrence
+    * array: upper-triangle expansion (so id_a ≤ id_b), same-document pairs
+    * dropped. The positional sibling of [[pairsFromSorted]]. */
+  private def crossDocPairs(occs: Column): Column =
+    filter(
+      flatten(transform(occs, (x, i) =>
+        transform(slice(occs, i + 2, size(occs)), y =>
+          struct(x.getField("id").as("id_a"), x.getField("pos").as("pos_a"),
+            y.getField("id").as("id_b"), y.getField("pos").as("pos_b"))))),
+      p => p.getField("id_a") =!= p.getField("id_b"))
+
+  /**
    * SimHash: locality-sensitive signature. Bit j of the signature is 1 iff
    * the sum over tokens of ±1 (sign of bit j of the token hash) is
    * positive. Computed as `bits` conditional sums in one aggregation — no

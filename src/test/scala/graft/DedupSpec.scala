@@ -229,4 +229,49 @@ class DedupSpec extends SparkSpec {
     val noPairs = Seq.empty[(Long, Long, Double)].toDF("id_a", "id_b", "jaccard")
     assert(graft.operators.Components.dedupGroups(noPairs).count() == 0)
   }
+
+  // ---- span-level dedup (window = 3 for hand-checkable fixtures) ----
+
+  private val spanDocs = Seq(
+    (1L, "a b c d e f g h"),        // shares "a b c d e" with doc 2
+    (2L, "x y a b c d e q"),
+    (3L, "p q r s t u"),            // nothing shared
+    (4L, "c d e z z a b c"),        // two separate shared windows
+    (5L, "m n o m n o m n o")       // WITHIN-doc repetition only
+  ).toDF("doc_id", "text")
+
+  test("duplicatedSpanRanges merges cross-doc duplicated windows into token ranges") {
+    val got = Dedup.duplicatedSpanRanges(spanDocs, "doc_id", "text", window = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, 0L, 4L, 3L),   // windows 0,1,2 merge -> tokens [0,4]
+      (2L, 2L, 6L, 3L),
+      (4L, 0L, 2L, 1L),   // "c d e" ...
+      (4L, 5L, 7L, 1L)))  // ... and "a b c" are 5 apart -> two ranges
+    // doc 5's thrice-repeated window exists only within doc 5 -> not flagged
+  }
+
+  test("duplicateSpanPairs counts shared windows and the longest aligned run") {
+    val got = Dedup.duplicateSpanPairs(spanDocs, "doc_id", "text", window = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // docs 1-2 share windows at a constant offset, consecutive starts:
+    // run of 3 windows = 5 tokens ("a b c d e")
+    assert(got == Map(
+      (1L, 2L) -> ((3L, 5L)),
+      (1L, 4L) -> ((2L, 3L)),   // two isolated shared windows, run = 1
+      (2L, 4L) -> ((2L, 3L))))
+  }
+
+  test("span dedup is partitioning-independent and the hot-span cap bites") {
+    def ranges(df: org.apache.spark.sql.DataFrame) =
+      Dedup.duplicatedSpanRanges(df, "doc_id", "text", window = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(ranges(spanDocs.repartition(7)) == ranges(spanDocs))
+    // maxBucket = 2 drops the 3-occurrence spans ("a b c", "c d e"),
+    // keeping only the 2-occurrence "b c d"
+    val capped = Dedup.duplicatedSpanRanges(spanDocs, "doc_id", "text",
+        window = 3, maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(capped == Set((1L, 1L, 3L, 1L), (2L, 3L, 5L, 1L)))
+  }
 }

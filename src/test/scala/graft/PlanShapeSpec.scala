@@ -86,4 +86,14 @@ class PlanShapeSpec extends SparkSpec {
     withClue("q57_oov_rate")(
       assert(plan("q57_oov_rate").contains("BroadcastHashJoin")))
   }
+
+  test("span-range dedup is join-free: bucket expansion, never a self-join") {
+    val p = plan("q62_dup_span_ranges")
+    assert(!p.contains("Join"), "span ranges must come from the single-pass " +
+      "posting-list expansion, not a join of two span streams")
+    // exactly two hash exchanges: the span-hash groupBy and the per-doc
+    // interval-merge window; the final (id, grp) aggregation rides the
+    // window's id partitioning
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2)
+  }
 }
