@@ -762,7 +762,40 @@ object SparkEntry {
     "q63_dup_span_pairs" -> ((s, dir) =>
       graft.operators.Dedup.duplicateSpanPairs(t(s, dir, "documents"),
         "doc_id", "text", window = SpanWindow, minShared = 1,
-        maxBucket = Int.MaxValue))
+        maxBucket = Int.MaxValue)),
+
+    // Contrastive-training negatives: 3 deterministic pseudo-random
+    // non-self negatives per document (dense hash-ordered index + hash
+    // draws, reproducible on any partitioning).
+    "q64_negative_samples" -> ((s, dir) =>
+      graft.operators.Sampling.negativeSamples(t(s, dir, "documents"),
+          "doc_id", k = 3, seed = 7L)
+        .select(col("anchor"), col("neg_rank").cast("long").as("neg_rank"),
+          col("negative"))),
+
+    // Deterministic corpus shuffle: the seeded permutation materialized as
+    // a dense 1-based rank (zipWithIndex over the hash order — never a
+    // single-partition row_number window).
+    "q65_corpus_shuffle" -> ((s, dir) =>
+      graft.operators.Sampling.shuffleWithRank(
+        t(s, dir, "documents").select("doc_id"), "doc_id", seed = 42L)),
+
+    // Chunk→doc mean pooling, gated per element: label plays the doc key
+    // on the embeddings table; order-independent DECIMAL means → float,
+    // exploded to scalar rows so every element and position is pinned.
+    "q66_mean_pool" -> ((s, dir) =>
+      Similarity.meanPool(t(s, dir, "embeddings"), "label", "embedding")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "m")))
+        .select(col("label"), col("pos").cast("long").as("pos"), col("m"))),
+
+    // Semantic dedup groups: q23's bucketed pair contract → connected
+    // components → smallest-id keeper (the q36 machinery in embedding
+    // space).
+    "q67_semantic_groups" -> ((s, dir) => {
+      val em = t(s, dir, "embeddings")
+      Similarity.semanticDedupGroups(em, em.where(col("vec_id") % 50 === 0),
+        threshold = 0.4, nprobe = 2)
+    })
   )
 
   /** Span window (tokens) shared by q62/q63 and their oracles — 20 fits
@@ -895,6 +928,18 @@ object SparkEntry {
        |   row_number() OVER (PARTITION BY n.vec_id
        |                      ORDER BY ${duckCosine("n", "c")} DESC, c.centroid_id ASC) AS rn
        |  FROM n CROSS JOIN cents c))""".stripMargin
+
+  /** DuckDB twin of embeddingNearDupPairs(centroids = vec_id%50=0,
+    * threshold 0.4, nprobe 2) — shared by q23 and q67's component oracle. */
+  private lazy val embNearDupPairsSql: String =
+    s"""WITH $vecNormCte,
+       |$centroidAssignCte
+       |SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+       | ${duckCosine("a", "b")} AS cosine
+       |FROM (SELECT * FROM assign WHERE rn <= 2) a
+       |JOIN (SELECT * FROM assign WHERE rn <= 2) b
+       |  ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+       |WHERE ${duckCosine("a", "b")} >= 0.4""".stripMargin
 
   // -------------------------------------------------------------- oracleSql
 
@@ -1130,15 +1175,21 @@ object SparkEntry {
 
     // Bucketed contract: cosine ≥ 0.4 among pairs sharing ≥1 of their top-2
     // nearest centroids (same assignment tie-break as the Spark side).
-    "q23_embedding_neardup_pairs" ->
-      s"""WITH $vecNormCte,
-         |$centroidAssignCte
-         |SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
-         | ${duckCosine("a", "b")} AS cosine
-         |FROM (SELECT * FROM assign WHERE rn <= 2) a
-         |JOIN (SELECT * FROM assign WHERE rn <= 2) b
-         |  ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
-         |WHERE ${duckCosine("a", "b")} >= 0.4""".stripMargin,
+    "q23_embedding_neardup_pairs" -> embNearDupPairsSql,
+
+    // Semantic dedup groups: q23's pair contract closed into connected
+    // components (the q36 recursive-reachability oracle in embedding space).
+    "q67_semantic_groups" ->
+      s"""WITH RECURSIVE
+         |p AS (SELECT id_a, id_b FROM ($embNearDupPairsSql)),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+         |nodes AS (SELECT DISTINCT src AS id FROM e),
+         |reach(id, r) AS (
+         | SELECT id, id FROM nodes
+         | UNION
+         | SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
+         |SELECT id, CAST(min(r) AS BIGINT) AS keep_id, (id = min(r)) AS is_keeper
+         |FROM reach GROUP BY id""".stripMargin,
 
     // IVF (nprobe=1): both queries (vec_id<10) and corpus assigned to their
     // nearest %50 centroid; search within the shared bucket only.
@@ -1666,6 +1717,43 @@ object SparkEntry {
          |       FROM rc GROUP BY 1, 2)
          |SELECT sh.id_a, sh.id_b, sh.shared_spans, mx.longest_token_run
          |FROM sh JOIN mx USING (id_a, id_b)
-         |WHERE shared_spans >= 1""".stripMargin
+         |WHERE shared_spans >= 1""".stripMargin,
+
+    // Negative sampling: dense hash-ordered index, per-anchor hash draws
+    // with the self-draw stepped to the next index — concat format and
+    // tie-breaks mirror the Scala exactly.
+    "q64_negative_samples" ->
+      s"""WITH ids AS (SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id IS NOT NULL),
+         |ord AS (SELECT id,
+         |  row_number() OVER (ORDER BY ${duckHash("CAST(id AS VARCHAR)")} ASC, id ASC) - 1 AS idx
+         | FROM ids),
+         |c AS (SELECT count(*) AS n FROM ord),
+         |dr AS (SELECT id AS anchor, idx AS aidx,
+         |        unnest(generate_series(0, 2)) AS neg_rank FROM ord),
+         |d2 AS (SELECT anchor, neg_rank, aidx, n,
+         |  ${duckHash("'7:' || CAST(anchor AS VARCHAR) || ':' || CAST(neg_rank AS VARCHAR)")} % n AS draw
+         | FROM dr, c),
+         |d3 AS (SELECT anchor, neg_rank,
+         |  CASE WHEN draw = aidx THEN (draw + 1) % n ELSE draw END AS nidx FROM d2)
+         |SELECT d3.anchor, CAST(d3.neg_rank AS BIGINT) AS neg_rank, o.id AS negative
+         |FROM d3 JOIN ord o ON o.idx = d3.nidx""".stripMargin,
+
+    // Deterministic shuffle: rank = row number in (hash(seed ∥ NUL ∥ key),
+    // key) order — the NUL separator byte is chr(0) in DuckDB.
+    "q65_corpus_shuffle" ->
+      s"""SELECT doc_id,
+         | CAST(row_number() OVER (
+         |   ORDER BY ${duckHash("'42' || chr(0) || CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC)
+         |  AS BIGINT) AS shuffle_rank
+         |FROM documents""".stripMargin,
+
+    // Mean pooling: per-(label, position) DECIMAL(28,6) sums → double ÷
+    // count → float, the exactAvg construction element-wise.
+    "q66_mean_pool" ->
+      s"""WITH x AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+         |  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)
+         |SELECT label, CAST(pos AS BIGINT) AS pos,
+         | CAST(CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE)/count(x) AS FLOAT) AS m
+         |FROM x GROUP BY label, pos""".stripMargin
   )
 }

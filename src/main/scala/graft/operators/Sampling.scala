@@ -63,6 +63,28 @@ object Sampling {
         col(keyCol).cast("string"))).asc_nulls_last,
       col(keyCol).asc_nulls_last)
 
+  /**
+   * [[deterministicShuffle]] with the permutation MATERIALIZED as a dense
+   * 1-based rank column — the resume-from-step bookkeeping form (a trainer
+   * restarting at sample 37 billion filters `rank > N` instead of
+   * re-consuming the stream). Rank comes from zipWithIndex over the sorted
+   * frame — the scale-safe dense index (per-partition offsets from one
+   * count job; a row_number window over a global ORDER BY would funnel the
+   * corpus through a single partition).
+   */
+  def shuffleWithRank(df: DataFrame, keyCol: String, seed: Long,
+                      as: String = "shuffle_rank"): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val ordered = deterministicShuffle(df, keyCol, seed)
+    val schema = StructType(ordered.schema.fields :+
+      StructField(as, LongType, nullable = false))
+    spark.createDataFrame(
+      ordered.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) },
+      schema)
+  }
+
   /** Deterministic fraction-of-keyspace sample: keeps rows whose key hashes
     * below `num`/`denom` of the hash range — stable under re-runs and
     * engine-portable (unlike `sample(fraction, seed)`). */

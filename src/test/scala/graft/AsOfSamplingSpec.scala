@@ -83,6 +83,21 @@ class AsOfSamplingSpec extends SparkSpec {
     assert(small.count() == 30)
   }
 
+  test("shuffleWithRank materializes the shuffle order as a dense 1-based rank") {
+    val df = (1L to 100L).map(i => (i, s"payload$i")).toDF("id", "p")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.shuffleWithRank(d, "id", seed = 7L)
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val got = run(df)
+    assert(got.map(_._2).sorted.toSeq == (1L to 100L), "ranks are dense 1..n")
+    // rank agrees with the deterministicShuffle order and is stable under
+    // repartitioning (the whole point vs monotonically_increasing_id)
+    val order = Sampling.deterministicShuffle(df, "id", seed = 7L)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got.sortBy(_._2).map(_._1).toSeq == order)
+    assert(run(df.repartition(13)).toMap == got.toMap)
+  }
+
   test("deterministicShuffle is a seeded permutation, stable under repartitioning") {
     val df = spark.range(5000).toDF("id")
     val o1 = Sampling.deterministicShuffle(df, "id", seed = 7L)
