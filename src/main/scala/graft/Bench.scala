@@ -97,11 +97,37 @@ object Bench {
       // recall at this threshold on this corpus"
       def f4(v: Double): String =
         String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+      // np2 kept for round-over-round continuity; np4 is the probe setting
+      // that clears 0.6 recall on this corpus (RecallProbe sweep: np2 0.37,
+      // np4 0.75, np6 0.93) — nprobe is the recall/cost dial on isotropic
+      // embeddings, and the default a 100 TB deployment would ship
+      val naiveCents = em.where(col("vec_id") % 50 === 0)
+      val np4Pairs = graft.operators.Similarity
+        .embeddingNearDupPairs(em, naiveCents, 0.4, nprobe = 4)
+        .select("id_a", "id_b")
       val pairRecall =
         if (exactN == 0) ""
-        else s""","recall_neardup_np2":${f4(bucketedPairs.intersect(exactPairs).count().toDouble / exactN)}"""
+        else s""","recall_neardup_np2":${f4(bucketedPairs.intersect(exactPairs).count().toDouble / exactN)}""" +
+          s""","recall_neardup_np4":${f4(np4Pairs.intersect(exactPairs).count().toDouble / exactN)}"""
+      // clusterable fixture (gen.ClusteredFixture): the real embeddings are
+      // near-isotropic, so trained centroids CANNOT beat naive bucketing on
+      // them (SCALE.md "ANN recall & data geometry"); the fixture carries
+      // the structure real corpora have, and training must win there
+      val fx = graft.gen.ClusteredFixture.build(spark, n = 2000).localCheckpoint()
+      val fxBrute = graft.operators.Similarity
+        .bruteForceKnn(fx, fx.where(col("vec_id") < 10), k = 5)
+        .select("query_id", "neighbor_id").localCheckpoint()
+      val fxBruteN = fxBrute.count().toDouble
+      def fxRecall(cents: org.apache.spark.sql.DataFrame): Double =
+        graft.operators.Similarity
+          .ivfKnn(fx, fx.where(col("vec_id") < 10), cents, k = 5, nprobe = 1)
+          .select("query_id", "neighbor_id").intersect(fxBrute).count() / fxBruteN
+      val fxNaive = fxRecall(fx.where(col("vec_id") % 100 === 0))
+      val fxTrained = fxRecall(
+        graft.operators.Similarity.trainCentroids(fx, k = 20, iters = 3).localCheckpoint())
       s""","recall_ivf_at5":${f4(r24)},"recall_ivf_trained_at5":${f4(recallOf(1))}""" +
-        s""","recall_ivf_trained_np4_at5":${f4(recallOf(4))}""" + pairRecall
+        s""","recall_ivf_trained_np4_at5":${f4(recallOf(4))}""" + pairRecall +
+        s""","recall_fx_naive_at5":${f4(fxNaive)},"recall_fx_trained_at5":${f4(fxTrained)}"""
     } catch { case e: Throwable => System.err.println(s"[bench] recall failed: $e"); "" }
 
     // line budget: the driver's 2000-char stdout tail minus sbt's trailing

@@ -1,27 +1,77 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** One-off quality probe: recall@5 of IVF search under naive modulo
-  * centroids vs self-trained centroids, against the exact brute force.
-  * Run: sbt "runMain graft.RecallProbe [sfDir]". Not part of the gate —
-  * the gate rows live in Bench's recall block. */
+/**
+ * ANN quality probe: recall under naive vs trained centroids on the real
+ * (near-isotropic) embeddings AND on the clusterable fixture, the data
+ * geometry that explains the difference, and the near-dup recall/nprobe
+ * curve. Run: `sbt "runMain graft.RecallProbe [sfDir]"`. Findings are
+ * written up in SCALE.md ("ANN recall & data geometry"); the headline
+ * numbers are re-measured every round by Bench's recall block.
+ */
 object RecallProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-recall")
     spark.sparkContext.setLogLevel("WARN")
+    import operators.Similarity
+
+    def knnRecall(corpus: DataFrame, cent: DataFrame, np: Int, brute: DataFrame,
+                  bruteN: Double): Double =
+      Similarity.ivfKnn(corpus, corpus.where(col("vec_id") < 10), cent, k = 5, nprobe = np)
+        .select("query_id", "neighbor_id").intersect(brute).count() / bruteN
+
+    /** intra = mean cos(vector, its nearest trained centroid); inter = mean
+      * pairwise cos between the centroids. Clusterable data: intra ≫ inter.
+      * Isotropic data: both small and close — nothing to recover. */
+    def geometry(vectors: DataFrame, cent: DataFrame): (Double, Double) = {
+      val intra = Similarity.assignToCentroids(vectors, cent)
+        .join(cent.select(col("vec_id").as("centroid_id"), col("embedding").as("ce")),
+          Seq("centroid_id"))
+        .select(avg(graft.expressions.VectorExprs.cosine(col("embedding"), col("ce"))))
+        .head.getDouble(0)
+      val inter = Similarity.exactNearDupPairs(cent, -2.0) // threshold −2 ⇒ all pairs
+        .select(avg(abs(col("cosine")))).head.getDouble(0)
+      (intra, inter)
+    }
+
+    // ---- real embeddings ----
     val em = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val queries = em.where(col("vec_id") < 10)
-    val brute = operators.Similarity.bruteForceKnn(em, queries, k = 5)
+    val brute = Similarity.bruteForceKnn(em, em.where(col("vec_id") < 10), k = 5)
       .select("query_id", "neighbor_id").localCheckpoint()
     val bruteN = brute.count().toDouble
-    def recall(cent: org.apache.spark.sql.DataFrame, np: Int): Double =
-      operators.Similarity.ivfKnn(em, queries, cent, k = 5, nprobe = np)
-        .select("query_id", "neighbor_id").intersect(brute).count() / bruteN
     val naive = em.where(col("vec_id") % 50 === 0)
-    val trained = operators.Similarity.trainCentroids(em, k = 40, iters = sys.env.getOrElse("PROBE_ITERS", "3").toInt).localCheckpoint()
-    println(s"""RECALL {"naive_np1":${recall(naive, 1)},"trained_np1":${recall(trained, 1)},"trained_np4":${recall(trained, 4)}}""")
+    val trained = Similarity.trainCentroids(em, k = 40, iters = 3).localCheckpoint()
+    val (intraR, interR) = geometry(em, trained)
+    println(f"""REAL {"recall":{"naive_np1":${knnRecall(em, naive, 1, brute, bruteN)}%.4f,""" +
+      f""""trained_np1":${knnRecall(em, trained, 1, brute, bruteN)}%.4f,""" +
+      f""""trained_np4":${knnRecall(em, trained, 4, brute, bruteN)}%.4f},""" +
+      f""""intra_cos":$intraR%.4f,"inter_abs_cos":$interR%.4f}""")
+
+    // ---- clusterable fixture ----
+    val fx = gen.ClusteredFixture.build(spark, n = 2000).localCheckpoint()
+    val fxBrute = Similarity.bruteForceKnn(fx, fx.where(col("vec_id") < 10), k = 5)
+      .select("query_id", "neighbor_id").localCheckpoint()
+    val fxBruteN = fxBrute.count().toDouble
+    val fxNaive = fx.where(col("vec_id") % 100 === 0) // 20 arbitrary vectors
+    val fxTrained = Similarity.trainCentroids(fx, k = 20, iters = 3).localCheckpoint()
+    val (intraF, interF) = geometry(fx, fxTrained)
+    println(f"""FIXTURE {"recall":{"naive_np1":${knnRecall(fx, fxNaive, 1, fxBrute, fxBruteN)}%.4f,""" +
+      f""""trained_np1":${knnRecall(fx, fxTrained, 1, fxBrute, fxBruteN)}%.4f},""" +
+      f""""intra_cos":$intraF%.4f,"inter_abs_cos":$interF%.4f}""")
+
+    // ---- near-dup recall vs nprobe (real embeddings, q23's parameters) ----
+    val exact = Similarity.exactNearDupPairs(em, 0.4)
+      .select("id_a", "id_b").localCheckpoint()
+    val exactN = exact.count().toDouble
+    val sweep = Seq(2, 4, 6, 8).map { np =>
+      val got = Similarity.embeddingNearDupPairs(em, naive, 0.4, nprobe = np)
+        .select("id_a", "id_b").intersect(exact).count() / exactN
+      f""""np$np":$got%.4f"""
+    }.mkString(",")
+    println(s"""NEARDUP {"exact_pairs":${exactN.toLong},$sweep}""")
     spark.stop()
   }
 }

@@ -129,6 +129,15 @@ object SparkEntry {
   private def minhashNearDupShared(s: SparkSession, dir: String): DataFrame =
     Dedup.jaccardVerify(lshCandidatesShared(s, dir), t(s, dir, "documents"),
       "doc_id", "text", n = 3, threshold = 0.5)
+  /** Embedding near-dup pair frame (q23's parameters) — pair-cardinality
+    * artifact shared by q23 and q67's component grouping, like the jaccard
+    * pairs shared by q18/q36. */
+  private def embNearDupShared(s: SparkSession, dir: String): DataFrame =
+    staged(s, dir, "embpairs") {
+      val em = t(s, dir, "embeddings")
+      Similarity.embeddingNearDupPairs(em, em.where(col("vec_id") % 50 === 0),
+        threshold = 0.4, nprobe = 2)
+    }
 
   /** Enrichment keeping the event-time and city columns (for the analytics
     * layer: daily summary, current-status view). */
@@ -459,11 +468,7 @@ object SparkEntry {
     // this corpus the 0.4-cosine pairs are isotropic-noise coincidences no
     // sub-quadratic method can enumerate; exactNearDupPairs stays the
     // spec-level exhaustive baseline).
-    "q23_embedding_neardup_pairs" -> ((s, dir) => {
-      val em = t(s, dir, "embeddings")
-      Similarity.embeddingNearDupPairs(em, em.where(col("vec_id") % 50 === 0),
-        threshold = 0.4, nprobe = 2)
-    }),
+    "q23_embedding_neardup_pairs" -> ((s, dir) => embNearDupShared(s, dir)),
 
     // IVF ANN (10 deterministic centroids, nprobe=1) — rows-only check.
     "q24_knn_ivf" -> ((s, dir) => {
@@ -790,12 +795,11 @@ object SparkEntry {
 
     // Semantic dedup groups: q23's bucketed pair contract → connected
     // components → smallest-id keeper (the q36 machinery in embedding
-    // space).
-    "q67_semantic_groups" -> ((s, dir) => {
-      val em = t(s, dir, "embeddings")
-      Similarity.semanticDedupGroups(em, em.where(col("vec_id") % 50 === 0),
-        threshold = 0.4, nprobe = 2)
-    })
+    // space; the API form is Similarity.semanticDedupGroups — the gate
+    // composes the staged pair frame so q23/q67 share one computation,
+    // exactly as q18/q36 share the jaccard pairs).
+    "q67_semantic_groups" -> ((s, dir) =>
+      graft.operators.Components.dedupGroups(embNearDupShared(s, dir)))
   )
 
   /** Span window (tokens) shared by q62/q63 and their oracles — 20 fits

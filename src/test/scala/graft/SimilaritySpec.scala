@@ -93,6 +93,25 @@ class SimilaritySpec extends SparkSpec {
     assert(cents.except(cents2).isEmpty && cents2.except(cents).isEmpty)
   }
 
+  test("trained centroids beat naive bucketing on clusterable data (fixture recall)") {
+    // the real embeddings fixture is near-isotropic, where training CANNOT
+    // win (SCALE.md "ANN recall & data geometry"); this pins the trainer's
+    // value where cluster structure exists, so a trainer regression fails
+    // here instead of hiding behind "the data is unclusterable anyway"
+    import org.apache.spark.sql.functions.col
+    val fx = graft.gen.ClusteredFixture.build(spark, n = 1000).localCheckpoint()
+    val brute = Similarity.bruteForceKnn(fx, fx.where(col("vec_id") < 10), k = 5)
+      .select("query_id", "neighbor_id").localCheckpoint()
+    val bruteN = brute.count().toDouble
+    def recall(cents: org.apache.spark.sql.DataFrame): Double =
+      Similarity.ivfKnn(fx, fx.where(col("vec_id") < 10), cents, k = 5, nprobe = 1)
+        .select("query_id", "neighbor_id").intersect(brute).count() / bruteN
+    val naive = recall(fx.where(col("vec_id") % 50 === 0))
+    val trained = recall(Similarity.trainCentroids(fx, k = 20, iters = 3).localCheckpoint())
+    assert(trained >= 0.9, s"trained recall $trained should recover planted clusters")
+    assert(trained > naive, s"trained $trained must beat naive $naive at equal nprobe")
+  }
+
   test("trainCentroids caps k at the distinct directions in the sample (no duplicate centroids)") {
     // two distinct directions but k=4: farthest-point init must STOP once
     // every unchosen sample point is directionally identical to a chosen
