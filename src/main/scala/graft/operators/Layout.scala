@@ -109,4 +109,120 @@ object Layout {
     // boundaries and then write no file — report what exists, not the plan
     fs.listStatus(p).count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
   }
+
+  /** One shard's manifest entry: rows/bytes/content-checksum plus the
+    * physical file, so a consumer can verify any shard independently. */
+  final case class ShardInfo(shard: Int, file: String, rows: Long, bytes: Long,
+                             checksum: Long)
+
+  /** Release manifest: per-shard entries plus corpus totals. The checksum
+    * is content-level (order-independent sum of per-row digests), so two
+    * emits of the same corpus match even if parquet encodes bytes
+    * differently between runs. */
+  final case class Manifest(shards: Seq[ShardInfo], totalRows: Long, checksum: Long)
+
+  /**
+   * Sharded training-output writer — the final-artifact emit step
+   * (WebDataset/MDS shape): the corpus lands as `numShards` independently
+   * verifiable shard files plus a `_manifest.json` (underscore-prefixed so parquet readers skip it, like _SUCCESS) with per-shard row
+   * counts, byte sizes and content checksums.
+   *
+   * Determinism is the whole point of a release artifact:
+   *  - shard membership = hash(id) mod shards — a row lands in the same
+   *    shard on any cluster/partitioning (re-emit produces the same
+   *    split);
+   *  - rows are written in (hash, id) order within each shard (the
+   *    deterministicShuffle order — decorrelated but reproducible);
+   *  - the checksum is the SUM of per-row digests (stableHash60 of the
+   *    canonical JSON row) through DECIMAL, reduced mod 2^62 (ANSI-safe:
+   *    a plain long sum of 60-bit digests overflows) — independent of
+   *    write order AND recomputable by any engine that can hash JSON rows,
+   *    so a downstream loader re-derives it from content alone.
+   *
+   * Scale shape: one hash shuffle on the shard key (each shard collapses
+   * into one task → one file); the checksum aggregation rides the same
+   * scan. Shard count is the parallelism/file-size knob — at 100 TB pick
+   * shards so files land in the 128 MB-1 GB band, exactly like compact().
+   *
+   * Returns the manifest (also written as JSON next to the shards).
+   */
+  def writeShards(df: DataFrame, path: String, idCol: String,
+                  numShards: Int): Manifest = {
+    require(numShards > 0, "numShards must be positive")
+    val spark = df.sparkSession
+    val h = graft.functions.Hashing.stableHash60(col(idCol).cast("string"))
+    val rowDigest = graft.functions.Hashing.stableHash60(
+      to_json(struct(df.columns.map(col).toIndexedSeq: _*)))
+    val sharded = df
+      .withColumn("shard", pmod(h, lit(numShards)).cast("int"))
+      .withColumn("__h", h)
+    sharded
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("__h"), col(idCol))
+      .drop("__h")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    // shard stats from the SOURCE frame (content-level; counts verified
+    // against the physical files below)
+    val stats = sharded
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("rows"),
+        (sum(rowDigest.cast("decimal(38,0)")) % lit(1L << 62)).cast("long").as("checksum"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val shards = fs.listStatus(p).filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("shard="))
+      .map { dir =>
+        val shard = dir.getPath.getName.stripPrefix("shard=").toInt
+        val files = fs.listStatus(dir.getPath)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        require(files.length == 1,
+          s"shard $shard wrote ${files.length} files — expected exactly one")
+        val (rows, sum) = stats(shard)
+        ShardInfo(shard, s"shard=$shard/${files.head.getPath.getName}",
+          rows, files.head.getLen, sum)
+      }.sortBy(_.shard).toSeq
+    val manifest = Manifest(shards, shards.map(_.rows).sum,
+      // same mod-2^62 domain as the per-shard sums (and no intermediate
+      // overflow: each addend is < 2^62)
+      shards.foldLeft(0L)((a, s) => (a + s.checksum) % (1L << 62)))
+    val json = shards.map(s =>
+        s"""{"shard":${s.shard},"file":"${s.file}","rows":${s.rows},""" +
+          s""""bytes":${s.bytes},"checksum":${s.checksum}}""")
+      .mkString(
+        s"""{"total_rows":${manifest.totalRows},"checksum":${manifest.checksum},"shards":[""",
+        ",", "]}\n")
+    val out = new org.apache.hadoop.fs.Path(path, "_manifest.json")
+    val os = fs.create(out, true)
+    try os.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
+    manifest
+  }
+
+  /**
+   * Corpus release: sharded emit + the one-row data card
+   * (CorpusStats.corpusReport) written as `_datacard.json` beside the
+   * manifest — the artifact a data team actually hands to a training run.
+   * The card totals come from the same frame that was sharded, so
+   * card.n_docs == manifest.total_rows by construction.
+   */
+  def writeCorpusRelease(docs: DataFrame, path: String, idCol: String,
+                         textCol: String, numShards: Int): Manifest = {
+    val manifest = writeShards(docs, path, idCol, numShards)
+    val card = graft.operators.CorpusStats.corpusReport(docs, idCol, textCol).head
+    val fields = card.schema.fields.zipWithIndex.map { case (f, i) =>
+      val v = card.get(i) match {
+        case null      => "null"
+        case s: String => "\"" + s + "\""
+        case x         => x.toString
+      }
+      s""""${f.name}":$v"""
+    }.mkString("{", ",", "}\n")
+    val p = new org.apache.hadoop.fs.Path(path, "_datacard.json")
+    val fs = p.getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    try os.write(fields.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
+    manifest
+  }
 }

@@ -6,6 +6,9 @@ import org.apache.spark.sql.functions._
 class LayoutSpec extends SparkSpec {
   import spark.implicits._
 
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-$tag").toString + "/t"
+
   /** Reference Morton interleave (the obvious bit-twiddling twin). */
   private def zRef(a: Long, b: Long, bits: Int): Long =
     (0 until bits).map(i => (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))).sum
@@ -97,5 +100,58 @@ class LayoutSpec extends SparkSpec {
     // clustered: a point predicate overlaps exactly one file's range
     val hits = stats.count(r => r.getAs[Long]("lo") <= 20000L && 20000L <= r.getAs[Long]("hi"))
     assert(hits == 1, s"expected 1 overlapping file, got $hits")
+  }
+
+  test("writeShards emits one verifiable file per shard; manifest totals match the corpus") {
+    val path = tmpDir("shards")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text", "source")
+    val m = Layout.writeShards(docs, path, "doc_id", numShards = 8)
+    assert(m.shards.map(_.shard).sorted == (0 until 8))
+    assert(m.totalRows == 500 && m.shards.map(_.rows).sum == 500)
+    m.shards.foreach(s => assert(s.bytes > 0 && s.rows > 0))
+    // manifest row counts match the physical files, shard by shard
+    val physical = spark.read.parquet(path).groupBy("shard").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    m.shards.foreach(s => assert(physical(s.shard) == s.rows))
+    // full content round-trips
+    assert(spark.read.parquet(path).drop("shard")
+      .except(docs).isEmpty && docs.except(
+        spark.read.parquet(path).drop("shard")).isEmpty)
+    // manifest.json exists and carries the totals
+    val json = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "_manifest.json")))
+    assert(json.contains(s""""total_rows":500""") &&
+      json.contains(s""""checksum":${m.checksum}"""))
+  }
+
+  test("writeShards re-emit is idempotent; content changes flip the checksum") {
+    val path = tmpDir("shards-idem")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val m1 = Layout.writeShards(docs, path, "doc_id", numShards = 4)
+    val m2 = Layout.writeShards(docs.repartition(13), path, "doc_id", numShards = 4)
+    // content-level determinism: same corpus → same manifest, on any
+    // input partitioning (file BYTES may differ; the contract is content)
+    assert(m1.shards.map(s => (s.shard, s.rows, s.checksum)) ==
+      m2.shards.map(s => (s.shard, s.rows, s.checksum)))
+    assert(m1.checksum == m2.checksum && m1.totalRows == m2.totalRows)
+    // sensitivity: a one-row content edit changes the release checksum
+    val edited = docs.withColumn("text",
+      when(col("doc_id") === 7, lit("tampered")).otherwise(col("text")))
+    val m3 = Layout.writeShards(edited, tmpDir("shards-edit"), "doc_id", numShards = 4)
+    assert(m3.checksum != m1.checksum)
+  }
+
+  test("writeCorpusRelease attaches a data card consistent with the manifest") {
+    val path = tmpDir("release")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val m = Layout.writeCorpusRelease(docs, path, "doc_id", "text", numShards = 4)
+    val card = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "_datacard.json")))
+    // card.n_docs == manifest.total_rows by construction
+    assert(card.contains(s""""n_docs":${m.totalRows}"""))
+    assert(card.contains("\"top_lang\":") && card.contains("\"dup_rate\":"))
   }
 }
