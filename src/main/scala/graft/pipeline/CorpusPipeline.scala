@@ -16,11 +16,23 @@ import org.apache.spark.sql.functions._
  *   2. normalized exact dedup  Text.normalizeForDedup + Dedup.keepFirst
  *   3. minhash near-dedup      Dedup.minhashNearDupPairs → Components
  *                              → drop non-keepers
+ *   3b. semantic near-dedup    (optional, `embeddings`) —
+ *                              Similarity.semanticDedupGroups over the
+ *                              survivors' embeddings: catches paraphrase
+ *                              duplicates that share no 3-gram; centroids
+ *                              self-train at k = nprobe·√n (centroid-count
+ *                              law, SCALE.md)
  *   4. eval decontamination    Dedup.bloomScreen (broadcast bitmap prunes
  *                              the corpus side) → exact
  *                              crossSetContamination ≥ threshold drops
  *   5. split assignment        Sampling.assignSplits (hash-stable)
  *   6. sequence packing        Packing.packSequences over the train split
+ *   7. sentence chunking       (optional, `sentenceChunkTokens`) —
+ *                              Chunking.chunkBySentences over the final
+ *                              corpus (RAG-ingestion view; count reported)
+ *   8. release emit            (optional, `emitPath`) —
+ *                              Layout.writeCorpusRelease: sharded files +
+ *                              _manifest.json + _datacard.json
  *
  * Every stage is hash-driven, so the same corpus yields identical
  * surviving ids, splits and pack layout on any cluster or partitioning —
@@ -42,7 +54,10 @@ object CorpusPipeline {
       contaminated: Long,
       corpus: Long,
       splitCounts: Map[String, Long],
-      trainSequences: Long)
+      trainSequences: Long,
+      afterSemanticDedup: Long = 0L,
+      sentenceChunks: Long = 0L,
+      emittedShards: Int = 0)
 
   def run(docs: DataFrame, evalDocs: DataFrame, idCol: String, textCol: String,
           stages: Seq[(String, Column)],
@@ -51,7 +66,12 @@ object CorpusPipeline {
           splits: Seq[(String, Int)] = Seq("train" -> 8, "val" -> 1, "test" -> 1),
           maxTokens: Int = 512,
           packShards: Int = 4,
-          bloomBits: Int = 1 << 20): (DataFrame, Report) = {
+          bloomBits: Int = 1 << 20,
+          embeddings: Option[DataFrame] = None,
+          semanticThreshold: Double = 0.4,
+          semanticNprobe: Int = 2,
+          sentenceChunkTokens: Option[Int] = None,
+          emitPath: Option[String] = None): (DataFrame, Report) = {
     val input = docs.count()
 
     // 1-2: funnel, then canonicalize-and-keep-first. Both frames checkpoint
@@ -76,6 +96,32 @@ object CorpusPipeline {
     val near = exact.join(losers, Seq(idCol), "left_anti").localCheckpoint()
     val nNear = near.count()
 
+    // 3b (optional): semantic near-dedup over the survivors' embeddings —
+    // paraphrase duplicates share no 3-gram, so the minhash stage cannot
+    // see them; embedding cosine can. The embeddings frame must carry
+    // (idCol, "embedding"); only survivors' vectors participate, centroids
+    // self-train at the centroid-count-law k.
+    val sem = embeddings match {
+      case None => near
+      case Some(embAll) =>
+        val emb = embAll.select(col(idCol), col("embedding"))
+          .join(near.select(col(idCol)), Seq(idCol))
+          .select(col(idCol).as("vec_id"), col("embedding"))
+          .localCheckpoint() // consumed by count + training + pair pipeline
+        val n = emb.count()
+        if (n < 2) near
+        else {
+          val k = math.max(4, (semanticNprobe * math.sqrt(n.toDouble)).toInt)
+          val cents = graft.operators.Similarity.trainCentroids(emb, k, iters = 2)
+          val semLosers = graft.operators.Similarity
+            .semanticDedupGroups(emb, cents, semanticThreshold, semanticNprobe)
+            .where(!col("is_keeper"))
+            .select(col("id").as(idCol))
+          near.join(semLosers, Seq(idCol), "left_anti").localCheckpoint()
+        }
+    }
+    val nSem = if (embeddings.isEmpty) nNear else sem.count()
+
     // 4: decontamination — the bitmap screen prunes the corpus side to the
     // docs sharing ≥1 shingle with the eval set (no false negatives), the
     // exact scorer then runs only over that sliver. The eval shingle
@@ -84,13 +130,13 @@ object CorpusPipeline {
     val evalShingles = Dedup.hashedShingles(evalDocs, idCol, textCol, n = 3)
       .localCheckpoint()
     val words = BloomExprs.buildBitmap(evalShingles, "h", bloomBits)
-    val flagged = near.where(Dedup.bloomScreen(col(textCol), 3, words, bloomBits))
+    val flagged = sem.where(Dedup.bloomScreen(col(textCol), 3, words, bloomBits))
     val dirty = Dedup.contaminationFromHashed(
         evalShingles, evalShingles,
         Dedup.hashedShingles(flagged, idCol, textCol, n = 3), Int.MaxValue)
       .where(col("contamination") >= contaminationThreshold)
       .select(col("test_id").as(idCol))
-    val corpus = near.join(dirty, Seq(idCol), "left_anti")
+    val corpus = sem.join(dirty, Seq(idCol), "left_anti")
       .withColumn("split", Sampling.splitColumn(col(idCol), splits))
       .localCheckpoint()
     val nCorpus = corpus.count()
@@ -111,8 +157,20 @@ object CorpusPipeline {
       .agg(coalesce(sum(col("seqs")), lit(0L))) // empty train split -> 0
       .head().getLong(0)
 
+    // 7 (optional): sentence-chunk census over the final corpus — the
+    // RAG-ingestion view; every corpus doc contributes ≥1 chunk row
+    val nChunks = sentenceChunkTokens.map(mt =>
+      graft.operators.Chunking.chunkBySentences(corpus, idCol, textCol, mt).count())
+      .getOrElse(0L)
+
+    // 8 (optional): release emit — sharded files + manifest + data card
+    val emitted = emitPath.map(p =>
+      graft.operators.Layout.writeCorpusRelease(corpus, p, idCol, textCol, packShards))
+
     (corpus, Report(input, nCleaned, nExact, nNear,
-      contaminated = nNear - nCorpus,
-      corpus = nCorpus, splitCounts = splitCounts, trainSequences = nSeqs))
+      contaminated = nSem - nCorpus,
+      corpus = nCorpus, splitCounts = splitCounts, trainSequences = nSeqs,
+      afterSemanticDedup = nSem, sentenceChunks = nChunks,
+      emittedShards = emitted.map(_.shards.size).getOrElse(0)))
   }
 }

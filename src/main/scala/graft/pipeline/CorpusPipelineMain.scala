@@ -27,12 +27,18 @@ object CorpusPipelineMain {
       "too_short" -> (col("n_chars") >= 60),
       "too_few_tokens" -> (Text.tokenCount(col("text")) >= 10))
 
-    val (corpus, r) = CorpusPipeline.run(docs, eval, "doc_id", "text", stages)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val (corpus, r) = CorpusPipeline.run(docs, eval, "doc_id", "text", stages,
+      embeddings = Some(emb), sentenceChunkTokens = Some(64),
+      emitPath = Some(s"$out-release"))
     corpus.write.mode("overwrite").partitionBy("split").parquet(out)
-    println(s"corpus written to $out")
+    println(s"corpus written to $out; sharded release at $out-release")
     println(s"input=${r.input} cleaned=${r.cleaned} afterExactDedup=${r.afterExactDedup} " +
-      s"afterNearDedup=${r.afterNearDedup} contaminated=${r.contaminated} " +
-      s"corpus=${r.corpus} splits=${r.splitCounts} trainSequences=${r.trainSequences}")
+      s"afterNearDedup=${r.afterNearDedup} afterSemanticDedup=${r.afterSemanticDedup} " +
+      s"contaminated=${r.contaminated} corpus=${r.corpus} splits=${r.splitCounts} " +
+      s"trainSequences=${r.trainSequences} sentenceChunks=${r.sentenceChunks} " +
+      s"emittedShards=${r.emittedShards}")
     spark.stop()
   }
 }

@@ -95,6 +95,43 @@ class PipelineSpec extends SparkSpec {
     assert(s1 == s2)
   }
 
+  test("corpus pipeline optional stages: semantic dedup, sentence chunks, release emit") {
+    import graft.pipeline.CorpusPipeline
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val noEval = docs.where(lit(false)).select(col("doc_id"), col("text"))
+    val stages = Seq("too_short" -> (col("n_chars") >= 60))
+    val out = java.nio.file.Files.createTempDirectory("graft-release").toString + "/r"
+
+    def run(d: org.apache.spark.sql.DataFrame, path: String) =
+      CorpusPipeline.run(d, noEval, "doc_id", "text", stages,
+        embeddings = Some(emb), sentenceChunkTokens = Some(32),
+        emitPath = Some(path))
+    val (corpus, r) = run(docs, out)
+    // the semantic stage slots into the monotone funnel
+    assert(r.afterSemanticDedup <= r.afterNearDedup && r.corpus <= r.afterSemanticDedup)
+    assert(r.contaminated == r.afterSemanticDedup - r.corpus)
+    // every corpus doc contributes at least one sentence-chunk row
+    assert(r.sentenceChunks >= r.corpus && r.corpus > 0)
+    // the emitted release matches the pipeline's own census
+    assert(r.emittedShards == 4)
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "_manifest.json")))
+    assert(manifest.contains(s""""total_rows":${r.corpus}"""))
+    val card = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "_datacard.json")))
+    assert(card.contains(s""""n_docs":${r.corpus}"""))
+    // the semantic stage's drops are real co-bucketed near-dups: every
+    // dropped id had a surviving partner at cosine ≥ threshold (losers
+    // point at keepers by construction; spot-check the census adds up)
+    assert(r.splitCounts.values.sum == r.corpus)
+    // determinism incl. the new stages
+    val (_, r3) = run(docs.repartition(13), out)
+    assert(r3 == r)
+  }
+
   test("corpus pipeline degenerate inputs: empty eval set and empty corpus") {
     import graft.pipeline.CorpusPipeline
     import org.apache.spark.sql.functions._
