@@ -170,6 +170,46 @@ class StatefulOpsSpec extends SparkSpec {
     assert(texts.count(_ == "the quick brown fox") == 2) // once per horizon
   }
 
+  test("streaming incremental dedup over micro-batches equals one full-corpus LSH run") {
+    import graft.operators.Dedup
+    import graft.streaming.IncrementalDedup
+    val root = Files.createTempDirectory("graft-incdedup").toString
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .where(col("doc_id") < 150)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = IncrementalDedup.attach(input.toDS().toDF("doc_id", "text"),
+      "doc_id", "text", storePath = s"$root/store", outPath = s"$root/cands",
+      checkpointPath = s"$root/ckpt")
+    // three days of ingestion as three micro-batches
+    docs.grouped(50).foreach { day => input.addData(day.toSeq); q.processAllAvailable() }
+    q.stop()
+    // the signature store accumulated every document exactly once
+    assert(spark.read.parquet(s"$root/store").count() == 150)
+    // unioned candidates = one full-corpus LSH run (same parameters):
+    // within-batch pairs come from their own step, cross-batch pairs from
+    // the later side's step, old×old never re-expands
+    val streamed = spark.read.parquet(s"$root/cands")
+      .select("id_a", "id_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.minhashLshCandidates(
+        Dedup.minhashSignatures(docs.toSeq.toDF("doc_id", "text"), "doc_id", "text",
+          n = 3, numHashes = 16), numHashes = 16, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == full && full.nonEmpty)
+    // one shared code path with the daily batch job: step() on a fresh
+    // store over the same three "days" produces the same union
+    val root2 = Files.createTempDirectory("graft-incdedup-batch").toString
+    val batched = docs.grouped(50).flatMap { day =>
+      IncrementalDedup.step(day.toSeq.toDF("doc_id", "text"), "doc_id", "text",
+          s"$root2/store")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    }.toSet
+    assert(batched == full)
+  }
+
   test("SpaceSaving heavy hitters accumulate across micro-batches") {
     import graft.expressions.SpaceSavingAgg
     val root = Files.createTempDirectory("graft-hhstream").toString
