@@ -799,13 +799,39 @@ object SparkEntry {
     // composes the staged pair frame so q23/q67 share one computation,
     // exactly as q18/q36 share the jaccard pairs).
     "q67_semantic_groups" -> ((s, dir) =>
-      graft.operators.Components.dedupGroups(embNearDupShared(s, dir)))
+      graft.operators.Components.dedupGroups(embNearDupShared(s, dir))),
+
+    // Sentence-aware chunking (RAG ingestion): never cuts mid-sentence;
+    // chunk layout varies per row via the synthesized variable-length
+    // second sentence. Array output reduced to scalar rows (count, token
+    // sum, md5 of the joined sentences) for the oracle hash.
+    "q68_sentence_chunks" -> ((s, dir) =>
+      graft.operators.Chunking.chunkBySentences(
+          sentenceMessage(t(s, dir, "customer")), "c_custkey", "msg", maxTokens = 6)
+        .select(col("doc_id").as("c_custkey"), col("chunk_idx"),
+          size(col("sentences")).cast("long").as("n_sentences"),
+          col("chunk_tokens"),
+          md5(array_join(col("sentences"), " ")).as("sentences_md5")))
   )
 
   /** Span window (tokens) shared by q62/q63 and their oracles — 20 fits
     * this corpus's 10-100-token documents; production boilerplate removal
     * would run 50. */
   private val SpanWindow = 20
+
+  /** Deterministic multi-sentence message synthesized from customer
+    * columns (the corpus documents carry no sentence punctuation, so the
+    * sentence-chunking gate synthesizes its fixture like q53's
+    * piiMessage): four sentences, the second with a custkey-dependent
+    * length so chunk layouts vary per row. */
+  private def sentenceMessage(customer: DataFrame): DataFrame =
+    customer.select(col("c_custkey"),
+      concat(lit("customer "), col("c_name"), lit(" ranks high. segment "),
+        lower(col("c_mktsegment")), lit(" moves "),
+        trim(lit("very very very very ")
+          .substr(lit(1), ((col("c_custkey") % 4 + 1) * 5).cast("int"))),
+        lit(" fast! account "), col("c_custkey").cast("string"),
+        lit(" closes. bye")).as("msg"))
 
   /** Deterministic PII-bearing message synthesized from customer columns —
     * email always present, phone on 2/3 of rows, IP on 1/4 (concat_ws
@@ -1750,6 +1776,35 @@ object SparkEntry {
          |   ORDER BY ${duckHash("'42' || chr(0) || CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC)
          |  AS BIGINT) AS shuffle_rank
          |FROM documents""".stripMargin,
+
+    // Sentence chunking: same synthesized message, same split pattern,
+    // cumulative token offsets via the identical lag-free window, chunk
+    // membership by offset floor-division; sentences re-join in sent_idx
+    // order for the md5.
+    "q68_sentence_chunks" ->
+      s"""WITH m AS (SELECT c_custkey,
+         |  'customer ' || c_name || ' ranks high. segment ' || lower(c_mktsegment) ||
+         |  ' moves ' || trim(substr('very very very very ', 1,
+         |    CAST(5*(1 + c_custkey % 4) AS INTEGER))) ||
+         |  ' fast! account ' || CAST(c_custkey AS VARCHAR) || ' closes. bye' AS msg
+         | FROM customer),
+         |s0 AS (SELECT c_custkey,
+         |  list_filter(regexp_split_to_array(msg, '[.!?]+\\s*'), x -> len(x) > 0) AS sents
+         | FROM m),
+         |se AS (SELECT c_custkey, generate_subscripts(sents, 1) - 1 AS sent_idx,
+         |        unnest(sents) AS sentence FROM s0),
+         |tok AS (SELECT c_custkey, sent_idx, sentence,
+         |        CAST(len(string_split(sentence, ' ')) AS BIGINT) AS sent_tokens FROM se),
+         |off AS (SELECT *, coalesce(sum(sent_tokens) OVER (PARTITION BY c_custkey
+         |        ORDER BY sent_idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |        AS start_offset FROM tok),
+         |ch AS (SELECT c_custkey, CAST(floor(start_offset / 6.0) AS BIGINT) AS chunk_idx,
+         |        sent_idx, sentence, sent_tokens FROM off)
+         |SELECT c_custkey, chunk_idx,
+         | CAST(count(*) AS BIGINT) AS n_sentences,
+         | CAST(sum(sent_tokens) AS BIGINT) AS chunk_tokens,
+         | md5(string_agg(sentence, ' ' ORDER BY sent_idx)) AS sentences_md5
+         |FROM ch GROUP BY c_custkey, chunk_idx""".stripMargin,
 
     // Mean pooling: per-(label, position) DECIMAL(28,6) sums → double ÷
     // count → float, the exactAvg construction element-wise.

@@ -99,4 +99,21 @@ object BloomExprs {
   /** Column API: true iff `hash` might be in the bitmap (exact for inserted hashes). */
   def mightContain(hash: Column, words: Array[Long], mBits: Int): Column =
     GraftSqlBridge.column(BitmapContains(GraftSqlBridge.expression(hash), words, mBits))
+
+  /**
+   * Bitmap size for a target false-positive rate under the 2-probe scheme:
+   * fpp ≈ (1 − e^(−2n/m))² ⇒ m = −2n / ln(1 − √fpp). Rounded UP to a
+   * power of two and clamped to [2^10, 2^30] (128 B to 128 MiB of
+   * broadcast) — the auto-sizing callers use instead of guessing the
+   * mBits knob: `bitsForFpp(evalShingles.count(), 0.03)`. n is the
+   * DISTINCT key count; overestimating n only lowers the realized fpp.
+   */
+  def bitsForFpp(distinctKeys: Long, fpp: Double): Int = {
+    require(distinctKeys >= 0, "distinctKeys must be non-negative")
+    require(fpp > 0.0 && fpp < 1.0, "fpp must be in (0, 1)")
+    val m = -2.0 * math.max(1L, distinctKeys) / math.log1p(-math.sqrt(fpp))
+    val ceilLog2 = 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, math.ceil(m).toLong - 1L))
+    1 << math.max(10, math.min(30, ceilLog2))
+  }
 }

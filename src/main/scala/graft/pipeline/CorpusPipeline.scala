@@ -66,7 +66,8 @@ object CorpusPipeline {
           splits: Seq[(String, Int)] = Seq("train" -> 8, "val" -> 1, "test" -> 1),
           maxTokens: Int = 512,
           packShards: Int = 4,
-          bloomBits: Int = 1 << 20,
+          bloomBits: Int = 0, // 0 = auto-size from the eval set (fpp 3%)
+
           embeddings: Option[DataFrame] = None,
           semanticThreshold: Double = 0.4,
           semanticNprobe: Int = 2,
@@ -129,8 +130,13 @@ object CorpusPipeline {
     // scorer (contaminationFromHashed) — eval docs shingle+hash once
     val evalShingles = Dedup.hashedShingles(evalDocs, idCol, textCol, n = 3)
       .localCheckpoint()
-    val words = BloomExprs.buildBitmap(evalShingles, "h", bloomBits)
-    val flagged = sem.where(Dedup.bloomScreen(col(textCol), 3, words, bloomBits))
+    // bitmap auto-sizing (bloomBits = 0): m from the eval set's distinct
+    // shingle count at 3% target fpp — the knob nobody should hand-tune
+    val mBits =
+      if (bloomBits > 0) bloomBits
+      else BloomExprs.bitsForFpp(evalShingles.select("h").distinct().count(), 0.03)
+    val words = BloomExprs.buildBitmap(evalShingles, "h", mBits)
+    val flagged = sem.where(Dedup.bloomScreen(col(textCol), 3, words, mBits))
     val dirty = Dedup.contaminationFromHashed(
         evalShingles, evalShingles,
         Dedup.hashedShingles(flagged, idCol, textCol, n = 3), Int.MaxValue)

@@ -139,6 +139,31 @@ class DedupSpec extends SparkSpec {
     assert(survived < total / 2, s"expected <50% survivors, got $survived/$total")
   }
 
+  test("bitsForFpp sizes the bitmap to hit the target false-positive rate") {
+    import graft.expressions.BloomExprs
+    // formula sanity: power-of-two, monotone in n, clamped
+    assert(BloomExprs.bitsForFpp(0, 0.03) == 1 << 10)
+    assert(BloomExprs.bitsForFpp(Long.MaxValue, 0.01) == 1 << 30)
+    val m = BloomExprs.bitsForFpp(100000, 0.03)
+    assert((m & (m - 1)) == 0 && m >= 100000)
+    assert(BloomExprs.bitsForFpp(100000, 0.001) > m) // tighter fpp → bigger
+
+    // empirical: insert n keys at the auto-sized m, measure fpp on n
+    // disjoint probes — must come in at or under ~2× the target (power-of-
+    // two rounding only ever lowers it; the slack absorbs probe-hash
+    // correlation on the shared 60-bit hash)
+    val n = 20000L
+    val mAuto = BloomExprs.bitsForFpp(n, 0.03)
+    val inserted = spark.range(n).select(
+      graft.functions.Hashing.stableHash60(concat(lit("in"), col("id"))).as("h"))
+    val words = BloomExprs.buildBitmap(inserted, "h", mAuto)
+    val probes = spark.range(n).select(
+      graft.functions.Hashing.stableHash60(concat(lit("out"), col("id"))).as("h"))
+    val fp = probes.where(BloomExprs.mightContain(col("h"), words, mAuto)).count()
+    val rate = fp.toDouble / n
+    assert(rate <= 0.06, s"fpp $rate exceeds 2x the 0.03 target at m=$mAuto")
+  }
+
   test("BitmapContains matches inserted hashes exactly (no false negatives)") {
     import graft.expressions.BloomExprs
     // strict codegen: a janino failure in doGenCode must THROW here, not
