@@ -811,13 +811,36 @@ object SparkEntry {
         .select(col("doc_id").as("c_custkey"), col("chunk_idx"),
           size(col("sentences")).cast("long").as("n_sentences"),
           col("chunk_tokens"),
-          md5(array_join(col("sentences"), " ")).as("sentences_md5")))
+          md5(array_join(col("sentences"), " ")).as("sentences_md5"))),
+
+    // Sequence packing under TOKENIZER-FAITHFUL subword budgets: the q50
+    // machinery consuming Subword.countColumn (table lookup + char-count
+    // fallback) instead of whitespace counts — the budget a trainer
+    // actually sees. Vocabulary trained from constants so the oracle can
+    // inline the identical table (see SubwordGateFreqs).
+    "q69_subword_pack" -> ((s, dir) =>
+      graft.operators.Packing.packSequences(t(s, dir, "documents"), "doc_id",
+        graft.functions.Subword.countColumn(col("text"), SubwordGateVocab),
+        shards = 4, maxTokens = 256))
   )
 
   /** Span window (tokens) shared by q62/q63 and their oracles — 20 fits
     * this corpus's 10-100-token documents; production boilerplate removal
     * would run 50. */
   private val SpanWindow = 20
+
+  /** Constant word-frequency table for the subword-budget gate (q69). A
+    * trained vocabulary is train-time STATE — not SQL-expressible — so
+    * the gate trains from these constants (a pure function of literals)
+    * and the oracle inlines the identical compiled word→units table.
+    * Real pipelines train from `Subword.train(corpus…)`; the counting and
+    * packing machinery under test is the same either way. */
+  private val SubwordGateFreqs: Seq[(String, Long)] = Seq(
+    "the" -> 100L, "and" -> 80L, "of" -> 70L, "to" -> 60L, "a" -> 55L,
+    "data" -> 50L, "with" -> 45L, "model" -> 30L, "training" -> 25L,
+    "pipeline" -> 20L, "document" -> 18L, "corpus" -> 15L, "tokens" -> 8L)
+  private lazy val SubwordGateVocab: graft.functions.Subword.Vocab =
+    graft.functions.Subword.trainFromFrequencies(SubwordGateFreqs, numMerges = 30)
 
   /** Deterministic multi-sentence message synthesized from customer
     * columns (the corpus documents carry no sentence punctuation, so the
@@ -1463,6 +1486,30 @@ object SparkEntry {
          | CAST(floor(CAST(start_offset AS DOUBLE)/512.0) AS BIGINT) AS pack_id,
          | CAST(floor((CAST(start_offset AS DOUBLE)+tokens-1.0)/512.0) AS BIGINT)
          |  - CAST(floor(CAST(start_offset AS DOUBLE)/512.0) AS BIGINT) + 1 AS spans_packs
+         |FROM o""".stripMargin
+    },
+
+    // Subword-budget packing: identical pack math as q50, with tokens from
+    // the inlined constant-trained word→units table (char-count fallback
+    // via the left join's coalesce — the Column path's exact rule).
+    "q69_subword_pack" -> {
+      val h = duckHash("CAST(doc_id AS VARCHAR)")
+      val values = SubwordGateVocab.wordUnits.toSeq.sortBy(_._1)
+        .map { case (w, u) => s"('$w', $u)" }.mkString(", ")
+      s"""WITH v(word, units) AS (VALUES $values),
+         |w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+         |cnt AS (SELECT w.doc_id,
+         |  CAST(sum(coalesce(v.units, len(w.word))) AS BIGINT) AS tokens
+         | FROM w LEFT JOIN v USING (word) GROUP BY w.doc_id),
+         |d AS (SELECT doc_id, tokens, $h AS h, $h % 4 AS shard FROM cnt),
+         |o AS (SELECT doc_id, shard, tokens,
+         |  CAST(COALESCE(sum(tokens) OVER (PARTITION BY shard ORDER BY h ASC, doc_id ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+         | FROM d)
+         |SELECT doc_id, shard, tokens, start_offset,
+         | CAST(floor(CAST(start_offset AS DOUBLE)/256.0) AS BIGINT) AS pack_id,
+         | CAST(floor((CAST(start_offset AS DOUBLE)+tokens-1.0)/256.0) AS BIGINT)
+         |  - CAST(floor(CAST(start_offset AS DOUBLE)/256.0) AS BIGINT) + 1 AS spans_packs
          |FROM o""".stripMargin
     },
 
