@@ -107,6 +107,17 @@ object ScaleProbe {
       val tContCapped = time(noop(
         Dedup.bloomContamination(trainSet, evalSet, "doc_id", "text", 3,
           maxBucket = 1000)))
+      // span-level dedup (round 5): same inverted-index family as jaccard
+      // but over the POSITIONAL window stream (not deduplicated). The
+      // closed synthetic vocabulary makes 20-word windows recur, so the
+      // capped row is the production shape (hot boilerplate spans hit the
+      // cap exactly as stop-shingles do); expect ~linear capped growth.
+      val tSpans = time(noop(
+        Dedup.duplicatedSpanRanges(docs, "doc_id", "text", window = 20,
+          maxBucket = 1000)))
+      val tSpanPairs = time(noop(
+        Dedup.duplicateSpanPairs(docs, "doc_id", "text", window = 20,
+          maxBucket = 1000)))
 
       println(s"""{"n":$n,"exact_dedup":$tExact,"minhash_sig":$tSig,"lsh_cands":$tLsh,""" +
         s""""simhash_pairs":$tSim,"jaccard_capped":$tJac,"ivf_knn":$tIvf,"embed_neardup":$tNd,""" +
@@ -115,7 +126,8 @@ object ScaleProbe {
         s""""vocab_topk":$tVocab,"tfidf_terms":$tTfidf,""" +
         s""""chunking":$tChunk,"redact":$tRedact,"oov":$tOov,"quantize":$tQuant,""" +
         s""""contam_exact":$tContExact,"contam_bloom":$tContBloom,""" +
-        s""""contam_capped":$tContCapped}""")
+        s""""contam_capped":$tContCapped,"span_ranges":$tSpans,""" +
+        s""""span_pairs":$tSpanPairs}""")
       docs.unpersist(); em.unpersist()
     }
     spark.stop()
