@@ -339,16 +339,35 @@ object Dedup {
    */
   def incrementalLshCandidates(newSigs: DataFrame, oldSigs: DataFrame,
                                numHashes: Int, bands: Int,
-                               maxBucket: Int = 10000): DataFrame = {
-    def explodeBands(sigs: DataFrame, isNew: Int): DataFrame = sigs
-      .select(col("id"), explode(array(bandKeyCols(numHashes, bands): _*)).as("bk"))
-      .select(col("id"), col("bk"), lit(isNew).as("is_new"))
+                               maxBucket: Int = 10000): DataFrame =
+    incrementalLshCandidatesFromBands(
+      explodedBandKeys(newSigs, numHashes, bands),
+      explodedBandKeys(oldSigs, numHashes, bands), maxBucket)
+
+  /** Signature frame → exploded (id, band, sig) band-key rows — the
+    * store-layout form of a signature table. A store PERSISTED in this
+    * shape (partitioned by band + a sig-hash prefix) lets the incremental
+    * path prune untouched partitions at the scan; see
+    * streaming.IncrementalDedup.stepBandStore. */
+  def explodedBandKeys(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame =
+    sigs.select(col("id"), explode(array(bandKeyCols(numHashes, bands): _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+
+  /** Incremental candidates over pre-exploded (id, band, sig) frames —
+    * the core of [[incrementalLshCandidates]], exposed so callers holding
+    * a band-layout store can feed it directly (the signature→band explode
+    * happens once, at store-write time, not per query). Semantics are
+    * identical: new×old + new×new pairs only, old×old never expands. */
+  def incrementalLshCandidatesFromBands(newBands: DataFrame, oldBands: DataFrame,
+                                        maxBucket: Int = 10000): DataFrame = {
+    def tag(df: DataFrame, isNew: Int): DataFrame =
+      df.select(col("id"), col("band"), col("sig"), lit(isNew).as("is_new"))
     // two consumers (bucket-key build + the union below): eager checkpoint
-    val newBands = explodeBands(newSigs, 1).localCheckpoint()
-    val touched = newBands.select(col("bk")).distinct()
-    val oldRelevant = explodeBands(oldSigs, 0).join(broadcast(touched), Seq("bk"))
-    newBands.unionByName(oldRelevant)
-      .groupBy(col("bk.band"), col("bk.sig"))
+    val nb = tag(newBands, 1).localCheckpoint()
+    val touched = nb.select(col("band"), col("sig")).distinct()
+    val oldRelevant = tag(oldBands, 0).join(broadcast(touched), Seq("band", "sig"))
+    nb.unionByName(oldRelevant)
+      .groupBy(col("band"), col("sig"))
       .agg(sort_array(collect_set(when(col("is_new") === 1, col("id")))).as("new_ids"),
         sort_array(collect_set(when(col("is_new") === 0, col("id")))).as("old_ids"))
       .where(size(col("new_ids")) >= 1 &&

@@ -54,6 +54,55 @@ object IncrementalDedup {
   }
 
   /**
+   * [[step]] with a BAND-LAYOUT store — the 100 TB shape the plain-store
+   * operator note promises. Instead of signature rows, the store persists
+   * the exploded (id, band, sig) band keys PARTITIONED BY (band, pfx)
+   * where pfx = hash(sig) mod `pfxMod`: a micro-batch touches only the
+   * (band, pfx) cells its own band keys hash into, so the store scan
+   * prunes every untouched partition at the FILE LISTING — the per-batch
+   * read is |touched partitions|-shaped, not |corpus|-shaped. (The plain
+   * [[step]] always scans the whole signature store; its broadcast
+   * semi-join drops rows only after reading them.)
+   *
+   * Candidates are identical to [[step]]'s by construction (pruning by
+   * (band, pfx) is lossless: a stored row matters only if a new row
+   * shares its exact (band, sig), which pins the same pfx) — the
+   * equivalence is spec-pinned. Store maintenance: appends accumulate
+   * small files per partition; Layout.compact per leaf partition is the
+   * maintenance op.
+   */
+  def stepBandStore(batch: DataFrame, idCol: String, textCol: String,
+                    storePath: String, n: Int = 3, numHashes: Int = 16,
+                    bands: Int = 4, maxBucket: Int = 10000,
+                    pfxMod: Int = 64): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = batch.sparkSession
+    val newBands = Dedup.explodedBandKeys(
+        Dedup.minhashSignatures(batch, idCol, textCol, n, numHashes), numHashes, bands)
+      .withColumn("pfx", pmod(graft.functions.Hashing.stableHash60(col("sig")), lit(pfxMod)))
+      .localCheckpoint() // consumed by touched-cells, candidates AND the append
+    // touched partition cells: bounded by bands·pfxMod, driver-safe
+    val touched = newBands.select("band", "pfx").distinct()
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old =
+      if (touched.nonEmpty && fs.exists(new org.apache.hadoop.fs.Path(storePath))) {
+        // OR-chain over partition-column equalities → partition pruning at
+        // the scan (an expression OVER the partition columns would not prune)
+        val pred = touched.map { case (b, p) =>
+          col("band") === b && col("pfx") === p
+        }.reduce(_ || _)
+        spark.read.parquet(storePath).where(pred).select("id", "band", "sig")
+      } else newBands.select("id", "band", "sig").limit(0)
+    val cands = Dedup.incrementalLshCandidatesFromBands(
+      newBands.select("id", "band", "sig"), old, maxBucket)
+      .localCheckpoint() // materialize BEFORE the store gains the batch
+    newBands.write.mode("append").partitionBy("band", "pfx").parquet(storePath)
+    cands
+  }
+
+  /**
    * Attach the loop to a streaming document source: per micro-batch, run
    * [[step]] and append the candidate pairs to `outPath`. Batch ids are
    * not replay-safe dedup keys on their own — a restarted batch re-runs

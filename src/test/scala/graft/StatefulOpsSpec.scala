@@ -210,6 +210,36 @@ class StatefulOpsSpec extends SparkSpec {
     assert(batched == full)
   }
 
+  test("band-layout signature store: pruned incremental step equals the plain loop") {
+    import graft.streaming.IncrementalDedup
+    val root = Files.createTempDirectory("graft-bandstore").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .where(col("doc_id") < 150)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    docs.grouped(50).foreach { day =>
+      val df = day.toSeq.toDF("doc_id", "text")
+      val plain = IncrementalDedup.step(df, "doc_id", "text", s"$root/plain")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val banded = IncrementalDedup.stepBandStore(df, "doc_id", "text", s"$root/banded")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(banded == plain, "pruned band-store candidates must match the plain store")
+    }
+    // the layout really prunes: the touched-cell predicate lands in the
+    // scan's PartitionFilters (directory pruning), NOT as a row filter
+    // (pre-AQE sparkPlan — the adaptive wrapper hides the scan node)
+    val cell = spark.read.parquet(s"$root/banded").select("band", "pfx").head()
+    val pruned = spark.read.parquet(s"$root/banded")
+      .where(col("band") === cell.getInt(0) && col("pfx") === cell.getInt(1))
+    val scan = pruned.queryExecution.sparkPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.toString
+    }.getOrElse(fail("no file scan in the pruned plan"))
+    val pf = scan.substring(scan.indexOf("PartitionFilters:"))
+      .takeWhile(_ != ']')
+    assert(pf.contains("band") && pf.contains("pfx"),
+      s"band/pfx equalities must be PARTITION filters, got: $pf")
+  }
+
   test("SpaceSaving heavy hitters accumulate across micro-batches") {
     import graft.expressions.SpaceSavingAgg
     val root = Files.createTempDirectory("graft-hhstream").toString
