@@ -821,7 +821,15 @@ object SparkEntry {
     "q69_subword_pack" -> ((s, dir) =>
       graft.operators.Packing.packSequences(t(s, dir, "documents"), "doc_id",
         graft.functions.Subword.countColumn(col("text"), SubwordGateVocab),
-        shards = 4, maxTokens = 256))
+        shards = 4, maxTokens = 256)),
+
+    // Bigram novelty (perplexity-proxy quality screen): rare-transition
+    // rate + mean bigram corpus count, exact integer/ratio arithmetic.
+    "q70_bigram_novelty" -> ((s, dir) =>
+      graft.operators.CorpusStats.bigramNovelty(t(s, dir, "documents"),
+          "doc_id", "text", rareThreshold = 1L)
+        .select(col("id").as("doc_id"), col("n_bigrams"),
+          col("rare_rate"), col("mean_bigram_count")))
   )
 
   /** Span window (tokens) shared by q62/q63 and their oracles — 20 fits
@@ -1852,6 +1860,20 @@ object SparkEntry {
          | CAST(sum(sent_tokens) AS BIGINT) AS chunk_tokens,
          | md5(string_agg(sentence, ' ' ORDER BY sent_idx)) AS sentences_md5
          |FROM ch GROUP BY c_custkey, chunk_idx""".stripMargin,
+
+    // Bigram novelty: non-distinct positional bigrams (the spanCte shape
+    // at width 2), corpus counts joined back, exactAvg mean.
+    "q70_bigram_novelty" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+         |ix AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-1)) AS i
+         |       FROM t WHERE len(toks) >= 2),
+         |bg AS (SELECT doc_id, array_to_string(toks[i:i+1],' ') AS bigram FROM ix),
+         |c AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY bigram)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         | CAST(sum(CASE WHEN c.c <= 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |   / CAST(count(*) AS DOUBLE) AS rare_rate,
+         | CAST(sum(CAST(c.c AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS mean_bigram_count
+         |FROM bg JOIN c USING (bigram) GROUP BY doc_id""".stripMargin,
 
     // Mean pooling: per-(label, position) DECIMAL(28,6) sums → double ÷
     // count → float, the exactAvg construction element-wise.

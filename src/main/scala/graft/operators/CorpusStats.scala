@@ -138,6 +138,39 @@ object CorpusStats {
       .drop("__k")
   }
 
+  /**
+   * Bigram-novelty quality score — the exact-arithmetic cousin of LM
+   * perplexity filtering (CCNet-style quality stacks drop documents whose
+   * token transitions the corpus has never seen; gibberish and mojibake
+   * score high). Per document: bigram count, the fraction of bigram
+   * OCCURRENCES whose corpus-wide count is ≤ `rareThreshold`
+   * (rare_rate), and the mean corpus count of its bigrams — all exact
+   * integer/ratio arithmetic (no log: libm drifts across engines; the
+   * rare-rate threshold is the monotone decision the perplexity score
+   * would feed anyway).
+   *
+   * Scale shape: bigram occurrences explode narrow; the corpus bigram
+   * table is ONE hash aggregation with map-side combine (one row per
+   * distinct bigram per partition); the score join is bigram-keyed
+   * (aggregated cardinality on the build side) and the per-doc reduction
+   * is one more keyed aggregation. Same family as tf-idf — nothing
+   * quadratic, nothing driver-side. Documents with < 2 tokens have no
+   * bigrams and emit no row (nothing to score).
+   */
+  def bigramNovelty(docs: DataFrame, idCol: String, textCol: String,
+                    rareThreshold: Long = 1L): DataFrame = {
+    import graft.operators.Aggregates.exactAvg
+    val occ = docs.select(col(idCol).as("id"),
+      explode(Text.shingles(col(textCol), 2)).as("bigram"))
+    val counts = occ.groupBy("bigram").agg(count(lit(1)).as("c"))
+    occ.join(counts, Seq("bigram"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(when(col("c") <= rareThreshold, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double")).as("rare_rate"),
+        exactAvg(col("c")).as("mean_bigram_count"))
+  }
+
   def oovStats(docs: DataFrame, idCol: String, textCol: String, vocabSize: Int): DataFrame = {
     // rank by occurrence count only — topVocabulary's doc-frequency join
     // would cost a second corpus scan + aggregation without changing the

@@ -79,6 +79,29 @@ class TextSpec extends SparkSpec {
     assert(empty.getAs[String]("top_lang") == null)
   }
 
+  test("bigramNovelty scores rare transitions exactly (hand-computed)") {
+    import graft.operators.CorpusStats
+    val docs = Seq(
+      (1L, "a b a b"),  // bigrams: "a b","b a","a b"
+      (2L, "a b c"),    // "a b","b c"
+      (3L, "z z"),      // "z z"
+      (4L, "solo"))     // < 2 tokens -> no row
+      .toDF("doc_id", "text")
+    val got = CorpusStats.bigramNovelty(docs, "doc_id", "text", rareThreshold = 1L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    // corpus counts: "a b"->3, "b a"->1, "b c"->1, "z z"->1
+    assert(got == Map(
+      1L -> ((3L, 1.0 / 3.0, 7.0 / 3.0)), // rare: "b a"; mean (3+1+3)/3
+      2L -> ((2L, 0.5, 2.0)),             // rare: "b c"; mean (3+1)/2
+      3L -> ((1L, 1.0, 1.0))))
+    // partitioning-independent (exactAvg DECIMAL mean)
+    val re = CorpusStats.bigramNovelty(docs.repartition(7), "doc_id", "text", 1L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(re == got)
+  }
+
   test("approxHeavyHitters is exact when k covers the domain, bounded when it can't") {
     import graft.operators.CorpusStats
     // k ≥ distinct tokens: no eviction can happen -> exact counts in any
