@@ -829,7 +829,14 @@ object SparkEntry {
       graft.operators.CorpusStats.bigramNovelty(t(s, dir, "documents"),
           "doc_id", "text", rareThreshold = 1L)
         .select(col("id").as("doc_id"), col("n_bigrams"),
-          col("rare_rate"), col("mean_bigram_count")))
+          col("rare_rate"), col("mean_bigram_count"))),
+
+    // Numeric column profile (pandas-describe/Deequ shape): one
+    // aggregation pass, long format — the pre-trust census over lineitem's
+    // measure columns.
+    "q71_table_profile" -> ((s, dir) =>
+      graft.analytics.QualityChecks.profileNumeric(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")))
   )
 
   /** Span window (tokens) shared by q62/q63 and their oracles — 20 fits
@@ -1860,6 +1867,22 @@ object SparkEntry {
          | CAST(sum(sent_tokens) AS BIGINT) AS chunk_tokens,
          | md5(string_agg(sentence, ' ' ORDER BY sent_idx)) AS sentences_md5
          |FROM ch GROUP BY c_custkey, chunk_idx""".stripMargin,
+
+    // Numeric profile: one row per measure column, UNION ALL per-column
+    // aggregates with the exactAvg DECIMAL mean.
+    "q71_table_profile" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS column_name,
+           | CAST(count($c) AS BIGINT) AS n_values,
+           | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           | CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           | CAST(min($c) AS DOUBLE) AS min_value,
+           | CAST(max($c) AS DOUBLE) AS max_value,
+           | CAST(sum(CAST(CAST($c AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)/count($c) AS avg_value
+           |FROM lineitem""".stripMargin
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(one).mkString("\nUNION ALL\n")
+    },
 
     // Bigram novelty: non-distinct positional bigrams (the spanCte shape
     // at width 2), corpus counts joined back, exactAvg mean.

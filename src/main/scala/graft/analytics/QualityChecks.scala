@@ -37,6 +37,36 @@ object QualityChecks {
       .withColumn("pass", col("violations") === 0L)
   }
 
+  /**
+   * Numeric column profile — the census a warehouse job runs before
+   * trusting a table (pandas `describe` / Deequ profile shape): per
+   * column, row count, nulls, exact distinct, min/max and the
+   * deterministic DECIMAL mean. ONE aggregation pass for everything
+   * except the distincts (Spark rewrites multiple count(DISTINCT) into
+   * one Expand — still a single job; at 100 TB swap
+   * `Aggregates.approxDistinct` in per column to keep sketch-bounded
+   * state). Long format: one row per column, so checks and drift alerts
+   * diff profile tables directly.
+   */
+  def profileNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    import graft.operators.Aggregates.exactAvg
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__n_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__d_$c"),
+        min(col(c)).cast("double").as(s"__mn_$c"),
+        max(col(c)).cast("double").as(s"__mx_$c"),
+        exactAvg(col(c).cast("double")).as(s"__avg_$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', __n_$c, __nn_$c, __d_$c, __mn_$c, __mx_$c, __avg_$c").mkString(", ")
+    row.select(expr(
+      s"stack(${cols.size}, $stackArgs) AS " +
+        "(column_name, n_values, n_nulls, n_distinct, min_value, max_value, avg_value)"))
+  }
+
   /** Duplicate-key count (needs its own aggregation — key-level, not row-level). */
   def duplicateKeyCount(df: DataFrame, keys: Seq[String]): Long =
     df.groupBy(keys.map(col): _*).count().where(col("count") > 1).count()

@@ -17,6 +17,17 @@ class AnalyticsSpec extends SparkSpec {
     "humidity_percent", "pressure_hpa", "wind_speed_kmh", "precipitation_mm",
     "comfort_level", "weather_severity", "alert_level", "data_quality_score")
 
+  test("profileNumeric censuses columns in one pass, nulls included") {
+    import graft.analytics.QualityChecks
+    val df = Seq((Option(1.0), 10L), (Option.empty[Double], 20L), (Option(3.0), 20L))
+      .toDF("x", "y")
+    val p = QualityChecks.profileNumeric(df, Seq("x", "y")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(p("x") == ((2L, 1L, 2L, 1.0, 3.0, 2.0)))
+    assert(p("y") == ((3L, 0L, 2L, 10.0, 20.0, 50.0 / 3.0)))
+  }
+
   test("DailySummary: aggregates, tiers, pct, deterministic mode") {
     val rows = DailySummary.compute(enriched)
       .collect().map(r => r.getAs[String]("city") -> r).toMap
