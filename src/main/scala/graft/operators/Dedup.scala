@@ -426,13 +426,19 @@ object Dedup {
         size(col("occs")) <= maxBucket)
       .select(explode(col("occs")).as("o"))
       .select(col("o.id").as("id"), col("o.pos").as("pos"))
-    // (id,pos) rows are unique by construction — each position carries
-    // exactly one span hash, so no distinct pass is needed before the merge
+    mergeSpanRanges(marked, window)
+  }
+
+  /** Interval-merge tail of the span pipeline: (id, pos) rows — one per
+    * duplicated window start, unique per (id,pos) by construction — merged
+    * into [span_start, span_end] token ranges per doc (gaps-and-islands
+    * over the lag/running-sum window). Shared by the batch operator and
+    * the streaming ingest screen (IncrementalDedup.stepSpans). */
+  private[graft] def mergeSpanRanges(marked: DataFrame, window: Int): DataFrame = {
     val w = Window.partitionBy("id").orderBy("pos")
-    val flagged = marked.withColumn("__new",
-      when(lag(col("pos"), 1).over(w).isNull ||
-        col("pos") > lag(col("pos"), 1).over(w) + window, 1).otherwise(0))
-    flagged
+    marked.withColumn("__new",
+        when(lag(col("pos"), 1).over(w).isNull ||
+          col("pos") > lag(col("pos"), 1).over(w) + window, 1).otherwise(0))
       .withColumn("__grp",
         sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("id"), col("__grp"))

@@ -103,6 +103,60 @@ object IncrementalDedup {
   }
 
   /**
+   * Ingest-time SPAN screen — the streaming twin of
+   * [[Dedup.duplicatedSpanRanges]]: for each micro-batch document, the
+   * merged token ranges covered by a window-passage already seen in
+   * ANOTHER document (earlier batches via the span store, or this batch).
+   * The "have I seen this boilerplate before" check a crawl pipeline runs
+   * before admitting a page; downstream cleaners cut exactly these
+   * ranges. Output covers the NEW docs only — that is the ingest
+   * contract; a retroactive sweep over old docs is the batch operator's
+   * job.
+   *
+   * Store: (id, pos, h) span rows partitioned by pfx = h mod `pfxMod`
+   * (same pruning argument as [[stepBandStore]]: a stored span matters
+   * only if a new span shares its exact h, which pins the pfx — the
+   * per-batch store read prunes to the touched cells at the file
+   * listing). Spec pins per-batch equality with the batch operator run
+   * over the corpus-so-far, restricted to the batch's docs.
+   */
+  def stepSpans(batch: DataFrame, idCol: String, textCol: String,
+                storePath: String, window: Int, maxBucket: Int = 10000,
+                pfxMod: Int = 64): DataFrame = {
+    // named imports: the wildcard would shadow the `window` parameter
+    // with functions.window
+    import org.apache.spark.sql.functions.{array_distinct, col, collect_list,
+      explode, filter, lit, pmod, size, struct, transform}
+    val spark = batch.sparkSession
+    val newSpans = Dedup.spanHashes(batch, idCol, textCol, window)
+      .withColumn("pfx", pmod(col("h"), lit(pfxMod.toLong)))
+      .localCheckpoint() // consumed by touched-cells, the mark AND the append
+    val touched = newSpans.select("pfx").distinct().collect().map(_.getLong(0))
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old =
+      if (touched.nonEmpty && fs.exists(new org.apache.hadoop.fs.Path(storePath)))
+        spark.read.parquet(storePath)
+          .where(col("pfx").isin(touched.map(Long.box).toIndexedSeq: _*))
+          .select("id", "pos", "h")
+      else newSpans.select("id", "pos", "h").limit(0)
+    val marked = old.withColumn("is_new", lit(0))
+      .unionByName(newSpans.select("id", "pos", "h").withColumn("is_new", lit(1)))
+      .groupBy("h")
+      .agg(collect_list(struct(col("id"), col("pos"), col("is_new"))).as("occs"))
+      .where(size(array_distinct(transform(col("occs"), o => o.getField("id")))) >= 2 &&
+        size(col("occs")) <= maxBucket)
+      // emit the NEW side's positions only — old docs were ruled on when
+      // they themselves arrived
+      .select(explode(filter(col("occs"), o => o.getField("is_new") === 1)).as("o"))
+      .select(col("o.id").as("id"), col("o.pos").as("pos"))
+    val ranges = Dedup.mergeSpanRanges(marked, window)
+      .localCheckpoint() // materialize BEFORE the store gains the batch
+    newSpans.write.mode("append").partitionBy("pfx").parquet(storePath)
+    ranges
+  }
+
+  /**
    * Attach the loop to a streaming document source: per micro-batch, run
    * [[step]] and append the candidate pairs to `outPath`. Batch ids are
    * not replay-safe dedup keys on their own — a restarted batch re-runs

@@ -240,6 +240,37 @@ class StatefulOpsSpec extends SparkSpec {
       s"band/pfx equalities must be PARTITION filters, got: $pf")
   }
 
+  test("ingest-time span screen equals the batch operator over the corpus-so-far") {
+    import graft.operators.Dedup
+    import graft.streaming.IncrementalDedup
+    val root = Files.createTempDirectory("graft-spanstore").toString
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .where(col("doc_id") < 150)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    var seen = Seq.empty[(Long, String)]
+    all.grouped(50).foreach { day =>
+      seen = seen ++ day
+      val streamed = IncrementalDedup.stepSpans(day.toSeq.toDF("doc_id", "text"),
+          "doc_id", "text", s"$root/spans", window = 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      // batch ground truth: ranges over EVERYTHING ingested so far,
+      // restricted to this batch's docs (the ingest contract — old docs
+      // were ruled on when they arrived)
+      val ids = day.map(_._1).toSet
+      val batchTruth = Dedup.duplicatedSpanRanges(seen.toDF("doc_id", "text"),
+          "doc_id", "text", window = 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .filter(t => ids.contains(t._1)).toSet
+      assert(streamed == batchTruth)
+    }
+    // the store accumulated every span row exactly once
+    val spanRows = all.toSeq.toDF("doc_id", "text")
+      .select(graft.functions.Text.shingles(col("text"), 20).as("s"))
+      .select(explode(col("s"))).count()
+    assert(spark.read.parquet(s"$root/spans").count() == spanRows)
+  }
+
   test("SpaceSaving heavy hitters accumulate across micro-batches") {
     import graft.expressions.SpaceSavingAgg
     val root = Files.createTempDirectory("graft-hhstream").toString
