@@ -17,6 +17,10 @@ object RecallProbe {
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-recall")
     spark.sparkContext.setLogLevel("WARN")
     import operators.Similarity
+    // Locale.ROOT like Bench's formatters: a comma-decimal host locale
+    // would make these JSON-shaped probe lines unparseable
+    def f4(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
 
     def knnRecall(corpus: DataFrame, cent: DataFrame, np: Int, brute: DataFrame,
                   bruteN: Double): Double =
@@ -45,10 +49,10 @@ object RecallProbe {
     val naive = em.where(col("vec_id") % 50 === 0)
     val trained = Similarity.trainCentroids(em, k = 40, iters = 3).localCheckpoint()
     val (intraR, interR) = geometry(em, trained)
-    println(f"""REAL {"recall":{"naive_np1":${knnRecall(em, naive, 1, brute, bruteN)}%.4f,""" +
-      f""""trained_np1":${knnRecall(em, trained, 1, brute, bruteN)}%.4f,""" +
-      f""""trained_np4":${knnRecall(em, trained, 4, brute, bruteN)}%.4f},""" +
-      f""""intra_cos":$intraR%.4f,"inter_abs_cos":$interR%.4f}""")
+    println(s"""REAL {"recall":{"naive_np1":${f4(knnRecall(em, naive, 1, brute, bruteN))},""" +
+      s""""trained_np1":${f4(knnRecall(em, trained, 1, brute, bruteN))},""" +
+      s""""trained_np4":${f4(knnRecall(em, trained, 4, brute, bruteN))}},""" +
+      s""""intra_cos":${f4(intraR)},"inter_abs_cos":${f4(interR)}}""")
 
     // ---- clusterable fixture ----
     val fx = gen.ClusteredFixture.build(spark, n = 2000).localCheckpoint()
@@ -58,9 +62,9 @@ object RecallProbe {
     val fxNaive = fx.where(col("vec_id") % 100 === 0) // 20 arbitrary vectors
     val fxTrained = Similarity.trainCentroids(fx, k = 20, iters = 3).localCheckpoint()
     val (intraF, interF) = geometry(fx, fxTrained)
-    println(f"""FIXTURE {"recall":{"naive_np1":${knnRecall(fx, fxNaive, 1, fxBrute, fxBruteN)}%.4f,""" +
-      f""""trained_np1":${knnRecall(fx, fxTrained, 1, fxBrute, fxBruteN)}%.4f},""" +
-      f""""intra_cos":$intraF%.4f,"inter_abs_cos":$interF%.4f}""")
+    println(s"""FIXTURE {"recall":{"naive_np1":${f4(knnRecall(fx, fxNaive, 1, fxBrute, fxBruteN))},""" +
+      s""""trained_np1":${f4(knnRecall(fx, fxTrained, 1, fxBrute, fxBruteN))}},""" +
+      s""""intra_cos":${f4(intraF)},"inter_abs_cos":${f4(interF)}}""")
 
     // ---- near-dup recall vs nprobe (real embeddings, q23's parameters) ----
     val exact = Similarity.exactNearDupPairs(em, 0.4)
@@ -69,7 +73,7 @@ object RecallProbe {
     val sweep = Seq(2, 4, 6, 8).map { np =>
       val got = Similarity.embeddingNearDupPairs(em, naive, 0.4, nprobe = np)
         .select("id_a", "id_b").intersect(exact).count() / exactN
-      f""""np$np":$got%.4f"""
+      s""""np$np":${f4(got)}"""
     }.mkString(",")
     println(s"""NEARDUP {"exact_pairs":${exactN.toLong},$sweep}""")
     spark.stop()

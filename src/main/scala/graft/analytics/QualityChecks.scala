@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -55,24 +55,32 @@ object QualityChecks {
   def profileNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     import graft.operators.Aggregates.exactAvg
-    val aggs = cols.flatMap { c =>
-      Seq(count(col(c)).as(s"__n_$c"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
-        min(col(c)).cast("double").as(s"__mn_$c"),
-        max(col(c)).cast("double").as(s"__mx_$c"),
-        exactAvg(col(c).cast("double")).as(s"__avg_$c"))
+    // resolve columns by backquoted name and alias internals by INDEX:
+    // caller-supplied names (spaces, dots, quotes — all legal) must never
+    // be string-interpolated into a parsed expression
+    def c(name: String): Column = col("`" + name.replace("`", "``") + "`")
+    val aggs = cols.zipWithIndex.flatMap { case (name, i) =>
+      Seq(count(c(name)).as(s"__n_$i"),
+        sum(when(c(name).isNull, 1L).otherwise(0L)).as(s"__nn_$i"),
+        min(c(name)).cast("double").as(s"__mn_$i"),
+        max(c(name)).cast("double").as(s"__mx_$i"),
+        exactAvg(c(name).cast("double")).as(s"__avg_$i"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.map(c =>
-      s"'$c', __n_$c, __nn_$c, __mn_$c, __mx_$c, __avg_$c").mkString(", ")
-    val stats = row.select(expr(
-      s"stack(${cols.size}, $stackArgs) AS " +
-        "(column_name, n_values, n_nulls, min_value, max_value, avg_value)"))
+    // one struct per column exploded back out of the single row — the
+    // same narrow one-row Generator shape as stack()
+    val stats = row.select(explode(array(cols.zipWithIndex.map { case (name, i) =>
+        struct(lit(name).as("column_name"), col(s"__n_$i").as("n_values"),
+          col(s"__nn_$i").as("n_nulls"), col(s"__mn_$i").as("min_value"),
+          col(s"__mx_$i").as("max_value"), col(s"__avg_$i").as("avg_value"))
+      }.toIndexedSeq: _*)).as("s"))
+      .select("s.*")
     // exact distincts over the long form (doubles are exact for these
     // numerics below 2^53, so the cast never merges distinct values)
-    val longArgs = cols.map(c => s"'$c', CAST($c AS DOUBLE)").mkString(", ")
     val distincts = df
-      .select(expr(s"stack(${cols.size}, $longArgs) AS (column_name, __v)"))
+      .select(explode(array(cols.map(name =>
+        struct(lit(name).as("column_name"), c(name).cast("double").as("__v"))).toIndexedSeq: _*)).as("s"))
+      .select("s.*")
       .where(col("__v").isNotNull)
       .groupBy("column_name", "__v").agg(lit(1))
       .groupBy("column_name").agg(count(lit(1)).as("n_distinct"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.expressions.BoundedCollectAgg
 import graft.functions.{Hashing, Text}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -419,11 +420,13 @@ object Dedup {
    */
   def duplicatedSpanRanges(docs: DataFrame, idCol: String, textCol: String,
                            window: Int, maxBucket: Int = 10000): DataFrame = {
+    // size-capped collection (empty past maxBucket — same discard rule as
+    // a size(occs) <= maxBucket post-filter) keeps the aggregation buffer
+    // cap-bounded even for a span appearing in millions of documents
     val marked = spanHashes(docs, idCol, textCol, window)
       .groupBy("h")
-      .agg(collect_list(struct(col("id"), col("pos"))).as("occs"))
-      .where(size(array_distinct(transform(col("occs"), o => o.getField("id")))) >= 2 &&
-        size(col("occs")) <= maxBucket)
+      .agg(BoundedCollectAgg.occsCapped(col("id"), col("pos"), lit(1), maxBucket).as("occs"))
+      .where(size(array_distinct(transform(col("occs"), o => o.getField("id")))) >= 2)
       .select(explode(col("occs")).as("o"))
       .select(col("o.id").as("id"), col("o.pos").as("pos"))
     mergeSpanRanges(marked, window)
@@ -469,9 +472,10 @@ object Dedup {
                          maxBucket: Int = 10000): DataFrame = {
     val pairs = spanHashes(docs, idCol, textCol, window)
       .groupBy("h")
-      .agg(sort_array(collect_list(struct(col("id"), col("pos")))).as("occs"))
-      .where(size(array_distinct(transform(col("occs"), o => o.getField("id")))) >= 2 &&
-        size(col("occs")) <= maxBucket)
+      // capped + (id,pos)-sorted (the order the upper-triangle expansion
+      // needs); empty past maxBucket, so the buffer never exceeds the cap
+      .agg(BoundedCollectAgg.occsCapped(col("id"), col("pos"), lit(1), maxBucket).as("occs"))
+      .where(size(array_distinct(transform(col("occs"), o => o.getField("id")))) >= 2)
       .select(col("h"), explode(crossDocPairs(col("occs"))).as("p"))
       .select(col("h"), col("p.id_a").as("id_a"), col("p.pos_a").as("pos_a"),
         col("p.id_b").as("id_b"), col("p.pos_b").as("pos_b"))

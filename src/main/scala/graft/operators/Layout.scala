@@ -121,6 +121,20 @@ object Layout {
     * differently between runs. */
   final case class Manifest(shards: Seq[ShardInfo], totalRows: Long, checksum: Long)
 
+  /** Minimal JSON string encoder for the hand-built manifest/datacard
+    * lines — quotes, backslashes and control chars must not corrupt the
+    * artifact even if a stat value (e.g. a language tag) carries them. */
+  private def jsonStr(s: String): String = {
+    val b = new StringBuilder("\"")
+    s.foreach {
+      case '"'           => b.append("\\\"")
+      case '\\'          => b.append("\\\\")
+      case c if c < ' '  => b.append(f"\\u${c.toInt}%04x")
+      case c             => b.append(c)
+    }
+    b.append('"').toString
+  }
+
   /**
    * Sharded training-output writer — the final-artifact emit step
    * (WebDataset/MDS shape): the corpus lands as `numShards` independently
@@ -151,19 +165,20 @@ object Layout {
     require(numShards > 0, "numShards must be positive")
     val spark = df.sparkSession
     val h = graft.functions.Hashing.stableHash60(col(idCol).cast("string"))
-    val rowDigest = graft.functions.Hashing.stableHash60(
-      to_json(struct(df.columns.map(col).toIndexedSeq: _*)))
-    val sharded = df
-      .withColumn("shard", pmod(h, lit(numShards)).cast("int"))
+    df.withColumn("shard", pmod(h, lit(numShards)).cast("int"))
       .withColumn("__h", h)
-    sharded
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("__h"), col(idCol))
       .drop("__h")
       .write.mode("overwrite").partitionBy("shard").parquet(path)
-    // shard stats from the SOURCE frame (content-level; counts verified
-    // against the physical files below)
-    val stats = sharded
+    // shard stats from the WRITTEN files, not the source lineage: the
+    // manifest then describes the artifact itself (rows/checksums of what
+    // a loader will actually read), and the upstream lineage runs once —
+    // for the write — instead of twice
+    val written = spark.read.parquet(path)
+    val rowDigest = graft.functions.Hashing.stableHash60(
+      to_json(struct(df.columns.map(col).toIndexedSeq: _*)))
+    val stats = written
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("rows"),
         (sum(rowDigest.cast("decimal(38,0)")) % lit(1L << 62)).cast("long").as("checksum"))
@@ -187,7 +202,7 @@ object Layout {
       // overflow: each addend is < 2^62)
       shards.foldLeft(0L)((a, s) => (a + s.checksum) % (1L << 62)))
     val json = shards.map(s =>
-        s"""{"shard":${s.shard},"file":"${s.file}","rows":${s.rows},""" +
+        s"""{"shard":${s.shard},"file":${jsonStr(s.file)},"rows":${s.rows},""" +
           s""""bytes":${s.bytes},"checksum":${s.checksum}}""")
       .mkString(
         s"""{"total_rows":${manifest.totalRows},"checksum":${manifest.checksum},"shards":[""",
@@ -213,7 +228,7 @@ object Layout {
     val fields = card.schema.fields.zipWithIndex.map { case (f, i) =>
       val v = card.get(i) match {
         case null      => "null"
-        case s: String => "\"" + s + "\""
+        case s: String => jsonStr(s)
         case x         => x.toString
       }
       s""""${f.name}":$v"""

@@ -9,18 +9,24 @@ import org.apache.spark.sql.streaming.StreamingQuery
  * batch job, sharing ONE code path with it: every micro-batch computes its
  * minhash signatures, generates candidates against the persisted signature
  * STORE via [[Dedup.incrementalLshCandidates]] (old×old buckets never
- * expand — the |new|-shaped work guarantee), then appends its signatures
+ * expand — the |new|-shaped work guarantee), then writes its signatures
  * to the store. A daily batch job calls [[step]] directly with the day's
  * documents; the streaming loop calls the same function per micro-batch
  * through `foreachBatch` — so batch and streaming ingestion cannot drift
  * apart in dedup semantics.
  *
- * The store is a plain parquet signature table (id + numHashes columns,
- * corpus-cardinality — signatures, never documents). State is therefore
- * OUTSIDE the streaming state store: signatures survive restarts, are
- * shared with batch jobs, and are queryable. At 100 TB the store would be
- * partitioned/bucketed by band-key prefix so the per-batch scan prunes
- * (noted on the operator); the loop shape is unchanged.
+ * The store is a parquet signature table (id + numHashes columns,
+ * corpus-cardinality — signatures, never documents) PARTITIONED BY the
+ * caller's `batchTag`, written with dynamic partition overwrite. That
+ * makes every step REPLAY-IDEMPOTENT — `foreachBatch` retries a failed
+ * micro-batch, and a plain append would duplicate its store rows forever —
+ * and replay-EXACT: the old side excludes the current tag's partition, so
+ * a re-run computes against exactly the store state the first attempt saw.
+ * The tag must uniquely identify the ingestion batch (the date for a daily
+ * job, the streaming batchId) — reusing a tag overwrites that batch's rows
+ * by design. State is therefore OUTSIDE the streaming state store:
+ * signatures survive restarts, are shared with batch jobs, and are
+ * queryable.
  *
  * Output per batch: the distinct candidate pairs with ≥1 side in the
  * batch (verify with exact Jaccard downstream, exactly like q39). Unioned
@@ -29,27 +35,47 @@ import org.apache.spark.sql.streaming.StreamingQuery
  */
 object IncrementalDedup {
 
+  private def fsExists(df: DataFrame, path: String): Boolean =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(path))
+
+  /** Idempotent store write: the batch's rows land in (at least) the
+    * `batch=<tag>` partition, REPLACING any prior attempt's rows there
+    * (dynamic overwrite touches only the partitions present in the data —
+    * other batches' partitions are untouched). */
+  private def writeTagged(rows: DataFrame, tag: String, path: String,
+                          partitionCols: String*): Unit =
+    rows.withColumn("batch", org.apache.spark.sql.functions.lit(tag))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch" +: partitionCols: _*)
+      .parquet(path)
+
   /**
    * One ingestion step: candidates for `batch` against (store ∪ batch),
-   * then the batch's signatures appended to the store. Returns the
-   * candidate pairs. Bootstraps an absent store as empty.
+   * then the batch's signatures written to the store under `batchTag`.
+   * Returns the candidate pairs. Bootstraps an absent store as empty.
+   * Re-running the same tag (a `foreachBatch` replay) returns the same
+   * candidates and leaves the store unchanged.
    */
   def step(batch: DataFrame, idCol: String, textCol: String, storePath: String,
-           n: Int = 3, numHashes: Int = 16, bands: Int = 4,
+           batchTag: String, n: Int = 3, numHashes: Int = 16, bands: Int = 4,
            maxBucket: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
     val spark = batch.sparkSession
-    // two consumers (candidate generation + store append): eager checkpoint
+    // two consumers (candidate generation + store write): eager checkpoint
     val newSigs = Dedup.minhashSignatures(batch, idCol, textCol, n, numHashes)
       .localCheckpoint()
-    val fs = new org.apache.hadoop.fs.Path(storePath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val oldSigs =
-      if (fs.exists(new org.apache.hadoop.fs.Path(storePath)))
+      if (fsExists(batch, storePath))
         spark.read.parquet(storePath)
+          .where(col("batch") =!= lit(batchTag)) // replay: skip own partition
+          .drop("batch")
       else newSigs.limit(0)
     val cands = Dedup.incrementalLshCandidates(newSigs, oldSigs, numHashes, bands,
       maxBucket).localCheckpoint() // materialize BEFORE the store gains the batch
-    newSigs.write.mode("append").parquet(storePath)
+    writeTagged(newSigs, batchTag, storePath)
     cands
   }
 
@@ -67,38 +93,38 @@ object IncrementalDedup {
    * Candidates are identical to [[step]]'s by construction (pruning by
    * (band, pfx) is lossless: a stored row matters only if a new row
    * shares its exact (band, sig), which pins the same pfx) — the
-   * equivalence is spec-pinned. Store maintenance: appends accumulate
-   * small files per partition; Layout.compact per leaf partition is the
-   * maintenance op.
+   * equivalence is spec-pinned. Store maintenance: per-tag writes
+   * accumulate small files per (band, pfx) cell; Layout.compact per leaf
+   * partition is the maintenance op.
    */
   def stepBandStore(batch: DataFrame, idCol: String, textCol: String,
-                    storePath: String, n: Int = 3, numHashes: Int = 16,
-                    bands: Int = 4, maxBucket: Int = 10000,
+                    storePath: String, batchTag: String, n: Int = 3,
+                    numHashes: Int = 16, bands: Int = 4, maxBucket: Int = 10000,
                     pfxMod: Int = 64): DataFrame = {
     import org.apache.spark.sql.functions._
     val spark = batch.sparkSession
     val newBands = Dedup.explodedBandKeys(
         Dedup.minhashSignatures(batch, idCol, textCol, n, numHashes), numHashes, bands)
       .withColumn("pfx", pmod(graft.functions.Hashing.stableHash60(col("sig")), lit(pfxMod)))
-      .localCheckpoint() // consumed by touched-cells, candidates AND the append
+      .localCheckpoint() // consumed by touched-cells, candidates AND the write
     // touched partition cells: bounded by bands·pfxMod, driver-safe
     val touched = newBands.select("band", "pfx").distinct()
       .collect().map(r => (r.getInt(0), r.getLong(1)))
-    val fs = new org.apache.hadoop.fs.Path(storePath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old =
-      if (touched.nonEmpty && fs.exists(new org.apache.hadoop.fs.Path(storePath))) {
+      if (touched.nonEmpty && fsExists(batch, storePath)) {
         // OR-chain over partition-column equalities → partition pruning at
         // the scan (an expression OVER the partition columns would not prune)
         val pred = touched.map { case (b, p) =>
           col("band") === b && col("pfx") === p
         }.reduce(_ || _)
-        spark.read.parquet(storePath).where(pred).select("id", "band", "sig")
+        spark.read.parquet(storePath)
+          .where(pred && col("batch") =!= lit(batchTag))
+          .select("id", "band", "sig")
       } else newBands.select("id", "band", "sig").limit(0)
     val cands = Dedup.incrementalLshCandidatesFromBands(
       newBands.select("id", "band", "sig"), old, maxBucket)
       .localCheckpoint() // materialize BEFORE the store gains the batch
-    newBands.write.mode("append").partitionBy("band", "pfx").parquet(storePath)
+    writeTagged(newBands, batchTag, storePath, "band", "pfx")
     cands
   }
 
@@ -118,52 +144,57 @@ object IncrementalDedup {
    * only if a new span shares its exact h, which pins the pfx — the
    * per-batch store read prunes to the touched cells at the file
    * listing). Spec pins per-batch equality with the batch operator run
-   * over the corpus-so-far, restricted to the batch's docs.
+   * over the corpus-so-far, restricted to the batch's docs — and that
+   * equality is exactly why replays must exclude the own-tag partition:
+   * a batch must never match spans its own earlier attempt stored.
    */
   def stepSpans(batch: DataFrame, idCol: String, textCol: String,
-                storePath: String, window: Int, maxBucket: Int = 10000,
-                pfxMod: Int = 64): DataFrame = {
+                storePath: String, batchTag: String, window: Int,
+                maxBucket: Int = 10000, pfxMod: Int = 64): DataFrame = {
     // named imports: the wildcard would shadow the `window` parameter
     // with functions.window
-    import org.apache.spark.sql.functions.{array_distinct, col, collect_list,
-      explode, filter, lit, pmod, size, struct, transform}
+    import org.apache.spark.sql.functions.{array_distinct, col, explode,
+      filter, lit, pmod, size, transform}
+    import graft.expressions.BoundedCollectAgg
     val spark = batch.sparkSession
     val newSpans = Dedup.spanHashes(batch, idCol, textCol, window)
       .withColumn("pfx", pmod(col("h"), lit(pfxMod.toLong)))
-      .localCheckpoint() // consumed by touched-cells, the mark AND the append
+      .localCheckpoint() // consumed by touched-cells, the mark AND the write
     val touched = newSpans.select("pfx").distinct().collect().map(_.getLong(0))
-    val fs = new org.apache.hadoop.fs.Path(storePath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old =
-      if (touched.nonEmpty && fs.exists(new org.apache.hadoop.fs.Path(storePath)))
+      if (touched.nonEmpty && fsExists(batch, storePath))
         spark.read.parquet(storePath)
-          .where(col("pfx").isin(touched.map(Long.box).toIndexedSeq: _*))
+          .where(col("pfx").isin(touched.map(Long.box).toIndexedSeq: _*) &&
+            col("batch") =!= lit(batchTag))
           .select("id", "pos", "h")
       else newSpans.select("id", "pos", "h").limit(0)
     val marked = old.withColumn("is_new", lit(0))
       .unionByName(newSpans.select("id", "pos", "h").withColumn("is_new", lit(1)))
       .groupBy("h")
-      .agg(collect_list(struct(col("id"), col("pos"), col("is_new"))).as("occs"))
-      .where(size(array_distinct(transform(col("occs"), o => o.getField("id")))) >= 2 &&
-        size(col("occs")) <= maxBucket)
+      // capped collection (empty past maxBucket) — the posting-list buffer
+      // stays cap-bounded even for store-wide boilerplate spans
+      .agg(BoundedCollectAgg.occsCapped(col("id"), col("pos"), col("is_new"),
+        maxBucket).as("occs"))
+      .where(size(array_distinct(transform(col("occs"), o => o.getField("id")))) >= 2)
       // emit the NEW side's positions only — old docs were ruled on when
       // they themselves arrived
       .select(explode(filter(col("occs"), o => o.getField("is_new") === 1)).as("o"))
       .select(col("o.id").as("id"), col("o.pos").as("pos"))
     val ranges = Dedup.mergeSpanRanges(marked, window)
       .localCheckpoint() // materialize BEFORE the store gains the batch
-    newSpans.write.mode("append").partitionBy("pfx").parquet(storePath)
+    writeTagged(newSpans, batchTag, storePath, "pfx")
     ranges
   }
 
   /**
    * Attach the loop to a streaming document source: per micro-batch, run
-   * [[step]] and append the candidate pairs to `outPath`. Batch ids are
-   * not replay-safe dedup keys on their own — a restarted batch re-runs
-   * step() after its signatures were stored, so its new×old pairs include
-   * self-pairs filtered by id inequality; downstream consumers treat the
-   * pair table as a set (distinct on read), the usual idempotency
-   * convention for append-only candidate logs.
+   * [[step]] tagged with the batch id and append the candidate pairs to
+   * `outPath`. The store side is replay-idempotent (a restarted batch
+   * overwrites its own partition and recomputes IDENTICAL candidates —
+   * the old side excludes its own tag); the candidate log at `outPath`
+   * is still an append-only log, so a replay can append the same pairs
+   * twice — downstream consumers treat the pair table as a set (distinct
+   * on read), the usual convention for candidate logs.
    */
   def attach(docs: DataFrame, idCol: String, textCol: String, storePath: String,
              outPath: String, checkpointPath: String,
@@ -171,8 +202,9 @@ object IncrementalDedup {
              maxBucket: Int = 10000): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointPath)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        step(batch, idCol, textCol, storePath, n, numHashes, bands, maxBucket)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        step(batch, idCol, textCol, storePath, s"b$batchId", n, numHashes, bands,
+          maxBucket)
           .write.mode("append").parquet(outPath)
       }
       .start()

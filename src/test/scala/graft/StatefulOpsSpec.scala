@@ -202,12 +202,26 @@ class StatefulOpsSpec extends SparkSpec {
     // one shared code path with the daily batch job: step() on a fresh
     // store over the same three "days" produces the same union
     val root2 = Files.createTempDirectory("graft-incdedup-batch").toString
-    val batched = docs.grouped(50).flatMap { day =>
+    val batched = docs.grouped(50).zipWithIndex.flatMap { case (day, i) =>
       IncrementalDedup.step(day.toSeq.toDF("doc_id", "text"), "doc_id", "text",
-          s"$root2/store")
+          s"$root2/store", batchTag = s"day$i")
         .collect().map(r => (r.getLong(0), r.getLong(1)))
     }.toSet
     assert(batched == full)
+    // replay idempotence: re-running a tag (a foreachBatch retry) returns
+    // the SAME candidates and leaves the store unchanged — the store write
+    // overwrites its own partition, and the old side excludes the own tag
+    val lastDay = docs.grouped(50).toSeq.last
+    val before = spark.read.parquet(s"$root2/store").count()
+    val replayed = IncrementalDedup.step(lastDay.toSeq.toDF("doc_id", "text"),
+        "doc_id", "text", s"$root2/store", batchTag = s"day2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val firstRun = IncrementalDedup.step(lastDay.toSeq.toDF("doc_id", "text"),
+        "doc_id", "text", s"$root2/store", batchTag = s"day2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(replayed == firstRun)
+    assert(spark.read.parquet(s"$root2/store").count() == before,
+      "a replayed batch must not grow the signature store")
   }
 
   test("band-layout signature store: pruned incremental step equals the plain loop") {
@@ -217,11 +231,12 @@ class StatefulOpsSpec extends SparkSpec {
       .select(col("doc_id"), col("text"))
       .where(col("doc_id") < 150)
       .collect().map(r => (r.getLong(0), r.getString(1)))
-    docs.grouped(50).foreach { day =>
+    docs.grouped(50).zipWithIndex.foreach { case (day, i) =>
       val df = day.toSeq.toDF("doc_id", "text")
-      val plain = IncrementalDedup.step(df, "doc_id", "text", s"$root/plain")
+      val plain = IncrementalDedup.step(df, "doc_id", "text", s"$root/plain", s"day$i")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val banded = IncrementalDedup.stepBandStore(df, "doc_id", "text", s"$root/banded")
+      val banded = IncrementalDedup.stepBandStore(df, "doc_id", "text",
+          s"$root/banded", s"day$i")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(banded == plain, "pruned band-store candidates must match the plain store")
     }
@@ -249,10 +264,10 @@ class StatefulOpsSpec extends SparkSpec {
       .where(col("doc_id") < 150)
       .collect().map(r => (r.getLong(0), r.getString(1)))
     var seen = Seq.empty[(Long, String)]
-    all.grouped(50).foreach { day =>
+    all.grouped(50).zipWithIndex.foreach { case (day, i) =>
       seen = seen ++ day
       val streamed = IncrementalDedup.stepSpans(day.toSeq.toDF("doc_id", "text"),
-          "doc_id", "text", s"$root/spans", window = 20)
+          "doc_id", "text", s"$root/spans", s"day$i", window = 20)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
       // batch ground truth: ranges over EVERYTHING ingested so far,
       // restricted to this batch's docs (the ingest contract — old docs
