@@ -836,7 +836,15 @@ object SparkEntry {
     // measure columns.
     "q71_table_profile" -> ((s, dir) =>
       graft.analytics.QualityChecks.profileNumeric(t(s, dir, "lineitem"),
-        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")))
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
+    // Temperature-flattened mixture (τ=1/2): data-driven √-count quotas,
+    // exact integer arithmetic end-to-end (IEEE sqrt + integer floor-div
+    // — no libm drift), then the q56 hash-ordered per-source draw.
+    "q72_temperature_mixture" -> ((s, dir) =>
+      graft.operators.Sampling.temperatureMixture(t(s, dir, "documents"),
+          "source", "doc_id", totalOut = 100)
+        .select("source", "doc_id"))
   )
 
   /** Span window (tokens) shared by q62/q63 and their oracles — 20 fits
@@ -1905,6 +1913,23 @@ object SparkEntry {
          |  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)
          |SELECT label, CAST(pos AS BIGINT) AS pos,
          | CAST(CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE)/count(x) AS FLOAT) AS m
-         |FROM x GROUP BY label, pos""".stripMargin
+         |FROM x GROUP BY label, pos""".stripMargin,
+
+    // Temperature mixture: integer √-count weights, integer floor-division
+    // quotas (// — DuckDB's exact integral div, like Spark's `div`), then
+    // the q56 hash-rank draw. Quota stays internal (HUGEINT-safe).
+    "q72_temperature_mixture" -> {
+      val h = duckHash("CAST(doc_id AS VARCHAR)")
+      s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS c
+         |           FROM documents GROUP BY source),
+         |w AS (SELECT source, c, CAST(floor(sqrt(c)) AS BIGINT) AS w FROM c),
+         |q AS (SELECT source, least(c, (100 * w) // (SELECT sum(w) FROM w)) AS quota
+         |      FROM w),
+         |r AS (SELECT source, doc_id,
+         |       row_number() OVER (PARTITION BY source
+         |                          ORDER BY $h ASC NULLS LAST, doc_id ASC NULLS LAST) AS rn
+         |      FROM documents WHERE source IS NOT NULL)
+         |SELECT r.source, r.doc_id FROM r JOIN q USING (source) WHERE rn <= quota""".stripMargin
+    }
   )
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.Hashing
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -212,5 +213,47 @@ object Sampling {
         maxQuota, as = "__rn")
       .where(col("__rn") <= quota)
       .drop("__rn")
+  }
+
+  /**
+   * Temperature-flattened mixture (τ = 1/2): [[mixtureSample]] with
+   * DATA-DRIVEN quotas — quota_g = ⌊totalOut · w_g / Σ w⌋ clamped to the
+   * group size, with integer weight w_g = ⌊√count_g⌋. This is the
+   * √-count flattening rule multilingual/pretraining mixes use to give
+   * small sources a larger share than proportional sampling would,
+   * without ever over-drawing them. The whole quota computation is EXACT
+   * and engine-portable: √ of an integer is IEEE-correctly-rounded, ⌊·⌋
+   * of it is an integer, Σ w is an integer sum (no float association
+   * order), and the final quotient is integer floor-division — no libm
+   * drift anywhere. A general τ swaps the weight for pow(count, τ)
+   * (identical shape, engine-local determinism only). Σ quotas ≤
+   * totalOut (floor under-allocates by < |groups|); rows whose group
+   * value is NULL are dropped (no meaningful quota).
+   *
+   * Shape: one count aggregation (group-cardinality) with a
+   * single-partition total over the AGGREGATED rows (sanctioned:
+   * post-aggregation cardinality only), quotas broadcast back onto the
+   * corpus, and q56's rank shuffle — WindowGroupLimit pushdown bounded
+   * by the CONSTANT totalOut (no group ever needs more), the variable
+   * quota filtering post-window.
+   */
+  def temperatureMixture(df: DataFrame, groupCol: String, keyCol: String,
+                         totalOut: Int): DataFrame = {
+    require(totalOut >= 0, "totalOut must be >= 0")
+    // w < 2^31 (⌊√long-count⌋) and totalOut < 2^31 keep the product in range
+    val quotas = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__c"))
+      .withColumn("__w", floor(sqrt(col("__c"))).cast("long"))
+      .withColumn("__z", sum(col("__w")).over(Window.partitionBy()))
+      // `div`: exact integer floor-division (a DECIMAL `/` would round at
+      // result scale before a floor could run)
+      .selectExpr(s"*", s"least(__c, (${totalOut}L * __w) div __z) AS __quota")
+      .select(col(groupCol), col("__quota"))
+    Dedup.rankLimitKeep(df.where(col(groupCol).isNotNull), Seq(col(groupCol)),
+        Seq(Hashing.stableHash60(col(keyCol).cast("string")).asc_nulls_last,
+          col(keyCol).asc_nulls_last),
+        totalOut, as = "__rn")
+      .join(broadcast(quotas), Seq(groupCol))
+      .where(col("__rn") <= col("__quota"))
+      .drop("__rn", "__quota")
   }
 }

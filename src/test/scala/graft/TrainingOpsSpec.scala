@@ -124,6 +124,31 @@ class TrainingOpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("temperatureMixture flattens: small groups take a super-proportional share") {
+    // 900 vs 100 rows: proportional 60-row draw would take 54/6; √-count
+    // weights (30, 10) give quotas ⌊60·30/40⌋=45 and ⌊60·10/40⌋=15
+    val df = ((0 until 900).map(i => (i.toLong, "big")) ++
+      (1000 until 1100).map(i => (i.toLong, "small"))).toDF("id", "grp")
+    val counts = Sampling.temperatureMixture(df, "grp", "id", totalOut = 60)
+      .groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("big" -> 45L, "small" -> 15L))
+  }
+
+  test("temperatureMixture clamps quotas to group size and is partitioning-independent") {
+    // tiny group (2 rows, w=1): quota ⌊50·1/11⌋=4 clamps to 2; null
+    // groups drop
+    val df = ((0 until 100).map(i => (i.toLong, "a")) ++
+      Seq((200L, "t"), (201L, "t"), (300L, null.asInstanceOf[String]))).toDF("id", "grp")
+    val got = Sampling.temperatureMixture(df, "grp", "id", totalOut = 50)
+    val counts = got.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("t") == 2L && !counts.contains(null))
+    val again = Sampling.temperatureMixture(df.repartition(13), "grp", "id", totalOut = 50)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == got.select("id").collect().map(_.getLong(0)).toSet)
+  }
+
   // ---- OOV rate ----
 
   test("oovStats counts occurrences outside the top-k vocab") {
