@@ -118,6 +118,18 @@ object ScaleProbe {
       val tSpanPairs = time(noop(
         Dedup.duplicateSpanPairs(docs, "doc_id", "text", window = 20,
           maxBucket = 1000)))
+      // degenerate hot span: EVERY doc opens with the same 20-token
+      // boilerplate header, so one span hash owns an n-occurrence posting
+      // list. BoundedCollectAgg keeps that group's buffer at cap+1 (the
+      // pre-fix collect_list held all n structs before the cap could
+      // discard them) — this row pins the growth law of the worst case
+      // the cap is FOR: expect it to track span_ranges, not blow up.
+      val header = (0 until 20).map(i => s"hot$i").mkString(" ")
+      val hotDocs = docs.select(col("doc_id"),
+        concat(lit(header + " "), col("text")).as("text"))
+      val tSpanHot = time(noop(
+        Dedup.duplicatedSpanRanges(hotDocs, "doc_id", "text", window = 20,
+          maxBucket = 1000)))
 
       println(s"""{"n":$n,"exact_dedup":$tExact,"minhash_sig":$tSig,"lsh_cands":$tLsh,""" +
         s""""simhash_pairs":$tSim,"jaccard_capped":$tJac,"ivf_knn":$tIvf,"embed_neardup":$tNd,""" +
@@ -127,7 +139,7 @@ object ScaleProbe {
         s""""chunking":$tChunk,"redact":$tRedact,"oov":$tOov,"quantize":$tQuant,""" +
         s""""contam_exact":$tContExact,"contam_bloom":$tContBloom,""" +
         s""""contam_capped":$tContCapped,"span_ranges":$tSpans,""" +
-        s""""span_pairs":$tSpanPairs}""")
+        s""""span_pairs":$tSpanPairs,"span_hot":$tSpanHot}""")
       docs.unpersist(); em.unpersist()
     }
     spark.stop()
