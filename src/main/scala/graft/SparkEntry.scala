@@ -844,7 +844,15 @@ object SparkEntry {
     "q72_temperature_mixture" -> ((s, dir) =>
       graft.operators.Sampling.temperatureMixture(t(s, dir, "documents"),
           "source", "doc_id", totalOut = 100)
-        .select("source", "doc_id"))
+        .select("source", "doc_id")),
+
+    // Boilerplate removal: q62's duplicated-span ranges CUT out of the
+    // text (every row rebuilt single-space-joined so text form is
+    // uniform). Gate runs uncapped like q62.
+    "q73_span_cut_docs" -> ((s, dir) =>
+      graft.operators.Dedup.cutDuplicatedSpans(t(s, dir, "documents"),
+          "doc_id", "text", window = SpanWindow, maxBucket = Int.MaxValue)
+        .select("doc_id", "text"))
   )
 
   /** Span window (tokens) shared by q62/q63 and their oracles — 20 fits
@@ -1930,6 +1938,31 @@ object SparkEntry {
          |                          ORDER BY $h ASC NULLS LAST, doc_id ASC NULLS LAST) AS rn
          |      FROM documents WHERE source IS NOT NULL)
          |SELECT r.source, r.doc_id FROM r JOIN q USING (source) WHERE rn <= quota""".stripMargin
-    }
+    },
+
+    // Span cut: q62's range CTEs, then tokens anti-joined against the
+    // intervals and re-joined in position order; fully-cut docs come back
+    // as '' via the outer join.
+    "q73_span_cut_docs" ->
+      s"""WITH $spanCte,
+         |d AS (SELECT span FROM sp GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
+         |m AS (SELECT sp.doc_id, sp.pos FROM sp JOIN d USING (span)),
+         |f AS (SELECT doc_id, pos,
+         |  CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + $SpanWindow
+         |       THEN 1 ELSE 0 END AS nw
+         | FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |g AS (SELECT doc_id, pos, sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM f),
+         |rng AS (SELECT doc_id, min(pos) AS s, max(pos) + ${SpanWindow - 1} AS e
+         |        FROM g GROUP BY doc_id, grp),
+         |tk AS (SELECT doc_id, unnest(toks) AS tok,
+         |        generate_subscripts(toks, 1) - 1 AS i FROM t),
+         |keep AS (SELECT tk.doc_id, tk.tok, tk.i FROM tk
+         |         LEFT JOIN rng ON tk.doc_id = rng.doc_id AND tk.i BETWEEN rng.s AND rng.e
+         |         WHERE rng.doc_id IS NULL),
+         |cut AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text
+         |        FROM keep GROUP BY doc_id)
+         |SELECT dd.doc_id, coalesce(cut.text, '') AS text
+         |FROM documents dd LEFT JOIN cut USING (doc_id)""".stripMargin
   )
 }

@@ -432,6 +432,54 @@ object Dedup {
     mergeSpanRanges(marked, window)
   }
 
+  /**
+   * Boilerplate REMOVAL — the consumer of [[duplicatedSpanRanges]]: every
+   * token position covered by a duplicated-span interval is cut and the
+   * remainder re-joined on single spaces. The "clean the license header /
+   * chat template out, keep the document" edit a corpus cleaner actually
+   * applies — where doc-level dedup would either keep the boilerplate or
+   * drop the whole document. Non-text columns pass through; ALL rows are
+   * rebuilt token-joined (single-space canonical), not just edited ones,
+   * so output text form is uniform. A doc that was entirely boilerplate
+   * comes back as the empty string (callers drop it with the length
+   * stage of the cleaning funnel).
+   *
+   * Shape: the q62 range pipeline + one per-doc interval aggregation
+   * (range-cardinality — intervals are post-merge and disjoint, ≤
+   * tokens/window per doc) joined back onto the corpus, then a narrow
+   * per-row index filter (higher-order fns — interpreted, not codegen;
+   * acceptable here because the edit runs once per retained corpus, and
+   * the work is range arithmetic per token, never quadratic).
+   */
+  def cutDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                         window: Int, maxBucket: Int = 10000): DataFrame =
+    cutSpanRangesFrom(docs, idCol, textCol,
+      duplicatedSpanRanges(docs, idCol, textCol, window, maxBucket))
+
+  /** The edit half of [[cutDuplicatedSpans]], over PRECOMPUTED ranges
+    * (an (id, span_start, span_end, …) frame) — callers that also need
+    * the ranges (a pipeline reporting which docs were edited) compute
+    * them once and feed both consumers. Every column except `textCol`
+    * passes through untouched. */
+  private[graft] def cutSpanRangesFrom(docs: DataFrame, idCol: String,
+                                       textCol: String, ranges: DataFrame): DataFrame = {
+    val perDoc = ranges
+      .groupBy(col("id").as("__cut_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__rng"))
+    val indexed = transform(Text.tokens(col(textCol)),
+      (t, i) => struct(t.as("t"), i.cast("long").as("i")))
+    val covered = (s: Column) => exists(col("__rng"),
+      r => s.getField("i") >= r.getField("span_start") &&
+        s.getField("i") <= r.getField("span_end"))
+    docs.join(perDoc, docs(idCol) === col("__cut_id"), "left")
+      .withColumn(textCol,
+        concat_ws(" ", transform(
+          // null __rng (no duplicated span) keeps every token
+          filter(indexed, s => coalesce(!covered(s), lit(true))),
+          s => s.getField("t"))))
+      .drop("__cut_id", "__rng")
+  }
+
   /** Interval-merge tail of the span pipeline: (id, pos) rows — one per
     * duplicated window start, unique per (id,pos) by construction — merged
     * into [span_start, span_end] token ranges per doc (gaps-and-islands

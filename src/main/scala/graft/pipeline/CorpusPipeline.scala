@@ -25,6 +25,11 @@ import org.apache.spark.sql.functions._
  *   4. eval decontamination    Dedup.bloomScreen (broadcast bitmap prunes
  *                              the corpus side) → exact
  *                              crossSetContamination ≥ threshold drops
+ *   2b. boilerplate span cut   (optional, `spanCutWindow`) —
+ *                              Dedup.cutDuplicatedSpans BEFORE near-dedup
+ *                              (shared boilerplate inflates Jaccard into
+ *                              false near-dup groups); emptied docs drop,
+ *                              edited docs are counted
  *   5. split assignment        Sampling.assignSplits (hash-stable)
  *   6. sequence packing        Packing.packSequences over the train split
  *   7. sentence chunking       (optional, `sentenceChunkTokens`) —
@@ -57,7 +62,9 @@ object CorpusPipeline {
       trainSequences: Long,
       afterSemanticDedup: Long = 0L,
       sentenceChunks: Long = 0L,
-      emittedShards: Int = 0)
+      emittedShards: Int = 0,
+      spanEditedDocs: Long = 0L,
+      afterSpanCut: Long = 0L)
 
   def run(docs: DataFrame, evalDocs: DataFrame, idCol: String, textCol: String,
           stages: Seq[(String, Column)],
@@ -72,7 +79,8 @@ object CorpusPipeline {
           semanticThreshold: Double = 0.4,
           semanticNprobe: Int = 2,
           sentenceChunkTokens: Option[Int] = None,
-          emitPath: Option[String] = None): (DataFrame, Report) = {
+          emitPath: Option[String] = None,
+          spanCutWindow: Option[Int] = None): (DataFrame, Report) = {
     val input = docs.count()
 
     // 1-2: funnel, then canonicalize-and-keep-first. Both frames checkpoint
@@ -89,12 +97,28 @@ object CorpusPipeline {
       .localCheckpoint()
     val nExact = exact.count()
 
+    // 2b (optional): boilerplate span cut — duplicated cross-doc passages
+    // removed BEFORE near-dedup (shared boilerplate inflates Jaccard into
+    // false near-dup groups); docs the cut empties out drop here. Ranges
+    // are computed once and feed both the edited-doc census and the cut.
+    val (spanCut, nSpanEdited, nSpanCut) = spanCutWindow match {
+      case None => (exact, 0L, nExact)
+      case Some(w) =>
+        val ranges = Dedup.duplicatedSpanRanges(exact, idCol, textCol, w)
+          .localCheckpoint()
+        val edited = ranges.select("id").distinct().count()
+        val cut = Dedup.cutSpanRangesFrom(exact, idCol, textCol, ranges)
+          .where(col(textCol) =!= "")
+          .localCheckpoint()
+        (cut, edited, cut.count())
+    }
+
     // 3: near-dedup — pairs, components, drop every non-keeper
-    val pairs = Dedup.minhashNearDupPairs(exact, idCol, textCol,
+    val pairs = Dedup.minhashNearDupPairs(spanCut, idCol, textCol,
       n = 3, numHashes = 16, bands = 4, threshold = nearDupThreshold)
     val losers = Components.dedupGroups(pairs)
       .where(!col("is_keeper")).select(col("id").as(idCol))
-    val near = exact.join(losers, Seq(idCol), "left_anti").localCheckpoint()
+    val near = spanCut.join(losers, Seq(idCol), "left_anti").localCheckpoint()
     val nNear = near.count()
 
     // 3b (optional): semantic near-dedup over the survivors' embeddings —
@@ -177,6 +201,7 @@ object CorpusPipeline {
       contaminated = nSem - nCorpus,
       corpus = nCorpus, splitCounts = splitCounts, trainSequences = nSeqs,
       afterSemanticDedup = nSem, sentenceChunks = nChunks,
-      emittedShards = emitted.map(_.shards.size).getOrElse(0)))
+      emittedShards = emitted.map(_.shards.size).getOrElse(0),
+      spanEditedDocs = nSpanEdited, afterSpanCut = nSpanCut))
   }
 }

@@ -299,4 +299,26 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(capped == Set((1L, 1L, 3L, 1L), (2L, 3L, 5L, 1L)))
   }
+
+  test("cutDuplicatedSpans removes exactly the flagged ranges and keeps the rest") {
+    val cut = Dedup.cutDuplicatedSpans(spanDocs, "doc_id", "text", window = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cut == Map(
+      1L -> "f g h",             // tokens [0,4] cut
+      2L -> "x y q",             // tokens [2,6] cut
+      3L -> "p q r s t u",       // untouched (rebuild is identity here)
+      4L -> "z z",               // both ranges cut
+      5L -> "m n o m n o m n o")) // within-doc repetition is NOT boilerplate
+    // a doc that is entirely shared boilerplate comes back empty
+    val all = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
+    val gone = Dedup.cutDuplicatedSpans(all, "doc_id", "text", window = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gone == Map(1L -> "", 2L -> ""))
+    // the flagged windows are gone after the cut (re-running the detector
+    // finds nothing on this fixture; in general a cut can juxtapose new
+    // windows — callers iterating to a fixpoint re-run the pair)
+    assert(Dedup.duplicatedSpanRanges(
+      Dedup.cutDuplicatedSpans(spanDocs, "doc_id", "text", window = 3)
+        .where(col("text") =!= ""), "doc_id", "text", window = 3).count() == 0)
+  }
 }

@@ -132,6 +132,33 @@ class PipelineSpec extends SparkSpec {
     assert(r3 == r)
   }
 
+  test("corpus pipeline span-cut stage removes planted boilerplate before near-dedup") {
+    import graft.pipeline.CorpusPipeline
+    import org.apache.spark.sql.functions._
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .where(col("n_chars") >= 60)
+    // plant the SAME 20-token header on every even doc — the license/chat-
+    // template class: cross-doc duplicated spans inside otherwise-distinct
+    // documents
+    val header = (0 until 20).map(i => s"boiler$i").mkString(" ")
+    val docs = base.withColumn("text",
+      when(col("doc_id") % 2 === 0, concat(lit(header + " "), col("text")))
+        .otherwise(col("text")))
+    val noEval = docs.where(lit(false)).select(col("doc_id"), col("text"))
+    val stages = Seq("too_short" -> (col("n_chars") >= 60))
+    val (corpus, r) = CorpusPipeline.run(docs, noEval, "doc_id", "text", stages,
+      spanCutWindow = Some(20))
+    // every planted doc was edited; the funnel stays monotone through 2b
+    assert(r.spanEditedDocs >= docs.where(col("doc_id") % 2 === 0).count())
+    assert(r.afterSpanCut <= r.afterExactDedup && r.afterNearDedup <= r.afterSpanCut)
+    // no surviving text carries the boilerplate
+    assert(corpus.where(col("text").contains("boiler0")).count() == 0)
+    // deterministic incl. the new stage
+    val (_, r2) = CorpusPipeline.run(docs.repartition(13), noEval, "doc_id", "text",
+      stages, spanCutWindow = Some(20))
+    assert(r2 == r)
+  }
+
   test("corpus pipeline degenerate inputs: empty eval set and empty corpus") {
     import graft.pipeline.CorpusPipeline
     import org.apache.spark.sql.functions._
