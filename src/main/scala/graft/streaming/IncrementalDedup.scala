@@ -208,4 +208,21 @@ object IncrementalDedup {
           .write.mode("append").parquet(outPath)
       }
       .start()
+
+  /** [[attach]] for the SPAN screen: per micro-batch, [[stepSpans]] tagged
+    * with the batch id, duplicated-passage ranges appended to `outPath`.
+    * Same idempotence story as attach: the span store is replay-exact,
+    * the range log is append-only (distinct on read). */
+  def attachSpans(docs: DataFrame, idCol: String, textCol: String,
+                  storePath: String, outPath: String, checkpointPath: String,
+                  window: Int, maxBucket: Int = 10000,
+                  pfxMod: Int = 64): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        stepSpans(batch, idCol, textCol, storePath, s"b$batchId", window,
+          maxBucket, pfxMod)
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
 }

@@ -284,6 +284,25 @@ class StatefulOpsSpec extends SparkSpec {
       .select(graft.functions.Text.shingles(col("text"), 20).as("s"))
       .select(explode(col("s"))).count()
     assert(spark.read.parquet(s"$root/spans").count() == spanRows)
+    // the streaming wrapper drives the same loop: ranges logged per batch
+    // over a MemoryStream equal the manual per-day union above
+    implicit val sqlCtx = spark.sqlContext
+    val root2 = Files.createTempDirectory("graft-spanattach").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = IncrementalDedup.attachSpans(input.toDS().toDF("doc_id", "text"),
+      "doc_id", "text", s"$root2/spans", s"$root2/ranges", s"$root2/ckpt",
+      window = 20)
+    all.grouped(50).foreach { day => input.addData(day.toSeq); q.processAllAvailable() }
+    q.stop()
+    val streamedAll = spark.read.parquet(s"$root2/ranges")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val expected = all.grouped(50).zipWithIndex.flatMap { case (day, i) =>
+      // replay the same days against a THIRD store to get the per-day truth
+      IncrementalDedup.stepSpans(day.toSeq.toDF("doc_id", "text"),
+        "doc_id", "text", s"$root2/manual", s"day$i", window = 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    }.toSet
+    assert(streamedAll == expected)
   }
 
   test("SpaceSaving heavy hitters accumulate across micro-batches") {
