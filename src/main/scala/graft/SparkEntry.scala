@@ -852,7 +852,14 @@ object SparkEntry {
     "q73_span_cut_docs" -> ((s, dir) =>
       graft.operators.Dedup.cutDuplicatedSpans(t(s, dir, "documents"),
           "doc_id", "text", window = SpanWindow, maxBucket = Int.MaxValue)
-        .select("doc_id", "text"))
+        .select("doc_id", "text")),
+
+    // Per-sequence document segment map (q50's layout → attention/loss
+    // mask input): one row per (shard, sequence, doc) overlap with the
+    // doc's in-sequence token range.
+    "q74_pack_segments" -> ((s, dir) =>
+      graft.operators.Packing.packSegments(t(s, dir, "documents"), "doc_id",
+        Text.tokenCount(col("text")), shards = 4, maxTokens = 512))
   )
 
   /** Span window (tokens) shared by q62/q63 and their oracles — 20 fits
@@ -1963,6 +1970,29 @@ object SparkEntry {
          |cut AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text
          |        FROM keep GROUP BY doc_id)
          |SELECT dd.doc_id, coalesce(cut.text, '') AS text
-         |FROM documents dd LEFT JOIN cut USING (doc_id)""".stripMargin
+         |FROM documents dd LEFT JOIN cut USING (doc_id)""".stripMargin,
+
+    // Pack segments: q50's window cumsum + a generate_series explode over
+    // the packs each doc overlaps, then pure in-sequence range arithmetic.
+    "q74_pack_segments" -> {
+      val h = duckHash("CAST(doc_id AS VARCHAR)")
+      s"""WITH d AS (SELECT doc_id,
+         |  CAST(len(string_split(text,' ')) AS BIGINT) AS tokens,
+         |  $h AS h, $h % 4 AS shard FROM documents),
+         |o AS (SELECT doc_id, shard, tokens,
+         |  CAST(COALESCE(sum(tokens) OVER (PARTITION BY shard ORDER BY h ASC, doc_id ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+         | FROM d),
+         |p AS (SELECT doc_id, shard, tokens, start_offset,
+         |  CAST(floor(CAST(start_offset AS DOUBLE)/512.0) AS BIGINT) AS p0,
+         |  CAST(floor((CAST(start_offset AS DOUBLE)+tokens-1.0)/512.0) AS BIGINT) AS p1
+         | FROM o WHERE tokens > 0),
+         |e AS (SELECT doc_id, shard, tokens, start_offset,
+         |  unnest(generate_series(p0, p1)) AS seq_id FROM p)
+         |SELECT shard, seq_id, doc_id,
+         | CAST(greatest(0, start_offset - seq_id*512) AS BIGINT) AS seg_start,
+         | CAST(least(seq_id*512 + 511, start_offset + tokens - 1) - seq_id*512 AS BIGINT) AS seg_end
+         |FROM e""".stripMargin
+    }
   )
 }

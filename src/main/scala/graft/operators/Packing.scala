@@ -50,4 +50,35 @@ object Packing {
         (packOf(col("start_offset") + col("tokens") - 1) -
           packOf(col("start_offset")) + 1).as("spans_packs"))
   }
+
+  /**
+   * Per-sequence document SEGMENT map — what a trainer consumes to build
+   * attention/loss masks over packed sequences: for every (shard, seq_id,
+   * doc) overlap, the doc's token range WITHIN that sequence (0-based
+   * inclusive [seg_start, seg_end], seg ⊆ [0, maxTokens−1]). A document
+   * crossing a pack boundary contributes one row per sequence it touches;
+   * summing (seg_end − seg_start + 1) over a doc's rows returns exactly
+   * its token count, and a sequence's segments tile it without overlap —
+   * the two invariants masks need (spec-pinned). Zero-token docs occupy
+   * no positions and are omitted.
+   *
+   * Long scalar format on purpose (no nested arrays): joinable, oracle-
+   * checkable, and directly groupable into whatever mask layout the
+   * training stack wants. Shape: [[packSequences]]'s one per-shard window
+   * + a narrow bounded explode (spans_packs rows per doc — a doc emits
+   * ⌈tokens/maxTokens⌉+1 rows at most).
+   */
+  def packSegments(docs: DataFrame, idCol: String, tokenCount: Column,
+                   shards: Int, maxTokens: Int): DataFrame = {
+    val mt = lit(maxTokens.toLong)
+    packSequences(docs, idCol, tokenCount, shards, maxTokens)
+      .where(col("tokens") > 0)
+      .select(col(idCol), col("shard"), col("tokens"), col("start_offset"),
+        explode(sequence(col("pack_id"),
+          col("pack_id") + col("spans_packs") - 1)).as("seq_id"))
+      .select(col("shard"), col("seq_id"), col(idCol),
+        greatest(lit(0L), col("start_offset") - col("seq_id") * mt).as("seg_start"),
+        (least(col("seq_id") * mt + mt - 1,
+          col("start_offset") + col("tokens") - 1) - col("seq_id") * mt).as("seg_end"))
+  }
 }

@@ -47,4 +47,32 @@ class PackingSpec extends SparkSpec {
     val b = pack(docs.repartition(7)).collect().map(_.toSeq).toSet
     assert(a == b)
   }
+
+  test("packSegments: per-doc token conservation and per-sequence disjoint tiling") {
+    val segs = Packing.packSegments(docs, "doc_id",
+        graft.functions.Text.tokenCount(col("text")), shards = 3, maxTokens = 64)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // mask invariant 1: a doc's segments sum to exactly its token count
+    val perDoc = segs.groupBy(_._3).view.mapValues(_.map(s => s._5 - s._4 + 1).sum).toMap
+    docs.collect().foreach { r =>
+      val (id, n) = (r.getLong(0), r.getString(1).split(" ").length.toLong)
+      assert(perDoc(id) == n, s"doc $id: segments cover ${perDoc(id)} of $n tokens")
+    }
+    // mask invariant 2: within a sequence, segments tile [0, …] without
+    // overlap or gap, in range
+    segs.groupBy(s => (s._1, s._2)).foreach { case ((shard, seq), rs) =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.forall(s => s._4 >= 0 && s._5 <= 63 && s._4 <= s._5))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._4 == a._5 + 1, s"seq ($shard,$seq): gap/overlap at ${b._4}")
+        case _ =>
+      }
+      // every sequence except a shard's last is fully tiled
+      val last = segs.filter(s => s._1 == shard).map(_._2).max
+      if (seq < last)
+        assert(sorted.head._4 == 0 && sorted.last._5 == 63)
+    }
+  }
 }
