@@ -951,6 +951,22 @@ object SparkEntry {
     * position-indexed sliding token windows as strings (span identity ≡
     * hash identity), 0-based `pos` matching Spark's posexplode. Shared by
     * q62 and q63. */
+  /** DuckDB twin of Packing.packSequences' layout on `documents` (shards=4,
+    * whitespace tokens): `d` (tokens, hash, shard) and `o` (+ the per-shard
+    * cumsum start_offset). Shared by q50 and q74 — one hand-maintained
+    * copy of the pack layout, like spanCte for the span family (q69
+    * re-derives `d` with subword token counts and cannot share it). */
+  private lazy val packCte: String = {
+    val h = duckHash("CAST(doc_id AS VARCHAR)")
+    s"""d AS (SELECT doc_id,
+       |  CAST(len(string_split(text,' ')) AS BIGINT) AS tokens,
+       |  $h AS h, $h % 4 AS shard FROM documents),
+       |o AS (SELECT doc_id, shard, tokens,
+       |  CAST(COALESCE(sum(tokens) OVER (PARTITION BY shard ORDER BY h ASC, doc_id ASC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+       | FROM d)""".stripMargin
+  }
+
   private lazy val spanCte: String = {
     val w = SpanWindow
     s"""t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
@@ -1511,21 +1527,13 @@ object SparkEntry {
 
     // Packing: identical hash order, pmod shard, window cumsum, floor-div
     // pack math (all-double floor division — exact below 2^53).
-    "q50_sequence_packing" -> {
-      val h = duckHash("CAST(doc_id AS VARCHAR)")
-      s"""WITH d AS (SELECT doc_id,
-         |  CAST(len(string_split(text,' ')) AS BIGINT) AS tokens,
-         |  $h AS h, $h % 4 AS shard FROM documents),
-         |o AS (SELECT doc_id, shard, tokens,
-         |  CAST(COALESCE(sum(tokens) OVER (PARTITION BY shard ORDER BY h ASC, doc_id ASC
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
-         | FROM d)
+    "q50_sequence_packing" ->
+      s"""WITH $packCte
          |SELECT doc_id, shard, tokens, start_offset,
          | CAST(floor(CAST(start_offset AS DOUBLE)/512.0) AS BIGINT) AS pack_id,
          | CAST(floor((CAST(start_offset AS DOUBLE)+tokens-1.0)/512.0) AS BIGINT)
          |  - CAST(floor(CAST(start_offset AS DOUBLE)/512.0) AS BIGINT) + 1 AS spans_packs
-         |FROM o""".stripMargin
-    },
+         |FROM o""".stripMargin,
 
     // Subword-budget packing: identical pack math as q50, with tokens from
     // the inlined constant-trained word→units table (char-count fallback
@@ -1936,7 +1944,7 @@ object SparkEntry {
     "q72_temperature_mixture" -> {
       val h = duckHash("CAST(doc_id AS VARCHAR)")
       s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS c
-         |           FROM documents GROUP BY source),
+         |           FROM documents WHERE source IS NOT NULL GROUP BY source),
          |w AS (SELECT source, c, CAST(floor(sqrt(c)) AS BIGINT) AS w FROM c),
          |q AS (SELECT source, least(c, (100 * w) // (SELECT sum(w) FROM w)) AS quota
          |      FROM w),
@@ -1974,15 +1982,8 @@ object SparkEntry {
 
     // Pack segments: q50's window cumsum + a generate_series explode over
     // the packs each doc overlaps, then pure in-sequence range arithmetic.
-    "q74_pack_segments" -> {
-      val h = duckHash("CAST(doc_id AS VARCHAR)")
-      s"""WITH d AS (SELECT doc_id,
-         |  CAST(len(string_split(text,' ')) AS BIGINT) AS tokens,
-         |  $h AS h, $h % 4 AS shard FROM documents),
-         |o AS (SELECT doc_id, shard, tokens,
-         |  CAST(COALESCE(sum(tokens) OVER (PARTITION BY shard ORDER BY h ASC, doc_id ASC
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
-         | FROM d),
+    "q74_pack_segments" ->
+      s"""WITH $packCte,
          |p AS (SELECT doc_id, shard, tokens, start_offset,
          |  CAST(floor(CAST(start_offset AS DOUBLE)/512.0) AS BIGINT) AS p0,
          |  CAST(floor((CAST(start_offset AS DOUBLE)+tokens-1.0)/512.0) AS BIGINT) AS p1
@@ -1993,6 +1994,5 @@ object SparkEntry {
          | CAST(greatest(0, start_offset - seq_id*512) AS BIGINT) AS seg_start,
          | CAST(least(seq_id*512 + 511, start_offset + tokens - 1) - seq_id*512 AS BIGINT) AS seg_end
          |FROM e""".stripMargin
-    }
   )
 }

@@ -240,8 +240,11 @@ object Sampling {
   def temperatureMixture(df: DataFrame, groupCol: String, keyCol: String,
                          totalOut: Int): DataFrame = {
     require(totalOut >= 0, "totalOut must be >= 0")
-    // w < 2^31 (⌊√long-count⌋) and totalOut < 2^31 keep the product in range
-    val quotas = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__c"))
+    // w < 2^31 (⌊√long-count⌋) and totalOut < 2^31 keep the product in
+    // range. NULL-group rows are excluded from the DENOMINATOR too — they
+    // take no quota, so they must not dilute anyone else's share
+    val quotas = df.where(col(groupCol).isNotNull)
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("__c"))
       .withColumn("__w", floor(sqrt(col("__c"))).cast("long"))
       .withColumn("__z", sum(col("__w")).over(Window.partitionBy()))
       // `div`: exact integer floor-division (a DECIMAL `/` would round at

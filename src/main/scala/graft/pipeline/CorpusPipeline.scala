@@ -14,6 +14,11 @@ import org.apache.spark.sql.functions._
  *
  *   1. quality funnel          Cleaning.survivors (first-failure stages)
  *   2. normalized exact dedup  Text.normalizeForDedup + Dedup.keepFirst
+ *   2b. boilerplate span cut   (optional, `spanCutWindow`) —
+ *                              Dedup.cutSpanRangesFrom BEFORE near-dedup
+ *                              (shared boilerplate inflates Jaccard into
+ *                              false near-dup groups); docs the cut
+ *                              empties drop, edited docs are counted
  *   3. minhash near-dedup      Dedup.minhashNearDupPairs → Components
  *                              → drop non-keepers
  *   3b. semantic near-dedup    (optional, `embeddings`) —
@@ -25,11 +30,6 @@ import org.apache.spark.sql.functions._
  *   4. eval decontamination    Dedup.bloomScreen (broadcast bitmap prunes
  *                              the corpus side) → exact
  *                              crossSetContamination ≥ threshold drops
- *   2b. boilerplate span cut   (optional, `spanCutWindow`) —
- *                              Dedup.cutDuplicatedSpans BEFORE near-dedup
- *                              (shared boilerplate inflates Jaccard into
- *                              false near-dup groups); emptied docs drop,
- *                              edited docs are counted
  *   5. split assignment        Sampling.assignSplits (hash-stable)
  *   6. sequence packing        Packing.packSequences over the train split
  *   7. sentence chunking       (optional, `sentenceChunkTokens`) —
@@ -80,7 +80,8 @@ object CorpusPipeline {
           semanticNprobe: Int = 2,
           sentenceChunkTokens: Option[Int] = None,
           emitPath: Option[String] = None,
-          spanCutWindow: Option[Int] = None): (DataFrame, Report) = {
+          spanCutWindow: Option[Int] = None,
+          spanCutMaxBucket: Int = 10000): (DataFrame, Report) = {
     val input = docs.count()
 
     // 1-2: funnel, then canonicalize-and-keep-first. Both frames checkpoint
@@ -101,14 +102,25 @@ object CorpusPipeline {
     // removed BEFORE near-dedup (shared boilerplate inflates Jaccard into
     // false near-dup groups); docs the cut empties out drop here. Ranges
     // are computed once and feed both the edited-doc census and the cut.
+    // `spanCutMaxBucket` is the hot-span state bound — raise it for
+    // corpora where ONE boilerplate passage floods more documents than
+    // the default cap, or the flood survives the cut uncut.
     val (spanCut, nSpanEdited, nSpanCut) = spanCutWindow match {
       case None => (exact, 0L, nExact)
       case Some(w) =>
-        val ranges = Dedup.duplicatedSpanRanges(exact, idCol, textCol, w)
+        val ranges = Dedup.duplicatedSpanRanges(exact, idCol, textCol, w,
+            spanCutMaxBucket)
           .localCheckpoint()
-        val edited = ranges.select("id").distinct().count()
+        val editedIds = ranges.select(col("id").as(idCol)).distinct()
+        val edited = editedIds.count()
+        // drop a doc ONLY when the cut itself emptied it — a doc whose
+        // text was already empty (or null, rebuilt to "") is not this
+        // stage's casualty and passes through like every other stage
+        // leaves it
         val cut = Dedup.cutSpanRangesFrom(exact, idCol, textCol, ranges)
-          .where(col(textCol) =!= "")
+          .join(editedIds.withColumn("__edited", lit(1)), Seq(idCol), "left")
+          .where(col(textCol) =!= "" || col("__edited").isNull)
+          .drop("__edited")
           .localCheckpoint()
         (cut, edited, cut.count())
     }

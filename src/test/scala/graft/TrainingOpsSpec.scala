@@ -144,6 +144,10 @@ class TrainingOpsSpec extends SparkSpec {
     val counts = got.groupBy("grp").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(counts("t") == 2L && !counts.contains(null))
+    // null rows must not dilute the denominator either: z = 10+1 (not
+    // 10+1+1), so quota_a = ⌊50·10/11⌋ = 45 — with the null's weight
+    // included it would be ⌊500/12⌋ = 41
+    assert(counts("a") == 45L)
     val again = Sampling.temperatureMixture(df.repartition(13), "grp", "id", totalOut = 50)
       .select("id").collect().map(_.getLong(0)).toSet
     assert(again == got.select("id").collect().map(_.getLong(0)).toSet)
