@@ -96,4 +96,30 @@ class PlanShapeSpec extends SparkSpec {
     // window's id partitioning
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2)
   }
+
+  test("temperature mixture: rank pushdown bounded by totalOut, quotas broadcast") {
+    val p = plan("q72_temperature_mixture")
+    assert(p.contains("WindowGroupLimit"),
+      "the constant totalOut bound must keep the rank limit map-side pushable")
+    assert(p.contains("BroadcastHashJoin"),
+      "the computed quota frame is group-cardinality and must broadcast")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("span cut: the corpus never self-joins; intervals broadcast back") {
+    val p = plan("q73_span_cut_docs")
+    assert(p.contains("BroadcastHashJoin"),
+      "the merged per-doc intervals are range-cardinality and must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"))
+    // q62's two exchanges plus nothing: the interval aggregation rides the
+    // window's id partitioning and the edit is a narrow projection
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2)
+  }
+
+  test("pack segments add zero exchanges over the pack layout") {
+    def exchanges(p: String) = p.linesIterator.count(_.contains("Exchange "))
+    assert(exchanges(plan("q74_pack_segments")) ==
+      exchanges(plan("q50_sequence_packing")),
+      "the per-sequence explode is a narrow generator over q50's window")
+  }
 }
