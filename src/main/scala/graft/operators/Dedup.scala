@@ -456,6 +456,35 @@ object Dedup {
     cutSpanRangesFrom(docs, idCol, textCol,
       duplicatedSpanRanges(docs, idCol, textCol, window, maxBucket))
 
+  /**
+   * [[cutDuplicatedSpans]] iterated to a FIXPOINT: one cut pass can
+   * juxtapose tokens across a cut boundary into a NEW window that
+   * duplicates across documents (doc A's "u v | boiler | w x" cut to
+   * "u v w x" may now match doc B); re-detect and re-cut until a pass
+   * finds nothing or `maxRounds` is hit. Real corpora rarely need more
+   * than 2 rounds — boilerplate seams are short — so the default bound
+   * is a safety valve, not a tuning knob. Per-round frames checkpoint
+   * eagerly (each feeds the detector AND the next cut — NOTES invariant
+   * #4 for iterative loops).
+   */
+  def cutDuplicatedSpansToFixpoint(docs: DataFrame, idCol: String, textCol: String,
+                                   window: Int, maxBucket: Int = 10000,
+                                   maxRounds: Int = 3): DataFrame = {
+    var cur = docs.localCheckpoint()
+    var rounds = 0
+    var done = false
+    while (rounds < maxRounds && !done) {
+      val ranges = duplicatedSpanRanges(cur, idCol, textCol, window, maxBucket)
+        .localCheckpoint()
+      if (ranges.isEmpty) done = true
+      else {
+        cur = cutSpanRangesFrom(cur, idCol, textCol, ranges).localCheckpoint()
+        rounds += 1
+      }
+    }
+    cur
+  }
+
   /** The edit half of [[cutDuplicatedSpans]], over PRECOMPUTED ranges
     * (an (id, span_start, span_end, …) frame) — callers that also need
     * the ranges (a pipeline reporting which docs were edited) compute

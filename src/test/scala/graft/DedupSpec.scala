@@ -321,4 +321,25 @@ class DedupSpec extends SparkSpec {
       Dedup.cutDuplicatedSpans(spanDocs, "doc_id", "text", window = 3)
         .where(col("text") =!= ""), "doc_id", "text", window = 3).count() == 0)
   }
+
+  test("cutDuplicatedSpansToFixpoint clears cut-seam duplicates a single pass creates") {
+    // cutting "a b c" from docs 1-2 seams doc 1 into "u v w x", which NOW
+    // duplicates doc 3's prefix — the single pass leaves that residue, the
+    // fixpoint clears it
+    val docs = Seq(
+      (1L, "u v a b c w x"),
+      (2L, "m n a b c o p"),
+      (3L, "u v w x z1 z2")
+    ).toDF("doc_id", "text")
+    val once = Dedup.cutDuplicatedSpans(docs, "doc_id", "text", window = 3)
+    assert(Dedup.duplicatedSpanRanges(once, "doc_id", "text", window = 3).count() > 0,
+      "fixture must exhibit a seam duplicate after one pass")
+    val fixed = Dedup.cutDuplicatedSpansToFixpoint(docs, "doc_id", "text", window = 3)
+    assert(Dedup.duplicatedSpanRanges(
+      fixed.where(col("text") =!= ""), "doc_id", "text", window = 3).count() == 0)
+    val byId = fixed.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // round 1 cuts "a b c" from 1-2; round 2 cuts the seamed "u v w x"
+    // from 1 and 3
+    assert(byId == Map(1L -> "", 2L -> "m n o p", 3L -> "z1 z2"))
+  }
 }
