@@ -129,6 +129,17 @@ object SparkEntry {
   private def minhashNearDupShared(s: SparkSession, dir: String): DataFrame =
     Dedup.jaccardVerify(lshCandidatesShared(s, dir), t(s, dir, "documents"),
       "doc_id", "text", n = 3, threshold = 0.5)
+  /** q62's merged duplicated-span ranges (uncapped) — unlike the
+    * positional span stream (NOT staged, see the token-stream note above),
+    * the post-merge intervals are a range-cardinality AGGREGATED artifact,
+    * exactly what the staging rule permits; shared by q62's gate and
+    * q73's edit join (a production cleaner materializes the ranges table
+    * once and both reports and cuts from it). */
+  private def spanRangesShared(s: SparkSession, dir: String): DataFrame =
+    staged(s, dir, "spanranges")(
+      Dedup.duplicatedSpanRanges(t(s, dir, "documents"), "doc_id", "text",
+        window = SpanWindow, maxBucket = Int.MaxValue))
+
   /** Embedding near-dup pair frame (q23's parameters) — pair-cardinality
     * artifact shared by q23 and q67's component grouping, like the jaccard
     * pairs shared by q18/q36. */
@@ -758,9 +769,7 @@ object SparkEntry {
     // repeated-boilerplate class doc-level Jaccard never catches. Gate
     // runs uncapped so the oracle is the plain HAVING-count shape.
     "q62_dup_span_ranges" -> ((s, dir) =>
-      graft.operators.Dedup.duplicatedSpanRanges(t(s, dir, "documents"),
-        "doc_id", "text", window = SpanWindow, maxBucket = Int.MaxValue)
-        .withColumnRenamed("id", "doc_id")),
+      spanRangesShared(s, dir).withColumnRenamed("id", "doc_id")),
 
     // Span-sharing pairs: shared distinct 20-token passages per doc pair
     // plus the longest contiguous aligned token run.
@@ -850,8 +859,8 @@ object SparkEntry {
     // text (every row rebuilt single-space-joined so text form is
     // uniform). Gate runs uncapped like q62.
     "q73_span_cut_docs" -> ((s, dir) =>
-      graft.operators.Dedup.cutDuplicatedSpans(t(s, dir, "documents"),
-          "doc_id", "text", window = SpanWindow, maxBucket = Int.MaxValue)
+      graft.operators.Dedup.cutSpanRangesFrom(t(s, dir, "documents"),
+          "doc_id", "text", spanRangesShared(s, dir))
         .select("doc_id", "text")),
 
     // Per-sequence document segment map (q50's layout → attention/loss
