@@ -868,13 +868,36 @@ object SparkEntry {
     // doc's in-sequence token range.
     "q74_pack_segments" -> ((s, dir) =>
       graft.operators.Packing.packSegments(t(s, dir, "documents"), "doc_id",
-        Text.tokenCount(col("text")), shards = 4, maxTokens = 512))
+        Text.tokenCount(col("text")), shards = 4, maxTokens = 512)),
+
+    // Surgical decontamination, q52's train/eval split: WHICH train
+    // tokens a verbatim eval passage covers (q75), and the train docs
+    // with those passages cut out (q76).
+    "q75_eval_span_ranges" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Dedup.crossSetSpanRanges(
+          docs.where(col("doc_id") % 10 =!= 0), docs.where(col("doc_id") % 10 === 0),
+          "doc_id", "text", window = EvalSpanWindow)
+        .withColumnRenamed("id", "doc_id")
+    }),
+    "q76_decontaminated_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Dedup.cutEvalPassages(
+          docs.where(col("doc_id") % 10 =!= 0), docs.where(col("doc_id") % 10 === 0),
+          "doc_id", "text", window = EvalSpanWindow)
+        .select("doc_id", "text")
+    })
   )
 
   /** Span window (tokens) shared by q62/q63 and their oracles — 20 fits
     * this corpus's 10-100-token documents; production boilerplate removal
     * would run 50. */
   private val SpanWindow = 20
+
+  /** Window for the surgical-decontamination gates (q75/q76) — shorter
+    * than SpanWindow so verbatim train↔eval overlaps exist across the
+    * mod-10 split at every SF (production decontamination runs 30-50). */
+  private val EvalSpanWindow = 12
 
   /** Constant word-frequency table for the subword-budget gate (q69). A
     * trained vocabulary is train-time STATE — not SQL-expressible — so
@@ -976,14 +999,13 @@ object SparkEntry {
        | FROM d)""".stripMargin
   }
 
-  private lazy val spanCte: String = {
-    val w = SpanWindow
+  private def spanCteW(w: Int): String =
     s"""t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
        |ix AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-${w - 1})) AS i
        |       FROM t WHERE len(toks) >= $w),
        |sp AS (SELECT doc_id, CAST(i-1 AS BIGINT) AS pos,
        |       array_to_string(toks[i:i+${w - 1}],' ') AS span FROM ix)""".stripMargin
-  }
+  private lazy val spanCte: String = spanCteW(SpanWindow)
 
   /** Fixed hyperplanes for q34 (dim 64 embeddings, 16 bits, seed 42). */
   private lazy val RpPlanes: Array[Array[Double]] =
@@ -2002,6 +2024,52 @@ object SparkEntry {
          |SELECT shard, seq_id, doc_id,
          | CAST(greatest(0, start_offset - seq_id*512) AS BIGINT) AS seg_start,
          | CAST(least(seq_id*512 + 511, start_offset + tokens - 1) - seq_id*512 AS BIGINT) AS seg_end
-         |FROM e""".stripMargin
+         |FROM e""".stripMargin,
+
+    // Cross-set span ranges: the eval side's DISTINCT spans semi-join the
+    // train span stream (plain JOIN against a DISTINCT set ≡ left-semi),
+    // then the q62 gaps-and-islands merge at the q75 window.
+    "q75_eval_span_ranges" ->
+      s"""WITH ${spanCteW(EvalSpanWindow)},
+         |ev AS (SELECT DISTINCT span FROM sp WHERE doc_id % 10 = 0),
+         |m AS (SELECT sp.doc_id, sp.pos FROM sp JOIN ev USING (span)
+         |      WHERE sp.doc_id % 10 <> 0),
+         |f AS (SELECT doc_id, pos,
+         |  CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + $EvalSpanWindow
+         |       THEN 1 ELSE 0 END AS nw
+         | FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |g AS (SELECT doc_id, pos, sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM f)
+         |SELECT doc_id, min(pos) AS span_start,
+         | max(pos) + ${EvalSpanWindow - 1} AS span_end,
+         | CAST(count(*) AS BIGINT) AS n_windows
+         |FROM g GROUP BY doc_id, grp""".stripMargin,
+
+    // Surgical decontamination: q75's ranges cut out of the TRAIN docs,
+    // q73's token anti-join + position-ordered rebuild over the train
+    // subset.
+    "q76_decontaminated_docs" ->
+      s"""WITH ${spanCteW(EvalSpanWindow)},
+         |ev AS (SELECT DISTINCT span FROM sp WHERE doc_id % 10 = 0),
+         |m AS (SELECT sp.doc_id, sp.pos FROM sp JOIN ev USING (span)
+         |      WHERE sp.doc_id % 10 <> 0),
+         |f AS (SELECT doc_id, pos,
+         |  CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + $EvalSpanWindow
+         |       THEN 1 ELSE 0 END AS nw
+         | FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |g AS (SELECT doc_id, pos, sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM f),
+         |rng AS (SELECT doc_id, min(pos) AS s, max(pos) + ${EvalSpanWindow - 1} AS e
+         |        FROM g GROUP BY doc_id, grp),
+         |tk AS (SELECT doc_id, unnest(toks) AS tok,
+         |        generate_subscripts(toks, 1) - 1 AS i FROM t WHERE doc_id % 10 <> 0),
+         |keep AS (SELECT tk.doc_id, tk.tok, tk.i FROM tk
+         |         LEFT JOIN rng ON tk.doc_id = rng.doc_id AND tk.i BETWEEN rng.s AND rng.e
+         |         WHERE rng.doc_id IS NULL),
+         |cut AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text
+         |        FROM keep GROUP BY doc_id)
+         |SELECT dd.doc_id, coalesce(cut.text, '') AS text
+         |FROM documents dd LEFT JOIN cut USING (doc_id)
+         |WHERE dd.doc_id % 10 <> 0""".stripMargin
   )
 }

@@ -457,6 +457,41 @@ object Dedup {
       duplicatedSpanRanges(docs, idCol, textCol, window, maxBucket))
 
   /**
+   * Cross-set span ranges — SURGICAL decontamination's detector: merged
+   * token ranges of TRAIN documents covered by a `window`-token passage
+   * appearing verbatim in ANY eval document. The contamination screens
+   * (q52 family) score whole train docs for dropping; this finds exactly
+   * WHICH tokens leaked, so [[cutSpanRangesFrom]] can remove the passage
+   * and keep the document — the edit a pipeline prefers when a long
+   * train document merely quotes one eval item. Within-train duplication
+   * is deliberately NOT flagged (that is [[duplicatedSpanRanges]]' job).
+   *
+   * Shape — simpler than the in-set detector: the eval side collapses to
+   * its DISTINCT span-hash set (one aggregation, eval-sized), the train
+   * span stream LEFT-SEMI joins it (no pair expansion can occur, so no
+   * `maxBucket` is needed; with a small eval set the semi join
+   * broadcasts), and the survivors take the usual per-doc interval
+   * merge. Train side: one narrow pass + one id-keyed window exchange.
+   */
+  def crossSetSpanRanges(train: DataFrame, evalDocs: DataFrame, idCol: String,
+                         textCol: String, window: Int): DataFrame = {
+    val evalSpans = spanHashes(evalDocs, idCol, textCol, window)
+      .select(col("h")).distinct()
+    val flagged = spanHashes(train, idCol, textCol, window)
+      .join(evalSpans, Seq("h"), "left_semi")
+      .select(col("id"), col("pos"))
+    mergeSpanRanges(flagged, window)
+  }
+
+  /** [[crossSetSpanRanges]] + the cut: train documents with every leaked
+    * eval passage removed (and all rows token-rebuilt, like
+    * [[cutDuplicatedSpans]]). Non-text columns pass through. */
+  def cutEvalPassages(train: DataFrame, evalDocs: DataFrame, idCol: String,
+                      textCol: String, window: Int): DataFrame =
+    cutSpanRangesFrom(train, idCol, textCol,
+      crossSetSpanRanges(train, evalDocs, idCol, textCol, window))
+
+  /**
    * [[cutDuplicatedSpans]] iterated to a FIXPOINT: one cut pass can
    * juxtapose tokens across a cut boundary into a NEW window that
    * duplicates across documents (doc A's "u v | boiler | w x" cut to

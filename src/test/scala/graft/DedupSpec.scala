@@ -322,6 +322,34 @@ class DedupSpec extends SparkSpec {
         .where(col("text") =!= ""), "doc_id", "text", window = 3).count() == 0)
   }
 
+  test("crossSetSpanRanges flags only eval-covered train tokens; the cut removes them") {
+    val train = Seq(
+      (1L, "u v a b c w x"),   // "a b c" appears in eval doc 10
+      (2L, "a b c a b c z"),   // two occurrences -> windows 0 and 3 merge [0,5]
+      (3L, "p q r s t u")      // clean
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, "h i a b c j k"),  // contains train docs 1-2's "a b c"
+      (11L, "p q r x y z")     // contains train doc 3's "p q r"
+    ).toDF("doc_id", "text")
+    val ranges = Dedup.crossSetSpanRanges(train, eval, "doc_id", "text", window = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // doc 3's "p q r" at pos 0 matches eval doc 11's "p q r" at pos 0 —
+    // cross-set hits flag regardless of which eval doc or position
+    assert(ranges == Set(
+      (1L, 2L, 4L, 1L),
+      (2L, 0L, 5L, 2L),  // overlapping windows 0 and 3 merge into one range
+      (3L, 0L, 2L, 1L)))
+    // within-train duplication alone must NOT flag: docs 1-2 share "a b c"
+    // but with an eval set containing none of it, nothing is flagged
+    val noEvalHit = Seq((20L, "m m m m")).toDF("doc_id", "text")
+    assert(Dedup.crossSetSpanRanges(train, noEvalHit, "doc_id", "text", 3).count() == 0)
+    // the cut removes exactly the leaked passages, keeps everything else
+    val cut = Dedup.cutEvalPassages(train, eval, "doc_id", "text", window = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cut == Map(1L -> "u v w x", 2L -> "z", 3L -> "s t u"))
+  }
+
   test("cutDuplicatedSpansToFixpoint clears cut-seam duplicates a single pass creates") {
     // cutting "a b c" from docs 1-2 seams doc 1 into "u v w x", which NOW
     // duplicates doc 3's prefix — the single pass leaves that residue, the
