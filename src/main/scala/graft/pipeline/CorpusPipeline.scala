@@ -27,9 +27,15 @@ import org.apache.spark.sql.functions._
  *                              duplicates that share no 3-gram; centroids
  *                              self-train at k = nprobe·√n (centroid-count
  *                              law, SCALE.md)
+ *   3c. surgical decontam.     (optional, `evalCutWindow`) —
+ *                              Dedup.crossSetSpanRanges + cut: verbatim
+ *                              leaked eval passages removed BEFORE the
+ *                              drop screen, so a doc that merely quotes
+ *                              one eval item keeps its clean content
  *   4. eval decontamination    Dedup.bloomScreen (broadcast bitmap prunes
  *                              the corpus side) → exact
  *                              crossSetContamination ≥ threshold drops
+ *                              — judging the EDITED text when 3c ran
  *   5. split assignment        Sampling.assignSplits (hash-stable)
  *   6. sequence packing        Packing.packSequences over the train split
  *   7. sentence chunking       (optional, `sentenceChunkTokens`) —
@@ -64,7 +70,9 @@ object CorpusPipeline {
       sentenceChunks: Long = 0L,
       emittedShards: Int = 0,
       spanEditedDocs: Long = 0L,
-      afterSpanCut: Long = 0L)
+      afterSpanCut: Long = 0L,
+      evalCutDocs: Long = 0L,
+      afterEvalCut: Long = 0L)
 
   def run(docs: DataFrame, evalDocs: DataFrame, idCol: String, textCol: String,
           stages: Seq[(String, Column)],
@@ -81,7 +89,8 @@ object CorpusPipeline {
           sentenceChunkTokens: Option[Int] = None,
           emitPath: Option[String] = None,
           spanCutWindow: Option[Int] = None,
-          spanCutMaxBucket: Int = 10000): (DataFrame, Report) = {
+          spanCutMaxBucket: Int = 10000,
+          evalCutWindow: Option[Int] = None): (DataFrame, Report) = {
     val input = docs.count()
 
     // 1-2: funnel, then canonicalize-and-keep-first. Both frames checkpoint
@@ -159,6 +168,26 @@ object CorpusPipeline {
     }
     val nSem = if (embeddings.isEmpty) nNear else sem.count()
 
+    // 3c (optional): SURGICAL decontamination — cut verbatim leaked eval
+    // passages out of surviving docs BEFORE the drop screen, so a long
+    // document that merely quotes one eval item keeps its clean content;
+    // stage 4's screen then judges the EDITED text (quote gone → doc no
+    // longer scores contaminated). Docs the cut empties drop here.
+    val (decut, nEvalCut, nDecut) = evalCutWindow match {
+      case None => (sem, 0L, nSem)
+      case Some(w) =>
+        val ranges = Dedup.crossSetSpanRanges(sem, evalDocs, idCol, textCol, w)
+          .localCheckpoint()
+        val editedIds = ranges.select(col("id").as(idCol)).distinct()
+        val edited = editedIds.count()
+        val cleanedDocs = Dedup.cutSpanRangesFrom(sem, idCol, textCol, ranges)
+          .join(editedIds.withColumn("__edited", lit(1)), Seq(idCol), "left")
+          .where(col(textCol) =!= "" || col("__edited").isNull)
+          .drop("__edited")
+          .localCheckpoint()
+        (cleanedDocs, edited, cleanedDocs.count())
+    }
+
     // 4: decontamination — the bitmap screen prunes the corpus side to the
     // docs sharing ≥1 shingle with the eval set (no false negatives), the
     // exact scorer then runs only over that sliver. The eval shingle
@@ -172,13 +201,13 @@ object CorpusPipeline {
       if (bloomBits > 0) bloomBits
       else BloomExprs.bitsForFpp(evalShingles.select("h").distinct().count(), 0.03)
     val words = BloomExprs.buildBitmap(evalShingles, "h", mBits)
-    val flagged = sem.where(Dedup.bloomScreen(col(textCol), 3, words, mBits))
+    val flagged = decut.where(Dedup.bloomScreen(col(textCol), 3, words, mBits))
     val dirty = Dedup.contaminationFromHashed(
         evalShingles, evalShingles,
         Dedup.hashedShingles(flagged, idCol, textCol, n = 3), Int.MaxValue)
       .where(col("contamination") >= contaminationThreshold)
       .select(col("test_id").as(idCol))
-    val corpus = sem.join(dirty, Seq(idCol), "left_anti")
+    val corpus = decut.join(dirty, Seq(idCol), "left_anti")
       .withColumn("split", Sampling.splitColumn(col(idCol), splits))
       .localCheckpoint()
     val nCorpus = corpus.count()
@@ -210,10 +239,11 @@ object CorpusPipeline {
       graft.operators.Layout.writeCorpusRelease(corpus, p, idCol, textCol, packShards))
 
     (corpus, Report(input, nCleaned, nExact, nNear,
-      contaminated = nSem - nCorpus,
+      contaminated = nDecut - nCorpus, // stage-4 screen drops (post-cut text)
       corpus = nCorpus, splitCounts = splitCounts, trainSequences = nSeqs,
       afterSemanticDedup = nSem, sentenceChunks = nChunks,
       emittedShards = emitted.map(_.shards.size).getOrElse(0),
-      spanEditedDocs = nSpanEdited, afterSpanCut = nSpanCut))
+      spanEditedDocs = nSpanEdited, afterSpanCut = nSpanCut,
+      evalCutDocs = nEvalCut, afterEvalCut = nDecut))
   }
 }

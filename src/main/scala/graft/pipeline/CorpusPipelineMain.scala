@@ -31,11 +31,13 @@ object CorpusPipelineMain {
       .select(col("vec_id").as("doc_id"), col("embedding"))
     val (corpus, r) = CorpusPipeline.run(docs, eval, "doc_id", "text", stages,
       embeddings = Some(emb), sentenceChunkTokens = Some(64),
-      emitPath = Some(s"$out-release"), spanCutWindow = Some(20))
+      emitPath = Some(s"$out-release"), spanCutWindow = Some(20),
+      evalCutWindow = Some(12))
     corpus.write.mode("overwrite").partitionBy("split").parquet(out)
     println(s"corpus written to $out; sharded release at $out-release")
     println(s"input=${r.input} cleaned=${r.cleaned} afterExactDedup=${r.afterExactDedup} " +
       s"spanEdited=${r.spanEditedDocs} afterSpanCut=${r.afterSpanCut} " +
+      s"evalCut=${r.evalCutDocs} afterEvalCut=${r.afterEvalCut} " +
       s"afterNearDedup=${r.afterNearDedup} afterSemanticDedup=${r.afterSemanticDedup} " +
       s"contaminated=${r.contaminated} corpus=${r.corpus} splits=${r.splitCounts} " +
       s"trainSequences=${r.trainSequences} sentenceChunks=${r.sentenceChunks} " +

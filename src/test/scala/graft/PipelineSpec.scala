@@ -159,6 +159,41 @@ class PipelineSpec extends SparkSpec {
     assert(r2 == r)
   }
 
+  test("corpus pipeline surgical decontamination keeps docs the drop screen would lose") {
+    import graft.pipeline.CorpusPipeline
+    import org.apache.spark.sql.functions._
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .where(col("n_chars") >= 60)
+    // eval set: 5 synthetic benchmark items; every third train doc QUOTES
+    // one of them verbatim (prepended), heavily enough that the whole-doc
+    // screen at threshold 0.15 would drop the doc
+    import spark.implicits._
+    val evalTexts = (0 until 5).map(i =>
+      (9000L + i, (0 until 16).map(j => s"bench${i}tok$j").mkString(" ")))
+    val eval = evalTexts.toSeq.toDF("doc_id", "text")
+    val docs = base.withColumn("text",
+      when(col("doc_id") % 3 === 0,
+        concat(element_at(typedLit(evalTexts.map(_._2)),
+          (pmod(col("doc_id"), lit(5)) + 1).cast("int")), lit(" "), col("text")))
+        .otherwise(col("text")))
+    val stages = Seq("too_short" -> (col("n_chars") >= 60))
+    val (withoutCut, r0) = CorpusPipeline.run(docs, eval, "doc_id", "text", stages,
+      contaminationThreshold = 0.15)
+    val (withCut, r1) = CorpusPipeline.run(docs, eval, "doc_id", "text", stages,
+      contaminationThreshold = 0.15, evalCutWindow = Some(16))
+    // the quoting docs were edited, their quoted passages are gone, and
+    // the corpus keeps docs the drop-only run lost
+    assert(r1.evalCutDocs > 0)
+    assert(withCut.where(col("text").contains("bench0tok0")).count() == 0)
+    assert(r1.corpus > r0.corpus,
+      s"cut run must keep quoting docs (kept ${r1.corpus} vs ${r0.corpus})")
+    assert(r1.contaminated < r0.contaminated)
+    // determinism under repartitioning, new stage included
+    val (_, r2) = CorpusPipeline.run(docs.repartition(13), eval, "doc_id", "text",
+      stages, contaminationThreshold = 0.15, evalCutWindow = Some(16))
+    assert(r2 == r1)
+  }
+
   test("corpus pipeline degenerate inputs: empty eval set and empty corpus") {
     import graft.pipeline.CorpusPipeline
     import org.apache.spark.sql.functions._
