@@ -130,6 +130,12 @@ object ScaleProbe {
       val tSpanHot = time(noop(
         Dedup.duplicatedSpanRanges(hotDocs, "doc_id", "text", window = 20,
           maxBucket = 1000)))
+      // surgical decontamination with a FIXED eval set (the production
+      // shape — train grows, eval doesn't): the eval span-hash set
+      // broadcasts into the semi join, so growth should track the narrow
+      // train-side span stream, like contam_bloom vs contam_exact
+      val tSpanDecut = time(noop(
+        Dedup.cutEvalPassages(trainSet, evalSet, "doc_id", "text", window = 20)))
 
       println(s"""{"n":$n,"exact_dedup":$tExact,"minhash_sig":$tSig,"lsh_cands":$tLsh,""" +
         s""""simhash_pairs":$tSim,"jaccard_capped":$tJac,"ivf_knn":$tIvf,"embed_neardup":$tNd,""" +
@@ -139,7 +145,8 @@ object ScaleProbe {
         s""""chunking":$tChunk,"redact":$tRedact,"oov":$tOov,"quantize":$tQuant,""" +
         s""""contam_exact":$tContExact,"contam_bloom":$tContBloom,""" +
         s""""contam_capped":$tContCapped,"span_ranges":$tSpans,""" +
-        s""""span_pairs":$tSpanPairs,"span_hot":$tSpanHot}""")
+        s""""span_pairs":$tSpanPairs,"span_hot":$tSpanHot,""" +
+        s""""span_decut":$tSpanDecut}""")
       docs.unpersist(); em.unpersist()
     }
     spark.stop()
