@@ -209,6 +209,24 @@ object IncrementalDedup {
       }
       .start()
 
+  /** Streaming SURGICAL decontamination — the stateless member of the
+    * ingest-screen family: per micro-batch, [[Dedup.cutEvalPassages]]
+    * against the STATIC eval set (a stream-static composition — the eval
+    * span-hash set is fixed, so no store, no tag, no replay concern
+    * beyond the append-only output log). Crawl admission runs this
+    * BEFORE the stateful span screen: leaked benchmark text never even
+    * enters the span store. */
+  def attachEvalCut(docs: DataFrame, evalDocs: DataFrame, idCol: String,
+                    textCol: String, outPath: String, checkpointPath: String,
+                    window: Int): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Dedup.cutEvalPassages(batch, evalDocs, idCol, textCol, window)
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+
   /** [[attach]] for the SPAN screen: per micro-batch, [[stepSpans]] tagged
     * with the batch id, duplicated-passage ranges appended to `outPath`.
     * Same idempotence story as attach: the span store is replay-exact,

@@ -305,6 +305,32 @@ class StatefulOpsSpec extends SparkSpec {
     assert(streamedAll == expected)
   }
 
+  test("streaming eval-passage cut equals the batch operator per micro-batch") {
+    import graft.operators.Dedup
+    import graft.streaming.IncrementalDedup
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-evalcut").toString
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).where(col("doc_id") < 150)
+    val eval = all.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val rows = all.where(col("doc_id") % 10 =!= 0)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = IncrementalDedup.attachEvalCut(input.toDS().toDF("doc_id", "text"),
+      eval, "doc_id", "text", s"$root/out", s"$root/ckpt", window = 12)
+    rows.grouped(50).foreach { day => input.addData(day.toSeq); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.read.parquet(s"$root/out")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batch = Dedup.cutEvalPassages(rows.toSeq.toDF("doc_id", "text"), eval,
+        "doc_id", "text", window = 12)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed == batch && streamed.nonEmpty)
+    // the op is cross-set only, so batch boundaries cannot change results
+    // (no train×train interaction) — that is WHY this screen is stateless
+  }
+
   test("SpaceSaving heavy hitters accumulate across micro-batches") {
     import graft.expressions.SpaceSavingAgg
     val root = Files.createTempDirectory("graft-hhstream").toString
