@@ -474,22 +474,74 @@ object Dedup {
    * merge. Train side: one narrow pass + one id-keyed window exchange.
    */
   def crossSetSpanRanges(train: DataFrame, evalDocs: DataFrame, idCol: String,
-                         textCol: String, window: Int): DataFrame = {
-    val evalSpans = spanHashes(evalDocs, idCol, textCol, window)
-      .select(col("h")).distinct()
+                         textCol: String, window: Int): DataFrame =
+    crossSetSpanRangesFromHashes(train,
+      evalSpanHashes(evalDocs, idCol, textCol, window), idCol, textCol, window)
+
+  /** The eval set's DISTINCT span-hash frame (column `h`) — the static
+    * side of surgical decontamination. Callers screening many batches
+    * (a pipeline loop, a streaming screen) compute it ONCE, checkpoint
+    * it, and feed [[crossSetSpanRangesFromHashes]]; re-deriving it per
+    * batch re-scans the whole eval set each time. */
+  def evalSpanHashes(evalDocs: DataFrame, idCol: String, textCol: String,
+                     window: Int): DataFrame =
+    spanHashes(evalDocs, idCol, textCol, window).select(col("h")).distinct()
+
+  /** [[crossSetSpanRanges]] over a PRECOMPUTED eval span-hash set. */
+  def crossSetSpanRangesFromHashes(train: DataFrame, evalHashes: DataFrame,
+                                   idCol: String, textCol: String,
+                                   window: Int): DataFrame = {
     val flagged = spanHashes(train, idCol, textCol, window)
-      .join(evalSpans, Seq("h"), "left_semi")
+      .join(evalHashes.select(col("h")), Seq("h"), "left_semi")
       .select(col("id"), col("pos"))
     mergeSpanRanges(flagged, window)
   }
 
-  /** [[crossSetSpanRanges]] + the cut: train documents with every leaked
-    * eval passage removed (and all rows token-rebuilt, like
-    * [[cutDuplicatedSpans]]). Non-text columns pass through. */
+  /** [[crossSetSpanRanges]] + the cut, SINGLE pass: train documents with
+    * every leaked eval passage removed (and all rows token-rebuilt, like
+    * [[cutDuplicatedSpans]]). Non-text columns pass through. One-pass
+    * caveat (the same seam effect as the in-set cut): removing a passage
+    * can join its neighbors into a NEW window that matches another eval
+    * span — [[cutEvalPassagesToFixpoint]] closes that; this form is the
+    * oracle-gated single round. */
   def cutEvalPassages(train: DataFrame, evalDocs: DataFrame, idCol: String,
                       textCol: String, window: Int): DataFrame =
     cutSpanRangesFrom(train, idCol, textCol,
       crossSetSpanRanges(train, evalDocs, idCol, textCol, window))
+
+  /** [[cutEvalPassages]] iterated until NO window of the edited text
+    * matches any eval span (or `maxRounds`) — the decontamination
+    * guarantee a single pass cannot give, because cut seams can re-create
+    * leaked windows. The eval hash set is computed once; per-round frames
+    * checkpoint eagerly and are dereferenced as rounds advance (block
+    * reclamation via the context cleaner — the Components-loop pattern). */
+  def cutEvalPassagesToFixpoint(train: DataFrame, evalDocs: DataFrame,
+                                idCol: String, textCol: String, window: Int,
+                                maxRounds: Int = 3): DataFrame =
+    cutEvalFixpointFromHashes(train,
+      evalSpanHashes(evalDocs, idCol, textCol, window).localCheckpoint(),
+      idCol, textCol, window, maxRounds)
+
+  /** The fixpoint loop over a PRECOMPUTED (checkpointed) eval hash set —
+    * shared by [[cutEvalPassagesToFixpoint]] and the streaming screen,
+    * which computes the static hash set once for the whole stream. */
+  private[graft] def cutEvalFixpointFromHashes(train: DataFrame, evalHashes: DataFrame,
+                                               idCol: String, textCol: String,
+                                               window: Int, maxRounds: Int): DataFrame = {
+    var cur = train.localCheckpoint()
+    var rounds = 0
+    var done = false
+    while (rounds < maxRounds && !done) {
+      val ranges = crossSetSpanRangesFromHashes(cur, evalHashes, idCol, textCol,
+        window).localCheckpoint()
+      if (ranges.isEmpty) done = true
+      else {
+        cur = cutSpanRangesFrom(cur, idCol, textCol, ranges).localCheckpoint()
+        rounds += 1
+      }
+    }
+    cur
+  }
 
   /**
    * [[cutDuplicatedSpans]] iterated to a FIXPOINT: one cut pass can

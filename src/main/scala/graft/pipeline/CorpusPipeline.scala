@@ -74,6 +74,42 @@ object CorpusPipeline {
       evalCutDocs: Long = 0L,
       afterEvalCut: Long = 0L)
 
+  /**
+   * Shared iterated-cut loop for stages 2b and 3c: per round, `detect`
+   * the span ranges over the current frame, cut them, and drop ONLY the
+   * docs that round's cut emptied — a doc whose text was already empty
+   * (or null, rebuilt to "") is not the stage's casualty and passes
+   * through like every other stage leaves it. Iterates until a round
+   * detects nothing (seam-created duplicates included) or `maxRounds`.
+   * Returns (cut frame, distinct edited-doc count, final count).
+   */
+  private def iteratedCut(docs: DataFrame, idCol: String, textCol: String,
+                          detect: DataFrame => DataFrame,
+                          maxRounds: Int = 3): (DataFrame, Long, Long) = {
+    var cur = docs
+    var editedIds = Seq.empty[DataFrame]
+    var rounds = 0
+    var done = false
+    while (rounds < maxRounds && !done) {
+      val ranges = detect(cur).localCheckpoint()
+      if (ranges.isEmpty) done = true
+      else {
+        val ids = ranges.select(col("id").as(idCol)).distinct().localCheckpoint()
+        editedIds = editedIds :+ ids
+        cur = Dedup.cutSpanRangesFrom(cur, idCol, textCol, ranges)
+          .join(ids.withColumn("__edited", lit(1)), Seq(idCol), "left")
+          .where(col(textCol) =!= "" || col("__edited").isNull)
+          .drop("__edited")
+          .localCheckpoint()
+        rounds += 1
+      }
+    }
+    val edited =
+      if (editedIds.isEmpty) 0L
+      else editedIds.reduce(_ unionByName _).distinct().count()
+    (cur, edited, cur.count())
+  }
+
   def run(docs: DataFrame, evalDocs: DataFrame, idCol: String, textCol: String,
           stages: Seq[(String, Column)],
           nearDupThreshold: Double = 0.5,
@@ -109,29 +145,17 @@ object CorpusPipeline {
 
     // 2b (optional): boilerplate span cut — duplicated cross-doc passages
     // removed BEFORE near-dedup (shared boilerplate inflates Jaccard into
-    // false near-dup groups); docs the cut empties out drop here. Ranges
-    // are computed once and feed both the edited-doc census and the cut.
-    // `spanCutMaxBucket` is the hot-span state bound — raise it for
-    // corpora where ONE boilerplate passage floods more documents than
-    // the default cap, or the flood survives the cut uncut.
+    // false near-dup groups); docs the cut empties out drop here.
+    // Iterated to a fixpoint: one cut pass can SEAM surrounding tokens
+    // into a new duplicated window (Dedup.cutDuplicatedSpansToFixpoint's
+    // rationale). `spanCutMaxBucket` is the hot-span state bound — raise
+    // it for corpora where ONE boilerplate passage floods more documents
+    // than the default cap, or the flood survives the cut uncut.
     val (spanCut, nSpanEdited, nSpanCut) = spanCutWindow match {
       case None => (exact, 0L, nExact)
       case Some(w) =>
-        val ranges = Dedup.duplicatedSpanRanges(exact, idCol, textCol, w,
-            spanCutMaxBucket)
-          .localCheckpoint()
-        val editedIds = ranges.select(col("id").as(idCol)).distinct()
-        val edited = editedIds.count()
-        // drop a doc ONLY when the cut itself emptied it — a doc whose
-        // text was already empty (or null, rebuilt to "") is not this
-        // stage's casualty and passes through like every other stage
-        // leaves it
-        val cut = Dedup.cutSpanRangesFrom(exact, idCol, textCol, ranges)
-          .join(editedIds.withColumn("__edited", lit(1)), Seq(idCol), "left")
-          .where(col(textCol) =!= "" || col("__edited").isNull)
-          .drop("__edited")
-          .localCheckpoint()
-        (cut, edited, cut.count())
+        iteratedCut(exact, idCol, textCol,
+          d => Dedup.duplicatedSpanRanges(d, idCol, textCol, w, spanCutMaxBucket))
     }
 
     // 3: near-dedup — pairs, components, drop every non-keeper
@@ -176,16 +200,11 @@ object CorpusPipeline {
     val (decut, nEvalCut, nDecut) = evalCutWindow match {
       case None => (sem, 0L, nSem)
       case Some(w) =>
-        val ranges = Dedup.crossSetSpanRanges(sem, evalDocs, idCol, textCol, w)
+        // static side computed ONCE for all fixpoint rounds
+        val evalHashes = Dedup.evalSpanHashes(evalDocs, idCol, textCol, w)
           .localCheckpoint()
-        val editedIds = ranges.select(col("id").as(idCol)).distinct()
-        val edited = editedIds.count()
-        val cleanedDocs = Dedup.cutSpanRangesFrom(sem, idCol, textCol, ranges)
-          .join(editedIds.withColumn("__edited", lit(1)), Seq(idCol), "left")
-          .where(col(textCol) =!= "" || col("__edited").isNull)
-          .drop("__edited")
-          .localCheckpoint()
-        (cleanedDocs, edited, cleanedDocs.count())
+        iteratedCut(sem, idCol, textCol,
+          d => Dedup.crossSetSpanRangesFromHashes(d, evalHashes, idCol, textCol, w))
     }
 
     // 4: decontamination — the bitmap screen prunes the corpus side to the

@@ -210,22 +210,28 @@ object IncrementalDedup {
       .start()
 
   /** Streaming SURGICAL decontamination — the stateless member of the
-    * ingest-screen family: per micro-batch, [[Dedup.cutEvalPassages]]
-    * against the STATIC eval set (a stream-static composition — the eval
-    * span-hash set is fixed, so no store, no tag, no replay concern
-    * beyond the append-only output log). Crawl admission runs this
-    * BEFORE the stateful span screen: leaked benchmark text never even
-    * enters the span store. */
+    * ingest-screen family: per micro-batch, the eval-passage FIXPOINT cut
+    * (seam-created leaks re-cut until none remain) against the STATIC
+    * eval set. The eval span-hash set is computed and checkpointed ONCE
+    * for the whole stream — not once per batch — and there is no store,
+    * no tag, and no replay concern beyond the append-only output log.
+    * Crawl admission runs this BEFORE the stateful span screen, so text
+    * still matching an eval span after `maxRounds` cuts is the only leak
+    * that can reach the span store. */
   def attachEvalCut(docs: DataFrame, evalDocs: DataFrame, idCol: String,
                     textCol: String, outPath: String, checkpointPath: String,
-                    window: Int): StreamingQuery =
+                    window: Int, maxRounds: Int = 3): StreamingQuery = {
+    val evalHashes = Dedup.evalSpanHashes(evalDocs, idCol, textCol, window)
+      .localCheckpoint() // static for the stream's lifetime
     docs.writeStream
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        Dedup.cutEvalPassages(batch, evalDocs, idCol, textCol, window)
+        Dedup.cutEvalFixpointFromHashes(batch, evalHashes, idCol, textCol,
+            window, maxRounds)
           .write.mode("append").parquet(outPath)
       }
       .start()
+  }
 
   /** [[attach]] for the SPAN screen: per micro-batch, [[stepSpans]] tagged
     * with the batch id, duplicated-passage ranges appended to `outPath`.

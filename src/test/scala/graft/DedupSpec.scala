@@ -350,6 +350,24 @@ class DedupSpec extends SparkSpec {
     assert(cut == Map(1L -> "u v w x", 2L -> "z", 3L -> "s t u"))
   }
 
+  test("cutEvalPassagesToFixpoint clears seam leaks the single pass re-creates") {
+    val train = Seq((1L, "u v q1 q2 q3 w x")).toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, "m q1 q2 q3 n"),  // quoted verbatim inside the train doc
+      (11L, "a u v w b")      // matches only the SEAM the first cut creates
+    ).toDF("doc_id", "text")
+    val once = Dedup.cutEvalPassages(train, eval, "doc_id", "text", window = 3)
+      .collect().map(r => r.getString(1)).head
+    assert(once == "u v w x", "single pass must exhibit the seam leak")
+    assert(Dedup.crossSetSpanRanges(
+      Seq((1L, once)).toDF("doc_id", "text"), eval, "doc_id", "text", 3).count() > 0)
+    val fixed = Dedup.cutEvalPassagesToFixpoint(train, eval, "doc_id", "text", window = 3)
+      .collect().map(r => r.getString(1)).head
+    assert(fixed == "x")
+    assert(Dedup.crossSetSpanRanges(
+      Seq((1L, fixed)).toDF("doc_id", "text"), eval, "doc_id", "text", 3).count() == 0)
+  }
+
   test("cutDuplicatedSpansToFixpoint clears cut-seam duplicates a single pass creates") {
     // cutting "a b c" from docs 1-2 seams doc 1 into "u v w x", which NOW
     // duplicates doc 3's prefix — the single pass leaves that residue, the

@@ -323,8 +323,8 @@ class StatefulOpsSpec extends SparkSpec {
     q.stop()
     val streamed = spark.read.parquet(s"$root/out")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    val batch = Dedup.cutEvalPassages(rows.toSeq.toDF("doc_id", "text"), eval,
-        "doc_id", "text", window = 12)
+    val batch = Dedup.cutEvalPassagesToFixpoint(rows.toSeq.toDF("doc_id", "text"),
+        eval, "doc_id", "text", window = 12)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(streamed == batch && streamed.nonEmpty)
     // the op is cross-set only, so batch boundaries cannot change results
