@@ -35,10 +35,12 @@ object CorpusPipelineMain {
       evalCutWindow = Some(12))
     corpus.write.mode("overwrite").partitionBy("split").parquet(out)
     println(s"corpus written to $out; sharded release at $out-release")
+    // printed in STAGE order: 1 clean, 2 exact, 2b span cut, 3 near,
+    // 3b semantic, 3c eval cut, 4 screen, 5+ splits/packing
     println(s"input=${r.input} cleaned=${r.cleaned} afterExactDedup=${r.afterExactDedup} " +
       s"spanEdited=${r.spanEditedDocs} afterSpanCut=${r.afterSpanCut} " +
-      s"evalCut=${r.evalCutDocs} afterEvalCut=${r.afterEvalCut} " +
       s"afterNearDedup=${r.afterNearDedup} afterSemanticDedup=${r.afterSemanticDedup} " +
+      s"evalCut=${r.evalCutDocs} afterEvalCut=${r.afterEvalCut} " +
       s"contaminated=${r.contaminated} corpus=${r.corpus} splits=${r.splitCounts} " +
       s"trainSequences=${r.trainSequences} sentenceChunks=${r.sentenceChunks} " +
       s"emittedShards=${r.emittedShards}")
