@@ -446,10 +446,9 @@ object Dedup {
    *
    * Shape: the q62 range pipeline + one per-doc interval aggregation
    * (range-cardinality — intervals are post-merge and disjoint, ≤
-   * tokens/window per doc) joined back onto the corpus, then a narrow
-   * per-row index filter (higher-order fns — interpreted, not codegen;
-   * acceptable here because the edit runs once per retained corpus, and
-   * the work is range arithmetic per token, never quadratic).
+   * tokens/window per doc) joined back onto the corpus, then ONE narrow
+   * compiled pass per row (expressions.CutTokenRanges — whole-stage
+   * codegen, sorted-range pointer; never quadratic).
    */
   def cutDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
                          window: Int, maxBucket: Int = 10000): DataFrame =
@@ -582,17 +581,12 @@ object Dedup {
     val perDoc = ranges
       .groupBy(col("id").as("__cut_id"))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__rng"))
-    val indexed = transform(Text.tokens(col(textCol)),
-      (t, i) => struct(t.as("t"), i.cast("long").as("i")))
-    val covered = (s: Column) => exists(col("__rng"),
-      r => s.getField("i") >= r.getField("span_start") &&
-        s.getField("i") <= r.getField("span_end"))
+    // native one-pass edit (graft_cut_ranges) — the transform/filter/
+    // exists chain it replaces ran interpreted per token × range; null
+    // __rng (no duplicated span) keeps every token
     docs.join(perDoc, docs(idCol) === col("__cut_id"), "left")
       .withColumn(textCol,
-        concat_ws(" ", transform(
-          // null __rng (no duplicated span) keeps every token
-          filter(indexed, s => coalesce(!covered(s), lit(true))),
-          s => s.getField("t"))))
+        graft.expressions.CutTokenRanges.column(col(textCol), col("__rng")))
       .drop("__cut_id", "__rng")
   }
 
