@@ -886,7 +886,17 @@ object SparkEntry {
           docs.where(col("doc_id") % 10 =!= 0), docs.where(col("doc_id") % 10 === 0),
           "doc_id", "text", window = EvalSpanWindow)
         .select("doc_id", "text")
-    })
+    }),
+
+    // Intra-document repetition: merged token ranges covered by a window
+    // that already occurred EARLIER in the same document (generation
+    // loops, stuttered crawls) — first occurrence never marked. Window 3
+    // because that's the repetition scale this corpus actually has (q51's
+    // duplicate-3gram signal); production de-stutter runs larger.
+    "q77_self_repeat_ranges" -> ((s, dir) =>
+      graft.operators.Dedup.selfRepeatedSpanRanges(t(s, dir, "documents"),
+          "doc_id", "text", window = SelfRepeatWindow)
+        .withColumnRenamed("id", "doc_id"))
   )
 
   /** Span window (tokens) shared by q62/q63 and their oracles — 20 fits
@@ -898,6 +908,12 @@ object SparkEntry {
     * than SpanWindow so verbatim train↔eval overlaps exist across the
     * mod-10 split at every SF (production decontamination runs 30-50). */
   private val EvalSpanWindow = 12
+
+  /** Window for the intra-document repetition gate (q77) — the corpus
+    * repeats itself only at 3-gram scale (q51's duplicate-3gram signal;
+    * no document repeats a 5-token window at any SF), so 3 is the widest
+    * window with live data everywhere. */
+  private val SelfRepeatWindow = 3
 
   /** Constant word-frequency table for the subword-budget gate (q69). A
     * trained vocabulary is train-time STATE — not SQL-expressible — so
@@ -2070,6 +2086,24 @@ object SparkEntry {
          |        FROM keep GROUP BY doc_id)
          |SELECT dd.doc_id, coalesce(cut.text, '') AS text
          |FROM documents dd LEFT JOIN cut USING (doc_id)
-         |WHERE dd.doc_id % 10 <> 0""".stripMargin
+         |WHERE dd.doc_id % 10 <> 0""".stripMargin,
+
+    // Self-repetition: occurrences after the first of each (doc, span)
+    // marked via a min-over window, then the q62 gaps-and-islands merge.
+    "q77_self_repeat_ranges" ->
+      s"""WITH ${spanCteW(SelfRepeatWindow)},
+         |m AS (SELECT doc_id, pos FROM (
+         |  SELECT doc_id, pos, min(pos) OVER (PARTITION BY doc_id, span) AS first
+         |  FROM sp) WHERE pos > first),
+         |f AS (SELECT doc_id, pos,
+         |  CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + $SelfRepeatWindow
+         |       THEN 1 ELSE 0 END AS nw
+         | FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |g AS (SELECT doc_id, pos, sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM f)
+         |SELECT doc_id, min(pos) AS span_start,
+         | max(pos) + ${SelfRepeatWindow - 1} AS span_end,
+         | CAST(count(*) AS BIGINT) AS n_windows
+         |FROM g GROUP BY doc_id, grp""".stripMargin
   )
 }

@@ -456,6 +456,44 @@ object Dedup {
       duplicatedSpanRanges(docs, idCol, textCol, window, maxBucket))
 
   /**
+   * INTRA-document repetition ranges: merged token ranges covered by a
+   * `window`-token passage that already occurred EARLIER in the SAME
+   * document — degenerate generation loops, stuttered crawl extractions,
+   * within-page copy-paste. The first occurrence of each passage is never
+   * marked (the cut keeps it); every later occurrence is. Cross-document
+   * duplication is deliberately NOT flagged here — that is
+   * [[duplicatedSpanRanges]]' job; the two compose (a corpus cleaner runs
+   * the self-cut first, so a doc's internal stutter can't vote its
+   * passage into the cross-doc boilerplate set multiple times).
+   *
+   * Shape: one aggregation shuffle on (id, span-hash) — positions collect
+   * per DOC-LOCAL key, so every list is bounded by the document's own
+   * token count (no cross-doc posting lists, hence no `maxBucket`) — the
+   * sorted list drops its head, later occurrences explode back out, then
+   * the usual id-keyed interval merge. Same two-exchange plan family as
+   * q62.
+   */
+  def selfRepeatedSpanRanges(docs: DataFrame, idCol: String, textCol: String,
+                             window: Int): DataFrame = {
+    val marked = spanHashes(docs, idCol, textCol, window)
+      .groupBy("id", "h")
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+      .where(size(col("ps")) >= 2)
+      .select(col("id"), explode(slice(col("ps"), lit(2), size(col("ps")) - 1)).as("pos"))
+    mergeSpanRanges(marked, window)
+  }
+
+  /** [[selfRepeatedSpanRanges]] + the cut: every repeated occurrence
+    * removed, the first kept, all rows token-rebuilt single-space-joined
+    * (the [[cutSpanRangesFrom]] canonical form). The de-stutter edit a
+    * cleaner applies where dropping the whole document would lose the one
+    * good copy. */
+  def cutSelfRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                           window: Int): DataFrame =
+    cutSpanRangesFrom(docs, idCol, textCol,
+      selfRepeatedSpanRanges(docs, idCol, textCol, window))
+
+  /**
    * Cross-set span ranges — SURGICAL decontamination's detector: merged
    * token ranges of TRAIN documents covered by a `window`-token passage
    * appearing verbatim in ANY eval document. The contamination screens

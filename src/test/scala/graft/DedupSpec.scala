@@ -322,6 +322,33 @@ class DedupSpec extends SparkSpec {
         .where(col("text") =!= ""), "doc_id", "text", window = 3).count() == 0)
   }
 
+  test("selfRepeatedSpanRanges marks repeats after the first occurrence; cut de-stutters") {
+    // doc 5 "m n o m n o m n o": every window from pos 3 on repeats an
+    // earlier one -> positions 3..6 merge to tokens [3,8]; the first
+    // period [0,2] is never marked. Cross-doc duplication (docs 1/2/4)
+    // is NOT this operator's job.
+    val got = Dedup.selfRepeatedSpanRanges(spanDocs, "doc_id", "text", window = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((5L, 3L, 8L, 4L)))
+    val cut = Dedup.cutSelfRepeatedSpans(spanDocs, "doc_id", "text", window = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cut(5L) == "m n o")                 // one clean copy survives
+    assert(cut(1L) == "a b c d e f g h")       // cross-doc dups untouched
+    assert(cut(3L) == "p q r s t u")
+    // partitioning-independence
+    val re = Dedup.selfRepeatedSpanRanges(spanDocs.repartition(7), "doc_id", "text", window = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(re == got)
+    // non-adjacent re-occurrence: only the LATER occurrence is cut, and
+    // separated repeats yield separate ranges
+    val far = Seq((9L, "a b c x y z q a b c")).toDF("doc_id", "text")
+    val farRanges = Dedup.selfRepeatedSpanRanges(far, "doc_id", "text", window = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(farRanges == Set((9L, 7L, 9L, 1L)))
+    assert(Dedup.cutSelfRepeatedSpans(far, "doc_id", "text", window = 3)
+      .collect().map(r => r.getString(1)).head == "a b c x y z q")
+  }
+
   test("crossSetSpanRanges flags only eval-covered train tokens; the cut removes them") {
     val train = Seq(
       (1L, "u v a b c w x"),   // "a b c" appears in eval doc 10
