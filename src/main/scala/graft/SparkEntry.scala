@@ -896,7 +896,17 @@ object SparkEntry {
     "q77_self_repeat_ranges" -> ((s, dir) =>
       graft.operators.Dedup.selfRepeatedSpanRanges(t(s, dir, "documents"),
           "doc_id", "text", window = SelfRepeatWindow)
-        .withColumnRenamed("id", "doc_id"))
+        .withColumnRenamed("id", "doc_id")),
+
+    // C4-style line-frequency boilerplate removal over a synthesized
+    // multi-line fixture (the corpus documents are single-line): every
+    // line appearing in >= 5 distinct docs is cut from every document;
+    // documents are kept and rebuilt, line-lossless.
+    "q78_line_dedup_docs" -> ((s, dir) =>
+      graft.operators.Cleaning.dropFrequentLines(
+          lineDoc(t(s, dir, "documents")), "doc_id", "text",
+          sep = "\n", minDocs = 5)
+        .select("doc_id", "text"))
   )
 
   /** Span window (tokens) shared by q62/q63 and their oracles — 20 fits
@@ -941,6 +951,22 @@ object SparkEntry {
           .substr(lit(1), ((col("c_custkey") % 4 + 1) * 5).cast("int"))),
         lit(" fast! account "), col("c_custkey").cast("string"),
         lit(" closes. bye")).as("msg"))
+
+  /** Deterministic multi-LINE document synthesized from documents columns
+    * (the corpus text is single-line, like q68's sentence fixture): a
+    * global boilerplate line, a per-language line, the unique body, a
+    * per-source footer, and a 1-in-7 share line — the minDocs=5 threshold
+    * then splits them differently at each scale factor (per-source
+    * footers survive at sf0.001 where sources have <5 docs, die above). */
+  private def lineDoc(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat_ws("\n",
+        lit("subscribe to our newsletter"),
+        concat(col("lang"), lit(" language section")),
+        col("text"),
+        concat(lit("copyright "), col("source"), lit(" all rights reserved")),
+        when(col("doc_id") % 7 === 0, lit("share this article"))
+      ).as("text"))
 
   /** Deterministic PII-bearing message synthesized from customer columns —
     * email always present, phone on 2/3 of rows, IP on 1/4 (concat_ws
@@ -2104,6 +2130,27 @@ object SparkEntry {
          |SELECT doc_id, min(pos) AS span_start,
          | max(pos) + ${SelfRepeatWindow - 1} AS span_end,
          | CAST(count(*) AS BIGINT) AS n_windows
-         |FROM g GROUP BY doc_id, grp""".stripMargin
+         |FROM g GROUP BY doc_id, grp""".stripMargin,
+
+    // Line dedup: the synthesized fixture mirrored, frequent lines via a
+    // distinct-doc HAVING, survivors re-joined in position order; docs
+    // losing every line come back '' via the outer join.
+    "q78_line_dedup_docs" ->
+      s"""WITH base AS (SELECT doc_id,
+         |  concat_ws(chr(10), 'subscribe to our newsletter',
+         |    lang || ' language section', text,
+         |    'copyright ' || source || ' all rights reserved',
+         |    CASE WHEN doc_id % 7 = 0 THEN 'share this article' END) AS text
+         | FROM documents),
+         |ls AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM base),
+         |ln AS (SELECT doc_id, unnest(parts) AS line,
+         |       generate_subscripts(parts, 1) - 1 AS pos FROM ls),
+         |fq AS (SELECT line FROM ln GROUP BY line HAVING count(DISTINCT doc_id) >= 5),
+         |keep AS (SELECT ln.doc_id, ln.line, ln.pos FROM ln
+         |         LEFT JOIN fq ON ln.line = fq.line WHERE fq.line IS NULL),
+         |cut AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+         |        FROM keep GROUP BY doc_id)
+         |SELECT b.doc_id, coalesce(cut.text, '') AS text
+         |FROM base b LEFT JOIN cut USING (doc_id)""".stripMargin
   )
 }

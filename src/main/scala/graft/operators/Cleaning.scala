@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.Hashing
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -44,4 +45,71 @@ object Cleaning {
     withDropStage(df, stages)
       .groupBy("drop_stage_idx", "drop_stage")
       .agg(count(lit(1)).as("n_docs"))
+
+  /** id → (pos, line, line_h): `sep`-delimited lines with their 0-based
+    * position and portable 60-bit hash — the line-frequency input. `sep`
+    * is a LITERAL delimiter (quoted into the split regex), so
+    * split-then-rejoin is lossless, unlike token canonicalization. */
+  private def docLines(docs: DataFrame, idCol: String, textCol: String,
+                       sep: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "line")))
+      .withColumn("line_h", Hashing.stableHash60(col("line")))
+
+  /**
+   * C4-style frequent-line census: lines appearing in at least `minDocs`
+   * DISTINCT documents — navigation chrome, cookie banners, license
+   * footers; the boilerplate class LINE granularity catches where token
+   * windows (span dedup) need the passage to be long. Output
+   * (line, line_h, n_docs). Repeats of a line within one document count
+   * that document once.
+   *
+   * Scale shape: one aggregation shuffle on the 8-byte line hash with
+   * map-side partial counts; output is boilerplate-sized (lines crossing
+   * the threshold), never corpus-sized.
+   */
+  def frequentLines(docs: DataFrame, idCol: String, textCol: String,
+                    sep: String, minDocs: Long): DataFrame =
+    docLines(docs, idCol, textCol, sep)
+      .groupBy(col("line_h"))
+      .agg(min(col("line")).as("line"), countDistinct(col("id")).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+      .select(col("line"), col("line_h"), col("n_docs"))
+
+  /**
+   * The edit over [[frequentLines]]: every occurrence of a frequent line
+   * removed, survivors re-joined on `sep` — the C4 cleaning step that
+   * keeps the document and cuts the chrome. Line split/rejoin on a
+   * literal delimiter is lossless, so untouched documents come back
+   * byte-identical (null text rebuilds to the empty string, matching the
+   * span-cut canonical form).
+   *
+   * Shape: the frequency aggregation, a left-semi join of the line
+   * stream against the (boilerplate-sized, runtime-broadcast) frequent
+   * set, one doc-keyed aggregation collecting each edited doc's dropped
+   * POSITIONS (a small int array — never the lines themselves), a join
+   * of that narrow frame back onto the corpus, and a per-row rebuild.
+   * The rebuild's higher-order filter is interpreted, but runs per LINE
+   * (tens per doc), not per token — not a hot path.
+   */
+  def dropFrequentLines(docs: DataFrame, idCol: String, textCol: String,
+                        sep: String, minDocs: Long): DataFrame = {
+    val lines = docLines(docs, idCol, textCol, sep)
+    val freq = lines.groupBy(col("line_h"))
+      .agg(countDistinct(col("id")).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+      .select(col("line_h"))
+    val dropped = lines.join(freq, Seq("line_h"), "left_semi")
+      .groupBy(col("id").as("__lf_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("__lf_drop"))
+    val parts = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    val keptParts = filter(
+      transform(parts, (l, i) => struct(l.as("l"), i.as("i"))),
+      s => coalesce(!array_contains(col("__lf_drop"), s.getField("i")), lit(true)))
+    docs.join(dropped, docs(idCol) === col("__lf_id"), "left")
+      .withColumn(textCol,
+        coalesce(array_join(transform(keptParts, s => s.getField("l")), sep), lit("")))
+      .drop("__lf_id", "__lf_drop")
+  }
 }

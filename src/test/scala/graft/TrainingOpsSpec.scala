@@ -250,6 +250,40 @@ class TrainingOpsSpec extends SparkSpec {
     assert(Cleaning.survivors(docs, stages).columns.toSeq == Seq("id", "chars", "toks"))
   }
 
+  test("frequentLines / dropFrequentLines: C4 line dedup cuts chrome, keeps documents") {
+    import graft.operators.Cleaning
+    val docs = Seq(
+      (1L, "cookie banner\nunique body one\nfooter"),
+      (2L, "cookie banner\nunique body two\nfooter"),
+      (3L, "cookie banner\nunique body three\nfooter"),
+      (4L, "cookie banner\ncookie banner\nonly banners here"), // within-doc repeat
+      (5L, "footer")                                           // fully boilerplate
+    ).toDF("doc_id", "text")
+    // within-doc repeats count their doc ONCE: "cookie banner" is in 4
+    // docs (not 5), "footer" in 4
+    val freq = Cleaning.frequentLines(docs, "doc_id", "text", "\n", minDocs = 4L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(freq == Map("cookie banner" -> 4L, "footer" -> 4L))
+    val cut = Cleaning.dropFrequentLines(docs, "doc_id", "text", "\n", minDocs = 4L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cut == Map(
+      1L -> "unique body one", 2L -> "unique body two", 3L -> "unique body three",
+      4L -> "only banners here",   // BOTH banner occurrences cut
+      5L -> ""))                   // fully-boilerplate doc -> empty, kept
+    // below threshold nothing is cut, and the rebuild is byte-identical
+    val untouched = Cleaning.dropFrequentLines(docs, "doc_id", "text", "\n", minDocs = 9L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(untouched == docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap)
+    // partitioning-independent; separator is a literal (regex chars safe)
+    val re = Cleaning.dropFrequentLines(docs.repartition(7), "doc_id", "text", "\n", 4L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(re == cut)
+    val dotted = Seq((1L, "a.b"), (2L, "a.b"), (3L, "c.d")).toDF("doc_id", "text")
+    val dc = Cleaning.dropFrequentLines(dotted, "doc_id", "text", ".", minDocs = 2L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dc == Map(1L -> "", 2L -> "", 3L -> "c.d")) // '.' not a regex wildcard
+  }
+
   // ---- Streaming compatibility ----
 
   test("redact + chunk compose as stateless streaming transforms, batch-identical") {
