@@ -906,7 +906,19 @@ object SparkEntry {
       graft.operators.Cleaning.dropFrequentLines(
           lineDoc(t(s, dir, "documents")), "doc_id", "text",
           sep = "\n", minDocs = 5)
-        .select("doc_id", "text"))
+        .select("doc_id", "text")),
+
+    // EXACT-quota stratified split by language: first ⌊n·10%⌋ of each
+    // stratum's seeded-hash order → test, next to ⌊n·20%⌋ → val, rest
+    // train — guaranteed per-stratum proportions where q43's
+    // hash-threshold split is only proportional in expectation. The
+    // bucketed two-phase rank is invisible to the oracle (bucket = hash
+    // prefix, so (bucket, hash, id) order IS (hash, id) order).
+    "q79_stratified_split" -> ((s, dir) =>
+      graft.operators.Sampling.stratifiedSplit(
+          t(s, dir, "documents").select("doc_id", "lang"),
+          "doc_id", "lang", quotas = Seq("test" -> 10, "val" -> 10), seed = 7L)
+        .select("doc_id", "lang", "split"))
   )
 
   /** Span window (tokens) shared by q62/q63 and their oracles — 20 fits
@@ -2151,6 +2163,21 @@ object SparkEntry {
          |cut AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
          |        FROM keep GROUP BY doc_id)
          |SELECT b.doc_id, coalesce(cut.text, '') AS text
-         |FROM base b LEFT JOIN cut USING (doc_id)""".stripMargin
+         |FROM base b LEFT JOIN cut USING (doc_id)""".stripMargin,
+
+    // Stratified split: per-stratum rank in (hash(seed ∥ NUL ∥ id), id)
+    // order vs integer-exact cumulative-floor quota bounds.
+    "q79_stratified_split" ->
+      s"""WITH r AS (SELECT doc_id, lang,
+         |  row_number() OVER (PARTITION BY lang
+         |    ORDER BY ${duckHash("'7' || chr(0) || CAST(doc_id AS VARCHAR)")} ASC,
+         |             doc_id ASC) AS rn,
+         |  count(*) OVER (PARTITION BY lang) AS n
+         | FROM documents)
+         |SELECT doc_id, lang,
+         | CASE WHEN rn <= (n * 10) // 100 THEN 'test'
+         |      WHEN rn <= (n * 20) // 100 THEN 'val'
+         |      ELSE 'train' END AS split
+         |FROM r""".stripMargin
   )
 }

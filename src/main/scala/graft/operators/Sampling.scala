@@ -48,6 +48,65 @@ object Sampling {
     df.withColumn(as, splitColumn(col(keyCol), splits))
 
   /**
+   * EXACT-quota stratified split: within every stratum, the first
+   * ⌊n·cum%/100⌋ rows of a seeded-hash order go to each quota label in
+   * turn (cumulative-floor bounds — integer-exact, engine-portable), the
+   * remainder to `rest`. [[assignSplits]]' hash-threshold split is only
+   * proportional in expectation — small or skewed strata can land far
+   * off ratio; this one guarantees per-stratum proportions, the
+   * train/val/test contract evaluation pipelines assume. `idCol` must be
+   * unique and non-null (it seeds the draw and breaks ties).
+   *
+   * Scale shape — the per-stratum rank NEVER uses a stratum-keyed
+   * window (with few strata that funnels the corpus through a handful
+   * of partitions): rows bucket by the TOP `prefixBits` bits of their
+   * hash, so (bucket, hash, id) order equals (hash, id) order; bucket
+   * counts aggregate map-side into a strata×2^prefixBits frame whose
+   * running sum (tiny, post-aggregation window) gives each bucket's
+   * rank offset; the real row_number runs per (stratum, bucket) —
+   * hash-uniform partitions, no skew at any stratum cardinality — and
+   * the offset lifts it to the stratum-global rank. One small-frame
+   * broadcast join + one skew-free window exchange over the corpus.
+   */
+  def stratifiedSplit(df: DataFrame, idCol: String, stratumCol: String,
+                      quotas: Seq[(String, Int)], seed: Long,
+                      rest: String = "train", as: String = "split",
+                      prefixBits: Int = 8): DataFrame = {
+    require(quotas.nonEmpty && quotas.forall(_._2 > 0),
+      "quota percents must be positive")
+    require(quotas.map(_._2).sum <= 100, "quota percents must sum to <= 100")
+    require(prefixBits >= 1 && prefixBits <= 20, "prefixBits out of range")
+    val keyed = df
+      .withColumn("__sp_h", Hashing.stableHash60(concat_ws("\u0000",
+        lit(seed.toString), col(idCol).cast("string"))))
+      .withColumn("__sp_b", shiftright(col("__sp_h"), 60 - prefixBits))
+    val counts = keyed
+      .groupBy(col(stratumCol).as("__sp_s"), col("__sp_b").as("__sp_b2"))
+      .agg(count(lit(1)).as("__sp_c"))
+    val ws = Window.partitionBy("__sp_s")
+    val offsets = counts
+      .withColumn("__sp_off", coalesce(sum(col("__sp_c")).over(
+        ws.orderBy("__sp_b2").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__sp_n", sum(col("__sp_c")).over(ws))
+      .select(col("__sp_s"), col("__sp_b2"), col("__sp_off"), col("__sp_n"))
+    val wr = Window.partitionBy(col(stratumCol), col("__sp_b"))
+      .orderBy(col("__sp_h").asc_nulls_last, col(idCol).asc_nulls_last)
+    val ranked = keyed
+      .join(broadcast(offsets),
+        keyed(stratumCol) <=> offsets("__sp_s") && col("__sp_b") === col("__sp_b2"))
+      .withColumn("__sp_rank", col("__sp_off") + row_number().over(wr))
+    val cum = quotas.scanLeft(0L)((a, q) => a + q._2).tail
+    val chain = quotas.zip(cum).foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), c)) =>
+        val bound = expr(s"(__sp_n * ${c}L) div 100")
+        Some(acc.fold(when(col("__sp_rank") <= bound, name))(
+          _.when(col("__sp_rank") <= bound, name)))
+    }.get.otherwise(lit(rest))
+    ranked.withColumn(as, chain)
+      .drop("__sp_h", "__sp_b", "__sp_s", "__sp_b2", "__sp_off", "__sp_n", "__sp_rank")
+  }
+
+  /**
    * Deterministic global shuffle — training-order randomization as a
    * seeded permutation. `orderBy(hash(seed ∥ key))` gives the same order
    * on any cluster/partitioning/engine (unlike `repartition`+`rand`,

@@ -112,6 +112,48 @@ class AsOfSamplingSpec extends SparkSpec {
     assert(!o1.sameElements(o1.sorted)) // actually shuffled, not id order
   }
 
+  test("stratifiedSplit hits exact cumulative-floor quotas in every stratum") {
+    import graft.functions.Hashing
+    import org.apache.spark.sql.expressions.Window
+    // skewed strata: 97 / 10 / 3 rows
+    val rows = ((1L to 97L).map(i => (i, "big")) ++
+      (101L to 110L).map(i => (i, "mid")) ++ Seq((201L, "tiny"), (202L, "tiny"), (203L, "tiny")))
+    val df = rows.toDF("id", "stratum")
+    val got = Sampling.stratifiedSplit(df, "id", "stratum",
+      quotas = Seq("test" -> 20, "val" -> 10), seed = 5L)
+    // schema: original columns + split, row count preserved
+    assert(got.columns.toSeq == Seq("id", "stratum", "split"))
+    assert(got.count() == 110L)
+    val sizes = got.groupBy("stratum", "split").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // cumulative-floor: test = ⌊n·20/100⌋, test+val = ⌊n·30/100⌋
+    assert(sizes == Map(
+      ("big", "test") -> 19L, ("big", "val") -> 10L, ("big", "train") -> 68L,
+      ("mid", "test") -> 2L, ("mid", "val") -> 1L, ("mid", "train") -> 7L,
+      ("tiny", "train") -> 3L))   // ⌊3·0.2⌋ = 0 -> no test/val rows at all
+    // identical to the naive single-window reference implementation
+    val h = Hashing.stableHash60(concat_ws("\u0000", lit("5"), col("id").cast("string")))
+    val w = Window.partitionBy("stratum").orderBy(h.asc, col("id").asc)
+    val naive = df.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("stratum")))
+      .withColumn("split", when(col("rn") <= expr("(n * 20) div 100"), "test")
+        .when(col("rn") <= expr("(n * 30) div 100"), "val").otherwise("train"))
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val gotMap = got.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(gotMap == naive)
+    // partitioning-independent, and the bucket width is invisible
+    val re = Sampling.stratifiedSplit(df.repartition(13), "id", "stratum",
+        Seq("test" -> 20, "val" -> 10), seed = 5L, prefixBits = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(re == gotMap)
+    // a different seed reshuffles membership but not the quota sizes
+    val re2 = Sampling.stratifiedSplit(df, "id", "stratum",
+      Seq("test" -> 20, "val" -> 10), seed = 6L)
+    assert(re2.collect().map(r => r.getLong(0) -> r.getString(2)).toMap != gotMap)
+    assert(re2.groupBy("stratum", "split").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap == sizes)
+  }
+
   test("crossSplitLeakage keeps exactly the pairs whose sides split apart") {
     val splits = Seq("train" -> 8, "val" -> 1, "test" -> 1)
     // all ordered pairs over a small id range: the expected answer is
