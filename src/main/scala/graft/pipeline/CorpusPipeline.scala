@@ -13,7 +13,16 @@ import org.apache.spark.sql.functions._
  * proving the pieces compose):
  *
  *   1. quality funnel          Cleaning.survivors (first-failure stages)
+ *   1b. line-frequency dedup   (optional, `lineDedupMinDocs`) —
+ *                              Cleaning.dropFrequentLines BEFORE exact
+ *                              dedup (chrome removed first lets exact
+ *                              dedup collapse docs that differ only in
+ *                              their banners); docs the edit empties drop
  *   2. normalized exact dedup  Text.normalizeForDedup + Dedup.keepFirst
+ *   2a. de-stutter cut         (optional, `selfRepeatWindow`) —
+ *                              Dedup.selfRepeatedSpanRanges + cut BEFORE
+ *                              the cross-doc span cut (internal stutter
+ *                              cleaned first, one good copy kept)
  *   2b. boilerplate span cut   (optional, `spanCutWindow`) —
  *                              Dedup.cutSpanRangesFrom BEFORE near-dedup
  *                              (shared boilerplate inflates Jaccard into
@@ -36,7 +45,9 @@ import org.apache.spark.sql.functions._
  *                              the corpus side) → exact
  *                              crossSetContamination ≥ threshold drops
  *                              — judging the EDITED text when 3c ran
- *   5. split assignment        Sampling.assignSplits (hash-stable)
+ *   5. split assignment        Sampling.assignSplits (hash-stable), or
+ *                              Sampling.stratifiedSplit when `stratifyBy`
+ *                              is set (exact per-stratum quotas)
  *   6. sequence packing        Packing.packSequences over the train split
  *   7. sentence chunking       (optional, `sentenceChunkTokens`) —
  *                              Chunking.chunkBySentences over the final
@@ -72,7 +83,11 @@ object CorpusPipeline {
       spanEditedDocs: Long = 0L,
       afterSpanCut: Long = 0L,
       evalCutDocs: Long = 0L,
-      afterEvalCut: Long = 0L)
+      afterEvalCut: Long = 0L,
+      lineEditedDocs: Long = 0L,
+      afterLineDedup: Long = 0L,
+      selfRepeatEditedDocs: Long = 0L,
+      afterSelfRepeatCut: Long = 0L)
 
   /**
    * Shared iterated-cut loop for stages 2b and 3c: per round, `detect`
@@ -126,7 +141,12 @@ object CorpusPipeline {
           emitPath: Option[String] = None,
           spanCutWindow: Option[Int] = None,
           spanCutMaxBucket: Int = 10000,
-          evalCutWindow: Option[Int] = None): (DataFrame, Report) = {
+          evalCutWindow: Option[Int] = None,
+          lineDedupMinDocs: Option[Long] = None,
+          lineDedupSep: String = "\n",
+          selfRepeatWindow: Option[Int] = None,
+          stratifyBy: Option[String] = None,
+          stratifySeed: Long = 0L): (DataFrame, Report) = {
     val input = docs.count()
 
     // 1-2: funnel, then canonicalize-and-keep-first. Both frames checkpoint
@@ -136,12 +156,41 @@ object CorpusPipeline {
     // invariant #4).
     val cleaned = Cleaning.survivors(docs, stages).localCheckpoint()
     val nCleaned = cleaned.count()
+
+    // 1b (optional): line-frequency boilerplate removal — chrome cut
+    // BEFORE exact dedup so documents differing only in banners collapse
+    // there. Same casualty rule as the span cuts: docs the edit empties
+    // drop, docs that arrived empty (or null, rebuilt "") pass through.
+    val (lined, nLineEdited, nLined) = lineDedupMinDocs match {
+      case None => (cleaned, 0L, nCleaned)
+      case Some(m) =>
+        val joined = Cleaning
+          .dropFrequentLines(cleaned, idCol, textCol, lineDedupSep, m)
+          .join(cleaned.select(col(idCol), col(textCol).as("__prev")), Seq(idCol))
+          .localCheckpoint() // feeds the edited count AND the survivor filter
+        val nEdited = joined.where(col(textCol) =!= col("__prev")).count()
+        val kept = joined
+          .where(col(textCol) =!= "" || col("__prev").isNull || col("__prev") === "")
+          .drop("__prev")
+          .localCheckpoint()
+        (kept, nEdited, kept.count())
+    }
+
     val exact = Dedup.keepFirst(
-        cleaned.withColumn("__norm", Text.normalizeForDedup(col(textCol))),
+        lined.withColumn("__norm", Text.normalizeForDedup(col(textCol))),
         keys = Seq("__norm"), tieBreak = idCol)
       .drop("__norm")
       .localCheckpoint()
     val nExact = exact.count()
+
+    // 2a (optional): intra-doc de-stutter — repeated passages within one
+    // document cut (first occurrence kept) BEFORE the cross-doc span cut.
+    val (destut, nSelfEdited, nDestut) = selfRepeatWindow match {
+      case None => (exact, 0L, nExact)
+      case Some(w) =>
+        iteratedCut(exact, idCol, textCol,
+          d => Dedup.selfRepeatedSpanRanges(d, idCol, textCol, w))
+    }
 
     // 2b (optional): boilerplate span cut — duplicated cross-doc passages
     // removed BEFORE near-dedup (shared boilerplate inflates Jaccard into
@@ -152,9 +201,9 @@ object CorpusPipeline {
     // it for corpora where ONE boilerplate passage floods more documents
     // than the default cap, or the flood survives the cut uncut.
     val (spanCut, nSpanEdited, nSpanCut) = spanCutWindow match {
-      case None => (exact, 0L, nExact)
+      case None => (destut, 0L, nDestut)
       case Some(w) =>
-        iteratedCut(exact, idCol, textCol,
+        iteratedCut(destut, idCol, textCol,
           d => Dedup.duplicatedSpanRanges(d, idCol, textCol, w, spanCutMaxBucket))
     }
 
@@ -226,9 +275,21 @@ object CorpusPipeline {
         Dedup.hashedShingles(flagged, idCol, textCol, n = 3), Int.MaxValue)
       .where(col("contamination") >= contaminationThreshold)
       .select(col("test_id").as(idCol))
-    val corpus = decut.join(dirty, Seq(idCol), "left_anti")
-      .withColumn("split", Sampling.splitColumn(col(idCol), splits))
-      .localCheckpoint()
+    val corpusBase = decut.join(dirty, Seq(idCol), "left_anti")
+    val corpus = (stratifyBy match {
+      case None =>
+        corpusBase.withColumn("split", Sampling.splitColumn(col(idCol), splits))
+      case Some(sc) =>
+        // weights → exact percents (8/1/1 of 10 → 80/10/10); the FIRST
+        // split is the stratified `rest` label, the others get quotas
+        val total = splits.map(_._2).sum
+        require(100 % total == 0,
+          s"stratifyBy needs split weights whose total divides 100, got $total")
+        val f = 100 / total
+        Sampling.stratifiedSplit(corpusBase, idCol, sc,
+          quotas = splits.tail.map { case (n, w) => n -> w * f },
+          seed = stratifySeed, rest = splits.head._1)
+    }).localCheckpoint()
     val nCorpus = corpus.count()
 
     // 5-6: split census + train-split packing
@@ -263,6 +324,8 @@ object CorpusPipeline {
       afterSemanticDedup = nSem, sentenceChunks = nChunks,
       emittedShards = emitted.map(_.shards.size).getOrElse(0),
       spanEditedDocs = nSpanEdited, afterSpanCut = nSpanCut,
-      evalCutDocs = nEvalCut, afterEvalCut = nDecut))
+      evalCutDocs = nEvalCut, afterEvalCut = nDecut,
+      lineEditedDocs = nLineEdited, afterLineDedup = nLined,
+      selfRepeatEditedDocs = nSelfEdited, afterSelfRepeatCut = nDestut))
   }
 }

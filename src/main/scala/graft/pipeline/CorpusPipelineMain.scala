@@ -32,12 +32,18 @@ object CorpusPipelineMain {
     val (corpus, r) = CorpusPipeline.run(docs, eval, "doc_id", "text", stages,
       embeddings = Some(emb), sentenceChunkTokens = Some(64),
       emitPath = Some(s"$out-release"), spanCutWindow = Some(20),
-      evalCutWindow = Some(12))
+      evalCutWindow = Some(12),
+      lineDedupMinDocs = Some(5L), selfRepeatWindow = Some(3),
+      stratifyBy = Some("lang"))
     corpus.write.mode("overwrite").partitionBy("split").parquet(out)
     println(s"corpus written to $out; sharded release at $out-release")
-    // printed in STAGE order: 1 clean, 2 exact, 2b span cut, 3 near,
-    // 3b semantic, 3c eval cut, 4 screen, 5+ splits/packing
-    println(s"input=${r.input} cleaned=${r.cleaned} afterExactDedup=${r.afterExactDedup} " +
+    // printed in STAGE order: 1 clean, 1b line dedup, 2 exact, 2a
+    // de-stutter, 2b span cut, 3 near, 3b semantic, 3c eval cut,
+    // 4 screen, 5+ splits/packing
+    println(s"input=${r.input} cleaned=${r.cleaned} " +
+      s"lineEdited=${r.lineEditedDocs} afterLineDedup=${r.afterLineDedup} " +
+      s"afterExactDedup=${r.afterExactDedup} " +
+      s"selfRepeatEdited=${r.selfRepeatEditedDocs} afterSelfRepeatCut=${r.afterSelfRepeatCut} " +
       s"spanEdited=${r.spanEditedDocs} afterSpanCut=${r.afterSpanCut} " +
       s"afterNearDedup=${r.afterNearDedup} afterSemanticDedup=${r.afterSemanticDedup} " +
       s"evalCut=${r.evalCutDocs} afterEvalCut=${r.afterEvalCut} " +

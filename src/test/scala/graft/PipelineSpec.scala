@@ -132,6 +132,53 @@ class PipelineSpec extends SparkSpec {
     assert(r3 == r)
   }
 
+  test("corpus pipeline line-dedup, de-stutter and stratified-split stages") {
+    import graft.pipeline.CorpusPipeline
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // bodies unique; every doc wrapped in 2 chrome lines (>= minDocs=5
+    // docs each); doc 41 stutters internally; doc 42 is chrome-only
+    val docs = ((1L to 40L).map { i =>
+      val body = s"body token stream number $i alpha beta gamma delta epsilon"
+      (i, s"cookie banner\n$body\nfooter line", if (i % 2 == 0) "en" else "de")
+    } :+ ((41L, "cookie banner\nx y z x y z x y z unique tail words here\nfooter line", "de"))
+      :+ ((42L, "cookie banner\nfooter line", "en")))
+      .toDF("doc_id", "text", "stratum")
+    val noEval = docs.where(lit(false)).select(col("doc_id"), col("text"))
+    val stages = Seq("keep_all" -> lit(true))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      CorpusPipeline.run(d, noEval, "doc_id", "text", stages,
+        lineDedupMinDocs = Some(5L), selfRepeatWindow = Some(3),
+        stratifyBy = Some("stratum"))
+    val (corpus, r) = run(docs)
+    // 1b: every doc had chrome cut; the chrome-only doc empties and drops
+    assert(r.lineEditedDocs == 42 && r.afterLineDedup == 41)
+    assert(r.afterExactDedup == 41)                    // bodies unique
+    // 2a: only the stutter doc is edited; the first copy survives
+    assert(r.selfRepeatEditedDocs == 1 && r.afterSelfRepeatCut == 41)
+    val texts = corpus.collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(texts(41L) == "x y z unique tail words here")
+    assert(!texts.values.exists(t => t.contains("cookie banner") || t.contains("footer line")))
+    assert(texts(1L) == "body token stream number 1 alpha beta gamma delta epsilon")
+    // 5: stratified split — exact cumulative-floor quotas per stratum
+    // (default 8/1/1 weights -> val first ⌊10%⌋ ranks, test next to ⌊20%⌋)
+    val sizes = corpus.groupBy("stratum", "split").count().collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    val en = 20L; val de = 21L // evens minus dropped 42; odds incl. 41
+    assert(sizes.getOrElse(("en", "val"), 0L) == en * 10 / 100)
+    assert(sizes.getOrElse(("en", "test"), 0L) == en * 20 / 100 - en * 10 / 100)
+    assert(sizes.getOrElse(("de", "val"), 0L) == de * 10 / 100)
+    assert(sizes.getOrElse(("de", "test"), 0L) == de * 20 / 100 - de * 10 / 100)
+    assert(sizes.values.sum == r.corpus && r.corpus == 41)
+    // determinism incl. the new stages
+    val (corpus2, r2) = run(docs.repartition(13))
+    assert(r2 == r)
+    assert(corpus2.select("doc_id", "split").collect()
+      .map(x => (x.getLong(0), x.getString(1))).toSet ==
+      corpus.select("doc_id", "split").collect()
+        .map(x => (x.getLong(0), x.getString(1))).toSet)
+  }
+
   test("corpus pipeline span-cut stage removes planted boilerplate before near-dedup") {
     import graft.pipeline.CorpusPipeline
     import org.apache.spark.sql.functions._
