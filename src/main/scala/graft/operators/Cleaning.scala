@@ -49,9 +49,10 @@ object Cleaning {
   /** id → (pos, line, line_h): `sep`-delimited lines with their 0-based
     * position and portable 60-bit hash — the line-frequency input. `sep`
     * is a LITERAL delimiter (quoted into the split regex), so
-    * split-then-rejoin is lossless, unlike token canonicalization. */
-  private def docLines(docs: DataFrame, idCol: String, textCol: String,
-                       sep: String): DataFrame =
+    * split-then-rejoin is lossless, unlike token canonicalization.
+    * Shared with the streaming ingest screen (IncrementalDedup). */
+  private[graft] def docLines(docs: DataFrame, idCol: String, textCol: String,
+                              sep: String): DataFrame =
     docs.select(col(idCol).as("id"),
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
           .as(Seq("pos", "line")))
@@ -95,12 +96,22 @@ object Cleaning {
    */
   def dropFrequentLines(docs: DataFrame, idCol: String, textCol: String,
                         sep: String, minDocs: Long): DataFrame = {
-    val lines = docLines(docs, idCol, textCol, sep)
-    val freq = lines.groupBy(col("line_h"))
+    val freq = docLines(docs, idCol, textCol, sep)
+      .groupBy(col("line_h"))
       .agg(countDistinct(col("id")).as("n_docs"))
       .where(col("n_docs") >= minDocs)
       .select(col("line_h"))
-    val dropped = lines.join(freq, Seq("line_h"), "left_semi")
+    cutLinesBy(docs, idCol, textCol, sep, freq)
+  }
+
+  /** The edit half of [[dropFrequentLines]] against a PRECOMPUTED
+    * frequent-line-hash frame (column `line_h`) — shared with the
+    * streaming ingest screen, whose frequency census spans the persisted
+    * line store, not just the frame being edited. */
+  private[graft] def cutLinesBy(docs: DataFrame, idCol: String, textCol: String,
+                                sep: String, freq: DataFrame): DataFrame = {
+    val lines = docLines(docs, idCol, textCol, sep)
+    val dropped = lines.join(freq.select(col("line_h")), Seq("line_h"), "left_semi")
       .groupBy(col("id").as("__lf_id"))
       .agg(sort_array(collect_list(col("pos"))).as("__lf_drop"))
     val parts = split(col(textCol), java.util.regex.Pattern.quote(sep))

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.operators.Dedup
+import graft.operators.{Cleaning, Dedup}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -246,6 +246,67 @@ object IncrementalDedup {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         stepSpans(batch, idCol, textCol, storePath, s"b$batchId", window,
           maxBucket, pfxMod)
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+
+  /**
+   * Ingest-time LINE-frequency screen — the streaming twin of
+   * `Cleaning.dropFrequentLines` under the crawl-admission contract:
+   * each arriving document has its chrome lines cut against the
+   * frequency census over the corpus SO FAR (persisted line store ∪ this
+   * batch); already-admitted documents are not re-edited when a line
+   * later crosses the threshold (they were ruled on at arrival — the
+   * batch operator over the full corpus is the retroactive form).
+   *
+   * Store: one row per DISTINCT (doc, line-hash) — presence, not
+   * multiplicity, so within-doc repeats count their doc once, exactly
+   * like the batch census — partitioned by (batch, pfx): the per-batch
+   * dynamic overwrite makes replays idempotent, and the hash-prefix
+   * cell lets a batch's touched-prefix set prune the store scan at the
+   * file listing. Returns the batch with edited text (docs the cut
+   * empties are the CALLER's drop decision, as in the pipeline stage).
+   */
+  def stepLines(batch: DataFrame, idCol: String, textCol: String,
+                storePath: String, batchTag: String, sep: String,
+                minDocs: Long, pfxMod: Int = 64): DataFrame = {
+    import org.apache.spark.sql.functions.{col, countDistinct, lit, pmod}
+    val spark = batch.sparkSession
+    val newLines = Cleaning.docLines(batch, idCol, textCol, sep)
+      .select(col("id"), col("line_h")).distinct()
+      .withColumn("pfx", pmod(col("line_h"), lit(pfxMod.toLong)))
+      .localCheckpoint() // consumed by touched-cells, the census AND the write
+    val touched = newLines.select("pfx").distinct().collect().map(_.getLong(0))
+    val old =
+      if (touched.nonEmpty && fsExists(batch, storePath))
+        spark.read.parquet(storePath)
+          .where(col("pfx").isin(touched.map(Long.box).toIndexedSeq: _*) &&
+            col("batch") =!= lit(batchTag))
+          .select("id", "line_h")
+      else newLines.select("id", "line_h").limit(0)
+    val freq = old.unionByName(newLines.select("id", "line_h"))
+      .groupBy("line_h")
+      .agg(countDistinct(col("id")).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+      .select("line_h")
+    val edited = Cleaning.cutLinesBy(batch, idCol, textCol, sep, freq)
+      .localCheckpoint() // materialize BEFORE the store gains the batch
+    writeTagged(newLines, batchTag, storePath, "pfx")
+    edited
+  }
+
+  /** [[stepLines]] on a streaming source: per micro-batch, edit against
+    * the store-so-far and append the admitted (edited) docs to `outPath`.
+    * Same replay story as [[attach]]: the store write is idempotent per
+    * tag; the output log is append-only (consumers read it as a set). */
+  def attachLines(docs: DataFrame, idCol: String, textCol: String,
+                  storePath: String, outPath: String, checkpointPath: String,
+                  sep: String, minDocs: Long, pfxMod: Int = 64): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        stepLines(batch, idCol, textCol, storePath, s"b$batchId", sep,
+          minDocs, pfxMod)
           .write.mode("append").parquet(outPath)
       }
       .start()

@@ -331,6 +331,62 @@ class StatefulOpsSpec extends SparkSpec {
     // (no train×train interaction) — that is WHY this screen is stateless
   }
 
+  test("streaming line screen equals the batch operator over the corpus-so-far") {
+    import graft.operators.Cleaning
+    import graft.streaming.IncrementalDedup
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-linestream").toString
+    // every doc wrapped in chrome; "cookie banner" crosses minDocs=10 in
+    // day 2 — day-1 docs keep it (ruled on at arrival), later docs lose it
+    val all = (1L to 24L).map(i =>
+      (i, s"cookie banner\nunique body number $i\nfooter of ${if (i <= 12) "alpha" else "beta"}"))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    all.grouped(8).zipWithIndex.foreach { case (day, i) =>
+      seen ++= day
+      val streamed = IncrementalDedup.stepLines(day.toSeq.toDF("doc_id", "text"),
+          "doc_id", "text", s"$root/lines", s"day$i", sep = "\n", minDocs = 10L)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val ids = day.map(_._1).toSet
+      val batchTruth = Cleaning.dropFrequentLines(seen.toSeq.toDF("doc_id", "text"),
+          "doc_id", "text", "\n", minDocs = 10L)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+        .filter(t => ids.contains(t._1)).toSet
+      assert(streamed == batchTruth)
+    }
+    // day 1 untouched (banner at 8 < 10 then); day 3 loses the banner
+    val d1 = IncrementalDedup.stepLines(Seq((100L, "probe\nno chrome")).toDF("doc_id", "text"),
+      "doc_id", "text", s"$root/lines", "day3", "\n", 10L)
+    assert(d1.collect().map(_.getString(1)).head == "probe\nno chrome")
+    // the store holds one row per distinct (doc, line): 24 docs × 3 lines
+    // + the probe's 2 (all lines distinct within every doc here)
+    assert(spark.read.parquet(s"$root/lines").count() == 24L * 3 + 2)
+    // replaying a tag is idempotent: same verdicts, store unchanged
+    val replay = IncrementalDedup.stepLines(all.take(8).toDF("doc_id", "text"),
+        "doc_id", "text", s"$root/lines", "day0", "\n", 10L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(replay.forall { case (_, t) => !t.contains("cookie banner") },
+      "replay sees the GROWN store: day-0 docs would now be cut — " +
+        "the contract is store-state-exact, not time-travel")
+    assert(spark.read.parquet(s"$root/lines").count() == 24L * 3 + 2)
+    // the streaming wrapper drives the same loop
+    implicit val sqlCtx = spark.sqlContext
+    val root2 = Files.createTempDirectory("graft-lineattach").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = IncrementalDedup.attachLines(input.toDS().toDF("doc_id", "text"),
+      "doc_id", "text", s"$root2/lines", s"$root2/out", s"$root2/ckpt",
+      sep = "\n", minDocs = 10L)
+    all.grouped(8).foreach { day => input.addData(day.toSeq); q.processAllAvailable() }
+    q.stop()
+    val streamedAll = spark.read.parquet(s"$root2/out")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val expected = all.grouped(8).zipWithIndex.flatMap { case (day, i) =>
+      IncrementalDedup.stepLines(day.toSeq.toDF("doc_id", "text"),
+        "doc_id", "text", s"$root2/manual", s"day$i", "\n", 10L)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+    }.toSet
+    assert(streamedAll == expected)
+  }
+
   test("SpaceSaving heavy hitters accumulate across micro-batches") {
     import graft.expressions.SpaceSavingAgg
     val root = Files.createTempDirectory("graft-hhstream").toString
