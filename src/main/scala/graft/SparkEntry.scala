@@ -2157,7 +2157,8 @@ object SparkEntry {
          |ls AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM base),
          |ln AS (SELECT doc_id, unnest(parts) AS line,
          |       generate_subscripts(parts, 1) - 1 AS pos FROM ls),
-         |fq AS (SELECT line FROM ln GROUP BY line HAVING count(DISTINCT doc_id) >= 5),
+         |fq AS (SELECT line FROM ln WHERE line <> ''
+         |       GROUP BY line HAVING count(DISTINCT doc_id) >= 5),
          |keep AS (SELECT ln.doc_id, ln.line, ln.pos FROM ln
          |         LEFT JOIN fq ON ln.line = fq.line WHERE fq.line IS NULL),
          |cut AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text

@@ -58,11 +58,25 @@ object Cleaning {
           .as(Seq("pos", "line")))
       .withColumn("line_h", Hashing.stableHash60(col("line")))
 
+  /** The one line-frequency census (line, line_h, n_docs) over a
+    * precomputed line stream: NON-EMPTY lines appearing in at least
+    * `minDocs` distinct documents. Empty lines are document STRUCTURE
+    * (paragraph breaks, trailing separators) — every multi-paragraph
+    * corpus has them in ~all docs, so counting them would cut every
+    * blank line corpus-wide; they are never counted and never cut.
+    * Shared by [[frequentLines]], [[dropFrequentLines]] and the
+    * streaming ingest screen so the threshold rule lives in one place. */
+  private[graft] def lineCensus(lines: DataFrame, minDocs: Long): DataFrame =
+    lines.where(length(col("line")) > 0)
+      .groupBy(col("line_h"))
+      .agg(min(col("line")).as("line"), countDistinct(col("id")).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+
   /**
-   * C4-style frequent-line census: lines appearing in at least `minDocs`
-   * DISTINCT documents — navigation chrome, cookie banners, license
-   * footers; the boilerplate class LINE granularity catches where token
-   * windows (span dedup) need the passage to be long. Output
+   * C4-style frequent-line census: non-empty lines appearing in at least
+   * `minDocs` DISTINCT documents — navigation chrome, cookie banners,
+   * license footers; the boilerplate class LINE granularity catches where
+   * token windows (span dedup) need the passage to be long. Output
    * (line, line_h, n_docs). Repeats of a line within one document count
    * that document once.
    *
@@ -72,10 +86,7 @@ object Cleaning {
    */
   def frequentLines(docs: DataFrame, idCol: String, textCol: String,
                     sep: String, minDocs: Long): DataFrame =
-    docLines(docs, idCol, textCol, sep)
-      .groupBy(col("line_h"))
-      .agg(min(col("line")).as("line"), countDistinct(col("id")).as("n_docs"))
-      .where(col("n_docs") >= minDocs)
+    lineCensus(docLines(docs, idCol, textCol, sep), minDocs)
       .select(col("line"), col("line_h"), col("n_docs"))
 
   /**
@@ -96,10 +107,7 @@ object Cleaning {
    */
   def dropFrequentLines(docs: DataFrame, idCol: String, textCol: String,
                         sep: String, minDocs: Long): DataFrame = {
-    val freq = docLines(docs, idCol, textCol, sep)
-      .groupBy(col("line_h"))
-      .agg(countDistinct(col("id")).as("n_docs"))
-      .where(col("n_docs") >= minDocs)
+    val freq = lineCensus(docLines(docs, idCol, textCol, sep), minDocs)
       .select(col("line_h"))
     cutLinesBy(docs, idCol, textCol, sep, freq)
   }
@@ -109,8 +117,18 @@ object Cleaning {
     * streaming ingest screen, whose frequency census spans the persisted
     * line store, not just the frame being edited. */
   private[graft] def cutLinesBy(docs: DataFrame, idCol: String, textCol: String,
-                                sep: String, freq: DataFrame): DataFrame = {
-    val lines = docLines(docs, idCol, textCol, sep)
+                                sep: String, freq: DataFrame): DataFrame =
+    cutLinesWith(docs, idCol, textCol, sep,
+      docLines(docs, idCol, textCol, sep), freq)
+
+  /** [[cutLinesBy]] with the line stream precomputed by the caller —
+    * the streaming screen checkpoints its per-batch line stream once and
+    * derives the store write, the census AND this edit from it (a batch
+    * is micro-batch-sized, so materializing its occurrence stream is
+    * fine where staging a corpus-sized one would not be). */
+  private[graft] def cutLinesWith(docs: DataFrame, idCol: String, textCol: String,
+                                  sep: String, lines: DataFrame,
+                                  freq: DataFrame): DataFrame = {
     val dropped = lines.join(freq.select(col("line_h")), Seq("line_h"), "left_semi")
       .groupBy(col("id").as("__lf_id"))
       .agg(sort_array(collect_list(col("pos"))).as("__lf_drop"))

@@ -147,6 +147,12 @@ object CorpusPipeline {
           selfRepeatWindow: Option[Int] = None,
           stratifyBy: Option[String] = None,
           stratifySeed: Long = 0L): (DataFrame, Report) = {
+    // Argument-only checks fail BEFORE any cluster work — stage 5's
+    // quota math must not be the first place a bad weight list surfaces.
+    if (stratifyBy.isDefined)
+      require(100 % splits.map(_._2).sum == 0,
+        s"stratifyBy needs split weights whose total divides 100, " +
+          s"got ${splits.map(_._2).sum}")
     val input = docs.count()
 
     // 1-2: funnel, then canonicalize-and-keep-first. Both frames checkpoint

@@ -270,9 +270,16 @@ object IncrementalDedup {
   def stepLines(batch: DataFrame, idCol: String, textCol: String,
                 storePath: String, batchTag: String, sep: String,
                 minDocs: Long, pfxMod: Int = 64): DataFrame = {
-    import org.apache.spark.sql.functions.{col, countDistinct, lit, pmod}
+    import org.apache.spark.sql.functions.{broadcast, col, countDistinct, length, lit, pmod}
     val spark = batch.sparkSession
-    val newLines = Cleaning.docLines(batch, idCol, textCol, sep)
+    // One tokenization per batch: the line stream (with positions) is
+    // micro-batch-sized, so checkpointing it and deriving the store
+    // write, the census AND the edit from it is the cheap side of the
+    // staging rule. Empty lines are structure, not chrome — they never
+    // enter the store or the census (the Cleaning.lineCensus rule).
+    val lines = Cleaning.docLines(batch, idCol, textCol, sep)
+      .localCheckpoint()
+    val newLines = lines.where(length(col("line")) > 0)
       .select(col("id"), col("line_h")).distinct()
       .withColumn("pfx", pmod(col("line_h"), lit(pfxMod.toLong)))
       .localCheckpoint() // consumed by touched-cells, the census AND the write
@@ -282,6 +289,14 @@ object IncrementalDedup {
         spark.read.parquet(storePath)
           .where(col("pfx").isin(touched.map(Long.box).toIndexedSeq: _*) &&
             col("batch") =!= lit(batchTag))
+          // Census rows are only CONSUMED for hashes present in this
+          // batch (the edit left-semi-joins the batch's lines against
+          // freq), so the store read prunes to them: per-step cost
+          // tracks the batch's lines' corpus frequency, not the
+          // accumulated store size (pfx cells saturate at ~pfxMod
+          // distinct batch lines; this prune does not).
+          .join(broadcast(newLines.select("line_h").distinct()),
+            Seq("line_h"), "left_semi")
           .select("id", "line_h")
       else newLines.select("id", "line_h").limit(0)
     val freq = old.unionByName(newLines.select("id", "line_h"))
@@ -289,7 +304,7 @@ object IncrementalDedup {
       .agg(countDistinct(col("id")).as("n_docs"))
       .where(col("n_docs") >= minDocs)
       .select("line_h")
-    val edited = Cleaning.cutLinesBy(batch, idCol, textCol, sep, freq)
+    val edited = Cleaning.cutLinesWith(batch, idCol, textCol, sep, lines, freq)
       .localCheckpoint() // materialize BEFORE the store gains the batch
     writeTagged(newLines, batchTag, storePath, "pfx")
     edited

@@ -284,6 +284,22 @@ class TrainingOpsSpec extends SparkSpec {
     assert(dc == Map(1L -> "", 2L -> "", 3L -> "c.d")) // '.' not a regex wildcard
   }
 
+  test("line dedup never counts or cuts empty lines (paragraph structure survives)") {
+    import graft.operators.Cleaning
+    // Every doc uses blank-line paragraph breaks — the '' line is in all
+    // 5 docs, far past the threshold, but it is STRUCTURE, not chrome:
+    // counting it would collapse every paragraph break corpus-wide.
+    val docs = (1L to 5L).map(i => (i, s"intro $i\n\nbody $i\n\nfooter"))
+      .toDF("doc_id", "text")
+    val freq = Cleaning.frequentLines(docs, "doc_id", "text", "\n", minDocs = 5L)
+      .collect().map(_.getString(0)).toSet
+    assert(freq == Set("footer")) // '' excluded despite 5 distinct docs
+    val cut = Cleaning.dropFrequentLines(docs, "doc_id", "text", "\n", minDocs = 5L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cut(1L) == "intro 1\n\nbody 1\n") // breaks intact, footer gone
+    assert(cut.values.forall(_.contains("\n\n")))
+  }
+
   // ---- Streaming compatibility ----
 
   test("redact + chunk compose as stateless streaming transforms, batch-identical") {
