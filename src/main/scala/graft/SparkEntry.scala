@@ -918,7 +918,28 @@ object SparkEntry {
       graft.operators.Sampling.stratifiedSplit(
           t(s, dir, "documents").select("doc_id", "lang"),
           "doc_id", "lang", quotas = Seq("test" -> 10, "val" -> 10), seed = 7L)
-        .select("doc_id", "lang", "split"))
+        .select("doc_id", "lang", "split")),
+
+    // Dedup decision policy: within each near-dup group keep the BEST
+    // document by quality score (smallest id on ties) — q36's smallest-id
+    // keeper is the group NAME; the representative is a policy over
+    // member scores, kept separate so re-scoring never relabels groups.
+    "q80_dedup_best_rep" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(
+        col("doc_id"), Text.docQualityScore(col("text")).as("score"))
+      graft.operators.Components.bestPerGroup(
+          graft.operators.Components.dedupGroups(jaccardPairsShared(s, dir)),
+          scored, "doc_id", "score")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // Corpus data card: the one-row release summary (docs, token stats,
+    // dup rate, language spread, mean quality) every published dataset
+    // ships — byte-identical under repartitioning (decimal sums,
+    // deterministic top-lang tie-break).
+    "q81_corpus_datacard" -> ((s, dir) =>
+      graft.operators.CorpusStats.corpusReport(
+        t(s, dir, "documents"), "doc_id", "text"))
   )
 
   /** Span window (tokens) shared by q62/q63 and their oracles — 20 fits
@@ -1020,6 +1041,46 @@ object SparkEntry {
 
   /** DuckDB twin of ngramJaccardPairs (n=3, threshold 0.5, uncapped);
     * shared by q18 and q36's component oracle. */
+  /** Per-document base frame shared by the quality/lang oracles (q15,
+    * q80, q81): stopword ratio, avg token length, language hit counts —
+    * ONE copy so the scorer and its consumers can't drift. */
+  private val docQualityBaseSql =
+    """SELECT doc_id, text,
+      |  CAST(len(list_filter(string_split(text,' '), x->x='the'))
+      |     + len(list_filter(string_split(text,' '), x->x='a'))
+      |     + len(list_filter(string_split(text,' '), x->x='of'))
+      |     + len(list_filter(string_split(text,' '), x->x='and'))
+      |     + len(list_filter(string_split(text,' '), x->x='to')) AS DOUBLE)
+      |    / CAST(len(string_split(text,' ')) AS DOUBLE) AS swr,
+      |  (CAST(length(text) AS DOUBLE) - (CAST(len(string_split(text,' ')) AS DOUBLE)-1.0))
+      |    / CAST(len(string_split(text,' ')) AS DOUBLE) AS atl,
+      |  len(list_filter(string_split(text,' '), x->x='the'))
+      |   + len(list_filter(string_split(text,' '), x->x='a'))
+      |   + len(list_filter(string_split(text,' '), x->x='of')) AS en_hits,
+      |  len(list_filter(string_split(text,' '), x->x='le'))
+      |   + len(list_filter(string_split(text,' '), x->x='la'))
+      |   + len(list_filter(string_split(text,' '), x->x='et')) AS fr_hits,
+      |  len(list_filter(string_split(text,' '), x->x='el'))
+      |   + len(list_filter(string_split(text,' '), x->x='los'))
+      |   + len(list_filter(string_split(text,' '), x->x='y')) AS es_hits,
+      |  len(list_filter(string_split(text,' '), x->x='der'))
+      |   + len(list_filter(string_split(text,' '), x->x='die'))
+      |   + len(list_filter(string_split(text,' '), x->x='und')) AS de_hits
+      |FROM documents""".stripMargin
+
+  /** Scalar quality-score expression over [[docQualityBaseSql]] columns. */
+  private val docQualitySql =
+    """CAST(CAST(length(text) BETWEEN 50 AND 5000 AS INTEGER)
+      |    + CAST(swr > 0.01 AS INTEGER)
+      |    + CAST(atl BETWEEN 2.0 AND 12.0 AS INTEGER) AS DOUBLE)/3.0*100.0""".stripMargin
+
+  /** Scalar language-id CASE over [[docQualityBaseSql]] columns. */
+  private val docLangSql =
+    """CASE WHEN fr_hits > en_hits AND fr_hits >= es_hits AND fr_hits >= de_hits THEN 'fr'
+      |     WHEN es_hits > en_hits AND es_hits >= de_hits THEN 'es'
+      |     WHEN de_hits > en_hits THEN 'de'
+      |     ELSE 'en' END""".stripMargin
+
   private val jaccardPairsSql =
     s"""WITH sh AS (
        | SELECT doc_id, unnest(${duckShingleSet("text", 3)}) AS shingle FROM documents),
@@ -1230,38 +1291,10 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "q15_doc_quality_langid" ->
-      """WITH s AS (
-        | SELECT doc_id, text, string_split(text,' ') AS tk,
-        |  CAST(len(list_filter(string_split(text,' '), x->x='the'))
-        |     + len(list_filter(string_split(text,' '), x->x='a'))
-        |     + len(list_filter(string_split(text,' '), x->x='of'))
-        |     + len(list_filter(string_split(text,' '), x->x='and'))
-        |     + len(list_filter(string_split(text,' '), x->x='to')) AS DOUBLE)
-        |    / CAST(len(string_split(text,' ')) AS DOUBLE) AS swr,
-        |  (CAST(length(text) AS DOUBLE) - (CAST(len(string_split(text,' ')) AS DOUBLE)-1.0))
-        |    / CAST(len(string_split(text,' ')) AS DOUBLE) AS atl,
-        |  len(list_filter(string_split(text,' '), x->x='the'))
-        |   + len(list_filter(string_split(text,' '), x->x='a'))
-        |   + len(list_filter(string_split(text,' '), x->x='of')) AS en_hits,
-        |  len(list_filter(string_split(text,' '), x->x='le'))
-        |   + len(list_filter(string_split(text,' '), x->x='la'))
-        |   + len(list_filter(string_split(text,' '), x->x='et')) AS fr_hits,
-        |  len(list_filter(string_split(text,' '), x->x='el'))
-        |   + len(list_filter(string_split(text,' '), x->x='los'))
-        |   + len(list_filter(string_split(text,' '), x->x='y')) AS es_hits,
-        |  len(list_filter(string_split(text,' '), x->x='der'))
-        |   + len(list_filter(string_split(text,' '), x->x='die'))
-        |   + len(list_filter(string_split(text,' '), x->x='und')) AS de_hits
-        | FROM documents)
-        |SELECT doc_id,
-        | CAST(CAST(length(text) BETWEEN 50 AND 5000 AS INTEGER)
-        |    + CAST(swr > 0.01 AS INTEGER)
-        |    + CAST(atl BETWEEN 2.0 AND 12.0 AS INTEGER) AS DOUBLE)/3.0*100.0 AS quality_score,
-        | CASE WHEN fr_hits > en_hits AND fr_hits >= es_hits AND fr_hits >= de_hits THEN 'fr'
-        |      WHEN es_hits > en_hits AND es_hits >= de_hits THEN 'es'
-        |      WHEN de_hits > en_hits THEN 'de'
-        |      ELSE 'en' END AS lang_pred
-        |FROM s""".stripMargin,
+      s"""SELECT doc_id,
+         | $docQualitySql AS quality_score,
+         | $docLangSql AS lang_pred
+         |FROM ($docQualityBaseSql)""".stripMargin,
 
     "q16_exact_text_dedup" ->
       """SELECT md5(text) AS text_md5, CAST(min(doc_id) AS BIGINT) AS keep_id,
@@ -2179,6 +2212,53 @@ object SparkEntry {
          | CASE WHEN rn <= (n * 10) // 100 THEN 'test'
          |      WHEN rn <= (n * 20) // 100 THEN 'val'
          |      ELSE 'train' END AS split
-         |FROM r""".stripMargin
+         |FROM r""".stripMargin,
+
+    // Best-per-group representative: q36's reachability groups joined to
+    // the q15 quality score, winner = first in (score DESC, id ASC).
+    "q80_dedup_best_rep" ->
+      s"""WITH RECURSIVE
+         |p AS (SELECT id_a, id_b FROM ($jaccardPairsSql)),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+         |nodes AS (SELECT DISTINCT src AS id FROM e),
+         |reach(id, r) AS (
+         | SELECT id, id FROM nodes
+         | UNION
+         | SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+         |g AS (SELECT id, CAST(min(r) AS BIGINT) AS group_id FROM reach GROUP BY id),
+         |q AS (SELECT doc_id, $docQualitySql AS score FROM ($docQualityBaseSql)),
+         |m AS (SELECT g.id AS doc_id, g.group_id, q.score,
+         |  first_value(g.id) OVER (PARTITION BY g.group_id
+         |    ORDER BY q.score DESC, g.id ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS rep_id
+         | FROM g JOIN q ON g.id = q.doc_id)
+         |SELECT doc_id, group_id, score, rep_id, (doc_id = rep_id) AS is_rep
+         |FROM m""".stripMargin,
+
+    // Corpus data card: one-row release summary; decimal-sum means,
+    // deterministic top-lang tie-break, q17's fingerprint for dup rate.
+    "q81_corpus_datacard" ->
+      s"""WITH d AS (
+         | SELECT doc_id,
+         |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+         |  list_reduce(
+         |    list_transform(string_split(text,' '), t -> ${duckHash("t")} % 1000000007),
+         |    (a, b) -> (a*31 + b) % 1000000007) AS fp,
+         |  $docLangSql AS lang,
+         |  $docQualitySql AS quality
+         | FROM ($docQualityBaseSql)),
+         |lt AS (SELECT lang AS top_lang FROM d GROUP BY lang
+         |       ORDER BY count(*) DESC, lang ASC LIMIT 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         | CAST(sum(CAST(n_tokens AS DECIMAL(28,6))) AS DOUBLE)/count(n_tokens) AS avg_tokens,
+         | quantile_cont(n_tokens, 0.5) AS p50_tokens,
+         | max(n_tokens) AS max_tokens,
+         | CAST(count(DISTINCT fp) AS BIGINT) AS distinct_fingerprints,
+         | CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         | CAST(sum(CAST(quality AS DECIMAL(28,6))) AS DOUBLE)/count(quality) AS avg_quality,
+         | CAST(count(*) - count(DISTINCT fp) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS dup_rate,
+         | (SELECT top_lang FROM lt) AS top_lang
+         |FROM d""".stripMargin
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -87,4 +88,35 @@ object Components {
     smallestIdPropagation(pairs)
       .select(col("id"), col("component").as("keep_id"),
         (col("id") === col("component")).as("is_keeper"))
+
+  /**
+   * Quality-aware representative selection over dedup groups — the
+   * decision step a production dedup pipeline actually wants: within
+   * each near-dup group keep the BEST document (highest score, smallest
+   * id on ties), not the smallest id. [[dedupGroups]]' keeper is a group
+   * NAME (smallest reachable id — stable under re-scoring); the
+   * representative is a POLICY over member scores, and keeping the two
+   * separate means changing the scorer never relabels groups.
+   *
+   * @param groups [[dedupGroups]] output (id, keep_id, …)
+   * @param scored per-document scores, any frame with (idCol, scoreCol)
+   * @return (id, group_id, score, rep_id, is_rep) per member — a drop
+   *         step is `where(!is_rep)`, attribution keeps the full map
+   *
+   * Scale shape: one id-keyed join (members × scores) and ONE window
+   * partitioned by group_id — near-dup groups are small by construction,
+   * so partitions are tiny; no self-join, no collect.
+   */
+  def bestPerGroup(groups: DataFrame, scored: DataFrame,
+                   idCol: String, scoreCol: String): DataFrame = {
+    val members = groups.select(col("id"), col("keep_id").as("group_id"))
+      .join(scored.select(col(idCol).as("id"), col(scoreCol).as("score")),
+        Seq("id"))
+    val w = Window.partitionBy(col("group_id"))
+      .orderBy(col("score").desc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    members
+      .withColumn("rep_id", first(col("id")).over(w))
+      .withColumn("is_rep", col("id") === col("rep_id"))
+  }
 }

@@ -91,6 +91,30 @@ class DedupSpec extends SparkSpec {
     assert(groups == Set((1L, 1L, true), (2L, 1L, false), (4L, 1L, false)))
   }
 
+  test("bestPerGroup picks the highest-scored member, id ascending on ties") {
+    import graft.operators.Components
+    val groups = Seq(
+      (1L, 1L, true), (2L, 1L, false), (4L, 1L, false), // one cluster
+      (7L, 7L, true), (9L, 7L, false)                   // another
+    ).toDF("id", "keep_id", "is_keeper")
+    val scored = Seq(1L -> 10.0, 2L -> 30.0, 4L -> 30.0, 7L -> 5.0, 9L -> 5.0)
+      .toDF("doc_id", "q")
+    val rep = Components.bestPerGroup(groups, scored, "doc_id", "q")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getBoolean(4)))
+      .toSet
+    // cluster 1: 2 and 4 tie at 30 -> smallest id 2 wins (NOT the keeper 1)
+    // cluster 7: all tie at 5 -> smallest id 7 wins
+    assert(rep == Set(
+      (1L, 1L, 2L, false), (2L, 1L, 2L, true), (4L, 1L, 2L, false),
+      (7L, 7L, 7L, true), (9L, 7L, 7L, false)))
+    // partitioning-independent
+    val re = Components.bestPerGroup(groups.repartition(5), scored.repartition(3),
+        "doc_id", "q")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getBoolean(4)))
+      .toSet
+    assert(re == rep)
+  }
+
   test("fingerprint is order-sensitive") {
     val fp = Seq((1L, "a b c"), (2L, "a b c"), (3L, "c b a"))
       .toDF("doc_id", "text")
