@@ -939,7 +939,18 @@ object SparkEntry {
     // deterministic top-lang tie-break).
     "q81_corpus_datacard" -> ((s, dir) =>
       graft.operators.CorpusStats.corpusReport(
-        t(s, dir, "documents"), "doc_id", "text"))
+        t(s, dir, "documents"), "doc_id", "text")),
+
+    // Leakage-proof splits: split key = dedup-group label, so near-dup
+    // members co-travel and q61's audit is zero by construction — the
+    // preventive twin of the leakage audit, for corpora that KEEP
+    // near-dups (partial dedup) but must not leak train paraphrases
+    // into eval.
+    "q82_group_split" -> ((s, dir) =>
+      graft.operators.Sampling.groupAwareSplits(
+          t(s, dir, "documents").select("doc_id"),
+          graft.operators.Components.dedupGroups(jaccardPairsShared(s, dir)),
+          "doc_id", Seq("train" -> 8, "val" -> 1, "test" -> 1)))
   )
 
   /** Span window (tokens) shared by q62/q63 and their oracles — 20 fits
@@ -2259,6 +2270,25 @@ object SparkEntry {
          | CAST(sum(CAST(quality AS DECIMAL(28,6))) AS DOUBLE)/count(quality) AS avg_quality,
          | CAST(count(*) - count(DISTINCT fp) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS dup_rate,
          | (SELECT top_lang FROM lt) AS top_lang
-         |FROM d""".stripMargin
+         |FROM d""".stripMargin,
+
+    // Group-aware split: q36's group label (own id for singletons)
+    // hashed through the q43 split rule.
+    "q82_group_split" ->
+      s"""WITH RECURSIVE
+         |p AS (SELECT id_a, id_b FROM ($jaccardPairsSql)),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+         |nodes AS (SELECT DISTINCT src AS id FROM e),
+         |reach(id, r) AS (
+         | SELECT id, id FROM nodes
+         | UNION
+         | SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+         |g AS (SELECT id, CAST(min(r) AS BIGINT) AS grp FROM reach GROUP BY id),
+         |k AS (SELECT d.doc_id,
+         |        ${duckHash("CAST(COALESCE(g.grp, d.doc_id) AS VARCHAR)")} % 10 AS h
+         |      FROM documents d LEFT JOIN g ON d.doc_id = g.id)
+         |SELECT doc_id,
+         | CASE WHEN h < 8 THEN 'train' WHEN h < 9 THEN 'val' ELSE 'test' END AS split
+         |FROM k""".stripMargin
   )
 }

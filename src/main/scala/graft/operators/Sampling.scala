@@ -48,6 +48,38 @@ object Sampling {
     df.withColumn(as, splitColumn(col(keyCol), splits))
 
   /**
+   * Leakage-proof split assignment: the split key is the document's
+   * DEDUP-GROUP label, not its own id, so every member of a near-dup
+   * group lands in the same split — the preventive twin of the
+   * cross-split leakage AUDIT ([[crossSplitLeakage]] finds the pairs a
+   * per-doc split separates; this guarantees there are none over the
+   * same pair pipeline, by construction). The standard contract when
+   * near-dups are kept in the corpus (partial dedup) but eval must not
+   * see train paraphrases.
+   *
+   * Documents with no near-dup pair carry no group row and fall back to
+   * their own id — which IS their group label under smallest-id
+   * components, so the fallback is the same labeling, not a special
+   * case.
+   *
+   * @param groups `Components.dedupGroups` output (id, keep_id) over
+   *               whatever pair pipeline defines "leakage"
+   *
+   * Scale shape: one left join against the member-cardinality group
+   * frame (near-dup members are a small corpus fraction — typically a
+   * runtime broadcast) + the narrow hash projection; no window, no
+   * added shuffle over [[assignSplits]].
+   */
+  def groupAwareSplits(docs: DataFrame, groups: DataFrame, idCol: String,
+                       splits: Seq[(String, Int)],
+                       as: String = "split"): DataFrame = {
+    val g = groups.select(col("id").as("__ga_id"), col("keep_id").as("__ga_grp"))
+    docs.join(g, docs(idCol) === col("__ga_id"), "left")
+      .withColumn(as, splitColumn(coalesce(col("__ga_grp"), col(idCol)), splits))
+      .drop("__ga_id", "__ga_grp")
+  }
+
+  /**
    * EXACT-quota stratified split: within every stratum, the first
    * ⌊n·cum%/100⌋ rows of a seeded-hash order go to each quota label in
    * turn (cumulative-floor bounds — integer-exact, engine-portable), the

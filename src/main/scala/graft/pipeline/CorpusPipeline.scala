@@ -146,7 +146,8 @@ object CorpusPipeline {
           lineDedupSep: String = "\n",
           selfRepeatWindow: Option[Int] = None,
           stratifyBy: Option[String] = None,
-          stratifySeed: Long = 0L): (DataFrame, Report) = {
+          stratifySeed: Long = 0L,
+          nearDupRepScore: Option[Column] = None): (DataFrame, Report) = {
     // Argument-only checks fail BEFORE any cluster work — stage 5's
     // quota math must not be the first place a bad weight list surfaces.
     if (stratifyBy.isDefined)
@@ -213,11 +214,21 @@ object CorpusPipeline {
           d => Dedup.duplicatedSpanRanges(d, idCol, textCol, w, spanCutMaxBucket))
     }
 
-    // 3: near-dedup — pairs, components, drop every non-keeper
+    // 3: near-dedup — pairs, components, drop every non-representative.
+    // Default representative = the smallest-id keeper; with nearDupRepScore
+    // set, each group keeps its BEST-scored member instead (the group
+    // label stays the smallest id either way — bestPerGroup separates
+    // naming from policy).
     val pairs = Dedup.minhashNearDupPairs(spanCut, idCol, textCol,
       n = 3, numHashes = 16, bands = 4, threshold = nearDupThreshold)
-    val losers = Components.dedupGroups(pairs)
-      .where(!col("is_keeper")).select(col("id").as(idCol))
+    val groups = Components.dedupGroups(pairs)
+    val losers = nearDupRepScore match {
+      case None => groups.where(!col("is_keeper")).select(col("id").as(idCol))
+      case Some(scoreExpr) =>
+        val scored = spanCut.select(col(idCol), scoreExpr.as("__rep_score"))
+        Components.bestPerGroup(groups, scored, idCol, "__rep_score")
+          .where(!col("is_rep")).select(col("id").as(idCol))
+    }
     val near = spanCut.join(losers, Seq(idCol), "left_anti").localCheckpoint()
     val nNear = near.count()
 

@@ -176,6 +176,31 @@ class AsOfSamplingSpec extends SparkSpec {
     assert(row.getAs[String]("split_b") == label(row.getAs[Long]("id_b")))
   }
 
+  test("groupAwareSplits co-travels near-dup groups; the leakage audit reads zero") {
+    val splits = Seq("train" -> 8, "val" -> 1, "test" -> 1)
+    val docs = spark.range(210).toDF("id") // 200..209 have no pair (singletons)
+    // pair up (2k, 2k+1): per-doc splits separate many of these pairs
+    val pairs = spark.range(100)
+      .select((col("id") * 2).as("id_a"), (col("id") * 2 + 1).as("id_b"))
+    assert(Sampling.crossSplitLeakage(pairs, "id_a", "id_b", splits).count() > 0)
+    val groups = graft.operators.Components.dedupGroups(pairs)
+    val ga = Sampling.groupAwareSplits(docs, groups, "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every pair member shares its group's split -> leakage impossible
+    assert((0L until 100L).forall(k => ga(2 * k) == ga(2 * k + 1)))
+    val solo = Sampling.assignSplits(docs, "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // group label of 2k IS 2k (smallest of the pair) -> matches the solo label
+    assert((0L until 100L).forall(k => ga(2 * k) == solo(2 * k)))
+    // singletons (no group row) fall back to their own id = assignSplits
+    assert((200L until 210L).forall(i => ga(i) == solo(i)))
+    // partitioning-independent
+    val re = Sampling.groupAwareSplits(docs.repartition(7), groups.repartition(3),
+        "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(re == ga)
+  }
+
   test("negativeSamples draws k stable non-self negatives per anchor") {
     val df = spark.range(500).toDF("id")
     val a = Sampling.negativeSamples(df, "id", k = 4, seed = 7L)

@@ -95,6 +95,32 @@ class PipelineSpec extends SparkSpec {
     assert(s1 == s2)
   }
 
+  test("corpus pipeline quality-aware representative keeps the best near-dup, not the smallest id") {
+    import graft.pipeline.CorpusPipeline
+    import graft.functions.Text
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val noEval = docs.limit(0).select(col("doc_id"), col("text"))
+    val stages = Seq("nonempty" -> (length(col("text")) > 0))
+    // score = text length: within each near-dup group the LONGEST doc wins
+    val (corpus, r) = CorpusPipeline.run(docs, noEval, "doc_id", "text", stages,
+      nearDupRepScore = Some(length(col("text")).cast("double")))
+    val (corpusMin, rMin) = CorpusPipeline.run(docs, noEval, "doc_id", "text", stages)
+    // same funnel counts — the policy changes WHICH member survives, not how many
+    assert(r.afterNearDedup == rMin.afterNearDedup && r.corpus == rMin.corpus)
+    val kept = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    val keptMin = corpusMin.select("doc_id").collect().map(_.getLong(0)).toSet
+    // every survivor under the quality policy is at least as long as the
+    // min-id group-mate it displaced (checked via the exact pair pipeline)
+    val lens = docs.select(col("doc_id"), length(col("text")).as("n"))
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    val displaced = keptMin -- kept
+    val gained = kept -- keptMin
+    assert(displaced.size == gained.size)
+    if (displaced.nonEmpty)
+      assert(gained.map(lens).sum >= displaced.map(lens).sum)
+  }
+
   test("corpus pipeline optional stages: semantic dedup, sentence chunks, release emit") {
     import graft.pipeline.CorpusPipeline
     import org.apache.spark.sql.functions._
