@@ -950,7 +950,16 @@ object SparkEntry {
       graft.operators.Sampling.groupAwareSplits(
           t(s, dir, "documents").select("doc_id"),
           graft.operators.Components.dedupGroups(jaccardPairsShared(s, dir)),
-          "doc_id", Seq("train" -> 8, "val" -> 1, "test" -> 1)))
+          "doc_id", Seq("train" -> 8, "val" -> 1, "test" -> 1))),
+
+    // Packing efficiency: per-shard utilization of q50's packed layout
+    // (the padding-waste metric; the only waste under concat-then-chunk
+    // is each shard's final partial sequence) plus the boundary-crossing
+    // doc count a trainer masks across.
+    "q83_packing_efficiency" -> ((s, dir) =>
+      graft.operators.Packing.packingEfficiency(
+        t(s, dir, "documents"), "doc_id",
+        Text.tokenCount(col("text")), shards = 4, maxTokens = 512))
   )
 
   /** Span window (tokens) shared by q62/q63 and their oracles — 20 fits
@@ -2289,6 +2298,26 @@ object SparkEntry {
          |      FROM documents d LEFT JOIN g ON d.doc_id = g.id)
          |SELECT doc_id,
          | CASE WHEN h < 8 THEN 'train' WHEN h < 9 THEN 'val' ELSE 'test' END AS split
-         |FROM k""".stripMargin
+         |FROM k""".stripMargin,
+
+    // Packing efficiency: q50's pack CTE aggregated per shard; the q50
+    // floor-div span formula decides boundary crossings.
+    "q83_packing_efficiency" ->
+      s"""WITH $packCte,
+         |s AS (SELECT shard,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(tokens) AS BIGINT) AS n_tokens,
+         |  CAST(floor((CAST(max(start_offset + tokens) AS DOUBLE)-1.0)/512.0) AS BIGINT)
+         |    + 1 AS n_sequences,
+         |  CAST(sum(CASE WHEN
+         |    CAST(floor((CAST(start_offset AS DOUBLE)+tokens-1.0)/512.0) AS BIGINT)
+         |    - CAST(floor(CAST(start_offset AS DOUBLE)/512.0) AS BIGINT) + 1 > 1
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning_docs
+         | FROM o GROUP BY shard)
+         |SELECT shard, n_docs, n_tokens, n_sequences, n_spanning_docs,
+         | CASE WHEN n_sequences > 0
+         |      THEN CAST(n_tokens AS DOUBLE)/CAST(n_sequences*512 AS DOUBLE)
+         |      ELSE 0.0 END AS utilization
+         |FROM s""".stripMargin
   )
 }

@@ -81,4 +81,37 @@ object Packing {
         (least(col("seq_id") * mt + mt - 1,
           col("start_offset") + col("tokens") - 1) - col("seq_id") * mt).as("seg_end"))
   }
+
+  /**
+   * Per-shard packing-efficiency report — the utilization metric a
+   * training team tracks over a packed layout: how much of the emitted
+   * sequence budget is real tokens vs tail padding. Under
+   * [[packSequences]]' greedy concat-then-chunk layout the ONLY waste is
+   * each shard's final partial sequence, so utilization =
+   * n_tokens / (n_sequences · maxTokens); the report also counts docs
+   * crossing a sequence boundary (the segments a trainer must mask
+   * across — the cost side of packing's density win).
+   *
+   * Output per shard: (shard, n_docs, n_tokens, n_sequences,
+   * n_spanning_docs, utilization) — exact integer arithmetic plus one
+   * deterministic double division (0.0 for an empty/zero-token shard).
+   *
+   * Scale shape: rides packSequences' one per-shard window, then ONE
+   * shard-cardinality aggregation — output is shard-count-sized.
+   */
+  def packingEfficiency(docs: DataFrame, idCol: String, tokenCount: Column,
+                        shards: Int, maxTokens: Int): DataFrame =
+    packSequences(docs, idCol, tokenCount, shards, maxTokens)
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("n_tokens"),
+        (floor((max(col("start_offset") + col("tokens")) - 1).cast("double") /
+          maxTokens).cast("long") + 1L).as("n_sequences"),
+        sum(when(col("spans_packs") > 1, 1L).otherwise(0L)).as("n_spanning_docs"))
+      .withColumn("utilization",
+        when(col("n_sequences") > 0,
+          col("n_tokens").cast("double") /
+            (col("n_sequences") * maxTokens).cast("double"))
+          .otherwise(lit(0.0)))
 }

@@ -48,6 +48,35 @@ class PackingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("packingEfficiency: utilization and counts derive exactly from the layout") {
+    val eff = Packing.packingEfficiency(docs, "doc_id",
+        graft.functions.Text.tokenCount(col("text")), shards = 3, maxTokens = 64)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toMap
+    val layout = pack(docs).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5)))
+    layout.groupBy(_._1).foreach { case (shard, rs) =>
+      val (nDocs, nTokens, nSeqs, nSpanning, util) = eff(shard)
+      assert(nDocs == rs.length)
+      assert(nTokens == rs.map(_._2).sum)
+      val maxEnd = rs.map(r => r._3 + r._2).max
+      assert(nSeqs == (maxEnd - 1) / 64 + 1)
+      assert(nSpanning == rs.count(_._4 > 1))
+      assert(util == nTokens.toDouble / (nSeqs * 64).toDouble)
+      assert(util > 0.0 && util <= 1.0)
+    }
+    // the only waste is each shard's final partial sequence
+    eff.values.foreach { case (_, nTokens, nSeqs, _, _) =>
+      assert((nSeqs - 1) * 64 < nTokens && nTokens <= nSeqs * 64)
+    }
+    // zero-token / empty shards report zeros, not NaN
+    val empty = Packing.packingEfficiency(
+      Seq((1L, "")).toDF("doc_id", "text"), "doc_id", lit(0L), 2, 64)
+      .collect().map(r => (r.getLong(2), r.getDouble(5)))
+    assert(empty.forall { case (ns, u) => ns == 0L && u == 0.0 })
+  }
+
   test("packSegments: per-doc token conservation and per-sequence disjoint tiling") {
     val segs = Packing.packSegments(docs, "doc_id",
         graft.functions.Text.tokenCount(col("text")), shards = 3, maxTokens = 64)
