@@ -959,7 +959,18 @@ object SparkEntry {
     "q83_packing_efficiency" -> ((s, dir) =>
       graft.operators.Packing.packingEfficiency(
         t(s, dir, "documents"), "doc_id",
-        Text.tokenCount(col("text")), shards = 4, maxTokens = 512))
+        Text.tokenCount(col("text")), shards = 4, maxTokens = 512)),
+
+    // Semantic (embedding-space) contamination screen: nearest EVAL vector
+    // per train vector, one-row broadcast eval array — zero train-side
+    // shuffles. The decontamination modality q52 (shingles) and q75/q76
+    // (verbatim spans) cannot see: paraphrased benchmark items.
+    "q84_semantic_screen" -> ((s, dir) => {
+      val em = t(s, dir, "embeddings")
+      Similarity.semanticContamination(
+        em.where(col("vec_id") % 20 =!= 0), em.where(col("vec_id") % 20 === 0),
+        threshold = 0.45)
+    })
   )
 
   /** Span window (tokens) shared by q62/q63 and their oracles — 20 fits
@@ -2318,6 +2329,23 @@ object SparkEntry {
          | CASE WHEN n_sequences > 0
          |      THEN CAST(n_tokens AS DOUBLE)/CAST(n_sequences*512 AS DOUBLE)
          |      ELSE 0.0 END AS utilization
-         |FROM s""".stripMargin
+         |FROM s""".stripMargin,
+
+    // Semantic screen: plain cross-join argmax over the normalized-vector
+    // CTE; row_number (cosine DESC, eval_id ASC) ≡ the Spark side's
+    // argmax-set min-id tie-break given bit-identical cosines.
+    "q84_semantic_screen" ->
+      s"""WITH $vecNormCte,
+         |tr AS (SELECT * FROM n WHERE vec_id % 20 <> 0),
+         |ev AS (SELECT * FROM n WHERE vec_id % 20 = 0),
+         |s AS (SELECT t.vec_id AS train_id, x.vec_id AS eval_id,
+         |       ${duckCosine("t", "x")} AS c,
+         |       row_number() OVER (PARTITION BY t.vec_id
+         |                          ORDER BY ${duckCosine("t", "x")} DESC,
+         |                                   x.vec_id ASC) AS rn
+         |      FROM tr t CROSS JOIN ev x)
+         |SELECT train_id, eval_id AS nearest_eval_id, c AS eval_cos,
+         |       (c >= 0.45) AS flagged
+         |FROM s WHERE rn = 1""".stripMargin
   )
 }

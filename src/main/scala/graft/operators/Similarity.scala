@@ -377,6 +377,57 @@ object Similarity {
   }
 
   /**
+   * Cross-set SEMANTIC contamination screen — the embedding-space member of
+   * the decontamination family (exact shingle overlap:
+   * `Dedup.crossSetContamination`; verbatim span cut:
+   * `Dedup.cutEvalPassages`): for every train vector, the nearest EVAL-set
+   * vector by cosine and whether it clears the flag threshold. Catches the
+   * leak the other two cannot — a paraphrased benchmark item shares no
+   * 3-gram with its source, but its embedding still sits next to it.
+   *
+   * Ties at the max cosine resolve to the smallest eval id (same
+   * negation-free argmax-set pattern as [[labelMargins]], so ids keep
+   * their type). An empty eval set flags nothing (null nearest/cosine,
+   * `flagged` false) rather than failing — a release screened against a
+   * not-yet-populated benchmark suite passes through.
+   *
+   * Scale shape: the eval set (benchmark suites — thousands of rows, not
+   * corpus-scale) collapses to a ONE-ROW broadcast array, so screening is
+   * a narrow per-row pass (|eval| codegen cosines inside the row) — ZERO
+   * shuffles over the train corpus; only the eval collapse itself runs a
+   * (|eval|-bounded) single-partition aggregation. `maxEval` bounds that
+   * array: exceeding it raises at execution rather than silently building
+   * an over-broadcast plan (for eval sets past broadcast size, bucket both
+   * sides with [[assignToCentroids]] and pair in-bucket — the q23 shape).
+   */
+  def semanticContamination(train: DataFrame, evalSet: DataFrame,
+                            idCol: String = "vec_id", embCol: String = "embedding",
+                            threshold: Double = 0.8,
+                            maxEval: Int = 1 << 20): DataFrame = {
+    val evalArr = evalSet
+      .agg(array_sort(collect_list(struct(col(idCol).as("id"), col(embCol).as("emb"))))
+        .as("evals"))
+      // the guard lives in a filter (never pruned away): assert_true
+      // returns null when the bound holds, so the row always survives
+      .where(assert_true(size(col("evals")) <= maxEval,
+        lit(s"semanticContamination: eval set exceeds maxEval=$maxEval")).isNull)
+    val scores = transform(col("evals"), e =>
+      struct(e.getField("id").as("eval_id"),
+        VectorExprs.cosine(col(embCol), e.getField("emb")).as("cos")))
+    val bestCos = array_max(transform(col("scores"), s => s.getField("cos")))
+    val nearest = array_min(transform(
+      filter(col("scores"), s => s.getField("cos") === bestCos),
+      s => s.getField("eval_id")))
+    train.select(col(idCol).as("train_id"), col(embCol))
+      .crossJoin(broadcast(evalArr))
+      .withColumn("scores", scores)
+      .select(col("train_id"),
+        nearest.as("nearest_eval_id"),
+        bestCos.as("eval_cos"),
+        coalesce(bestCos >= threshold, lit(false)).as("flagged"))
+  }
+
+  /**
    * Deterministic Lloyd's k-means over the embedding column, so IVF/near-dup
    * bucketing is self-contained (no externally supplied centroids).
    *

@@ -109,6 +109,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("semantic screen: train corpus never shuffles; eval rides one broadcast") {
+    val p = plan("q84_semantic_screen")
+    // the only exchanges are the eval collapse (single-partition, bounded
+    // by maxEval) and its broadcast — zero hash exchanges anywhere
+    assert(!p.contains("Exchange hashpartitioning"))
+    assert(p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("span cut: the corpus never self-joins; intervals broadcast back") {
     SparkEntry.releaseStaged(spark) // same cache-state pin as the q62 test
     val p = plan("q73_span_cut_docs")

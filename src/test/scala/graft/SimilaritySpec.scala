@@ -232,4 +232,53 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((0L, 10L)))
   }
+
+  test("semanticContamination matches the brute-force cross join, smallest-id ties") {
+    val rnd = new Random(11)
+    val all = (0L until 60L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val train = all.filter(_._1 % 5 != 0).toDF("vec_id", "embedding")
+    val evalSet = all.filter(_._1 % 5 == 0).toDF("vec_id", "embedding")
+    val got = Similarity.semanticContamination(train, evalSet, threshold = 0.3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    // brute-force twin through the same codegen cosine, argmax tie → min id
+    val brute = train.as("t").crossJoin(evalSet.as("e"))
+      .select(col("t.vec_id").as("tid"), col("e.vec_id").as("eid"),
+        VectorExprs.cosine(col("t.embedding"), col("e.embedding")).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (tid, rs) =>
+        val best = rs.map(_._3).max
+        tid -> (rs.filter(_._3 == best).map(_._2).min, best, best >= 0.3)
+      }
+    assert(got == brute)
+    assert(got.values.exists(_._3) && got.values.exists(!_._3)) // threshold splits
+  }
+
+  test("semanticContamination: exact-duplicate eval vector flags with cosine 1") {
+    val base = Array.fill(8)(0.5f)
+    val train = Seq((1L, base.clone()), (2L, Array.fill(8)(-0.5f))).toDF("vec_id", "embedding")
+    val evalSet = Seq((100L, base.clone()), (101L, base.clone())).toDF("vec_id", "embedding")
+    val r = Similarity.semanticContamination(train, evalSet, threshold = 0.99)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(r(1L) == (100L, true)) // tie between 100/101 → smallest eval id
+    assert(!r(2L)._2)
+  }
+
+  test("semanticContamination: empty eval set passes everything through unflagged") {
+    val train = Seq((1L, Array.fill(4)(1f))).toDF("vec_id", "embedding")
+    val evalSet = train.where(col("vec_id") < 0)
+    val rows = Similarity.semanticContamination(train, evalSet).collect()
+    assert(rows.length == 1)
+    assert(rows.head.isNullAt(1) && rows.head.isNullAt(2) && !rows.head.getBoolean(3))
+  }
+
+  test("semanticContamination: maxEval bound raises instead of over-broadcasting") {
+    val vecs = (0L until 10L).map(i => (i, Array.fill(4)(i.toFloat + 1)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.semanticContamination(vecs, vecs, maxEval = 5).collect()
+    }
+    assert(ex.getMessage.contains("maxEval") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("maxEval"))
+  }
 }
