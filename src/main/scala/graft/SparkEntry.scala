@@ -25,16 +25,26 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   /**
-   * Table reader. `events.ts` is nanosecond-precision parquet, which Spark
-   * does not natively read (PARQUET_TYPE_ILLEGAL) — sessions set
-   * `spark.sql.legacy.parquet.nanosAsLong` and the raw nanos are converted
-   * to a µs timestamp here (integer DIV — no double rounding; test data is
-   * µs-precision so the truncation is lossless).
+   * Table reader, robust to both vintages of the driver's `events.ts`
+   * physical type:
+   *  - nanosecond parquet (rounds ≤4) reads as BIGINT under the sessions'
+   *    `spark.sql.legacy.parquet.nanosAsLong` (Spark has no ns timestamp —
+   *    PARQUET_TYPE_ILLEGAL without the flag) and is converted to a µs
+   *    timestamp here (integer DIV — no double rounding; the data is
+   *    µs-precision so the truncation is lossless);
+   *  - microsecond parquet (round 5+) reads as TIMESTAMP_NTZ natively and
+   *    is cast to the session timestamp type — under the UTC session
+   *    contract (GraftSession) the wall-clock reinterpretation is the
+   *    identity, and DuckDB reads the same file as its (naive) TIMESTAMP,
+   *    so both engines see identical values.
    */
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = s.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else df
+    if (name == "events") {
+      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      else df.withColumn("ts", col("ts").cast("timestamp"))
+    } else df
   }
 
   // ---------------------------------------------------------------- helpers
