@@ -125,9 +125,34 @@ object Bench {
       val fxNaive = fxRecall(fx.where(col("vec_id") % 100 === 0))
       val fxTrained = fxRecall(
         graft.operators.Similarity.trainCentroids(fx, k = 20, iters = 3).localCheckpoint())
+      // PQ quality: asymmetric ADC recall@5 vs exact brute force on the
+      // real embeddings with the gated naive codebooks (q86's config), and
+      // the trained-vs-naive DISTORTION ratio on the clusterable fixture
+      // (recall@5 cannot separate codebook quality on clustered data —
+      // same-cluster reconstructions collapse, ranking is tie-noise; the
+      // quantization error k-means minimizes is the discriminating number:
+      // <1.0 = training earns its keep)
+      val pqCb = graft.operators.Similarity.pqCodebooks(naiveCents, m = 4)
+      val pqRecall = graft.operators.Similarity.pqAdcKnn(
+          graft.operators.Similarity.pqEncode(em, pqCb, m = 4), pqCb,
+          em.where(col("vec_id") < 10), m = 4, k = 5)
+        .select("query_id", "neighbor_id").intersect(brute).count() / bruteN
+      def fxDistortion(cb: org.apache.spark.sql.DataFrame): Double =
+        graft.operators.Similarity
+          .pqDecode(graft.operators.Similarity.pqEncode(fx, cb, m = 4), cb, m = 4)
+          .withColumnsRenamed(Map("embedding" -> "recon"))
+          .join(fx, Seq("vec_id"))
+          .select(graft.expressions.VectorExprs.l2sq(col("embedding"), col("recon")).as("e"))
+          .agg(org.apache.spark.sql.functions.sum("e")).head.getDouble(0)
+      val fxPqRatio =
+        fxDistortion(graft.operators.Similarity
+          .pqTrainCodebooks(fx, m = 4, k = 20, iters = 3).localCheckpoint()) /
+        fxDistortion(graft.operators.Similarity
+          .pqCodebooks(fx.where(col("vec_id") % 100 === 0), m = 4))
       s""","recall_ivf_at5":${f4(r24)},"recall_ivf_trained_at5":${f4(recallOf(1))}""" +
         s""","recall_ivf_trained_np4_at5":${f4(recallOf(4))}""" + pairRecall +
-        s""","recall_fx_naive_at5":${f4(fxNaive)},"recall_fx_trained_at5":${f4(fxTrained)}"""
+        s""","recall_fx_naive_at5":${f4(fxNaive)},"recall_fx_trained_at5":${f4(fxTrained)}""" +
+        s""","recall_pq_at5":${f4(pqRecall)},"pq_fx_distortion_ratio":${f4(fxPqRatio)}"""
     } catch { case e: Throwable => System.err.println(s"[bench] recall failed: $e"); "" }
 
     // line budget: the driver's 2000-char stdout tail minus sbt's trailing

@@ -980,8 +980,34 @@ object SparkEntry {
       Similarity.semanticContamination(
         em.where(col("vec_id") % 20 =!= 0), em.where(col("vec_id") % 20 === 0),
         threshold = 0.45)
+    }),
+
+    // Product-quantization codes (m=4 subspaces of dim/4; codebooks from
+    // the q24 naive-centroid convention vec_id % 50 = 0, so the oracle can
+    // re-derive them — trained per-subspace k-means codebooks are the
+    // production path, spec-gated + fixture-benched like trainCentroids).
+    // Exploded to scalar rows for the gate.
+    "q85_pq_codes" -> ((s, dir) => {
+      val em = t(s, dir, "embeddings")
+      val cb = Similarity.pqCodebooks(em.where(col("vec_id") % 50 === 0), m = PqM)
+      Similarity.pqEncode(em, cb, m = PqM)
+        .select(col("vec_id"), posexplode(col("code")).as(Seq("subspace", "cw_id")))
+    }),
+
+    // Asymmetric-distance PQ top-k: TRUE query vectors (vec_id<10, the q22
+    // convention) against the PQ-compressed corpus, reconstructed on the
+    // fly from the broadcast codebook.
+    "q86_pq_adc_topk" -> ((s, dir) => {
+      val em = t(s, dir, "embeddings")
+      val cb = Similarity.pqCodebooks(em.where(col("vec_id") % 50 === 0), m = PqM)
+      Similarity.pqAdcKnn(Similarity.pqEncode(em, cb, m = PqM), cb,
+        em.where(col("vec_id") < 10), m = PqM, k = 5)
     })
   )
+
+  /** PQ subspace count shared by q85/q86 and their oracles (dim 64 → four
+    * 16-dim subspaces). */
+  private val PqM = 4
 
   /** Span window (tokens) shared by q62/q63 and their oracles — 20 fits
     * this corpus's 10-100-token documents; production boilerplate removal
@@ -1235,6 +1261,23 @@ object SparkEntry {
        |  ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
        |WHERE ${duckCosine("a", "b")} >= 0.4""".stripMargin
 
+  /** DuckDB twin of pqCodebooks+pqEncode over `embeddings` (m=PqM 16-dim
+    * subspaces, codewords = vec_id%50=0 rows, squared-L2 assignment with
+    * ties → smallest codeword id). Needs `v` from [[vecNormCte]]. Shared
+    * by q85 and q86. */
+  private lazy val pqCodeCte: String = {
+    val sub = 64 / PqM
+    s"""sub AS (SELECT vec_id, s, list_slice(e, s*$sub+1, s*$sub+$sub) AS sv
+       |       FROM v, (SELECT unnest(range($PqM)) AS s)),
+       |cw AS (SELECT vec_id AS cw_id, s, sv FROM sub WHERE vec_id % 50 = 0),
+       |code AS (SELECT vec_id, s, cw_id FROM (
+       | SELECT t.vec_id, t.s, c.cw_id,
+       |  row_number() OVER (PARTITION BY t.vec_id, t.s ORDER BY
+       |   list_reduce(list_transform(list_zip(t.sv, c.sv), z -> (z[1]-z[2])*(z[1]-z[2])), (x,y) -> x+y) ASC,
+       |   c.cw_id ASC) AS rn
+       | FROM sub t JOIN cw c USING (s)) WHERE rn = 1)""".stripMargin
+  }
+
   // -------------------------------------------------------------- oracleSql
 
   def oracleSql: Map[String, String] = Map(
@@ -1472,6 +1515,31 @@ object SparkEntry {
          | SELECT *, row_number() OVER (PARTITION BY query_id
          |                              ORDER BY cosine DESC, neighbor_id ASC) AS rank
          | FROM s) WHERE rank <= 5""".stripMargin,
+
+    // PQ codes: per-(vector, subspace) nearest codeword in squared L2.
+    "q85_pq_codes" ->
+      s"""WITH $vecNormCte,
+         |$pqCodeCte
+         |SELECT vec_id, CAST(s AS INTEGER) AS subspace, cw_id FROM code""".stripMargin,
+
+    // Asymmetric PQ top-k: true queries vs codeword reconstructions
+    // (flatten of the code's subvectors in subspace order).
+    "q86_pq_adc_topk" ->
+      s"""WITH $vecNormCte,
+         |$pqCodeCte,
+         |recon AS (SELECT co.vec_id, flatten(list(c.sv ORDER BY co.s)) AS e
+         |          FROM code co JOIN cw c ON co.s = c.s AND co.cw_id = c.cw_id
+         |          GROUP BY co.vec_id),
+         |rq AS (SELECT vec_id, e,
+         |        sqrt(list_reduce(list_transform(e, x -> x*x), (a,b) -> a+b)) AS nrm FROM recon),
+         |s2 AS (SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+         |        ${duckCosine("q", "r")} AS cosine
+         |       FROM (SELECT * FROM n WHERE vec_id < 10) q
+         |       JOIN rq r ON q.vec_id <> r.vec_id)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine FROM (
+         | SELECT *, row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         | FROM s2) WHERE rank <= 5""".stripMargin,
 
     "q25_daily_weather_summary" -> {
       // roundAt(c, 2) twin: floor(c*100.0+0.5)/100.0

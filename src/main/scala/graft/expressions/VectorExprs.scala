@@ -172,6 +172,62 @@ case class DotProductFD(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * Squared euclidean distance Σ (x_i − y_i)², same codegen/precision contract
+ * as the siblings: float→double per element, strict left-to-right fold — so
+ * the external SQL twin `list_reduce(list_transform(list_zip(a,b),
+ * z -> (z[1]-z[2])*(z[1]-z[2])), (x,y) -> x+y)` is bit-equal. Used by the
+ * product-quantization subspace assignment (PQ codebooks are trained and
+ * probed in L2, the standard metric for PQ residual energy).
+ */
+case class L2SqDistance(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_l2sq"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    val n = x.numElements()
+    while (i < n) {
+      val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (acc, n, i, d) =
+        (ctx.freshName("acc"), ctx.freshName("n"), ctx.freshName("i"), ctx.freshName("d"))
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  int $n = $a.numElements();
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+         |    $acc += $d * $d;
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
   /** Column API for the codegen cosine (drop-in for Vec.cosine on float arrays). */
   def cosine(a: Column, b: Column): Column =
@@ -185,5 +241,10 @@ object VectorExprs {
   /** float-array ⋅ double-array (for literal hyperplanes). */
   def dotFD(a: Column, b: Column): Column =
     GraftSqlBridge.column(DotProductFD(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Squared L2 distance between two float arrays (PQ subspace metric). */
+  def l2sq(a: Column, b: Column): Column =
+    GraftSqlBridge.column(L2SqDistance(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 }

@@ -427,6 +427,121 @@ object Similarity {
         coalesce(bestCos >= threshold, lit(false)).as("flagged"))
   }
 
+  // ------------------------------------------------------------------ PQ
+
+  /**
+   * Product quantization — the memory-compression scale path for embedding
+   * corpora (Jégou et al., "Product Quantization for Nearest Neighbor
+   * Search", 2011; public knowledge). The embedding splits into `m` equal
+   * subspaces; each subspace gets its own small codebook; a vector is
+   * stored as `m` codeword ids (64 float32 dims → 4 ids ≈ 16-64× smaller).
+   * At 100 TB the codes table is what sits in executor memory / the serving
+   * tier — the float corpus is read once at encode time and never again.
+   *
+   * Codebook frame shape (shared by all PQ operators): one row per
+   * (subspace, cw_id, cw) where `cw` is the codeword's subvector.
+   * [[pqCodebooks]] derives one from designated codeword rows (the naive,
+   * externally-recomputable convention — same role as q24's `vec_id % 50`
+   * centroids); [[pqTrainCodebooks]] runs per-subspace deterministic
+   * k-means (the production path — codebooks should minimize in-subspace
+   * residual energy, which is exactly per-subspace Lloyd's).
+   *
+   * Assignment metric is squared L2 per subspace (the standard PQ metric —
+   * cosine is meaningless on subvectors whose norms differ), ties → the
+   * smallest codeword id; every float folds left-to-right in double, so
+   * codes are bit-reproducible in external SQL.
+   */
+  def pqCodebooks(codewordRows: DataFrame, m: Int, idCol: String = "vec_id",
+                  embCol: String = "embedding"): DataFrame =
+    codewordRows
+      .select(col(idCol).as("cw_id"), col(embCol).as("__emb"),
+        explode(sequence(lit(0), lit(m - 1))).as("subspace"))
+      .select(col("subspace"), col("cw_id"),
+        slice(col("__emb"), col("subspace") * (size(col("__emb")) / m) + 1,
+          size(col("__emb")) / m).as("cw"))
+
+  /** Per-subspace deterministic k-means codebooks: subspace s's codebook =
+    * [[trainCentroidsL2]] over the corpus restricted to that slice (codeword
+    * ids are the trainer's 1..k). The L2 trainer, not the cosine one — PQ
+    * encodes by squared-L2 residual, and a cosine-trained codebook is
+    * norm-blind on subvectors (measurably WORSE than naive codewords on
+    * clustered data; SimilaritySpec pins the trained-beats-naive direction).
+    * m driver-sequential trainings of k centroids each — codebook training
+    * is sample-bounded and tiny next to the encode pass it feeds. */
+  def pqTrainCodebooks(vectors: DataFrame, m: Int, k: Int, iters: Int = 5,
+                       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val sub = size(col(embCol)) / m
+    (0 until m).map { s =>
+      trainCentroidsL2(
+        vectors.select(col(idCol).as("vec_id"),
+          slice(col(embCol), lit(s) * sub + 1, sub).as("embedding")),
+        k, iters)
+        .select(lit(s).as("subspace"), col("vec_id").as("cw_id"), col("embedding").as("cw"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /**
+   * Encode every vector as its `m` nearest-codeword ids. The codebook
+   * collapses to a ONE-ROW broadcast array (m·k subvectors ≈ k full
+   * vectors — always tiny), so encoding is a narrow per-row pass with ZERO
+   * corpus shuffles: the 100 TB corpus encodes at scan speed, exactly like
+   * quantizeInt8. Output: (vec_id, code: array<bigint>, ordered by
+   * subspace).
+   */
+  def pqEncode(vectors: DataFrame, codebooks: DataFrame, m: Int,
+               idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val cbArr = codebooks
+      .agg(array_sort(collect_list(struct(col("subspace"), col("cw_id"), col("cw")))).as("cb"))
+    val sub = size(col(embCol)) / m
+    val codes = (0 until m).map { s =>
+      val sv = slice(col(embCol), lit(s) * sub + 1, sub)
+      // argmin over the subspace's codewords; struct ordering = (d asc,
+      // cw_id asc), so ties resolve to the smallest codeword id
+      val scored = transform(
+        filter(col("cb"), c => c.getField("subspace") === s),
+        c => struct(VectorExprs.l2sq(sv, c.getField("cw")).as("d"),
+          c.getField("cw_id").as("cw_id")))
+      array_min(scored).getField("cw_id")
+    }
+    vectors.select(col(idCol).as("vec_id"), col(embCol))
+      .crossJoin(broadcast(cbArr))
+      .select(col("vec_id"), array(codes: _*).as("code"))
+  }
+
+  /** Reconstruct the quantized approximation of each coded vector: the
+    * concatenation of its codewords in subspace order. Same one-row
+    * broadcast codebook, zero shuffles over the codes table. */
+  def pqDecode(codes: DataFrame, codebooks: DataFrame, m: Int): DataFrame = {
+    val cbArr = codebooks
+      .agg(array_sort(collect_list(struct(col("subspace"), col("cw_id"), col("cw")))).as("cb"))
+    val recon = (0 until m).map { s =>
+      element_at(filter(col("cb"), c =>
+        c.getField("subspace") === s &&
+          c.getField("cw_id") === element_at(col("code"), s + 1)), 1).getField("cw")
+    }.reduce(concat(_, _))
+    codes.crossJoin(broadcast(cbArr))
+      .select(col("vec_id"), recon.as("embedding"))
+  }
+
+  /**
+   * Asymmetric-distance top-k over the PQ-compressed corpus: TRUE query
+   * vectors score against on-the-fly reconstructions (asymmetric = only the
+   * corpus side is quantized — measurably better recall than code-vs-code,
+   * per the PQ paper). Same broadcast-queries / corpus-never-shuffles /
+   * WindowGroupLimit shape as [[bruteForceKnn]].
+   *
+   * Scoring reconstructs then takes one codegen cosine over the full
+   * vector (fixed left-to-right association — externally verifiable). A
+   * serving-tier ADC would precompute the m×k LUT per query and sum m
+   * lookups instead; that changes the float association order (per-subspace
+   * partial sums), so we deliberately keep the reconstruction order — same
+   * flops, hash-verifiable, and the memory win (codes + small codebook
+   * resident, floats transient per row) is identical.
+   */
+  def pqAdcKnn(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
+               m: Int, k: Int): DataFrame =
+    bruteForceKnn(pqDecode(codes, codebooks, m), queries, k)
+
   /**
    * Deterministic Lloyd's k-means over the embedding column, so IVF/near-dup
    * bucketing is self-contained (no externally supplied centroids).
@@ -450,7 +565,33 @@ object Similarity {
    *  - each round is one broadcast-assign + one aggregation; labels never
    *    shuffle the corpus twice. localCheckpoint cuts the per-round lineage.
    */
-  def trainCentroids(vectors: DataFrame, k: Int, iters: Int = 5): DataFrame = {
+  def trainCentroids(vectors: DataFrame, k: Int, iters: Int = 5): DataFrame =
+    trainCentroidsImpl(vectors, k, iters, l2 = false)
+
+  /** [[trainCentroids]] under squared-L2 — the metric PQ codebooks need
+    * (Lloyd's with mean updates is the exact minimizer for L2, and only
+    * approximately sensible for cosine). Same deterministic init (distance
+    * function swapped), same DECIMAL-mean updates, same stale-centroid and
+    * duplicate-direction handling (for L2, "identical direction" becomes
+    * "identical point": dist 0 ⇒ stop). */
+  def trainCentroidsL2(vectors: DataFrame, k: Int, iters: Int = 5): DataFrame =
+    trainCentroidsImpl(vectors, k, iters, l2 = true)
+
+  /** Nearest-centroid assignment under squared L2 (min distance, ties →
+    * smallest centroid id) — the training/encode twin of
+    * [[assignToCentroids]]'s cosine argmax. Same single-shuffle shape. */
+  private def assignToCentroidsL2(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val c = broadcast(centroids.select(col("vec_id").as("centroid_id"), col("embedding").as("centv")))
+    vectors.select(col("vec_id"), col("embedding"))
+      .join(c)
+      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+        VectorExprs.l2sq(col("embedding"), col("centv")).as("d"))
+      .groupBy("vec_id")
+      .agg(min_by(col("centroid_id"), struct(col("d"), col("centroid_id"))).as("centroid_id"),
+        first(col("embedding")).as("embedding"))
+  }
+
+  private def trainCentroidsImpl(vectors: DataFrame, k: Int, iters: Int, l2: Boolean): DataFrame = {
     val spark = vectors.sparkSession
     val sampleSize = math.max(4 * k, 256)
     val sample = vectors
@@ -467,9 +608,16 @@ object Similarity {
       val denom = math.sqrt(na) * math.sqrt(nb)
       if (denom == 0.0) 1.0 else 1.0 - dot / denom
     }
+    def l2Dist(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
+      acc
+    }
+    def dist(a: Array[Float], b: Array[Float]): Double =
+      if (l2) l2Dist(a, b) else cosDist(a, b)
     val kEff = math.min(k, sample.length)
     val chosen = scala.collection.mutable.ArrayBuffer(0)
-    val minDist = sample.map(cosDist(_, sample(0)))
+    val minDist = sample.map(dist(_, sample(0)))
     var exhausted = false
     while (chosen.size < kEff && !exhausted) {
       var best = 0; var bestD = -1.0
@@ -482,7 +630,7 @@ object Similarity {
       else {
         chosen += best
         i = 0
-        while (i < sample.length) { val d = cosDist(sample(i), sample(best)); if (d < minDist(i)) minDist(i) = d; i += 1 }
+        while (i < sample.length) { val d = dist(sample(i), sample(best)); if (d < minDist(i)) minDist(i) = d; i += 1 }
       }
     }
     val initRows: java.util.List[org.apache.spark.sql.Row] = new java.util.ArrayList()
@@ -494,7 +642,9 @@ object Similarity {
       org.apache.spark.sql.types.StructField("embedding", vectors.schema("embedding").dataType)))
     var centroids = spark.createDataFrame(initRows, initSchema).localCheckpoint()
     for (_ <- 1 to iters) {
-      val members = assignToCentroids(vectors, centroids)
+      val members =
+        if (l2) assignToCentroidsL2(vectors, centroids)
+        else assignToCentroids(vectors, centroids)
       // per-dimension decimal-exact mean; collect_list(struct(dim, m)) is
       // re-sorted so the rebuilt array is position-stable
       val next = members

@@ -112,6 +112,71 @@ class SimilaritySpec extends SparkSpec {
     assert(trained > naive, s"trained $trained must beat naive $naive at equal nprobe")
   }
 
+  test("pqEncode assigns codeword rows to themselves; pqDecode reconstructs them exactly") {
+    // 8-dim vectors, m=2 subspaces of 4; rows 0 and 10 are the codewords
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f, 0f, 1f, 0f, 0f)),
+      (10L, Array(0f, 0f, 1f, 0f, 0f, 0f, 0f, 1f)),
+      // mixes codeword 0's first half with codeword 10's second half
+      (3L, Array(0.9f, 0.1f, 0f, 0f, 0f, 0.1f, 0f, 0.9f))).toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(vecs.where(col("vec_id") % 10 === 0), m = 2)
+    assert(cb.count() == 4) // 2 codewords × 2 subspaces
+    val codes = Similarity.pqEncode(vecs, cb, m = 2)
+    val byId = codes.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(byId(0L) == Seq(0L, 0L) && byId(10L) == Seq(10L, 10L),
+      s"codeword rows must self-assign, got $byId")
+    assert(byId(3L) == Seq(0L, 10L), "mixed row picks the nearest codeword per subspace")
+    // decode of a codeword row = the row itself, bit-for-bit
+    val recon = Similarity.pqDecode(codes, cb, m = 2).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(recon(0L) == Seq(1f, 0f, 0f, 0f, 0f, 1f, 0f, 0f))
+    assert(recon(3L) == Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 1f),
+      "mixed row reconstructs as its chosen codewords concatenated in subspace order")
+  }
+
+  test("pqAdcKnn ranks the exact-codeword match first (asymmetric scoring)") {
+    val rnd = new Random(11)
+    // corpus = noisy copies of two orthogonal prototypes; queries are the
+    // clean prototypes — ADC must put same-prototype members on top
+    val protoA = Array.tabulate(8)(i => if (i < 4) 1f else 0f)
+    val protoB = Array.tabulate(8)(i => if (i < 4) 0f else 1f)
+    val corpus = (1L to 20L).map { i =>
+      val p = if (i % 2 == 0) protoA else protoB
+      (i, p.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val queries = Seq((100L, protoA), (101L, protoB)).toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(corpus.where(col("vec_id") <= 2), m = 2)
+    val top = Similarity.pqAdcKnn(Similarity.pqEncode(corpus, cb, m = 2), cb,
+        queries, m = 2, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // every top-5 neighbor of each query shares its prototype's parity
+    (1 to 5).foreach { rk =>
+      assert(top((100L, rk)) % 2 == 0, s"query A rank $rk got ${top((100L, rk))}")
+      assert(top((101L, rk)) % 2 == 1, s"query B rank $rk got ${top((101L, rk))}")
+    }
+  }
+
+  test("trained PQ codebooks quantize with less distortion than naive ones") {
+    // recall@5 cannot separate codebook quality on tightly clustered data
+    // (same-cluster members collapse to near-identical reconstructions, so
+    // intra-cluster ranking is tie-noise for ANY codebook); the objective
+    // k-means actually minimizes — total squared reconstruction error — is
+    // the discriminating pin
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    val fx = graft.gen.ClusteredFixture.build(spark, n = 600).localCheckpoint()
+    def distortion(cb: org.apache.spark.sql.DataFrame): Double =
+      Similarity.pqDecode(Similarity.pqEncode(fx, cb, m = 4), cb, m = 4)
+        .withColumnsRenamed(Map("embedding" -> "recon"))
+        .join(fx, Seq("vec_id"))
+        .select(VectorExprs.l2sq(col("embedding"), col("recon")).as("e"))
+        .agg(fsum("e")).head.getDouble(0)
+    val naive = distortion(Similarity.pqCodebooks(fx.where(col("vec_id") % 50 === 0), m = 4))
+    val trained = distortion(Similarity.pqTrainCodebooks(fx, m = 4, k = 12, iters = 3)
+      .localCheckpoint())
+    assert(trained < naive * 0.8,
+      s"trained PQ distortion $trained should be well under naive $naive at equal k")
+  }
+
   test("trainCentroids caps k at the distinct directions in the sample (no duplicate centroids)") {
     // two distinct directions but k=4: farthest-point init must STOP once
     // every unchosen sample point is directionally identical to a chosen
