@@ -149,10 +149,18 @@ object Bench {
           .pqTrainCodebooks(fx, m = 4, k = 20, iters = 3).localCheckpoint()) /
         fxDistortion(graft.operators.Similarity
           .pqCodebooks(fx.where(col("vec_id") % 100 === 0), m = 4))
+      // composed IVF-PQ recall at the gated config (q87): coarse pruning
+      // loss × quantization loss — read against recall_ivf_at5 (pruning
+      // only) and recall_pq_at5 (quantization only)
+      val ivfPqRecall = graft.operators.Similarity.ivfPqKnn(
+          graft.operators.Similarity.ivfPqIndex(em, naiveCents, pqCb, m = 4),
+          naiveCents, pqCb, em.where(col("vec_id") < 10), m = 4, k = 5)
+        .select("query_id", "neighbor_id").intersect(brute).count() / bruteN
       s""","recall_ivf_at5":${f4(r24)},"recall_ivf_trained_at5":${f4(recallOf(1))}""" +
         s""","recall_ivf_trained_np4_at5":${f4(recallOf(4))}""" + pairRecall +
         s""","recall_fx_naive_at5":${f4(fxNaive)},"recall_fx_trained_at5":${f4(fxTrained)}""" +
-        s""","recall_pq_at5":${f4(pqRecall)},"pq_fx_distortion_ratio":${f4(fxPqRatio)}"""
+        s""","recall_pq_at5":${f4(pqRecall)},"pq_fx_distortion_ratio":${f4(fxPqRatio)}""" +
+        s""","recall_ivfpq_at5":${f4(ivfPqRecall)}"""
     } catch { case e: Throwable => System.err.println(s"[bench] recall failed: $e"); "" }
 
     // line budget: the driver's 2000-char stdout tail minus sbt's trailing

@@ -1002,10 +1002,31 @@ object SparkEntry {
       val cb = Similarity.pqCodebooks(em.where(col("vec_id") % 50 === 0), m = PqM)
       Similarity.pqAdcKnn(Similarity.pqEncode(em, cb, m = PqM), cb,
         em.where(col("vec_id") < 10), m = PqM, k = 5)
+    }),
+
+    // IVF-PQ composed search: the coarse inverted file (q24's %50 centroid
+    // convention) prunes to the query's bucket, PQ codes (q85's codebook
+    // convention) stand in for the floats — both layers externally
+    // re-derivable, so the COMPOSED index is oracle-checkable end to end.
+    "q87_ivfpq_topk" -> ((s, dir) => {
+      val em = t(s, dir, "embeddings")
+      val cents = em.where(col("vec_id") % 50 === 0)
+      val cb = Similarity.pqCodebooks(cents, m = PqM)
+      Similarity.ivfPqKnn(Similarity.ivfPqIndex(em, cents, cb, m = PqM),
+        cents, cb, em.where(col("vec_id") < 10), m = PqM, k = 5)
+    }),
+
+    // Bucketed hard-negative mining: per anchor, top-3 most-similar
+    // DIFFERENT-label vectors among its 2 probed centroid buckets (labels
+    // ride the zero-shuffle assignment — never a corpus re-join).
+    "q88_hard_negatives" -> ((s, dir) => {
+      val em = t(s, dir, "embeddings")
+      Similarity.hardNegatives(em, em.where(col("vec_id") % 50 === 0),
+        k = 3, nprobe = 2)
     })
   )
 
-  /** PQ subspace count shared by q85/q86 and their oracles (dim 64 → four
+  /** PQ subspace count shared by q85-q87 and their oracles (dim 64 → four
     * 16-dim subspaces). */
   private val PqM = 4
 
@@ -1278,6 +1299,16 @@ object SparkEntry {
        | FROM sub t JOIN cw c USING (s)) WHERE rn = 1)""".stripMargin
   }
 
+  /** PQ reconstructions with norms (views recon, rq) over [[pqCodeCte]]'s
+    * `code`/`cw` — the corpus side every asymmetric-distance oracle scores
+    * against. Shared by q86 and q87. */
+  private val pqReconCte: String =
+    """recon AS (SELECT co.vec_id, flatten(list(c.sv ORDER BY co.s)) AS e
+      |          FROM code co JOIN cw c ON co.s = c.s AND co.cw_id = c.cw_id
+      |          GROUP BY co.vec_id),
+      |rq AS (SELECT vec_id, e,
+      |        sqrt(list_reduce(list_transform(e, x -> x*x), (a,b) -> a+b)) AS nrm FROM recon)""".stripMargin
+
   // -------------------------------------------------------------- oracleSql
 
   def oracleSql: Map[String, String] = Map(
@@ -1527,11 +1558,7 @@ object SparkEntry {
     "q86_pq_adc_topk" ->
       s"""WITH $vecNormCte,
          |$pqCodeCte,
-         |recon AS (SELECT co.vec_id, flatten(list(c.sv ORDER BY co.s)) AS e
-         |          FROM code co JOIN cw c ON co.s = c.s AND co.cw_id = c.cw_id
-         |          GROUP BY co.vec_id),
-         |rq AS (SELECT vec_id, e,
-         |        sqrt(list_reduce(list_transform(e, x -> x*x), (a,b) -> a+b)) AS nrm FROM recon),
+         |$pqReconCte,
          |s2 AS (SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
          |        ${duckCosine("q", "r")} AS cosine
          |       FROM (SELECT * FROM n WHERE vec_id < 10) q
@@ -1540,6 +1567,49 @@ object SparkEntry {
          | SELECT *, row_number() OVER (PARTITION BY query_id
          |                              ORDER BY cosine DESC, neighbor_id ASC) AS rank
          | FROM s2) WHERE rank <= 5""".stripMargin,
+
+    // IVF-PQ: queries and corpus coarse-assigned to their nearest %50
+    // centroid (assign CTE); candidates = the query's bucket; scores = true
+    // query vs PQ reconstruction (asymmetric).
+    "q87_ivfpq_topk" ->
+      s"""WITH $vecNormCte,
+         |$centroidAssignCte,
+         |$pqCodeCte,
+         |$pqReconCte,
+         |a1 AS (SELECT vec_id, centroid_id FROM assign WHERE rn = 1),
+         |s2 AS (SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+         |        ${duckCosine("q", "r")} AS cosine
+         |       FROM (SELECT * FROM n WHERE vec_id < 10) q
+         |       JOIN a1 qa ON qa.vec_id = q.vec_id
+         |       JOIN a1 ca ON ca.centroid_id = qa.centroid_id
+         |       JOIN rq r ON r.vec_id = ca.vec_id AND r.vec_id <> q.vec_id)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine FROM (
+         | SELECT *, row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         | FROM s2) WHERE rank <= 5""".stripMargin,
+
+    // Hard negatives: anchors probe their top-2 centroid buckets (rn<=2),
+    // corpus single-assigned (rn=1); candidates must carry a DIFFERENT
+    // non-null label; top-3 per anchor by cosine (ties → smallest id).
+    // Assignment is per-row (broadcast centroids), so label-filtering
+    // after assignment ≡ the Spark side's filter-then-assign.
+    "q88_hard_negatives" ->
+      s"""WITH $vecNormCte,
+         |$centroidAssignCte,
+         |lbl AS (SELECT vec_id, label FROM embeddings WHERE label IS NOT NULL),
+         |ap AS (SELECT a.* FROM assign a JOIN lbl USING (vec_id) WHERE rn <= 2),
+         |c1 AS (SELECT a.* FROM assign a JOIN lbl USING (vec_id) WHERE rn = 1),
+         |s2 AS (SELECT x.vec_id AS anchor_id, y.vec_id AS negative_id,
+         |        ${duckCosine("x", "y")} AS cosine
+         |       FROM ap x JOIN c1 y
+         |         ON x.centroid_id = y.centroid_id AND x.vec_id <> y.vec_id
+         |       JOIN lbl la ON la.vec_id = x.vec_id
+         |       JOIN lbl lb ON lb.vec_id = y.vec_id
+         |       WHERE la.label <> lb.label)
+         |SELECT anchor_id, CAST(rank AS INTEGER) AS rank, negative_id, cosine FROM (
+         | SELECT *, row_number() OVER (PARTITION BY anchor_id
+         |                              ORDER BY cosine DESC, negative_id ASC) AS rank
+         | FROM s2) WHERE rank <= 3""".stripMargin,
 
     "q25_daily_weather_summary" -> {
       // roundAt(c, 2) twin: floor(c*100.0+0.5)/100.0

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.expressions.VectorExprs
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -489,39 +489,49 @@ object Similarity {
    * subspace).
    */
   def pqEncode(vectors: DataFrame, codebooks: DataFrame, m: Int,
-               idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val cbArr = codebooks
+               idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    vectors.select(col(idCol).as("vec_id"), col(embCol))
+      .crossJoin(broadcast(cbOneRow(codebooks)))
+      .select(col("vec_id"), pqCodeExpr(col(embCol), m).as("code"))
+
+  /** The codebook frame collapsed to a ONE-ROW sorted array (m·k codeword
+    * subvectors ≈ k full vectors — always tiny), the broadcast shape every
+    * PQ consumer shares. */
+  private def cbOneRow(codebooks: DataFrame): DataFrame =
+    codebooks
       .agg(array_sort(collect_list(struct(col("subspace"), col("cw_id"), col("cw")))).as("cb"))
-    val sub = size(col(embCol)) / m
+
+  /** `m` nearest-codeword ids for `emb` (needs the `cb` one-row array in
+    * scope): per-subspace argmin over struct (d asc, cw_id asc), so ties
+    * resolve to the smallest codeword id. */
+  private def pqCodeExpr(emb: Column, m: Int): Column = {
+    val sub = size(emb) / m
     val codes = (0 until m).map { s =>
-      val sv = slice(col(embCol), lit(s) * sub + 1, sub)
-      // argmin over the subspace's codewords; struct ordering = (d asc,
-      // cw_id asc), so ties resolve to the smallest codeword id
+      val sv = slice(emb, lit(s) * sub + 1, sub)
       val scored = transform(
         filter(col("cb"), c => c.getField("subspace") === s),
         c => struct(VectorExprs.l2sq(sv, c.getField("cw")).as("d"),
           c.getField("cw_id").as("cw_id")))
       array_min(scored).getField("cw_id")
     }
-    vectors.select(col(idCol).as("vec_id"), col(embCol))
-      .crossJoin(broadcast(cbArr))
-      .select(col("vec_id"), array(codes: _*).as("code"))
+    array(codes: _*)
   }
 
-  /** Reconstruct the quantized approximation of each coded vector: the
-    * concatenation of its codewords in subspace order. Same one-row
-    * broadcast codebook, zero shuffles over the codes table. */
-  def pqDecode(codes: DataFrame, codebooks: DataFrame, m: Int): DataFrame = {
-    val cbArr = codebooks
-      .agg(array_sort(collect_list(struct(col("subspace"), col("cw_id"), col("cw")))).as("cb"))
-    val recon = (0 until m).map { s =>
+  /** Codeword concatenation for the `code` column in subspace order (needs
+    * `cb` and `code` in scope). */
+  private def pqReconExpr(m: Int): Column =
+    (0 until m).map { s =>
       element_at(filter(col("cb"), c =>
         c.getField("subspace") === s &&
           c.getField("cw_id") === element_at(col("code"), s + 1)), 1).getField("cw")
     }.reduce(concat(_, _))
-    codes.crossJoin(broadcast(cbArr))
-      .select(col("vec_id"), recon.as("embedding"))
-  }
+
+  /** Reconstruct the quantized approximation of each coded vector: the
+    * concatenation of its codewords in subspace order. Same one-row
+    * broadcast codebook, zero shuffles over the codes table. */
+  def pqDecode(codes: DataFrame, codebooks: DataFrame, m: Int): DataFrame =
+    codes.crossJoin(broadcast(cbOneRow(codebooks)))
+      .select(col("vec_id"), pqReconExpr(m).as("embedding"))
 
   /**
    * Asymmetric-distance top-k over the PQ-compressed corpus: TRUE query
@@ -541,6 +551,109 @@ object Similarity {
   def pqAdcKnn(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
                m: Int, k: Int): DataFrame =
     bruteForceKnn(pqDecode(codes, codebooks, m), queries, k)
+
+  /**
+   * One-pass IVF-PQ index build: (vec_id, centroid_id, code) — the standard
+   * composed ANN index (Jégou et al. 2011): a coarse inverted file prunes
+   * the candidate set, PQ codes shrink what remains to ids. Both the coarse
+   * cosine argmax and the per-subspace L2 argmins run against one-row
+   * broadcast arrays, so the 100 TB corpus indexes at scan speed with ZERO
+   * shuffles ([[assignToCentroids]]'s aggregation shape isn't needed on the
+   * build side — an index entry lives in exactly one inverted list). Same
+   * tie-breaks as assignToCentroids (max cosine, ties → smallest centroid
+   * id; the (0.0 − cos, id) struct-min avoids negating ids) and
+   * [[pqEncode]], so the composed index is externally re-derivable. At
+   * production scale the output would be written `partitionBy(centroid_id)`
+   * once, making every probe a pruned partition read.
+   */
+  def ivfPqIndex(corpus: DataFrame, centroids: DataFrame, codebooks: DataFrame, m: Int,
+                 idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val centArr = centroids
+      .agg(array_sort(collect_list(struct(col("vec_id").as("cid"), col("embedding").as("cv")))).as("cents"))
+    val best = array_min(transform(col("cents"),
+      c => struct((lit(0.0) - VectorExprs.cosine(col(embCol), c.getField("cv"))).as("d"),
+        c.getField("cid").as("cid"))))
+    corpus.select(col(idCol).as("vec_id"), col(embCol))
+      .crossJoin(broadcast(centArr))
+      .crossJoin(broadcast(cbOneRow(codebooks)))
+      .select(col("vec_id"), best.getField("cid").as("centroid_id"),
+        pqCodeExpr(col(embCol), m).as("code"))
+  }
+
+  /**
+   * IVF-PQ search: a query probes its `nprobe` nearest centroids and only
+   * codes in the probed inverted lists reconstruct and score (asymmetric
+   * distance — true query vs codeword reconstruction). Per-query work is
+   * nprobe·(n/k) candidates instead of n, with PQ's memory win on top of
+   * the pruning win: at query time the floats never load at all — only
+   * ids + codes move. Queries broadcast (the bounded side); the index
+   * table never shuffles before the per-query top-k window
+   * (WindowGroupLimit-pushed). A corpus vector lives in exactly one list
+   * and a query's probed lists are distinct, so probes never duplicate a
+   * candidate — no dedup stage at any nprobe (the [[ivfKnn]] invariant).
+   */
+  def ivfPqKnn(index: DataFrame, centroids: DataFrame, codebooks: DataFrame,
+               queries: DataFrame, m: Int, k: Int, nprobe: Int = 1): DataFrame = {
+    val aq = assignToCentroids(queries, centroids, nprobe)
+      .withColumnsRenamed(Map("vec_id" -> "query_id", "embedding" -> "qv"))
+    val hits = index.join(broadcast(aq), Seq("centroid_id"))
+      .where(col("query_id") =!= col("vec_id"))
+      .crossJoin(broadcast(cbOneRow(codebooks)))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        VectorExprs.cosine(col("qv"), pqReconExpr(m)).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    hits.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /**
+   * Bucketed hard-negative mining for contrastive training: for every
+   * anchor vector, the top-`k` most-cosine-similar vectors carrying a
+   * DIFFERENT label, searched among vectors sharing one of the anchor's
+   * `nprobe` nearest centroid buckets. Hard negatives (similar embedding,
+   * different label) are what make contrastive/metric objectives sharpen —
+   * random negatives are trivially separable (public knowledge; e.g. the
+   * DPR/SimCLR line of work).
+   *
+   * Every anchor mines, so a broadcast-queries shape is impossible — this
+   * is the [[embeddingNearDupPairs]] regime instead: centroid assignment
+   * stays a zero-shuffle one-row-broadcast argmax (labels ride along — no
+   * re-join), the bucket equi-join shuffles on centroid_id, in-bucket work
+   * is Σ bucket² ≈ n²·nprobe/k, so k grows with the corpus (the
+   * centroid-count law). The corpus side is single-assigned and an
+   * anchor's probes are distinct buckets, so candidates never duplicate.
+   * NULL-labeled vectors drop from both sides (a null can't assert
+   * "different"). Ties → smallest negative id.
+   */
+  def hardNegatives(vectors: DataFrame, centroids: DataFrame, k: Int,
+                    nprobe: Int = 1, idCol: String = "vec_id",
+                    embCol: String = "embedding", labelCol: String = "label"): DataFrame = {
+    val centArr = centroids
+      .agg(array_sort(collect_list(struct(col("vec_id").as("cid"), col("embedding").as("cv")))).as("cents"))
+    // (0.0 − cos, cid) ascending ≡ cosine desc with smallest-id tie-break —
+    // the assignToCentroids contract as a pure per-row expression
+    val ranked = array_sort(transform(col("cents"),
+      c => struct((lit(0.0) - VectorExprs.cosine(col(embCol), c.getField("cv"))).as("d"),
+        c.getField("cid").as("cid"))))
+    val base = vectors.where(col(labelCol).isNotNull)
+      .crossJoin(broadcast(centArr))
+    val anchors = base.select(col(idCol).as("anchor_id"), col(embCol).as("av"),
+      col(labelCol).as("albl"),
+      explode(transform(slice(ranked, 1, nprobe), p => p.getField("cid"))).as("centroid_id"))
+    val corpus = base.select(col(idCol).as("negative_id"), col(embCol).as("nv"),
+      col(labelCol).as("nlbl"), element_at(ranked, 1).getField("cid").as("centroid_id"))
+    val hits = anchors.join(corpus, Seq("centroid_id"))
+      .where(col("albl") =!= col("nlbl"))
+      .select(col("anchor_id"), col("negative_id"),
+        VectorExprs.cosine(col("av"), col("nv")).as("cosine"))
+    val w = Window.partitionBy("anchor_id")
+      .orderBy(col("cosine").desc, col("negative_id").asc)
+    hits.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("anchor_id", "rank", "negative_id", "cosine")
+  }
 
   /**
    * Deterministic Lloyd's k-means over the embedding column, so IVF/near-dup

@@ -136,4 +136,34 @@ class PlanShapeSpec extends SparkSpec {
       exchanges(plan("q50_sequence_packing")),
       "the per-sequence explode is a narrow generator over q50's window")
   }
+
+  test("PQ encode is a zero-shuffle scan-speed pass (codebook one-row broadcast)") {
+    val p = plan("q85_pq_codes")
+    // the only exchanges are the codebook collapse (single-partition over
+    // m·k codeword rows) and its broadcast — the corpus never shuffles
+    assert(!p.contains("Exchange hashpartitioning"))
+    assert(p.contains("BroadcastNestedLoopJoin"), "one-row codebook build side")
+  }
+
+  test("IVF-PQ: index build never shuffles the corpus; search keeps rank pushdown") {
+    val em = SparkEntry.queries("q87_ivfpq_topk")(spark, sf)
+    val p = em.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), "per-query top-k must push down")
+    // the hash exchanges are the query-side assignToCentroids aggregation
+    // and the top-k window — both query-cardinality; the index scan side
+    // reaches the probe join without a single corpus shuffle
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2,
+      "corpus/index side must stay shuffle-free before the probe join")
+  }
+
+  test("hard negatives: labels ride the assignment — no corpus re-join, rank pushed") {
+    val p = plan("q88_hard_negatives")
+    assert(p.contains("WindowGroupLimit"), "per-anchor top-k must push down")
+    assert(!p.contains("BroadcastNestedLoopJoin") ||
+      p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 2,
+      "only the one-row centroid-array broadcasts may BNLJ")
+    // one bucket equi-join: anchors × corpus on centroid_id — the two hash
+    // exchanges it needs, plus the top-k window
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 3)
+  }
 }

@@ -156,6 +156,71 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfPqIndex = assignToCentroids(nprobe=1) ⊗ pqEncode, in one pass") {
+    val rnd = new Random(7)
+    val vecs = (1L to 120L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val cents = vecs.where(col("vec_id") % 30 === 0)
+    val cb = Similarity.pqCodebooks(cents, m = 4)
+    val idx = Similarity.ivfPqIndex(vecs, cents, cb, m = 4)
+    val viaAssign = Similarity.assignToCentroids(vecs, cents)
+      .select("vec_id", "centroid_id")
+    assert(idx.select("vec_id", "centroid_id")
+      .exceptAll(viaAssign).isEmpty && viaAssign.exceptAll(
+        idx.select("vec_id", "centroid_id")).isEmpty,
+      "one-pass coarse assignment must equal assignToCentroids")
+    val viaEncode = Similarity.pqEncode(vecs, cb, m = 4)
+    assert(idx.select("vec_id", "code").exceptAll(viaEncode).isEmpty,
+      "one-pass codes must equal pqEncode")
+  }
+
+  test("ivfPqKnn probing every bucket equals pqAdcKnn (full asymmetric scan)") {
+    val rnd = new Random(13)
+    val vecs = (1L to 100L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val cents = vecs.where(col("vec_id") % 25 === 0) // 4 centroids
+    val cb = Similarity.pqCodebooks(cents, m = 4)
+    val queries = vecs.where(col("vec_id") <= 5)
+    val full = Similarity.pqAdcKnn(Similarity.pqEncode(vecs, cb, m = 4), cb,
+      queries, m = 4, k = 4).orderBy("query_id", "rank").collect()
+    val ivf = Similarity.ivfPqKnn(Similarity.ivfPqIndex(vecs, cents, cb, m = 4),
+      cents, cb, queries, m = 4, k = 4, nprobe = 4)
+      .orderBy("query_id", "rank").collect()
+    assert(ivf.toSeq == full.toSeq,
+      "nprobe = #centroids must reduce IVF-PQ to the full asymmetric scan")
+  }
+
+  test("hardNegatives returns only different-label neighbors, drops null labels") {
+    // two tight direction clusters; labels interleave within each cluster so
+    // the nearest different-label vector is a same-cluster neighbor
+    val rnd = new Random(5)
+    val protoA = Array.tabulate(8)(i => if (i < 4) 1f else 0f)
+    val protoB = Array.tabulate(8)(i => if (i < 4) 0f else 1f)
+    val rows = (1L to 40L).map { i =>
+      val p = if (i <= 20) protoA else protoB
+      val lbl: Integer = if (i % 10 == 0) null else Int.box((i % 2).toInt)
+      (i, p.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f), lbl)
+    }.toDF("vec_id", "embedding", "label")
+    val cents = rows.where(col("vec_id").isin(1L, 21L))
+    val out = Similarity.hardNegatives(rows, cents, k = 3, nprobe = 1)
+    val withLabels = out
+      .join(rows.select(col("vec_id").as("anchor_id"), col("label").as("albl")), "anchor_id")
+      .join(rows.select(col("vec_id").as("negative_id"), col("label").as("nlbl")), "negative_id")
+    assert(withLabels.where(col("albl") === col("nlbl")).isEmpty,
+      "a hard negative must carry a different label")
+    assert(withLabels.where(col("albl").isNull || col("nlbl").isNull).isEmpty,
+      "null-labeled vectors take no part")
+    // every labeled anchor has same-bucket different-label candidates here,
+    // so each yields a full top-3
+    val anchors = out.select("anchor_id").distinct().count()
+    assert(anchors == 36 && out.count() == 36 * 3,
+      s"expected 36 anchors x 3 negatives, got $anchors anchors, ${out.count()} rows")
+    // negatives must come from the anchor's own probed bucket: cross-proto
+    // cosine is ~0 while in-cluster is ~1 — check mined cosines are high
+    val minCos = out.agg(min("cosine")).head.getDouble(0)
+    assert(minCos > 0.8, s"in-bucket hard negatives should be near neighbors, min cos $minCos")
+  }
+
   test("trained PQ codebooks quantize with less distortion than naive ones") {
     // recall@5 cannot separate codebook quality on tightly clustered data
     // (same-cluster members collapse to near-identical reconstructions, so
