@@ -271,12 +271,31 @@ object SparkEntry {
   private def duckHash(expr: String): String =
     s"CAST(('0x' || substr(md5($expr),1,15)) AS BIGINT)"
 
-  /** DuckDB twin of Text.shingleSet (distinct word 3-grams). */
-  private def duckShingleSet(textCol: String, n: Int): String =
-    s"""list_distinct(CASE WHEN len(string_split($textCol,' ')) < $n THEN []
+  /** DuckDB twin of Text.shingles (word n-grams WITH multiplicity). */
+  private def duckShingles(textCol: String, n: Int): String =
+    s"""CASE WHEN len(string_split($textCol,' ')) < $n THEN []
        | ELSE list_transform(range(1, len(string_split($textCol,' '))-${n - 1}+1),
        |   i -> array_to_string(list_slice(string_split($textCol,' '), i, i+${n - 1}), ' '))
-       | END)""".stripMargin
+       | END""".stripMargin
+
+  /** DuckDB twin of Text.shingleSet (distinct word 3-grams). */
+  private def duckShingleSet(textCol: String, n: Int): String =
+    s"list_distinct(${duckShingles(textCol, n)})"
+
+  /** DuckDB twin of the q89/q90 hashed-bigram feature pipeline: views fs
+    * (per-doc features with the English-target flag), bu (hash buckets),
+    * ft (the bucket → target/raw count table). Sums CAST to BIGINT — a
+    * bare DuckDB sum() is HUGEINT and would hash-mismatch (the q50
+    * lesson). */
+  private lazy val featTableCte: String =
+    s"""fs AS (SELECT doc_id, (lang = 'en') AS t,
+       |        unnest(${duckShingles("text", 2)}) AS f
+       |       FROM documents),
+       |bu AS (SELECT doc_id, t, ${duckHash("f")} % $FeatBuckets AS bucket FROM fs),
+       |ft AS (SELECT bucket,
+       |        CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS tgt_count,
+       |        count(*) AS raw_count
+       |       FROM bu GROUP BY bucket)""".stripMargin
 
   // ---------------------------------------------------------------- queries
 
@@ -1023,8 +1042,31 @@ object SparkEntry {
       val em = t(s, dir, "embeddings")
       Similarity.hardNegatives(em, em.where(col("vec_id") % 50 === 0),
         k = 3, nprobe = 2)
+    }),
+
+    // DSIR-style hashed-bigram feature distribution table (target =
+    // English docs, the in-domain exemplar set): per-bucket target/raw
+    // counts — the broadcast-sized model behind importance weighting.
+    "q89_feature_table" -> ((s, dir) =>
+      graft.operators.CorpusStats.hashedFeatureTable(
+        t(s, dir, "documents").withColumn("is_tgt", col("lang") === "en"),
+        "is_tgt", "text", n = 2, buckets = FeatBuckets)),
+
+    // Per-doc target-affinity masses: the exact-integer core of the DSIR
+    // importance weight (the libm log-ratio itself is spec-gated —
+    // importanceWeights sums per-bucket log-ratios in DECIMAL for
+    // partitioning-independence, with Scala-twin parity pinned).
+    "q90_target_affinity" -> ((s, dir) => {
+      val d = t(s, dir, "documents").withColumn("is_tgt", col("lang") === "en")
+      graft.operators.CorpusStats.targetAffinity(d,
+        graft.operators.CorpusStats.hashedFeatureTable(d, "is_tgt", "text",
+          n = 2, buckets = FeatBuckets),
+        "doc_id", "text", n = 2, buckets = FeatBuckets)
     })
   )
+
+  /** Hash-bucket count for the DSIR feature table (q89/q90 and oracles). */
+  private val FeatBuckets = 4096
 
   /** PQ subspace count shared by q85-q87 and their oracles (dim 64 → four
     * 16-dim subspaces). */
@@ -1610,6 +1652,25 @@ object SparkEntry {
          | SELECT *, row_number() OVER (PARTITION BY anchor_id
          |                              ORDER BY cosine DESC, negative_id ASC) AS rank
          | FROM s2) WHERE rank <= 3""".stripMargin,
+
+    // DSIR feature table: hashed-bigram target/raw counts per bucket.
+    "q89_feature_table" ->
+      s"""WITH $featTableCte
+         |SELECT bucket, tgt_count, raw_count FROM ft""".stripMargin,
+
+    // Per-doc affinity masses over the feature table (featureless docs —
+    // none in this corpus, but the contract emits them — keep a zero row
+    // via the LEFT JOIN).
+    "q90_target_affinity" ->
+      s"""WITH $featTableCte,
+         |agg AS (SELECT doc_id, count(*) AS n_feats,
+         |         CAST(sum(ft.tgt_count) AS BIGINT) AS tgt_mass,
+         |         CAST(sum(ft.raw_count) AS BIGINT) AS raw_mass
+         |        FROM bu JOIN ft USING (bucket) GROUP BY doc_id)
+         |SELECT d.doc_id AS id, CAST(coalesce(a.n_feats, 0) AS BIGINT) AS n_feats,
+         |       CAST(coalesce(a.tgt_mass, 0) AS BIGINT) AS tgt_mass,
+         |       CAST(coalesce(a.raw_mass, 0) AS BIGINT) AS raw_mass
+         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     "q25_daily_weather_summary" -> {
       // roundAt(c, 2) twin: floor(c*100.0+0.5)/100.0

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.Text
+import graft.functions.{Hashing, Text}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -233,4 +233,104 @@ object CorpusStats {
       .withColumn("oov_rate",
         col("oov_count").cast("double") / col("n_tokens").cast("double"))
   }
+
+  // --------------------------------------------- importance-weighted selection
+
+  /**
+   * Hashed n-gram feature distribution table for importance-weighted data
+   * selection (the DSIR recipe — Xie et al., "Data Selection for Language
+   * Models via Importance Resampling", 2023; public knowledge): word n-gram
+   * features fold into `buckets` hash buckets, and the table holds the
+   * TARGET (rows where `targetCol` is true — the in-domain exemplar set)
+   * and RAW (every row) feature counts per bucket. Features count with
+   * MULTIPLICITY ([[Text.shingles]], not the distinct set) — the hashed
+   * multinomial is DSIR's model, and a document that repeats an in-domain
+   * phrase is more in-domain, not equally so.
+   *
+   * One map-side-combined aggregation; output cardinality ≤ `buckets`
+   * regardless of corpus size — at 100 TB the table is still a broadcast.
+   * Buckets the corpus never emits are simply absent (consumers smooth
+   * them with add-α at read time).
+   */
+  def hashedFeatureTable(docs: DataFrame, targetCol: String, textCol: String,
+                         n: Int = 2, buckets: Int = 4096): DataFrame =
+    docs.select(col(targetCol).cast("boolean").as("__t"),
+        explode(Text.shingles(col(textCol), n)).as("f"))
+      .select(col("__t"),
+        pmod(Hashing.stableHash60(col("f")), lit(buckets.toLong)).as("bucket"))
+      .groupBy("bucket")
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("tgt_count"),
+        count(lit(1)).as("raw_count"))
+
+  /** Doc-id → hashed feature stream (explode_outer so featureless docs —
+    * shorter than n tokens — keep one null-bucket row instead of
+    * vanishing). Shared by [[targetAffinity]] and [[importanceWeights]]. */
+  private def hashedFeatures(docs: DataFrame, idCol: String, textCol: String,
+                             n: Int, buckets: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode_outer(Text.shingles(col(textCol), n)).as("f"))
+      .select(col("id"), when(col("f").isNotNull,
+        pmod(Hashing.stableHash60(col("f")), lit(buckets.toLong))).as("bucket"))
+
+  /**
+   * Per-document target-affinity masses over the feature table: exact
+   * integer sums Σ_f∈doc tgt_count(f) and Σ_f∈doc raw_count(f) plus the
+   * doc's feature count — the engine-portable core of the importance
+   * weight (the float log-ratio itself is [[importanceWeights]]; these
+   * integers are what an external engine can re-derive bit-for-bit).
+   * Featureless docs emit a zero row. The table broadcasts (≤ `buckets`
+   * rows); the only corpus shuffle is the doc-keyed regroup.
+   */
+  def targetAffinity(docs: DataFrame, featureTable: DataFrame, idCol: String,
+                     textCol: String, n: Int = 2, buckets: Int = 4096): DataFrame =
+    hashedFeatures(docs, idCol, textCol, n, buckets)
+      .join(broadcast(featureTable), Seq("bucket"), "left")
+      .groupBy("id")
+      .agg(
+        sum(when(col("bucket").isNotNull, 1L).otherwise(0L)).as("n_feats"),
+        sum(coalesce(col("tgt_count"), lit(0L))).as("tgt_mass"),
+        sum(coalesce(col("raw_count"), lit(0L))).as("raw_mass"))
+
+  /**
+   * DSIR importance weight per document: log λ(d) = Σ_f∈doc
+   * [ln p̂_tgt(f) − ln p̂_raw(f)] under the add-α-smoothed hashed
+   * multinomial (α on every one of the `buckets` cells, so absent buckets
+   * get the uniform-smoothing log-ratio, not zero). Per-feature log-ratios
+   * are libm doubles — deliberately NOT oracle-hashed (the exact-integer
+   * core is gated via [[targetAffinity]]); the per-doc SUM runs in
+   * DECIMAL, so weights are bit-identical on any partitioning — same
+   * corpus, same weights, any cluster. Featureless docs weigh 0.
+   *
+   * The bucket-level log-ratio is computed ONCE on the `buckets`-row
+   * table, then broadcast into the corpus-side stream — the corpus pass
+   * stays a join + one doc-keyed aggregation, no per-occurrence logs.
+   */
+  def importanceWeights(docs: DataFrame, featureTable: DataFrame, idCol: String,
+                        textCol: String, n: Int = 2, buckets: Int = 4096,
+                        alpha: Double = 0.5): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    val totals = featureTable
+      .agg(sum("tgt_count").as("__T"), sum("raw_count").as("__R"))
+    val denomT = col("__T").cast("double") + lit(alpha * buckets)
+    val denomR = col("__R").cast("double") + lit(alpha * buckets)
+    val scored = featureTable.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (log((col("tgt_count").cast("double") + alpha) / denomT) -
+          log((col("raw_count").cast("double") + alpha) / denomR)).cast(dec).as("__lr"))
+    val absentLr = (log(lit(alpha) / denomT) - log(lit(alpha) / denomR)).cast(dec)
+    hashedFeatures(docs, idCol, textCol, n, buckets)
+      .join(broadcast(scored), Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("id"), when(col("bucket").isNotNull,
+        coalesce(col("__lr"), absentLr)).as("__lr"))
+      .groupBy("id")
+      .agg(coalesce(sum(col("__lr")), lit(0).cast(dec)).cast("double").as("log_weight"))
+  }
+
+  /** Deterministic selection on the weights: top `nOut` docs by log-weight,
+    * ties → smallest id (a TakeOrdered, never a global sort). DSIR proper
+    * resamples with Gumbel noise; a seeded-hash Gumbel can be layered on,
+    * but the ranked cut is the reproducible default. */
+  def topByWeight(weights: DataFrame, nOut: Int): DataFrame =
+    weights.orderBy(col("log_weight").desc, col("id").asc).limit(nOut)
 }

@@ -166,4 +166,16 @@ class PlanShapeSpec extends SparkSpec {
     // exchanges it needs, plus the top-k window
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 3)
   }
+
+  test("DSIR: feature table is one map-side aggregation; affinity broadcasts it") {
+    val p89 = plan("q89_feature_table")
+    assert(p89.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      "bucket-bounded aggregation must be the only exchange")
+    val p90 = plan("q90_target_affinity")
+    assert(p90.contains("BroadcastHashJoin"),
+      "the buckets-row feature table must broadcast into the feature stream")
+    assert(!p90.contains("SortMergeJoin") && !p90.contains("BroadcastNestedLoopJoin"))
+    assert(p90.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2,
+      "table build + per-doc regroup are the only exchanges")
+  }
 }

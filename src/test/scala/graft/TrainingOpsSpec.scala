@@ -172,6 +172,78 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got.head.getLong(2) == 2L) // only the two c's are OOV
   }
 
+  // ---- DSIR importance weighting ----
+
+  private def dsirFixture = {
+    // target-domain docs share the "data pipeline" phrasing; out-domain
+    // docs talk about cooking; one mixed doc sits between
+    Seq(
+      (1L, "the data pipeline loads the data pipeline tables", true),
+      (2L, "a data pipeline writes data pipeline outputs", true),
+      (3L, "simmer the onions then roast the carrots slowly", false),
+      (4L, "whisk the eggs and fold the flour gently", false),
+      (5L, "the data pipeline bakes carrots", false)
+    ).toDF("doc_id", "text", "is_tgt")
+  }
+
+  test("importanceWeights ranks in-domain text above out-domain text") {
+    val docs = dsirFixture
+    val ft = CorpusStats.hashedFeatureTable(docs, "is_tgt", "text", n = 2, buckets = 256)
+    val w = CorpusStats.importanceWeights(docs, ft, "doc_id", "text", n = 2, buckets = 256)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w(1L) > w(5L) && w(2L) > w(5L),
+      s"pure target docs must outscore the mixed doc: $w")
+    assert(w(5L) > w(3L) && w(5L) > w(4L),
+      s"the mixed doc must outscore pure out-domain docs: $w")
+    val top = CorpusStats.topByWeight(
+      CorpusStats.importanceWeights(docs, ft, "doc_id", "text", n = 2, buckets = 256), 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(top == Set(1L, 2L), s"top-2 selection must be the target docs, got $top")
+  }
+
+  test("importanceWeights is partitioning-independent and matches a driver twin") {
+    val docs = dsirFixture
+    val ft = CorpusStats.hashedFeatureTable(docs, "is_tgt", "text", n = 2, buckets = 256)
+    def run(parts: Int): Map[Long, Double] =
+      CorpusStats.importanceWeights(docs.repartition(parts), ft, "doc_id", "text",
+        n = 2, buckets = 256).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val w1 = run(1)
+    assert(w1 == run(7), "DECIMAL-summed weights must not depend on partitioning")
+    // driver twin: same smoothing, same per-bucket log-ratio, BigDecimal sum
+    val alpha = 0.5
+    val b = 256
+    val table = ft.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val tTot = table.values.map(_._1).sum.toDouble
+    val rTot = table.values.map(_._2).sum.toDouble
+    val twin = dsirFixture.collect().map { r =>
+      val toks = r.getString(1).split(" ")
+      val feats = toks.sliding(2).map(_.mkString(" ")).toSeq
+      val lw = feats.map { f =>
+        val bucket = graft.functions.Hashing.stableHash60Scala(f) % b
+        val (tc, rc) = table.getOrElse(bucket, (0L, 0L))
+        BigDecimal(math.log((tc.toDouble + alpha) / (tTot + alpha * b)) -
+          math.log((rc.toDouble + alpha) / (rTot + alpha * b)))
+          .setScale(18, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble
+      r.getLong(0) -> lw
+    }.toMap
+    for ((id, v) <- twin)
+      assert(math.abs(w1(id) - v) < 1e-9, s"doc $id: spark ${w1(id)} vs twin $v")
+  }
+
+  test("targetAffinity and importanceWeights emit zero rows for featureless docs") {
+    val docs = Seq((1L, "data pipeline runs", true), (2L, "word", false))
+      .toDF("doc_id", "text", "is_tgt")
+    val ft = CorpusStats.hashedFeatureTable(docs, "is_tgt", "text", n = 2, buckets = 64)
+    val aff = CorpusStats.targetAffinity(docs, ft, "doc_id", "text", n = 2, buckets = 64)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(aff(2L) == ((0L, 0L, 0L)), "a doc shorter than n tokens keeps a zero row")
+    assert(aff(1L)._1 == 2L)
+    val w = CorpusStats.importanceWeights(docs, ft, "doc_id", "text", n = 2, buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w(2L) == 0.0, "featureless docs weigh exactly zero")
+  }
+
   // ---- Int8 quantization ----
 
   test("quantizeInt8 round-trips within half a scale step and hits the extremes") {
