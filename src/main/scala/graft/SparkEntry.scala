@@ -1062,6 +1062,21 @@ object SparkEntry {
         graft.operators.CorpusStats.hashedFeatureTable(d, "is_tgt", "text",
           n = 2, buckets = FeatBuckets),
         "doc_id", "text", n = 2, buckets = FeatBuckets)
+    }),
+
+    // Salted skew join: fact side salted by a row-varying column, dim
+    // replicated per salt, equi-join on (key, salt) — the hot-key rows
+    // spread over 8 reducers. Result ≡ the plain join (the oracle).
+    "q91_salted_join" -> ((s, dir) => {
+      import Aggregates._
+      graft.operators.Skew.saltedJoin(
+          t(s, dir, "lineitem"),
+          t(s, dir, "part").withColumnRenamed("p_partkey", "l_partkey"),
+          Seq("l_partkey"), bigSaltCol = "l_orderkey", saltBuckets = 8)
+        .groupBy("p_brand")
+        .agg(
+          exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
     })
   )
 
@@ -1671,6 +1686,16 @@ object SparkEntry {
          |       CAST(coalesce(a.tgt_mass, 0) AS BIGINT) AS tgt_mass,
          |       CAST(coalesce(a.raw_mass, 0) AS BIGINT) AS raw_mass
          |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // Salted join ≡ plain join: the oracle is the UNSALTED equi-join —
+    // any salting artifact (dropped row, double-count from a bad
+    // replicate range) breaks the hash.
+    "q91_salted_join" ->
+      """SELECT p_brand,
+        | CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        | CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN part ON l_partkey=p_partkey
+        |GROUP BY p_brand""".stripMargin,
 
     "q25_daily_weather_summary" -> {
       // roundAt(c, 2) twin: floor(c*100.0+0.5)/100.0

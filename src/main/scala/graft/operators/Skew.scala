@@ -39,4 +39,40 @@ object Skew {
         sum(col("__psum")).as(s"sum_$valueCol"),
         sum(col("__pcnt")).as("cnt"))
   }
+
+  /**
+   * Salted equi-join for skewed keys: the big (skewed) side gets a
+   * deterministic salt, the small side is replicated once per salt value,
+   * and the join runs on (keys, salt) — the hot key's rows spread over
+   * `saltBuckets` reducers instead of stalling one.
+   *
+   * When to reach for this at 100 TB: the small side is too big to
+   * broadcast (broadcast joins have no skew problem — prefer them when
+   * the dim fits) and AQE's skew-join split doesn't apply (it only splits
+   * sort-merge partitions in batch; salting also works under streaming
+   * micro-batches and for downstream keyed aggregations that inherit the
+   * join partitioning). Cost: the replicated side shuffles
+   * `saltBuckets × |small|` rows — the explicit price of splitting the
+   * hot key's |big| rows `saltBuckets` ways. The salt is a hash of a
+   * row-varying big-side column (NOT rand()), so plans are deterministic
+   * and retries/speculative tasks can't double-count.
+   *
+   * `keys` must exist on both sides with the same names (rename before
+   * calling); the joined output carries one copy of each key, no salt.
+   * Supported joinTypes: "inner" and "left" (every (key, salt) pair of
+   * the small side exists on the replicated side, so left-join null
+   * semantics are unchanged).
+   */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 bigSaltCol: String, saltBuckets: Int,
+                 joinType: String = "inner"): DataFrame = {
+    require(saltBuckets > 0, "saltBuckets must be positive")
+    require(joinType == "inner" || joinType == "left",
+      s"saltedJoin supports inner/left, got $joinType")
+    val saltedBig = big.withColumn("__salt",
+      pmod(hash(col(bigSaltCol)), lit(saltBuckets)))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    saltedBig.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+  }
 }

@@ -20,6 +20,29 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("saltedJoin equals the plain join (inner and left), and spreads the hot key") {
+    // 4950 rows on one hot key joined against a 120-row dim
+    val big = (1 to 5000)
+      .map(i => (if (i % 100 == 0) "cold" + (i % 7) else "HOT", i.toLong))
+      .toDF("k", "id")
+    val small = (0 to 6).flatMap(j => Seq(("cold" + j, s"dim$j"), ("HOT", "dimHot")))
+      .toDF("k", "name").where(col("name") =!= "dim5") // leave one big key unmatched
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+
+    val inner = Skew.saltedJoin(big, small, Seq("k"), "id", saltBuckets = 8)
+    assert(canon(inner) == canon(big.join(small, Seq("k"), "inner")))
+    val left = Skew.saltedJoin(big, small, Seq("k"), "id", saltBuckets = 8, joinType = "left")
+    assert(canon(left) == canon(big.join(small, Seq("k"), "left")))
+
+    // the skew claim itself: the hot key's rows occupy ALL salt buckets
+    // (4950 distinct ids hash across 8 buckets), so no single reducer
+    // sees the whole key
+    val saltsUsed = big.where(col("k") === "HOT")
+      .select(pmod(hash(col("id")), lit(8)).as("s")).distinct().count()
+    assert(saltsUsed == 8, s"hot key covered only $saltsUsed/8 salt buckets")
+  }
+
   test("AQE is live: post-shuffle partitions coalesce under the session contract") {
     // the spec session is built through GraftSession.configure (SparkSpec),
     // so this gates the CONTRACT's adaptive flags, not Spark defaults: a
