@@ -1077,7 +1077,15 @@ object SparkEntry {
         .agg(
           exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
           count(lit(1)).as("n_items"))
-    })
+    }),
+
+    // Fuzzy (edit-distance ≤ 1) duplicate pairs via deletion-neighborhood
+    // blocking — record-linkage / typo detection. Exact: blocked ≡ naive
+    // all-pairs (DedupSpec); the oracle re-blocks in SQL over raw variant
+    // strings (no hashing), independently validating the hash path.
+    "q92_fuzzy_name_pairs" -> ((s, dir) =>
+      graft.operators.Dedup.editDistancePairs(
+        t(s, dir, "customer"), "c_custkey", "c_name")),
   )
 
   /** Hash-bucket count for the DSIR feature table (q89/q90 and oracles). */
@@ -1696,6 +1704,19 @@ object SparkEntry {
         | CAST(count(*) AS BIGINT) AS n_items
         |FROM lineitem JOIN part ON l_partkey=p_partkey
         |GROUP BY p_brand""".stripMargin,
+
+    // Deletion-neighborhood fuzzy pairs: the oracle blocks on the RAW
+    // deletion-variant strings (candidates complete for lev ≤ 1), then
+    // verifies — sub-quadratic in DuckDB too, no hash involved.
+    "q92_fuzzy_name_pairs" ->
+      """WITH v AS (SELECT c_custkey AS id, c_name AS s,
+        |  unnest(generate_series(0, len(c_name))) AS i FROM customer),
+        |d AS (SELECT id, s,
+        |  CASE WHEN i=0 THEN s ELSE substr(s,1,i-1) || substr(s,i+1) END AS v FROM v),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS s_a, b.s AS s_b
+        |         FROM d a JOIN d b ON a.v = b.v AND a.id < b.id)
+        |SELECT id_a, id_b, CAST(levenshtein(s_a, s_b) AS INT) AS dist
+        |FROM cand WHERE levenshtein(s_a, s_b) <= 1""".stripMargin,
 
     "q25_daily_weather_summary" -> {
       // roundAt(c, 2) twin: floor(c*100.0+0.5)/100.0

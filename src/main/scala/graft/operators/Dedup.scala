@@ -778,4 +778,51 @@ object Dedup {
       .where(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming")
   }
+
+  /**
+   * Fuzzy duplicate pairs at edit distance ≤ 1 via deletion-neighborhood
+   * blocking (the FastSS / SymSpell family — public algorithm): every
+   * string contributes its |s|+1 depth-1 deletion variants (position 0 =
+   * the string itself). If lev(a,b) ≤ 1 the neighborhoods intersect — a
+   * substitution at i means both sides delete i to the same string; an
+   * insertion/deletion means the shorter string IS a variant of the
+   * longer (and of itself). So variant-bucket candidates are COMPLETE;
+   * each candidate is then verified with the real levenshtein in its
+   * early-abandoning threshold form. Hash collisions only add candidates,
+   * which verification removes — output ≡ the naive all-pairs filter
+   * (DedupSpec pins it; the q92 oracle re-derives it independently in
+   * SQL over raw variant strings, no hashing).
+   *
+   * 100 TB shape: the variant stream shuffles (id, 8-byte hash) only —
+   * the strings never enter the inverted index; one aggregation shuffle,
+   * in-bucket pair expansion (never a self-join), candidate strings
+   * fetched by two id-joins at the end. `maxBucket` caps degenerate
+   * buckets (e.g. millions of equal strings) exactly like the
+   * stop-shingle cap; within-cap exactness is unchanged.
+   */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+                        maxBucket: Int = 10000): DataFrame = {
+    val s = col("__s")
+    val variants = df
+      .select(col(idCol).as("id"), col(strCol).as("__s"))
+      .select(col("id"),
+        explode(sequence(lit(0), length(s))).as("__i"), s)
+      .select(col("id"), Hashing.stableHash60(
+        when(col("__i") === 0, s).otherwise(concat(
+          s.substr(lit(1), col("__i") - 1),
+          s.substr(col("__i") + 1, length(s) - col("__i"))))).as("h"))
+    val cand = variants.groupBy("h")
+      .agg(sort_array(collect_set(col("id"))).as("ids"))
+      .where(size(col("ids")).between(2, maxBucket))
+      .select(explode(pairsFromSorted(col("ids"))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
+    val strs = df.select(col(idCol).as("id"), col(strCol).as("__str"))
+    cand
+      .join(strs.withColumnsRenamed(Map("id" -> "id_a", "__str" -> "__sa")), Seq("id_a"))
+      .join(strs.withColumnsRenamed(Map("id" -> "id_b", "__str" -> "__sb")), Seq("id_b"))
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb"), 1))
+      .where(col("dist") >= 0)
+      .select("id_a", "id_b", "dist")
+  }
 }

@@ -439,4 +439,35 @@ class DedupSpec extends SparkSpec {
     // from 1 and 3
     assert(byId == Map(1L -> "", 2L -> "m n o p", 3L -> "z1 z2"))
   }
+
+  test("editDistancePairs equals the naive all-pairs levenshtein filter") {
+    val names = Seq(
+      1L -> "alice",   // base
+      2L -> "alicia",  // dist 2 from alice — must NOT pair with 1
+      3L -> "alce",    // deletion of alice
+      4L -> "blice",   // substitution of alice
+      5L -> "alicee",  // insertion of alice
+      6L -> "alice",   // exact dup of 1 (dist 0)
+      7L -> "zzzzz",   // far from everything
+      8L -> ""         // empty string: pairs with nothing here but must not crash
+    ).toDF("id", "name")
+    val got = Dedup.editDistancePairs(names, "id", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val rows = names.collect().map(r => r.getLong(0) -> r.getString(1))
+    val naive = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
+      d = levenshteinScala(sa, sb) if d <= 1
+    } yield (ia, ib, d)).toSet
+    assert(got == naive, s"got=$got naive=$naive")
+    assert(naive.contains((1L, 3L, 1)) && naive.contains((1L, 6L, 0))
+      && !naive.exists(p => p._1 == 1L && p._2 == 2L))
+  }
+
+  private def levenshteinScala(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
 }
