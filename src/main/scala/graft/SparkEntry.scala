@@ -1086,6 +1086,18 @@ object SparkEntry {
     "q92_fuzzy_name_pairs" -> ((s, dir) =>
       graft.operators.Dedup.editDistancePairs(
         t(s, dir, "customer"), "c_custkey", "c_name")),
+
+    // Corpus snapshot diff: two releases synthesized deterministically
+    // from documents (old drops %10 ids and edits %7 texts; new drops
+    // %13 ids) → per-doc added/removed/changed/unchanged with digests.
+    "q93_snapshot_diff" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val oldSnap = d.where(col("doc_id") % 10 =!= 0)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" v1"))).otherwise(col("text")))
+      val newSnap = d.where(col("doc_id") % 13 =!= 0)
+      graft.operators.Versioning.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+    }),
   )
 
   /** Hash-bucket count for the DSIR feature table (q89/q90 and oracles). */
@@ -1717,6 +1729,20 @@ object SparkEntry {
         |         FROM d a JOIN d b ON a.v = b.v AND a.id < b.id)
         |SELECT id_a, id_b, CAST(levenshtein(s_a, s_b) AS INT) AS dist
         |FROM cand WHERE levenshtein(s_a, s_b) <= 1""".stripMargin,
+
+    // Snapshot diff: digest full-outer join, same synthesized releases.
+    "q93_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id AS id,
+        |   md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v1' ELSE text END) AS old_md5
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |n AS (SELECT doc_id AS id, md5(text) AS new_md5
+        |  FROM documents WHERE doc_id % 13 <> 0)
+        |SELECT coalesce(o.id, n.id) AS id,
+        |  CASE WHEN o.id IS NULL THEN 'added'
+        |       WHEN n.id IS NULL THEN 'removed'
+        |       WHEN old_md5 = new_md5 THEN 'unchanged' ELSE 'changed' END AS status,
+        |  coalesce(old_md5, '') AS old_md5, coalesce(new_md5, '') AS new_md5
+        |FROM o FULL OUTER JOIN n ON o.id = n.id""".stripMargin,
 
     "q25_daily_weather_summary" -> {
       // roundAt(c, 2) twin: floor(c*100.0+0.5)/100.0
