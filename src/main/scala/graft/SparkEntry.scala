@@ -1098,6 +1098,15 @@ object SparkEntry {
       val newSnap = d.where(col("doc_id") % 13 =!= 0)
       graft.operators.Versioning.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
     }),
+
+    // Media near-dup via frame-hash Jaccard (video-dedup shape): payloads
+    // fan out to fixed-size frames, near-dup = frame-set overlap ≥ 0.5.
+    // Uncapped here so the oracle is the plain set-overlap join.
+    "q94_frame_neardup" -> ((s, dir) =>
+      graft.operators.Multimodal.frameNearDupPairs(
+        graft.operators.Multimodal.withBinaryPayload(t(s, dir, "documents"), "text"),
+        "doc_id", "content", frameBytes = 100, threshold = 0.5,
+        maxBucket = Int.MaxValue)),
   )
 
   /** Hash-bucket count for the DSIR feature table (q89/q90 and oracles). */
@@ -1743,6 +1752,25 @@ object SparkEntry {
         |       WHEN old_md5 = new_md5 THEN 'unchanged' ELSE 'changed' END AS status,
         |  coalesce(old_md5, '') AS old_md5, coalesce(new_md5, '') AS new_md5
         |FROM o FULL OUTER JOIN n ON o.id = n.id""".stripMargin,
+
+    // Frame-hash Jaccard near-dup: q28's frame CTE (byte windows of the
+    // UTF-8 payload), distinct per doc, then the q18 set-overlap shape —
+    // joined on raw md5 strings, independently validating the 60-bit
+    // hash path on the Spark side.
+    "q94_frame_neardup" ->
+      """WITH fr AS (SELECT DISTINCT doc_id,
+        |   md5(substr(text, f.frame_idx*100+1, 100)) AS fh
+        |  FROM documents,
+        |   LATERAL (SELECT unnest(range(0,
+        |     CAST(floor((octet_length(encode(text))-1)/100) AS BIGINT)+1)) AS frame_idx) f),
+        |sz AS (SELECT doc_id, count(*) AS n FROM fr GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |   CAST(count(*) AS BIGINT) AS shared
+        |  FROM fr a JOIN fr b USING (fh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        | CAST(shared AS DOUBLE)/CAST(x.n + y.n - shared AS DOUBLE) AS jaccard
+        |FROM pairs JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+        |WHERE CAST(shared AS DOUBLE)/CAST(x.n + y.n - shared AS DOUBLE) >= 0.5""".stripMargin,
 
     "q25_daily_weather_summary" -> {
       // roundAt(c, 2) twin: floor(c*100.0+0.5)/100.0

@@ -92,4 +92,26 @@ object Multimodal {
     features.groupBy(col(idCol))
       .agg(transform(array_sort(collect_list(struct(col("bin"), col("value")))),
         s => s.getField("value").cast("float")).as("features"))
+
+  /**
+   * Cross-document media near-dup via frame-hash Jaccard — the standard
+   * video/image dedup shape (per-frame fingerprints, set overlap): two
+   * payloads are near-dups when the Jaccard of their distinct frame-hash
+   * sets clears `threshold`. Reuses the inverted-index pair machinery
+   * ([[Dedup.jaccardPairsFromHashed]]) on a frame stream instead of text
+   * shingles, so at 100 TB only (id, 8-byte frame hash) ever shuffles —
+   * payloads stay at the scan. With a real decoder the frames would be
+   * decoded keyframes and the hash a perceptual one; sampling, hashing
+   * and pairing machinery are identical either way. Ubiquitous frames
+   * (padding, black frames, silence) above `maxBucket` docs are dropped
+   * exactly like stop-shingles.
+   */
+  def frameNearDupPairs(df: DataFrame, idCol: String, binCol: String = "content",
+                        frameBytes: Int = 100, threshold: Double = 0.5,
+                        maxBucket: Int = 1000): DataFrame = {
+    val frames = sampleFrames(df.select(col(idCol).as("id"), col(binCol)), binCol, frameBytes)
+      .select(col("id"), Hashing.stableHash60(col("frame")).as("h"))
+      .distinct()
+    Dedup.jaccardPairsFromHashed(frames, threshold, maxBucket)
+  }
 }

@@ -81,4 +81,23 @@ class AnalyticsSpec extends SparkSpec {
     // doc1 is all 'a' (0x61): all mass in bin (0x61*16)/256 = 6
     assert(feats(1L)(6) == 1.0f)
   }
+
+  test("Multimodal: frame-hash Jaccard finds exact and partial payload overlap") {
+    // frames are 4-byte windows: doc1=ABCD|EFGH|IJKL, doc2 identical,
+    // doc3 shares 2 of its 3 frames with doc1 (jaccard 2/4=0.5),
+    // doc4 disjoint
+    val docs = Seq(
+      (1L, "ABCDEFGHIJKL"),
+      (2L, "ABCDEFGHIJKL"),
+      (3L, "ABCDEFGHZZZZ"),
+      (4L, "MNOPQRSTUVWX")
+    ).toDF("doc_id", "text")
+    val withBin = Multimodal.withBinaryPayload(docs, "text")
+    val pairs = Multimodal.frameNearDupPairs(withBin, "doc_id", frameBytes = 4,
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs((1L, 3L)) == 0.5) // shares ABCD,EFGH of {ABCD,EFGH,IJKL,ZZZZ}
+  }
 }
