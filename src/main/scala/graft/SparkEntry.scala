@@ -1107,6 +1107,14 @@ object SparkEntry {
         graft.operators.Multimodal.withBinaryPayload(t(s, dir, "documents"), "text"),
         "doc_id", "content", frameBytes = 100, threshold = 0.5,
         maxBucket = Int.MaxValue)),
+
+    // Count-min sketch over the corpus token stream (depth 3 × width 64,
+    // long shape): CMS merges by addition, so the ENTIRE sketch is
+    // deterministic under any partitioning and the oracle recomputes it
+    // bit-for-bit.
+    "q95_cms_sketch" -> ((s, dir) =>
+      graft.operators.CorpusStats.cmsSketch(t(s, dir, "documents"), "text",
+        depth = 3, width = 64)),
   )
 
   /** Hash-bucket count for the DSIR feature table (q89/q90 and oracles). */
@@ -1771,6 +1779,21 @@ object SparkEntry {
         | CAST(shared AS DOUBLE)/CAST(x.n + y.n - shared AS DOUBLE) AS jaccard
         |FROM pairs JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
         |WHERE CAST(shared AS DOUBLE)/CAST(x.n + y.n - shared AS DOUBLE) >= 0.5""".stripMargin,
+
+    // CMS sketch, bit-exact: same universal-hash rows (coefficients
+    // inlined from Hashing.coeffs) over the md5-derived base hash.
+    "q95_cms_sketch" -> {
+      val p = Hashing.MersennePrime
+      val coeffRows = (0 until 3).map { r =>
+        val (a, b) = Hashing.coeffs(r); s"($r, $a, $b)"
+      }.mkString(", ")
+      s"""WITH toks AS (SELECT unnest(string_split(text,' ')) AS t FROM documents),
+         |h AS (SELECT ${duckHash("t")} AS h FROM toks),
+         |rw(hash_row, a, b) AS (VALUES $coeffRows)
+         |SELECT hash_row, ((a * (h % $p) + b) % $p) % 64 AS slot,
+         |  CAST(count(*) AS BIGINT) AS cnt
+         |FROM h CROSS JOIN rw GROUP BY 1, 2""".stripMargin
+    },
 
     "q25_daily_weather_summary" -> {
       // roundAt(c, 2) twin: floor(c*100.0+0.5)/100.0

@@ -55,6 +55,29 @@ object CorpusStats {
       .select(col("e._1").as("token"), col("e._2").as("estimate"))
 
   /**
+   * Count-min sketch over the token stream, long shape: one (row, slot,
+   * cnt) row per populated counter of the depth×width grid. Declarative
+   * twin of [[graft.expressions.CountMinAgg]] (TrainingOpsSpec pins the
+   * equivalence) — CMS merges by addition, so the whole sketch is a plain
+   * aggregation and bit-identical under any partitioning, making the FULL
+   * sketch oracle-able (unlike SpaceSaving, whose surviving-key set is
+   * merge-order dependent). Point estimates for any later key: min over
+   * rows of its slot counters — overcount-only. ≤ depth·width rows ever
+   * shuffle (map-side combine); the token stream itself never does.
+   */
+  def cmsSketch(docs: DataFrame, textCol: String, depth: Int, width: Int): DataFrame = {
+    val rows = (0 until depth).map { r =>
+      val (a, b) = Hashing.coeffs(r)
+      struct(lit(r).as("hash_row"),
+        (Hashing.universalHash(Hashing.stableHash60(col("t")), a, b) % width).as("slot"))
+    }
+    docs.select(explode(Text.tokens(col(textCol))).as("t"))
+      .select(explode(array(rows: _*)).as("rs"))
+      .groupBy(col("rs.hash_row").as("hash_row"), col("rs.slot").as("slot"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /**
    * Top-k characteristic terms per document by tf·idf, with idf in exact
    * ratio form N/df (no log: the usual log damping is a monotone transform
    * that cannot change any ranking, and libm `log` is not bit-identical

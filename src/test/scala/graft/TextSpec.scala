@@ -136,6 +136,38 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("count-min sketch: aggregator ≡ declarative twin, partitioning-independent, overcount-only") {
+    import graft.expressions.CountMinAgg
+    import graft.operators.CorpusStats
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val (depth, width) = (3, 64)
+
+    // declarative long shape is bit-identical under any partitioning
+    def longShape(df: org.apache.spark.sql.DataFrame) =
+      CorpusStats.cmsSketch(df, "text", depth, width)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val sketch = longShape(real)
+    assert(sketch == longShape(real.repartition(13)))
+
+    // aggregator twin reshaped == the declarative sketch (zero slots absent)
+    val agg = real.select(explode(graft.functions.Text.tokens(col("text"))).as("t"))
+      .agg(CountMinAgg.sketch(col("t"), depth, width).as("sk"))
+      .head.getSeq[Long](0)
+    val aggMap = (for {
+      r <- 0 until depth; s <- 0 until width if agg(r * width + s) != 0L
+    } yield (r, s.toLong) -> agg(r * width + s)).toMap
+    assert(aggMap == sketch)
+
+    // point estimates never undercount the exact truth
+    val truth = real.select(explode(graft.functions.Text.tokens(col("text"))).as("t"))
+      .groupBy("t").count().collect().map(r => r.getString(0) -> r.getLong(1))
+    truth.foreach { case (t, c) =>
+      assert(CountMinAgg.estimate(agg, t, depth, width) >= c, s"undercount for $t")
+    }
+    // a key never offered still gets a (possibly positive) overcount, not a crash
+    assert(CountMinAgg.estimate(agg, "never-seen-token-xyz", depth, width) >= 0L)
+  }
+
   test("tfIdfTopTerms ranks rare-but-frequent-in-doc terms first") {
     // "x" appears 3 times in doc 1 only (tf=3, df=1, N=3 -> score 9);
     // "a" appears everywhere (df=3 -> score tf*3/3 = tf)
