@@ -406,6 +406,27 @@ class StatefulOpsSpec extends SparkSpec {
     assert(hh == Map("a" -> 2L, "b" -> 3L, "c" -> 1L))
   }
 
+  test("count-min sketch accumulates across micro-batches to the batch sketch") {
+    import graft.expressions.CountMinAgg
+    val root = Files.createTempDirectory("graft-cmsstream").toString
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val (depth, width) = (3, 16)
+    val agg = input.toDS().toDF("token")
+      .agg(CountMinAgg.sketch(col("token"), depth, width).as("sk"))
+    val q = agg.writeStream.format("memory").queryName("cms_stream")
+      .option("checkpointLocation", s"$root/ckpt").outputMode("complete").start()
+    input.addData("a", "a", "b"); q.processAllAvailable()
+    input.addData("b", "b", "c"); q.processAllAvailable()
+    val streamed = spark.sql("SELECT sk FROM cms_stream").head.getSeq[Long](0)
+    q.stop()
+    // additive merge: streamed accumulation == one-shot batch sketch
+    val batch = Seq("a", "a", "b", "b", "b", "c").toDF("token")
+      .agg(CountMinAgg.sketch(col("token"), depth, width)).head.getSeq[Long](0)
+    assert(streamed == batch)
+    assert(CountMinAgg.estimate(streamed, "b", depth, width) >= 3L)
+  }
+
   test("bloomScreen flags contaminated docs identically in batch and streaming") {
     import graft.operators.Dedup
     val root = Files.createTempDirectory("graft-bloomscreen").toString
