@@ -136,6 +136,13 @@ object ScaleProbe {
       // train-side span stream, like contam_bloom vs contam_exact
       val tSpanDecut = time(noop(
         Dedup.cutEvalPassages(trainSet, evalSet, "doc_id", "text", window = 20)))
+      // fuzzy (edit-distance ≤ 1) pairs via deletion-variant blocking:
+      // zero-padded sequential names — dense single-digit-substitution
+      // neighborhoods, the worst realistic bucket density. Variants are
+      // n·(len+1) rows of 8-byte hashes; expect near-linear growth.
+      val names = spark.range(n).select(col("id"),
+        concat(lit("user-"), lpad(col("id").cast("string"), 9, "0")).as("name"))
+      val tFuzzy = time(noop(Dedup.editDistancePairs(names, "id", "name")))
 
       println(s"""{"n":$n,"exact_dedup":$tExact,"minhash_sig":$tSig,"lsh_cands":$tLsh,""" +
         s""""simhash_pairs":$tSim,"jaccard_capped":$tJac,"ivf_knn":$tIvf,"embed_neardup":$tNd,""" +
@@ -146,7 +153,7 @@ object ScaleProbe {
         s""""contam_exact":$tContExact,"contam_bloom":$tContBloom,""" +
         s""""contam_capped":$tContCapped,"span_ranges":$tSpans,""" +
         s""""span_pairs":$tSpanPairs,"span_hot":$tSpanHot,""" +
-        s""""span_decut":$tSpanDecut}""")
+        s""""span_decut":$tSpanDecut,"fuzzy_pairs":$tFuzzy}""")
       docs.unpersist(); em.unpersist()
     }
     spark.stop()
