@@ -1115,6 +1115,14 @@ object SparkEntry {
     "q95_cms_sketch" -> ((s, dir) =>
       graft.operators.CorpusStats.cmsSketch(t(s, dir, "documents"), "text",
         depth = 3, width = 64)),
+
+    // Curriculum interleave: deterministic 3:2:1 weighted fair-queueing
+    // order over three sources — integer virtual times (k·lcm/w), so the
+    // whole training order is exact and engine-portable.
+    "q96_curriculum_order" -> ((s, dir) =>
+      graft.operators.Sampling.curriculumInterleave(
+        t(s, dir, "documents").select("doc_id", "source"), "doc_id", "source",
+        Map("src0" -> 3, "src1" -> 2, "src2" -> 1), seed = 7L)),
   )
 
   /** Hash-bucket count for the DSIR feature table (q89/q90 and oracles). */
@@ -1794,6 +1802,23 @@ object SparkEntry {
          |  CAST(count(*) AS BIGINT) AS cnt
          |FROM h CROSS JOIN rw GROUP BY 1, 2""".stripMargin
     },
+
+    // Curriculum interleave: within-source seeded-hash rank k, virtual
+    // time k·(6/w) (lcm(3,2,1)=6 → steps 2/3/6), global row_number over
+    // (vt, source, id) — all integer arithmetic.
+    "q96_curriculum_order" ->
+      s"""WITH d AS (SELECT doc_id, source FROM documents
+         |  WHERE source IN ('src0','src1','src2')),
+         |k AS (SELECT doc_id, source,
+         |  CAST(row_number() OVER (PARTITION BY source
+         |    ORDER BY ${duckHash("'7' || chr(0) || CAST(doc_id AS VARCHAR)")} ASC,
+         |             doc_id ASC) AS BIGINT) AS k FROM d),
+         |v AS (SELECT doc_id, source,
+         |  k * (CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 3 ELSE 6 END) AS vt
+         |  FROM k)
+         |SELECT doc_id, source,
+         |  CAST(row_number() OVER (ORDER BY vt, source, doc_id) AS BIGINT) AS position
+         |FROM v""".stripMargin,
 
     "q25_daily_weather_summary" -> {
       // roundAt(c, 2) twin: floor(c*100.0+0.5)/100.0

@@ -165,23 +165,65 @@ object Sampling {
    * corpus through a single partition).
    */
   def shuffleWithRank(df: DataFrame, keyCol: String, seed: Long,
-                      as: String = "shuffle_rank"): DataFrame = {
-    val spark = df.sparkSession
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    val ordered = deterministicShuffle(df, keyCol, seed)
-    val schema = StructType(ordered.schema.fields :+
-      StructField(as, LongType, nullable = false))
-    spark.createDataFrame(
-      ordered.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) },
-      schema)
-  }
+                      as: String = "shuffle_rank"): DataFrame =
+    denseRankOverOrdered(deterministicShuffle(df, keyCol, seed), as)
 
   /** Deterministic fraction-of-keyspace sample: keeps rows whose key hashes
     * below `num`/`denom` of the hash range — stable under re-runs and
     * engine-portable (unlike `sample(fraction, seed)`). */
   def hashSample(df: DataFrame, keyCol: String, num: Int, denom: Int): DataFrame =
     df.where(pmod(Hashing.stableHash60(col(keyCol).cast("string")), lit(denom)) < num)
+
+  /**
+   * Curriculum / mixture-ordered interleave: a single deterministic
+   * global training order in which source s appears with long-run
+   * frequency ∝ its integer weight — the "data order file" a trainer
+   * consumes. Doc k (1-based, hash-shuffled within its source by the
+   * [[deterministicShuffle]] key) of source s sorts at virtual time
+   * k·(L/w_s), L = lcm(weights): weighted fair queueing, EXACT in 64-bit
+   * integers — no float ratios, so the order is engine-portable and
+   * oracle-able. Ties (equal virtual time) break by (source, id).
+   * Sources absent from `weights` are excluded (weight 0). Global
+   * position = zipWithIndex over the sorted frame, the same scale-safe
+   * dense index as [[shuffleWithRank]]; the within-source rank is one
+   * window shuffle on the source key.
+   */
+  def curriculumInterleave(df: DataFrame, idCol: String, sourceCol: String,
+                           weights: Map[String, Int], seed: Long,
+                           as: String = "position"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val lcmAll = weights.values.foldLeft(1L)((l, w) => l / gcd(l, w) * w)
+    val step = weights.foldLeft(lit(null).cast("long")) { case (acc, (s, w)) =>
+      when(col(sourceCol) === s, lit(lcmAll / w)).otherwise(acc)
+    }
+    val within = Window.partitionBy(col(sourceCol)).orderBy(
+      Hashing.stableHash60(concat_ws("\u0000", lit(seed.toString),
+        col(idCol).cast("string"))).asc_nulls_last,
+      col(idCol).asc_nulls_last)
+    val timed = df
+      .where(col(sourceCol).isin(weights.keys.toSeq.map(x => x: Any): _*))
+      .withColumn("__vt", row_number().over(within).cast("long") * step)
+    val ordered = timed
+      .orderBy(col("__vt").asc, col(sourceCol).asc, col(idCol).asc)
+      .drop("__vt")
+    denseRankOverOrdered(ordered, as)
+  }
+
+  /** 1-based dense rank over an already-sorted frame via zipWithIndex —
+    * per-partition offsets from one count job; a row_number window over a
+    * global ORDER BY would funnel the corpus through a single partition. */
+  private def denseRankOverOrdered(ordered: DataFrame, as: String): DataFrame = {
+    val spark = ordered.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(ordered.schema.fields :+
+      StructField(as, LongType, nullable = false))
+    spark.createDataFrame(
+      ordered.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) },
+      schema)
+  }
 
   /**
    * Class balancing: keep at most `maxPerGroup` rows per group, chosen by

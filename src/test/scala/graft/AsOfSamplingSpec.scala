@@ -98,6 +98,45 @@ class AsOfSamplingSpec extends SparkSpec {
     assert(run(df.repartition(13)).toMap == got.toMap)
   }
 
+  test("curriculumInterleave respects weights in every prefix and is partition-stable") {
+    val docs = (1L to 300L).map(i => (i, "s" + (i % 3))).toDF("id", "src")
+    val weights = Map("s0" -> 3, "s1" -> 2, "s2" -> 1)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.curriculumInterleave(d, "id", "src", weights, seed = 11L)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(_._3)
+    val got = run(docs)
+    assert(got.map(_._3).toSeq == (1L to 300L), "positions are dense 1..n")
+    assert(run(docs.repartition(13)).toSeq == got.toSeq)
+
+    // weighted fair queueing guarantee: in any prefix, source s has
+    // emitted either floor or ceil of its ideal share vt-wise — check the
+    // counts never drift more than 1 item from the ideal w_s/W fraction
+    // while all sources still have items left (here: always, equal sizes
+    // 100 each exhaust s2 first at prefix 100·6/1=600 > 300... s0 runs
+    // out at vt 100·2=200 ⇔ prefix where all s0 emitted)
+    val counts = scala.collection.mutable.Map("s0" -> 0, "s1" -> 0, "s2" -> 0)
+    got.foreach { case (_, s, pos) =>
+      counts(s) += 1
+      val exhausted = counts.exists(_._2 == 100)
+      if (!exhausted) {
+        weights.foreach { case (src, w) =>
+          val ideal = pos * w / 6.0
+          assert(math.abs(counts(src) - ideal) <= 1.0 + 1e-9,
+            s"at prefix $pos source $src emitted ${counts(src)}, ideal $ideal")
+        }
+      }
+    }
+    // 3:2:1 totals: s0 exhausts its 100 docs by virtual time 200, where
+    // s1 has ~66 and s2 ~33 — the long-run mixture
+    val at150 = got.take(150).groupBy(_._2).view.mapValues(_.length).toMap
+    assert(at150("s0") > at150("s1") && at150("s1") > at150("s2"))
+
+    // sources not in the weight map are excluded
+    val extra = docs.union(Seq((999L, "sX")).toDF("id", "src"))
+    assert(!run(extra).exists(_._2 == "sX"))
+  }
+
   test("deterministicShuffle is a seeded permutation, stable under repartitioning") {
     val df = spark.range(5000).toDF("id")
     val o1 = Sampling.deterministicShuffle(df, "id", seed = 7L)
