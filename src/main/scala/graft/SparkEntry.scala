@@ -1123,6 +1123,36 @@ object SparkEntry {
       graft.operators.Sampling.curriculumInterleave(
         t(s, dir, "documents").select("doc_id", "source"), "doc_id", "source",
         Map("src0" -> 3, "src1" -> 2, "src2" -> 1), seed = 7L)),
+
+    // Deterministic HLL register table (p=6, 64 buckets) per language
+    // over the distinct-token stream: max-merge makes the FULL table
+    // partitioning-independent AND replay-idempotent — the distinct-count
+    // member of the oracle-able sketch family (q95 CMS = counts,
+    // SpaceSaving = heavy keys).
+    "q97_hll_registers" -> ((s, dir) =>
+      graft.operators.Aggregates.hllRegisters(
+        t(s, dir, "documents").select(col("lang"),
+          explode(Text.tokens(col("text"))).as("tok")),
+        Seq("lang"), "tok", p = 6)),
+
+    // Markup → text extraction over a synthesized HTML fixture (the
+    // corpus is already clean text): script/style/comment blocks die with
+    // their contents, tags strip to spaces, the six common entities
+    // decode (&amp; last), whitespace collapses. Same regexes run on both
+    // engines (backreference-free, lazy quantifiers only).
+    "q98_markup_strip" -> ((s, dir) => {
+      val html = markupDoc(t(s, dir, "documents"))
+      html.select(col("doc_id"),
+        Text.stripMarkup(col("html")).as("clean_text"),
+        Text.linkCount(col("html")).as("n_links"))
+    }),
+
+    // Join-key skew diagnostic: top-20 hottest event users with share of
+    // all rows and ratio-to-mean-key — the measurement that decides
+    // between broadcast, AQE and q91's salted join.
+    "q99_key_skew" -> ((s, dir) =>
+      graft.operators.Skew.keySkewReport(t(s, dir, "events"), "user_id",
+        topK = 20)),
   )
 
   /** Hash-bucket count for the DSIR feature table (q89/q90 and oracles). */
@@ -1190,6 +1220,30 @@ object SparkEntry {
         concat(lit("copyright "), col("source"), lit(" all rights reserved")),
         when(col("doc_id") % 7 === 0, lit("share this article"))
       ).as("text"))
+
+  /** Deterministic HTML wrapper around each document (the q98 fixture —
+    * corpus text is already markup-free): title/heading carry text the
+    * stripper must KEEP, style/script/comment carry text it must DROP,
+    * one entity-bearing paragraph exercises decode order, and doc_id%3
+    * link repetitions vary the link census per row. Single-line on
+    * purpose — the portable regexes run with DOTALL off. */
+  private def markupDoc(docs: DataFrame): DataFrame = {
+    val link = "<a href=\"https://example.com/x\">link</a>"
+    docs.select(col("doc_id"),
+      concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><style type=\"text/css\">p{margin:0}</style>"),
+        lit("<script>var d="), col("doc_id").cast("string"),
+        lit(";track(d);</script></head><body><!-- rendered -->"),
+        lit("<h1 class=\"t\">Doc "), col("doc_id").cast("string"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><p>Tags &amp; entities: &lt;b&gt;&nbsp;&quot;q&quot; &#39;s&#39;</p>"),
+        when(col("doc_id") % 3 === 1, lit(link))
+          .when(col("doc_id") % 3 === 2, lit(link + link))
+          .otherwise(lit("")),
+        lit("</body></html>")
+      ).as("html"))
+  }
 
   /** Deterministic PII-bearing message synthesized from customer columns —
     * email always present, phone on 2/3 of rows, IP on 1/4 (concat_ws
@@ -1819,6 +1873,63 @@ object SparkEntry {
          |SELECT doc_id, source,
          |  CAST(row_number() OVER (ORDER BY vt, source, doc_id) AS BIGINT) AS position
          |FROM v""".stripMargin,
+
+    // HLL registers, bit-exact: bucket = low 6 bits of the md5-derived
+    // hash, register = max rank of the top 54 bits (55 − bitlength;
+    // bin() strips leading zeros, so length(bin(v)) IS bitlength).
+    "q97_hll_registers" ->
+      s"""WITH toks AS (SELECT lang, unnest(string_split(text,' ')) AS tok
+         |  FROM documents),
+         |h AS (SELECT lang, ${duckHash("tok")} AS h FROM toks)
+         |SELECT lang, h % 64 AS bucket,
+         |  CAST(max(CASE WHEN h // 64 = 0 THEN 55
+         |                ELSE 55 - length(bin(h // 64)) END) AS BIGINT) AS register
+         |FROM h GROUP BY 1, 2""".stripMargin,
+
+    // Markup strip: the same fixture construction and the same
+    // backreference-free regexes (DuckDB regexp_replace needs the 'g'
+    // flag — it is first-match-only by default, unlike Spark's).
+    "q98_markup_strip" -> {
+      val link = "<a href=\"https://example.com/x\">link</a>"
+      s"""WITH base AS (SELECT doc_id,
+         |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+         |  '</title><style type="text/css">p{margin:0}</style>' ||
+         |  '<script>var d=' || CAST(doc_id AS VARCHAR) ||
+         |  ';track(d);</script></head><body><!-- rendered -->' ||
+         |  '<h1 class="t">Doc ' || CAST(doc_id AS VARCHAR) ||
+         |  '</h1><p>' || text ||
+         |  '</p><p>Tags &amp; entities: &lt;b&gt;&nbsp;&quot;q&quot; &#39;s&#39;</p>' ||
+         |  CASE doc_id % 3 WHEN 1 THEN '$link'
+         |                  WHEN 2 THEN '$link$link' ELSE '' END ||
+         |  '</body></html>' AS html FROM documents),
+         |s1 AS (SELECT doc_id, html, regexp_replace(regexp_replace(regexp_replace(html,
+         |  '(?i)<script[^>]*>.*?</script>', ' ', 'g'),
+         |  '(?i)<style[^>]*>.*?</style>', ' ', 'g'),
+         |  '<!--.*?-->', ' ', 'g') AS t FROM base),
+         |s2 AS (SELECT doc_id, html,
+         |  regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s1),
+         |s3 AS (SELECT doc_id, html,
+         |  replace(replace(replace(replace(replace(replace(t,
+         |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         |    '&#39;', chr(39)), '&amp;', '&') AS t FROM s2)
+         |SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS clean_text,
+         |  (length(html) - length(replace(html, '<a ', ''))) // 3 AS n_links
+         |FROM s3""".stripMargin
+    },
+
+    // Key-skew report: hottest 20 keys, exact-integer numerators, single
+    // IEEE divisions — identical association order on both engines.
+    "q99_key_skew" ->
+      s"""WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+         |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS n_keys
+         |      FROM c),
+         |r AS (SELECT user_id, cnt,
+         |  CAST(row_number() OVER (ORDER BY cnt DESC, user_id ASC) AS BIGINT)
+         |    AS rank FROM c)
+         |SELECT rank, user_id, cnt,
+         |  CAST(cnt AS DOUBLE)*100.0/total AS share_pct,
+         |  CAST(cnt*n_keys AS DOUBLE)/total AS skew_x
+         |FROM r CROSS JOIN t WHERE rank <= 20""".stripMargin,
 
     "q25_daily_weather_summary" -> {
       // roundAt(c, 2) twin: floor(c*100.0+0.5)/100.0

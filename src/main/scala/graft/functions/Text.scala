@@ -144,6 +144,39 @@ object Text {
     regexp_count(text, lit(pattern)).cast("long")
 
   /**
+   * HTML/markup → text extraction, the first cleaner a crawled corpus
+   * meets (the reference ingests clean JSON; crawl-scale corpora arrive
+   * as markup). Pipeline, in order: drop <script>/<style> blocks WITH
+   * their contents and <!-- comments -->, strip remaining tags to a
+   * space, decode the six ubiquitous entities (&amp; LAST, so literal
+   * "&amp;lt;" decodes to "&lt;" — the HTML rule, and the order that
+   * cannot double-decode), collapse whitespace, trim. Every pattern is
+   * deliberately backreference-free and lazy-quantifier-only so the SAME
+   * regexes run under Java regex (Spark) and RE2 (DuckDB oracle) —
+   * engine-portable by construction. Zero-shuffle narrow projection; at
+   * 100 TB this runs at scan speed like [[redactPii]].
+   */
+  def stripMarkup(html: Column): Column = {
+    val noBlocks = regexp_replace(
+      regexp_replace(
+        regexp_replace(html, "(?i)<script[^>]*>.*?</script>", " "),
+        "(?i)<style[^>]*>.*?</style>", " "),
+      "<!--.*?-->", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&"
+    ).foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Anchor-tag count in raw markup (exact, via replace-length arithmetic
+    * — identical integer semantics in every engine; the audit column a
+    * link-density quality filter consumes). */
+  def linkCount(html: Column): Column =
+    ((length(html) - length(replace(html, lit("<a "), lit("")))) / 3L).cast("long")
+
+  /**
    * Order-sensitive document fingerprint: left fold over tokens of
    * acc*31 + stableHash60(token) reduced mod 1e9+7 each step (keeps every
    * intermediate < 2^62 — no overflow in either Spark or DuckDB BIGINT).

@@ -147,6 +147,68 @@ object Aggregates {
       .agg(approx_count_distinct(col(valueCol), rsd).as(s"approx_distinct_$valueCol"))
 
   /**
+   * Deterministic HyperLogLog register table, long shape: one (group,
+   * bucket, register) row per POPULATED bucket of the 2^p-register HLL
+   * over `valueCol`'s distinct values. The oracle-able core of
+   * [[approxDistinct]] (Spark's HLL++ sketch bytes are engine-internal;
+   * these registers are plain integer arithmetic any engine reproduces):
+   * bucket = low p bits of the portable 60-bit hash, register = max over
+   * rows of the rank (leading-zeros-plus-one) of the remaining 60−p bits.
+   * Max-merge makes the whole table independent of partitioning AND
+   * idempotent under replay — at-least-once streams accumulate it without
+   * a dedup stage (unlike CMS addition). One aggregation shuffle of
+   * ≤ |groups|·2^p narrow rows; the value stream itself never shuffles.
+   * Estimation from the table: [[hllDistinct]]; bounded-state single-pass
+   * twin: [[graft.expressions.HllRegisterAgg]] (spec-pinned equal).
+   */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                   p: Int): DataFrame = {
+    require(p >= 2 && p <= 16, s"p must be in [2,16], got $p")
+    val bits = 60 - p
+    val h = graft.functions.Hashing.stableHash60(col(valueCol))
+    val v = shiftright(h, p)
+    val rank = when(v === 0L, lit(bits + 1))
+      .otherwise(lit(bits + 1) - length(conv(v, 10, 2)))
+    df.where(col(valueCol).isNotNull)
+      .select((groupCols.map(col) :+ (h % (1L << p)).as("bucket")
+        :+ rank.cast("long").as("rho")): _*)
+      .groupBy((groupCols.map(col) :+ col("bucket")): _*)
+      .agg(max(col("rho")).as("register"))
+  }
+
+  /**
+   * Per-group HLL distinct estimate from [[hllRegisters]]'s table: the
+   * standard alpha-corrected harmonic mean, with linear counting below
+   * 2.5·m while empty registers remain. Empty (absent) buckets enter the
+   * harmonic sum as 2^0 = 1 via m − populated. Floating point (pow/log),
+   * so engine-local and spec-gated against exact distincts — the register
+   * table above is the cross-engine contract. Second aggregation is over
+   * the ≤ |groups|·2^p register rows, not the data.
+   */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  p: Int): DataFrame = {
+    val m = 1 << p
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    hllRegisters(df, groupCols, valueCol, p)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(pow(lit(2.0), -col("register"))).as("__inv"),
+        count(lit(1)).as("__pop"))
+      .withColumn("__zeros", lit(m) - col("__pop"))
+      .withColumn("__invSum", col("__inv") + col("__zeros"))
+      .withColumn("__raw", lit(alpha * m * m) / col("__invSum"))
+      .withColumn(s"approx_distinct_$valueCol",
+        when(col("__raw") <= lit(2.5 * m) && col("__zeros") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("__zeros")))
+          .otherwise(col("__raw")))
+      .select((groupCols.map(col) :+ col(s"approx_distinct_$valueCol")): _*)
+  }
+
+  /**
    * Rolling point-in-time entity features: for every row, aggregates over
    * the same key's rows in the `lookbackSec` seconds STRICTLY BEFORE it
    * (range frame [−lookback, −1] on epoch seconds) — "user's activity in

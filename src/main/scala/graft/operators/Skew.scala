@@ -63,6 +63,35 @@ object Skew {
    * the small side exists on the replicated side, so left-join null
    * semantics are unchanged).
    */
+  /**
+   * Join-key skew diagnostic: the measurement that DECIDES whether
+   * [[saltedJoin]]/[[saltedSumCount]] (or a broadcast) is needed, instead
+   * of guessing from a stalled stage. Returns the top-k hottest keys with
+   * `cnt`, `share_pct` (of all rows) and `skew_x` (ratio to the mean
+   * key's row count — `skew_x ≈ 1` everywhere means don't salt; a key at
+   * `skew_x = 400` needs ~400-way splitting to level its reducer).
+   *
+   * Shapes: one hash aggregation on the key; totals ride a one-row
+   * broadcast (no driver action); top-k is row_number over the AGGREGATED
+   * key cardinality with the rank filter adjacent, so WindowGroupLimit
+   * pushes per-partition top-k ahead of the single-partition sort — the
+   * same plan contract as every other top-k path in the engine. All
+   * ratios are single IEEE divisions of exact integers — deterministic
+   * and oracle-portable.
+   */
+  def keySkewReport(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).as("total"), count(lit(1)).as("n_keys"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col(keyCol).asc)
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .crossJoin(broadcast(totals))
+      .select(col("rank"), col(keyCol), col("cnt"),
+        (col("cnt").cast("double") * 100.0 / col("total")).as("share_pct"),
+        ((col("cnt") * col("n_keys")).cast("double") / col("total")).as("skew_x"))
+  }
+
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  bigSaltCol: String, saltBuckets: Int,
                  joinType: String = "inner"): DataFrame = {

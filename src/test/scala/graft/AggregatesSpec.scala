@@ -131,4 +131,59 @@ class AggregatesSpec extends SparkSpec {
           s"outside [$lo, $hi] (n=$n)")
     }
   }
+
+  test("hllRegisters equals the bounded-state aggregator, any partitioning, replay-safe") {
+    import graft.expressions.HllRegisterAgg
+    val p = 6
+    val df = spark.range(2000)
+      .selectExpr("CAST(id % 3 AS STRING) AS g", "CAST(id % 700 AS STRING) AS v")
+    def table(d: org.apache.spark.sql.DataFrame) =
+      Aggregates.hllRegisters(d, Seq("g"), "v", p)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val declarative = table(df)
+    // bounded-state aggregator twin carries the FULL array (zeros included)
+    val agg = df.groupBy("g").agg(HllRegisterAgg.registers(col("v"), p).as("regs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    agg.foreach { case (g, regs) =>
+      assert(regs.size == 64)
+      regs.zipWithIndex.foreach { case (reg, bucket) =>
+        assert(declarative.getOrElse((g, bucket.toLong), 0L) == reg.toLong,
+          s"group $g bucket $bucket")
+      }
+    }
+    // max-merge: independent of partitioning AND idempotent under replay
+    assert(table(df.repartition(13, col("v"))) == declarative)
+    assert(table(df.union(df)) == declarative)
+  }
+
+  test("hllDistinct tracks exact distinct tokens within HLL error on sf0.1 data") {
+    val p = 11 // rsd ≈ 1.04/√2048 ≈ 2.3%
+    val rsd = 1.04 / math.sqrt((1 << p).toDouble)
+    val toks = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+    val approx = Aggregates.hllDistinct(toks, Seq("lang"), "tok", p)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = toks.distinct().groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (g, n) =>
+      val err = math.abs(approx(g) - n) / n
+      assert(err <= 4 * rsd, s"lang $g: approx ${approx(g)} vs exact $n (err $err)")
+    }
+  }
+
+  test("hllDistinct Column estimator matches the plain-Scala twin estimator") {
+    import graft.expressions.HllRegisterAgg
+    val p = 6
+    val df = spark.range(500).selectExpr("'g' AS g", "CAST(id AS STRING) AS v")
+    val columnEst = Aggregates.hllDistinct(df, Seq("g"), "v", p)
+      .head.getDouble(1)
+    val regs = df.groupBy("g").agg(HllRegisterAgg.registers(col("v"), p))
+      .head.getSeq[Int](1)
+    val twinEst = HllRegisterAgg.estimate(regs)
+    // both are alpha·m²/Σ2^-reg with linear-counting fallback; association
+    // order differs (populated-then-zeros vs bucket order) → ulp tolerance
+    assert(math.abs(columnEst - twinEst) / twinEst < 1e-9,
+      s"column $columnEst vs twin $twinEst")
+  }
 }

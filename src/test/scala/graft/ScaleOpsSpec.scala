@@ -105,4 +105,26 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out.count() == 2) // duplicate dropped across micro-batches
     assert(out.where(col("temperature_celsius") === 99.0).isEmpty)
   }
+
+  test("keySkewReport ranks hot keys with exact shares and ratio-to-mean") {
+    // a×6, b×2, c×2 → total 10, 3 keys, mean 10/3
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq.fill(2)("c")).toDF("k")
+    val rows = Skew.keySkewReport(df, "k", topK = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1)
+    assert(rows.length == 2) // topK honored
+    assert(rows(0) == ((1L, "a", 6L, 60.0, 1.8)))  // 6*3/10
+    assert(rows(1) == ((2L, "b", 2L, 20.0, 0.6)))  // count tie b/c → key asc
+  }
+
+  test("keySkewReport top-k collapses to TakeOrderedAndProject, totals ride a broadcast") {
+    val df = spark.range(100).selectExpr("CAST(id % 7 AS STRING) AS k")
+    val plan = Skew.keySkewReport(df, "k", topK = 3)
+      .queryExecution.executedPlan.toString
+    // empty-partition window + rank filter → LimitPushDownThroughWindow
+    // rewrites to a GLOBAL top-k (per-partition heaps, single tiny merge)
+    // — stronger than the per-group WindowGroupLimit contract
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+  }
 }

@@ -427,6 +427,27 @@ class StatefulOpsSpec extends SparkSpec {
     assert(CountMinAgg.estimate(streamed, "b", depth, width) >= 3L)
   }
 
+  test("HLL registers accumulate across micro-batches and shrug off re-delivery") {
+    import graft.expressions.HllRegisterAgg
+    val root = Files.createTempDirectory("graft-hllstream").toString
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val p = 4
+    val agg = input.toDS().toDF("v")
+      .agg(HllRegisterAgg.registers(col("v"), p).as("regs"))
+    val q = agg.writeStream.format("memory").queryName("hll_stream")
+      .option("checkpointLocation", s"$root/ckpt").outputMode("complete").start()
+    input.addData("a", "a", "b"); q.processAllAvailable()
+    // second batch RE-DELIVERS a and b — max-merge is idempotent, so
+    // at-least-once delivery cannot corrupt the sketch (CMS would inflate)
+    input.addData("a", "b", "c"); q.processAllAvailable()
+    val streamed = spark.sql("SELECT regs FROM hll_stream").head.getSeq[Int](0)
+    q.stop()
+    val batch = Seq("a", "b", "c").toDF("v")
+      .agg(HllRegisterAgg.registers(col("v"), p)).head.getSeq[Int](0)
+    assert(streamed == batch)
+  }
+
   test("bloomScreen flags contaminated docs identically in batch and streaming") {
     import graft.operators.Dedup
     val root = Files.createTempDirectory("graft-bloomscreen").toString

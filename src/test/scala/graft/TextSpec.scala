@@ -239,4 +239,35 @@ class TextSpec extends SparkSpec {
       .select(Text.redactPii(col("msg"))).collect().head.getString(0)
     assert(red == "reach [EMAIL] ok")
   }
+
+  test("stripMarkup drops block contents, strips tags, decodes entities in order") {
+    def strip(s: String): String =
+      Seq(Tuple1(s)).toDF("h").select(Text.stripMarkup(col("h")))
+        .collect().head.getString(0)
+    val html = "<html><head><style>p{x:1}</style>" +
+      "<SCRIPT src=\"a.js\">var x=1;</SCRIPT></head>" +
+      "<body><!-- hidden --><h1 class=\"t\">Title</h1>" +
+      "<p>Hello &amp;&nbsp;world &lt;tag&gt; &quot;q&quot; &#39;s&#39;</p></body></html>"
+    // style/script/comment CONTENT gone (incl. uppercase tags via (?i));
+    // kept text joined by single spaces; entities decoded once
+    assert(strip(html) == "Title Hello & world <tag> \"q\" 's'")
+    // decode runs AFTER tag strip: entity-encoded angle brackets survive
+    // as text and are never re-stripped as tags
+    assert(strip("<p>a &lt;b&gt; c</p>") == "a <b> c")
+    // &amp; decodes LAST: literal "&amp;lt;" is a single decode to "&lt;"
+    // (the HTML rule), not a double decode to "<"
+    assert(strip("<p>&amp;lt;</p>") == "&lt;")
+    assert(strip("") == "")
+  }
+
+  test("linkCount counts anchor tags exactly") {
+    val got = Seq(
+      (1L, "<a href=\"x\">a</a> mid <a href=\"y\">b</a>"),
+      (2L, "no anchors <abbr>here</abbr>"), // <abbr> must not count
+      (3L, ""))
+      .toDF("id", "h")
+      .select(col("id"), Text.linkCount(col("h")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 0L, 3L -> 0L))
+  }
 }
