@@ -1153,6 +1153,38 @@ object SparkEntry {
     "q99_key_skew" -> ((s, dir) =>
       graft.operators.Skew.keySkewReport(t(s, dir, "events"), "user_id",
         topK = 20)),
+
+    // Source-overlap matrix: pairwise shingle-set Jaccard + overlap
+    // coefficient BETWEEN the 20 corpus sources — the census run before
+    // mixture weighting (high-overlap source pairs double-count shared
+    // text). Buckets bounded by source count; output is sources².
+    "q100_source_overlap" -> ((s, dir) =>
+      graft.operators.CorpusStats.sourceOverlap(t(s, dir, "documents"),
+        "source", "text", n = 3)),
+
+    // Length-bucketed batch assembly (padding minimizer): 16-token bins,
+    // batches of 8 in seeded-hash order within each bin — per-row pad
+    // waste < binWidth by construction.
+    "q101_length_batches" -> ((s, dir) =>
+      graft.operators.Sampling.lengthBucketBatches(
+        t(s, dir, "documents").select("doc_id", "text"), "doc_id",
+        Text.tokenCount(col("text")), binWidth = 16, batchSize = 8,
+        seed = 7L)),
+
+    // Contrastive two-view crops: two disjoint seeded-hash 8-token spans
+    // per eligible doc — the positive-pair generator for embedding
+    // pretraining, bit-reproducible on any partitioning.
+    "q102_span_views" -> ((s, dir) =>
+      graft.operators.Chunking.spanViews(t(s, dir, "documents"),
+        "doc_id", "text", viewLen = 8, seed = 7L)),
+
+    // Containment near-dup pairs: overlap coefficient |A∩B|/min(|A|,|B|)
+    // ≥ 0.5 — the snippet-inside-document class Jaccard's union
+    // denominator hides. Rides the SAME staged shingle frame as q18.
+    "q103_containment" -> ((s, dir) =>
+      graft.operators.Dedup.overlapPairsFromHashed(
+        hashedShinglesShared(s, dir), minOverlap = 0.5,
+        maxBucket = Int.MaxValue)),
   )
 
   /** Hash-bucket count for the DSIR feature table (q89/q90 and oracles). */
@@ -1930,6 +1962,77 @@ object SparkEntry {
          |  CAST(cnt AS DOUBLE)*100.0/total AS share_pct,
          |  CAST(cnt*n_keys AS DOUBLE)/total AS skew_x
          |FROM r CROSS JOIN t WHERE rank <= 20""".stripMargin,
+
+    // Source overlap: distinct (source, shingle) sets joined on RAW
+    // shingle strings (independently validating the hashed path, the q18
+    // convention); lexicographic source pair order = sort_array order.
+    "q100_source_overlap" ->
+      s"""WITH sh0 AS (
+         | SELECT source, unnest(${duckShingleSet("text", 3)}) AS shingle
+         | FROM documents),
+         |sh AS (SELECT DISTINCT source, shingle FROM sh0),
+         |sz AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+         |p AS (SELECT a.source AS src_a, b.source AS src_b,
+         |   CAST(count(*) AS BIGINT) AS shared
+         | FROM sh a JOIN sh b USING (shingle) WHERE a.source < b.source
+         | GROUP BY 1, 2)
+         |SELECT src_a, src_b, shared, x.n AS size_a, y.n AS size_b,
+         | CAST(shared AS DOUBLE)/CAST(x.n + y.n - shared AS DOUBLE) AS jaccard,
+         | CAST(shared AS DOUBLE)/CAST(least(x.n, y.n) AS DOUBLE) AS overlap
+         |FROM p JOIN sz x ON src_a = x.source JOIN sz y ON src_b = y.source""".stripMargin,
+
+    // Length-bucket batches: the two-phase rank is invisible (prefix
+    // buckets are the hash's top bits) → plain per-bin row_number over
+    // (seeded hash, id).
+    "q101_length_batches" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+         | FROM documents),
+         |r AS (SELECT doc_id, n_tokens, n_tokens // 16 AS bin,
+         |  row_number() OVER (PARTITION BY n_tokens // 16
+         |    ORDER BY ${duckHash("'7' || chr(0) || CAST(doc_id AS VARCHAR)")} ASC,
+         |             doc_id ASC) AS rn
+         | FROM d)
+         |SELECT doc_id, n_tokens, bin,
+         | (rn - 1) // 8 AS batch_in_bin,
+         | CAST((rn - 1) % 8 AS BIGINT) AS pos_in_batch
+         |FROM r""".stripMargin,
+
+    // Two-view crops: both starts are seeded-hash mods of the slack —
+    // all BIGINT arithmetic; views re-sliced from the token list.
+    "q102_span_views" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS parts
+         |  FROM documents),
+         |e AS (SELECT doc_id, parts, CAST(len(parts) AS BIGINT) AS n_tokens
+         |  FROM d WHERE len(parts) >= 16),
+         |a AS (SELECT doc_id, parts, n_tokens,
+         |  ${duckHash("'7 a ' || CAST(doc_id AS VARCHAR)")} % (n_tokens - 15) AS a_start
+         | FROM e),
+         |b AS (SELECT doc_id, parts, n_tokens, a_start,
+         |  a_start + 8 + ${duckHash("'7 b ' || CAST(doc_id AS VARCHAR)")}
+         |    % (n_tokens - a_start - 15) AS b_start
+         | FROM a)
+         |SELECT doc_id, n_tokens, a_start, b_start,
+         | array_to_string(list_slice(parts, a_start + 1, a_start + 8), ' ') AS view_a,
+         | array_to_string(list_slice(parts, b_start + 1, b_start + 8), ' ') AS view_b
+         |FROM b""".stripMargin,
+
+    // Containment pairs: q18's raw-shingle-string join with the overlap
+    // coefficient (shared/min) filter and the full stats row.
+    "q103_containment" ->
+      s"""WITH sh AS (
+         | SELECT doc_id, unnest(${duckShingleSet("text", 3)}) AS shingle
+         | FROM documents),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |   CAST(count(*) AS BIGINT) AS shared
+         | FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+         | GROUP BY 1, 2)
+         |SELECT id_a, id_b, shared, x.n AS size_a, y.n AS size_b,
+         | CAST(shared AS DOUBLE)/CAST(x.n + y.n - shared AS DOUBLE) AS jaccard,
+         | CAST(shared AS DOUBLE)/CAST(least(x.n, y.n) AS DOUBLE) AS overlap
+         |FROM p JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+         |WHERE CAST(shared AS DOUBLE)/CAST(least(x.n, y.n) AS DOUBLE) >= 0.5""".stripMargin,
 
     "q25_daily_weather_summary" -> {
       // roundAt(c, 2) twin: floor(c*100.0+0.5)/100.0

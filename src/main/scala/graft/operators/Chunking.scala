@@ -105,4 +105,40 @@ object Chunking {
         transform(col("s"), x => x.getField("sentence")).as("sentences"),
         col("chunk_tokens"))
   }
+
+  /**
+   * Two disjoint random crops per document — the positive-pair generator
+   * for contrastive embedding pretraining (two views of one document are
+   * the positive; other documents in the batch are in-batch negatives).
+   * View A starts at hashA mod (slack+1) where slack = n − 2·viewLen;
+   * view B starts uniformly AFTER view A ends (hashB mod the remaining
+   * room). Both draws are seeded hashes of the doc id: the pairs are
+   * bit-reproducible on any cluster/partitioning/engine — `rand()` crops
+   * are not — and every eligible doc (n ≥ 2·viewLen) yields exactly one
+   * pair per epoch seed. Disjointness by construction keeps the task
+   * honest (overlapping views let the encoder cheat on shared tokens).
+   *
+   * Zero-shuffle narrow projection: tokenize, two mods, two slices —
+   * crops at scan speed. Shorter docs are dropped (no pair exists).
+   */
+  def spanViews(docs: DataFrame, idCol: String, textCol: String,
+                viewLen: Int, seed: Long): DataFrame = {
+    require(viewLen > 0, "viewLen must be positive")
+    import graft.functions.Hashing
+    val toks = Text.tokens(col(textCol))
+    val n = size(toks).cast("long")
+    def h(tag: String) = Hashing.stableHash60(concat_ws(" ",
+      lit(seed.toString), lit(tag), col(idCol).cast("string")))
+    docs
+      .withColumn("n_tokens", n)
+      .where(col("n_tokens") >= 2L * viewLen)
+      .withColumn("a_start", h("a") % (col("n_tokens") - 2L * viewLen + 1L))
+      .withColumn("b_start", col("a_start") + viewLen +
+        h("b") % (col("n_tokens") - col("a_start") - 2L * viewLen + 1L))
+      .select(col(idCol), col("n_tokens"), col("a_start"), col("b_start"),
+        array_join(slice(Text.tokens(col(textCol)),
+          (col("a_start") + 1L).cast("int"), lit(viewLen)), " ").as("view_a"),
+        array_join(slice(Text.tokens(col(textCol)),
+          (col("b_start") + 1L).cast("int"), lit(viewLen)), " ").as("view_b"))
+  }
 }

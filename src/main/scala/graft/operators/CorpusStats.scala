@@ -78,6 +78,30 @@ object CorpusStats {
   }
 
   /**
+   * Source-overlap matrix: pairwise shingle-set overlap BETWEEN corpus
+   * sources — the census run before mixing crawls/dumps into one
+   * training corpus (two sources with high overlap double-count their
+   * shared text in every mixture weight; the fix is dedup across exactly
+   * those pairs). One row per source pair with shared-shingle count, set
+   * sizes, Jaccard and the overlap coefficient (a small curated set
+   * fully contained in a big crawl shows overlap ≈ 1 at tiny Jaccard).
+   *
+   * Shapes: the shingle stream collapses to DISTINCT (source, hash) —
+   * 8-byte keys, one aggregation — then rides
+   * [[Dedup.overlapPairsFromHashed]]'s posting-list expansion, whose
+   * buckets are bounded by the SOURCE count (tens), not document count:
+   * there is no cap to tune and no skew to guard. Output cardinality is
+   * sources², a driver-readable report at any corpus size.
+   */
+  def sourceOverlap(docs: DataFrame, groupCol: String, textCol: String,
+                    n: Int): DataFrame =
+    Dedup.overlapPairsFromHashed(
+      Dedup.hashedShingles(docs, groupCol, textCol, n)
+        .dropDuplicates("id", "h"),
+      minOverlap = 0.0, maxBucket = Int.MaxValue)
+      .withColumnsRenamed(Map("id_a" -> "src_a", "id_b" -> "src_b"))
+
+  /**
    * Top-k characteristic terms per document by tf·idf, with idf in exact
    * ratio form N/df (no log: the usual log damping is a monotone transform
    * that cannot change any ranking, and libm `log` is not bit-identical

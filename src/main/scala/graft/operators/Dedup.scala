@@ -92,6 +92,52 @@ object Dedup {
    * ~n-word strings. Collision odds at 2^60 are ~(#shingles)²/2^61 —
    * immaterial against the approximate alternatives' error rates.
    */
+  /**
+   * Full overlap statistics per co-shingled pair: shared count, set
+   * sizes, Jaccard AND the overlap coefficient |A∩B| / min(|A|,|B|).
+   * The overlap coefficient is the asymmetric-dup detector Jaccard
+   * structurally cannot be: a 30-token license block quoted inside a
+   * 3000-token document scores ~0.01 Jaccard (union-dominated) but ~1.0
+   * overlap — the snippet-inside-document class. Same single-pass
+   * posting-list machinery as [[jaccardPairsFromHashed]] (never a
+   * self-join); `sh` must be DISTINCT (id, h) rows, as
+   * [[hashedShingles]] produces. Filter is on the overlap coefficient;
+   * both scores are emitted so callers can post-filter either way.
+   */
+  def overlapPairsFromHashed(sh: DataFrame, minOverlap: Double,
+                             maxBucket: Int): DataFrame = {
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("set_size"))
+    val shared = sh.groupBy("h")
+      .agg(sort_array(collect_set(col("id"))).as("ids"))
+      .where(size(col("ids")).between(2, maxBucket))
+      .select(explode(pairsFromSorted(col("ids"))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "set_size" -> "size_a")), Seq("id_a"))
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "set_size" -> "size_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("shared").cast("double") /
+          (col("size_a") + col("size_b") - col("shared")).cast("double"))
+      .withColumn("overlap",
+        col("shared").cast("double") /
+          least(col("size_a"), col("size_b")).cast("double"))
+      .where(col("overlap") >= minOverlap)
+      .select("id_a", "id_b", "shared", "size_a", "size_b", "jaccard", "overlap")
+  }
+
+  /**
+   * Containment (snippet-inside-document) near-dup pairs: doc pairs whose
+   * smaller shingle set is ≥ `minOverlap` contained in the larger — the
+   * quotes/boilerplate/license class that whole-doc Jaccard at 0.5 never
+   * flags. Same cost envelope as [[ngramJaccardPairs]].
+   */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, minOverlap: Double,
+                       maxBucket: Int = 1000): DataFrame =
+    overlapPairsFromHashed(hashedShingles(docs, idCol, textCol, n),
+      minOverlap, maxBucket)
+
   def jaccardPairsFromHashed(sh: DataFrame, threshold: Double, maxBucket: Int): DataFrame = {
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("set_size"))
 

@@ -111,6 +111,32 @@ object Sampling {
     val keyed = df
       .withColumn("__sp_h", Hashing.stableHash60(concat_ws("\u0000",
         lit(seed.toString), col(idCol).cast("string"))))
+    val ranked = twoPhaseRank(keyed, stratumCol, idCol, prefixBits)
+    val cum = quotas.scanLeft(0L)((a, q) => a + q._2).tail
+    val chain = quotas.zip(cum).foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), c)) =>
+        val bound = expr(s"(__sp_n * ${c}L) div 100")
+        Some(acc.fold(when(col("__sp_rank") <= bound, name))(
+          _.when(col("__sp_rank") <= bound, name)))
+    }.get.otherwise(lit(rest))
+    ranked.withColumn(as, chain)
+      .drop("__sp_h", "__sp_b", "__sp_s", "__sp_b2", "__sp_off", "__sp_n", "__sp_rank")
+  }
+
+  /**
+   * Skew-proof rank within `stratumCol` over a frame carrying a seeded
+   * hash `__sp_h`: hash-prefix sub-buckets + a tiny broadcast offsets
+   * frame — never a stratum-keyed window over the corpus (a stratum can
+   * be corpus-sized; a (stratum, prefix) bucket is 2^prefixBits times
+   * smaller). Rank order within a stratum is (hash, id) EXACTLY — the
+   * bucketing is invisible to the order because the bucket IS the hash's
+   * top bits — which is what keeps every consumer's oracle a plain
+   * row_number. Adds `__sp_rank` (1-based within stratum) and `__sp_n`
+   * (stratum size); callers drop the `__sp_*` internals.
+   */
+  private def twoPhaseRank(keyed0: DataFrame, stratumCol: String,
+                           idCol: String, prefixBits: Int): DataFrame = {
+    val keyed = keyed0
       .withColumn("__sp_b", shiftright(col("__sp_h"), 60 - prefixBits))
     val counts = keyed
       .groupBy(col(stratumCol).as("__sp_s"), col("__sp_b").as("__sp_b2"))
@@ -123,20 +149,58 @@ object Sampling {
       .select(col("__sp_s"), col("__sp_b2"), col("__sp_off"), col("__sp_n"))
     val wr = Window.partitionBy(col(stratumCol), col("__sp_b"))
       .orderBy(col("__sp_h").asc_nulls_last, col(idCol).asc_nulls_last)
-    val ranked = keyed
+    keyed
       .join(broadcast(offsets),
         keyed(stratumCol) <=> offsets("__sp_s") && col("__sp_b") === col("__sp_b2"))
       .withColumn("__sp_rank", col("__sp_off") + row_number().over(wr))
-    val cum = quotas.scanLeft(0L)((a, q) => a + q._2).tail
-    val chain = quotas.zip(cum).foldLeft(Option.empty[Column]) {
-      case (acc, ((name, _), c)) =>
-        val bound = expr(s"(__sp_n * ${c}L) div 100")
-        Some(acc.fold(when(col("__sp_rank") <= bound, name))(
-          _.when(col("__sp_rank") <= bound, name)))
-    }.get.otherwise(lit(rest))
-    ranked.withColumn(as, chain)
-      .drop("__sp_h", "__sp_b", "__sp_s", "__sp_b2", "__sp_off", "__sp_n", "__sp_rank")
   }
+
+  /**
+   * Length-bucketed batch assembly — the padding minimizer for inference
+   * and packed-attention training: group rows into fixed-width length
+   * bins (`bin = n_tokens div binWidth`), order each bin by a seeded
+   * hash (deterministic "shuffle": similar-length docs batch together
+   * but batch COMPOSITION is randomized and reproducible on any
+   * cluster), and cut consecutive runs of `batchSize` into batches.
+   * Padded width of any batch is its bin's max length, so waste per row
+   * is < binWidth tokens by construction — vs padding to the global max
+   * under naive batching. Returns one row per input row with
+   * (n_tokens, bin, batch_in_bin, pos_in_batch); (bin, batch_in_bin) is
+   * the batch key. Rank rides [[twoPhaseRank]] — no bin-keyed window
+   * ever sees corpus cardinality. `lenExpr` is a Column so
+   * tokenizer-faithful counts (functions.Subword) plug in unchanged.
+   */
+  def lengthBucketBatches(df: DataFrame, idCol: String, lenExpr: Column,
+                          binWidth: Int, batchSize: Int, seed: Long,
+                          prefixBits: Int = 8): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    require(batchSize > 0, "batchSize must be positive")
+    val keyed = df
+      .withColumn("n_tokens", lenExpr.cast("long"))
+      .withColumn("bin", expr(s"n_tokens div $binWidth"))
+      .withColumn("__sp_h", Hashing.stableHash60(concat_ws("\u0000",
+        lit(seed.toString), col(idCol).cast("string"))))
+    twoPhaseRank(keyed, "bin", idCol, prefixBits)
+      .withColumn("batch_in_bin", expr(s"(__sp_rank - 1) div $batchSize"))
+      .withColumn("pos_in_batch", (col("__sp_rank") - 1) % batchSize)
+      .select(col(idCol), col("n_tokens"), col("bin"),
+        col("batch_in_bin"), col("pos_in_batch"))
+  }
+
+  /**
+   * Per-batch padding census over [[lengthBucketBatches]] output: rows,
+   * padded width (batch max), real tokens, and wasted pad slots
+   * (rows·max − sum) — exact integers, one aggregation over batch
+   * cardinality. The tail batch of each bin is the only place waste can
+   * exceed rows·(binWidth−1).
+   */
+  def lengthBatchReport(batches: DataFrame): DataFrame =
+    batches.groupBy("bin", "batch_in_bin")
+      .agg(count(lit(1)).as("n_rows"),
+        max(col("n_tokens")).as("padded_len"),
+        sum(col("n_tokens")).as("real_tokens"))
+      .withColumn("pad_waste",
+        col("n_rows") * col("padded_len") - col("real_tokens"))
 
   /**
    * Deterministic global shuffle — training-order randomization as a

@@ -279,4 +279,38 @@ class AsOfSamplingSpec extends SparkSpec {
     val s20 = Sampling.hashSample(df, "id", 2, 10).collect().map(_.getLong(0)).toSet
     assert(s1.subsetOf(s20))
   }
+
+  test("lengthBucketBatches bounds batch size and per-row pad waste by construction") {
+    val docs = (0L until 300L).map(i => (i, Seq.fill((i % 47 + 5).toInt)("w").mkString(" ")))
+      .toDF("id", "t")
+    val lenExpr = size(split(col("t"), " "))
+    val b = Sampling.lengthBucketBatches(docs, "id", lenExpr,
+      binWidth = 16, batchSize = 8, seed = 3L)
+    val rows = b.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4)))
+    assert(rows.length == 300) // every row assigned
+    rows.foreach { case (_, n, bin, _, pos) =>
+      assert(bin == n / 16, s"bin for n=$n")
+      assert(pos >= 0 && pos < 8)
+    }
+    // batches are full except at most ONE tail batch per bin
+    val perBatch = rows.groupBy(r => (r._3, r._4)).view.mapValues(_.length)
+    perBatch.foreach { case ((_, _), c) => assert(c <= 8) }
+    val partialPerBin = perBatch.toSeq.filter(_._2 < 8).groupBy(_._1._1)
+    partialPerBin.foreach { case (bin, ps) => assert(ps.size == 1, s"bin $bin") }
+    // report: exact integer pad accounting, padded width within the bin
+    val rep = Sampling.lengthBatchReport(b).collect()
+    rep.foreach { r =>
+      val (bin, nRows, padded, real, waste) =
+        (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(waste == nRows * padded - real)
+      assert(padded / 16 == bin) // batch max stays inside its bin
+    }
+    // deterministic on any partitioning
+    val again = Sampling.lengthBucketBatches(docs.repartition(7), "id", lenExpr,
+      binWidth = 16, batchSize = 8, seed = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(again.toSet == rows.toSet)
+  }
 }

@@ -463,6 +463,37 @@ class DedupSpec extends SparkSpec {
       && !naive.exists(p => p._1 == 1L && p._2 == 2L))
   }
 
+  test("containmentPairs flags snippet-inside-document pairs Jaccard hides") {
+    val snippet = "alpha beta gamma delta" // 2 distinct 3-shingles
+    val long = snippet + " " + (1 to 30).map(i => s"w$i").mkString(" ") // 32 shingles
+    val other = (1 to 20).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, snippet), (2L, long), (3L, other)).toDF("doc_id", "text")
+    val rows = Dedup.containmentPairs(docs, "doc_id", "text", n = 3,
+      minOverlap = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))).toMap
+    // snippet's shingle set is fully inside the long doc: overlap = 1.0
+    // while jaccard = 2/32 — far below any sensible near-dup threshold
+    assert(rows.keySet == Set((1L, 2L)))
+    val (shared, sa, sb, jac, ov) = rows((1L, 2L))
+    assert(shared == 2L && sa == 2L && sb == 32L)
+    assert(ov == 1.0 && jac == 2.0 / 32.0)
+  }
+
+  test("overlapPairsFromHashed jaccard agrees with jaccardPairsFromHashed") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sh = Dedup.hashedShingles(docs, "doc_id", "text", n = 3)
+    val viaOverlap = Dedup.overlapPairsFromHashed(sh, minOverlap = 0.0,
+        maxBucket = Int.MaxValue)
+      .where(col("jaccard") >= 0.5)
+      .select("id_a", "id_b", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaJaccard = Dedup.jaccardPairsFromHashed(sh, threshold = 0.5,
+        maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaOverlap == viaJaccard && viaOverlap.nonEmpty)
+  }
+
   private def levenshteinScala(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
     for (i <- 1 to a.length; j <- 1 to b.length)

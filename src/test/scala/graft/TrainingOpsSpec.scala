@@ -400,4 +400,58 @@ class TrainingOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getString(4))).toSet
     assert(streamed == batch && streamed.nonEmpty)
   }
+
+  test("sourceOverlap matches hand-computed shingle-set overlap per source pair") {
+    val fixture = Seq(
+      ("A", "a b c d e"), ("A", "c d e f g"),          // A: 3 + (3 new of 3)
+      ("B", "a b c d e"), ("B", "p q r s t"),          // shares A's first doc
+      ("C", "x y z x y z z"))                          // disjoint from both
+      .zipWithIndex.map { case ((s, t), i) => (i.toLong, s, t) }
+      .toDF("doc_id", "source", "text")
+    // Scala-twin expected stats from raw shingle sets
+    def shingleSet(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val bySrc = Seq("A", "B", "C").map { s =>
+      s -> fixture.where(col("source") === s).collect()
+        .flatMap(r => shingleSet(r.getString(2))).toSet
+    }.toMap
+    val got = CorpusStats.sourceOverlap(fixture, "source", "text", n = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))).toMap
+    for (a <- Seq("A", "B", "C"); b <- Seq("A", "B", "C") if a < b) {
+      val (sa, sb) = (bySrc(a), bySrc(b))
+      val inter = (sa & sb).size
+      if (inter == 0) assert(!got.contains((a, b)), s"($a,$b)")
+      else {
+        val (shared, za, zb, jac, ov) = got((a, b))
+        assert(shared == inter && za == sa.size && zb == sb.size)
+        assert(jac == inter.toDouble / (sa.size + sb.size - inter).toDouble)
+        assert(ov == inter.toDouble / math.min(sa.size, sb.size).toDouble)
+      }
+    }
+    assert(got.contains(("A", "B")) && !got.contains(("A", "C")))
+  }
+
+  test("spanViews crops are disjoint, in-bounds, content-faithful and seed-driven") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val L = 8
+    val views = Chunking.spanViews(docs, "doc_id", "text", viewLen = L, seed = 7L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val eligible = texts.filter(_._2.split(" ").length >= 2 * L)
+    assert(views.keySet == eligible.keySet) // exactly one pair per eligible doc
+    views.foreach { case (id, (n, a, b, va, vb)) =>
+      val toks = texts(id).split(" ")
+      assert(n == toks.length)
+      assert(a >= 0 && a + L <= b && b + L <= n, s"doc $id: a=$a b=$b n=$n")
+      // views are the actual token spans (disjoint by the bound above)
+      assert(va == toks.slice(a.toInt, a.toInt + L).mkString(" "))
+      assert(vb == toks.slice(b.toInt, b.toInt + L).mkString(" "))
+    }
+    // a different epoch seed moves the crops (somewhere, not necessarily everywhere)
+    val otherSeed = Chunking.spanViews(docs, "doc_id", "text", viewLen = L, seed = 8L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(views.exists { case (id, (_, a, b, _, _)) => otherSeed(id) != ((a, b)) })
+  }
 }
