@@ -1185,6 +1185,24 @@ object SparkEntry {
       graft.operators.Dedup.overlapPairsFromHashed(
         hashedShinglesShared(s, dir), minOverlap = 0.5,
         maxBucket = Int.MaxValue)),
+
+    // T5-style span corruption (15% seeded-hash Bernoulli per position,
+    // consecutive masks merge into one sentinel span): input text with
+    // <extra_id_k> sentinels + the span targets — the denoising-objective
+    // pair, bit-reproducible across epochs/partitionings.
+    "q104_span_corruption" -> ((s, dir) =>
+      graft.operators.Augment.spanCorruption(t(s, dir, "documents"),
+          "doc_id", "text", noisePct = 15, seed = 7L)
+        .withColumnRenamed("id", "doc_id")),
+
+    // Token-proportional Poisson (PPS) sample: ~100 docs drawn with
+    // probability ∝ token count, inclusion tested in EXACT integer
+    // arithmetic (hash·Σw < target·w·2^60) — no float threshold anywhere;
+    // Horvitz-Thompson weights keep downstream stats unbiased.
+    "q105_pps_sample" -> ((s, dir) =>
+      graft.operators.Sampling.ppsSample(
+        t(s, dir, "documents").select("doc_id", "text"), "doc_id",
+        Text.tokenCount(col("text")), targetRows = 100L, seed = 7L)),
   )
 
   /** Hash-bucket count for the DSIR feature table (q89/q90 and oracles). */
@@ -2033,6 +2051,52 @@ object SparkEntry {
          | CAST(shared AS DOUBLE)/CAST(least(x.n, y.n) AS DOUBLE) AS overlap
          |FROM p JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
          |WHERE CAST(shared AS DOUBLE)/CAST(least(x.n, y.n) AS DOUBLE) >= 0.5""".stripMargin,
+
+    // Span corruption: same per-position Bernoulli hash, lag/run-id
+    // windows over the unique pos order, string_agg ORDER BY pos.
+    "q104_span_corruption" ->
+      s"""WITH t0 AS (SELECT doc_id AS id, string_split(text,' ') AS parts
+         |  FROM documents),
+         |t AS (SELECT id, unnest(parts) AS tok,
+         |  generate_subscripts(parts, 1) - 1 AS pos FROM t0),
+         |m AS (SELECT id, pos, tok,
+         |  (${duckHash("'7 m ' || CAST(id AS VARCHAR) || ' ' || CAST(pos AS VARCHAR)")} % 100) < 15
+         |    AS masked FROM t),
+         |r1 AS (SELECT *, masked AND NOT
+         |  coalesce(lag(masked) OVER (PARTITION BY id ORDER BY pos), false)
+         |    AS run_start FROM m),
+         |r AS (SELECT *, sum(CASE WHEN run_start THEN 1 ELSE 0 END)
+         |  OVER (PARTITION BY id ORDER BY pos) AS run_id FROM r1),
+         |inp AS (SELECT id, string_agg(CASE WHEN masked
+         |    THEN '<extra_id_' || CAST(run_id - 1 AS VARCHAR) || '>'
+         |    ELSE tok END, ' ' ORDER BY pos) AS input_text
+         |  FROM r WHERE NOT masked OR run_start GROUP BY id),
+         |tgt AS (SELECT id, string_agg(CASE WHEN run_start
+         |    THEN '<extra_id_' || CAST(run_id - 1 AS VARCHAR) || '> ' || tok
+         |    ELSE tok END, ' ' ORDER BY pos) AS target_core,
+         |  count(*) AS n_masked, CAST(max(run_id) AS BIGINT) AS n_spans
+         |  FROM r WHERE masked GROUP BY id)
+         |SELECT inp.id AS doc_id, input_text,
+         | coalesce(target_core || ' <extra_id_' || CAST(n_spans AS VARCHAR) || '>',
+         |          '<extra_id_0>') AS target_text,
+         | coalesce(n_masked, 0) AS n_masked,
+         | coalesce(n_spans, 0) AS n_spans
+         |FROM inp LEFT JOIN tgt USING (id)""".stripMargin,
+
+    // PPS sample: the exact-integer inclusion test in HUGEINT; prob and
+    // HT weight as single IEEE divisions of exact integers.
+    "q105_pps_sample" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  CAST(len(string_split(text,' ')) AS BIGINT) AS w FROM documents),
+         |wd AS (SELECT * FROM d WHERE w > 0),
+         |t AS (SELECT CAST(sum(w) AS BIGINT) AS total FROM wd)
+         |SELECT doc_id, w,
+         | least(CAST(1.0 AS DOUBLE), CAST(w AS DOUBLE) * 100.0 / total) AS incl_prob,
+         | 1.0 / least(CAST(1.0 AS DOUBLE), CAST(w AS DOUBLE) * 100.0 / total)
+         |   AS ht_weight
+         |FROM wd CROSS JOIN t
+         |WHERE CAST(${duckHash("'7 ' || CAST(doc_id AS VARCHAR)")} AS HUGEINT) * total
+         |   < CAST(100 AS HUGEINT) * w * 1152921504606846976""".stripMargin,
 
     "q25_daily_weather_summary" -> {
       // roundAt(c, 2) twin: floor(c*100.0+0.5)/100.0

@@ -188,6 +188,47 @@ object Sampling {
   }
 
   /**
+   * Probability-proportional-to-size (Poisson/PPS) sampling with EXACT
+   * integer inclusion tests — "sample ~targetRows documents with
+   * probability proportional to token count" is how a token budget is
+   * spent without biasing toward short documents. Row i enters iff
+   *
+   *   hash_i · Σw  <  targetRows · w_i · 2^60
+   *
+   * i.e. uniform(hash)/2^60 < targetRows·w_i/Σw, but evaluated entirely
+   * in DECIMAL(38,0)/HUGEINT integer arithmetic — no float threshold, so
+   * the sample is bit-identical on any engine and any partitioning
+   * (products stay ≤ ~10^31 ≪ 10^38 even at 100 TB token totals). Rows
+   * with targetRows·w ≥ Σw have probability 1 and always enter. Sample
+   * SIZE is Poisson-distributed around targetRows (use capPerGroup /
+   * stratifiedSplit for exact counts); `incl_prob` and the
+   * Horvitz-Thompson weight `ht_weight` = 1/prob are emitted so
+   * downstream corpus statistics stay unbiased.
+   *
+   * Scale shape: one one-row total aggregation broadcast back + a narrow
+   * codegen filter — the corpus never shuffles. Zero-weight rows are
+   * excluded (prob 0).
+   */
+  def ppsSample(df: DataFrame, idCol: String, weightExpr: Column,
+                targetRows: Long, seed: Long): DataFrame = {
+    require(targetRows > 0, "targetRows must be positive")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val weighted = df.withColumn("w", weightExpr.cast("long"))
+      .where(col("w") > 0)
+    val tot = weighted.agg(sum(col("w")).as("total"))
+    val h = Hashing.stableHash60(concat_ws(" ",
+      lit(seed.toString), col(idCol).cast("string")))
+    weighted.crossJoin(broadcast(tot))
+      .where(h.cast(dec) * col("total").cast(dec) <
+        lit(targetRows).cast(dec) * col("w").cast(dec) *
+          lit(1152921504606846976L).cast(dec)) // 2^60
+      .withColumn("incl_prob", least(lit(1.0),
+        col("w").cast("double") * targetRows.toDouble / col("total")))
+      .withColumn("ht_weight", lit(1.0) / col("incl_prob"))
+      .select(col(idCol), col("w"), col("incl_prob"), col("ht_weight"))
+  }
+
+  /**
    * Per-batch padding census over [[lengthBucketBatches]] output: rows,
    * padded width (batch max), real tokens, and wasted pad slots
    * (rows·max − sum) — exact integers, one aggregation over batch

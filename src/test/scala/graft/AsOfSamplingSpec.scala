@@ -280,6 +280,34 @@ class AsOfSamplingSpec extends SparkSpec {
     assert(s1.subsetOf(s20))
   }
 
+  test("ppsSample: weight-proportional inclusion, exact HT accounting, deterministic") {
+    val df = (1L to 1000L).map(i => (i, (i % 50 + 1))).toDF("id", "wt")
+    val got = Sampling.ppsSample(df, "id", col("wt"), targetRows = 100L, seed = 5L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // Poisson size concentrates around targetRows (deterministic value —
+    // the band is a regression pin, not a statistical assertion)
+    assert(got.size > 70 && got.size < 130, s"sample size ${got.size}")
+    val total = (1L to 1000L).map(i => i % 50 + 1).sum.toDouble
+    got.foreach { case (id, (w, p, ht)) =>
+      assert(w == id % 50 + 1)
+      assert(p == math.min(1.0, w * 100.0 / total))
+      assert(ht == 1.0 / p)
+    }
+    // a row with targetRows·w ≥ Σw has probability 1 and ALWAYS enters
+    val dominant = df.union(Seq((9999L, 10000L)).toDF("id", "wt"))
+    val withBig = Sampling.ppsSample(dominant, "id", col("wt"), 100L, 5L)
+      .where(col("id") === 9999L).collect()
+    assert(withBig.length == 1 && withBig.head.getDouble(2) == 1.0)
+    // deterministic on any partitioning
+    val again = Sampling.ppsSample(df.repartition(9), "id", col("wt"), 100L, 5L)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(again == got.keySet)
+    // HT estimator of the total from the sample is in a sane band
+    // (deterministic draw -> fixed value; pin keeps the estimator wired)
+    val htTotal = got.values.map { case (w, p, _) => w / p }.sum
+    assert(math.abs(htTotal - total) / total < 0.3, s"HT $htTotal vs $total")
+  }
+
   test("lengthBucketBatches bounds batch size and per-row pad waste by construction") {
     val docs = (0L until 300L).map(i => (i, Seq.fill((i % 47 + 5).toInt)("w").mkString(" ")))
       .toDF("id", "t")

@@ -401,6 +401,35 @@ class TrainingOpsSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("spanCorruption is lossless: splicing targets back into inputs rebuilds the doc") {
+    import graft.operators.Augment
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Augment.spanCorruption(docs, "doc_id", "text", noisePct = 15, seed = 7L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))).toMap
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == texts.keySet)
+    var masked = 0L; var total = 0L
+    out.foreach { case (id, (input, target, nMasked, nSpans)) =>
+      // parse target "<extra_id_0> a b <extra_id_1> c <extra_id_2>" into spans
+      val spans = target.split("<extra_id_\\d+>").map(_.trim).filter(_.nonEmpty)
+      assert(spans.length == nSpans, s"doc $id")
+      // splice each sentinel in the input with its span
+      val rebuilt = spans.zipWithIndex.foldLeft(input) { case (acc, (s, k)) =>
+        acc.replace(s"<extra_id_$k>", s)
+      }
+      assert(rebuilt == texts(id), s"doc $id reconstruction")
+      masked += nMasked; total += texts(id).split(" ").length
+    }
+    // Bernoulli(15%) over the corpus: empirical rate in a generous band
+    val rate = masked.toDouble / total
+    assert(rate > 0.10 && rate < 0.20, s"mask rate $rate")
+    // deterministic on any partitioning
+    val again = Augment.spanCorruption(docs.repartition(13), "doc_id", "text", 15, 7L)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(again == out.view.mapValues(v => (v._1, v._2)).toMap)
+  }
+
   test("sourceOverlap matches hand-computed shingle-set overlap per source pair") {
     val fixture = Seq(
       ("A", "a b c d e"), ("A", "c d e f g"),          // A: 3 + (3 new of 3)
