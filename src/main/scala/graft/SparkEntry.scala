@@ -1203,6 +1203,17 @@ object SparkEntry {
       graft.operators.Sampling.ppsSample(
         t(s, dir, "documents").select("doc_id", "text"), "doc_id",
         Text.tokenCount(col("text")), targetRows = 100L, seed = 7L)),
+
+    // JSONL export lines: compact RFC-8259 JSON per row, field order =
+    // column order — Spark's Jackson writer and DuckDB's to_json agree
+    // byte-for-byte on the minimal escape set, gated here with an
+    // escape-bearing synthesized field (newline, quote, tab, backslash).
+    "q106_jsonl" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.operators.Layout.jsonLine(Seq(
+          col("doc_id"), col("lang"),
+          concat(col("text"), lit("\n\"quoted\"\t\\end")).as("msg")))
+          .as("json_line"))),
   )
 
   /** Hash-bucket count for the DSIR feature table (q89/q90 and oracles). */
@@ -2097,6 +2108,14 @@ object SparkEntry {
          |FROM wd CROSS JOIN t
          |WHERE CAST(${duckHash("'7 ' || CAST(doc_id AS VARCHAR)")} AS HUGEINT) * total
          |   < CAST(100 AS HUGEINT) * w * 1152921504606846976""".stripMargin,
+
+    // JSONL lines: struct_pack preserves field order; both engines emit
+    // the RFC-8259 minimal escape set byte-for-byte.
+    "q106_jsonl" ->
+      s"""SELECT doc_id, to_json(struct_pack(doc_id := doc_id, lang := lang,
+         |  msg := text || chr(10) || '"quoted"' || chr(9) || '\\end'))
+         |    AS json_line
+         |FROM documents""".stripMargin,
 
     "q25_daily_weather_summary" -> {
       // roundAt(c, 2) twin: floor(c*100.0+0.5)/100.0

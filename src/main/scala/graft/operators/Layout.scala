@@ -240,4 +240,33 @@ object Layout {
     finally os.close()
     manifest
   }
+
+  /**
+   * One compact JSON object per row over `cols` (field order = column
+   * order, null fields INCLUDED — the JSONL interchange contract): the
+   * textual release format WebDataset/HF-datasets loaders ingest.
+   * Escaping is the RFC 8259 minimal set (\" \\ \n \t \r, \u00XX for
+   * other control chars, UTF-8 passthrough above ASCII) — which Spark's
+   * Jackson writer and DuckDB's to_json agree on byte-for-byte, so the
+   * emitted lines are oracle-able (q106) and a release re-emitted by any
+   * engine checksums identically. Pure projection — export at scan speed.
+   */
+  def jsonLine(cols: Seq[Column]): Column =
+    to_json(struct(cols: _*), Map("ignoreNullFields" -> "false"))
+
+  /** JSONL shard sink: [[jsonLine]] per row → text files. Same
+    * hash-membership sharding as [[writeShards]] (one file per shard, the
+    * shard key never depends on partitioning), minus the parquet
+    * metadata; pair with spark.read.schema(...).json to load. */
+  def writeJsonl(df: DataFrame, path: String, idCol: String, cols: Seq[String],
+                 numShards: Int): Unit = {
+    require(numShards > 0, "numShards must be positive")
+    val h = graft.functions.Hashing.stableHash60(col(idCol).cast("string"))
+    df.withColumn("shard", pmod(h, lit(numShards)).cast("int"))
+      .withColumn("__h", h)
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("__h"), col(idCol))
+      .select(col("shard"), jsonLine(cols.map(col)).as("value"))
+      .write.mode("overwrite").partitionBy("shard").text(path)
+  }
 }

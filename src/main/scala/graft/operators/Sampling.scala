@@ -229,6 +229,33 @@ object Sampling {
   }
 
   /**
+   * Ingest-time form of [[ppsSample]]: inclusion against a KNOWN weight
+   * total (the previous release's token census) instead of aggregating
+   * one — which makes the whole operator a pure stateless narrow filter,
+   * directly applicable to a STREAMING DataFrame (no aggregation, no
+   * state): batch and stream admission verdicts are identical by
+   * construction, and spec-pinned. With `total` = the actual Σw this is
+   * exactly [[ppsSample]] (also spec-pinned).
+   */
+  def ppsSampleWithTotal(df: DataFrame, idCol: String, weightExpr: Column,
+                         targetRows: Long, seed: Long, total: Long): DataFrame = {
+    require(targetRows > 0, "targetRows must be positive")
+    require(total > 0, "total must be positive")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val h = Hashing.stableHash60(concat_ws(" ",
+      lit(seed.toString), col(idCol).cast("string")))
+    df.withColumn("w", weightExpr.cast("long")).where(col("w") > 0)
+      .withColumn("total", lit(total))
+      .where(h.cast(dec) * col("total").cast(dec) <
+        lit(targetRows).cast(dec) * col("w").cast(dec) *
+          lit(1152921504606846976L).cast(dec))
+      .withColumn("incl_prob", least(lit(1.0),
+        col("w").cast("double") * targetRows.toDouble / col("total")))
+      .withColumn("ht_weight", lit(1.0) / col("incl_prob"))
+      .select(col(idCol), col("w"), col("incl_prob"), col("ht_weight"))
+  }
+
+  /**
    * Per-batch padding census over [[lengthBucketBatches]] output: rows,
    * padded width (batch max), real tokens, and wasted pad slots
    * (rows·max − sum) — exact integers, one aggregation over batch

@@ -306,6 +306,12 @@ class AsOfSamplingSpec extends SparkSpec {
     // (deterministic draw -> fixed value; pin keeps the estimator wired)
     val htTotal = got.values.map { case (w, p, _) => w / p }.sum
     assert(math.abs(htTotal - total) / total < 0.3, s"HT $htTotal vs $total")
+    // the fixed-total (ingest/streaming) form with the TRUE total is the
+    // same sample, bit for bit
+    val fixed = Sampling.ppsSampleWithTotal(df, "id", col("wt"), 100L, 5L,
+        total = total.toLong)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(fixed == got)
   }
 
   test("lengthBucketBatches bounds batch size and per-row pad waste by construction") {

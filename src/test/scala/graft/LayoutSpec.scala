@@ -154,4 +154,29 @@ class LayoutSpec extends SparkSpec {
     assert(card.contains(s""""n_docs":${m.totalRows}"""))
     assert(card.contains("\"top_lang\":") && card.contains("\"dup_rate\":"))
   }
+
+  test("jsonLine keeps nulls and field order; writeJsonl round-trips through read.json") {
+    import spark.implicits._
+    // null fields stay (the JSONL interchange contract — Spark's default
+    // would silently drop them and a loader expecting the key would break)
+    val line = Seq((1L, null: String)).toDF("id", "s")
+      .select(Layout.jsonLine(Seq(col("id"), col("s"))))
+      .head.getString(0)
+    assert(line == """{"id":1,"s":null}""")
+    val path = tmpDir("jsonl")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "lang", "text")
+    Layout.writeJsonl(docs, path, "doc_id", Seq("doc_id", "lang", "text"),
+      numShards = 3)
+    val back = spark.read.schema("doc_id LONG, lang STRING, text STRING")
+      .json(path)
+      .select("doc_id", "lang", "text") // drop the discovered shard= partition col
+    assert(back.count() == docs.count())
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+    // one text file per shard
+    val files = new java.io.File(path).listFiles
+      .filter(d => d.isDirectory && d.getName.startsWith("shard="))
+      .map(_.listFiles.count(f => f.getName.startsWith("part-")))
+    assert(files.length == 3 && files.forall(_ == 1))
+  }
 }

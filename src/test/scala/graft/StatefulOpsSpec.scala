@@ -448,6 +448,52 @@ class StatefulOpsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("fixed-total PPS sampling admits identically in batch and streaming") {
+    import graft.operators.Sampling
+    val root = Files.createTempDirectory("graft-ppsstream").toString
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    // a pure narrow filter: applies to the streaming frame DIRECTLY —
+    // no aggregation, no state, no foreachBatch required
+    val admitted = Sampling.ppsSampleWithTotal(
+      input.toDS().toDF("id", "wt"), "id", col("wt"),
+      targetRows = 40L, seed = 5L, total = 5000L)
+    val q = admitted.writeStream.format("memory").queryName("pps_stream")
+      .option("checkpointLocation", s"$root/ckpt").outputMode("append").start()
+    val rows = (1L to 200L).map(i => (i, i % 50 + 1))
+    input.addData(rows.take(120): _*); q.processAllAvailable()
+    input.addData(rows.drop(120): _*); q.processAllAvailable()
+    val streamed = spark.sql("SELECT * FROM pps_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    val batch = Sampling.ppsSampleWithTotal(rows.toDF("id", "wt"), "id",
+        col("wt"), 40L, 5L, 5000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("span corruption per micro-batch equals the batch run (doc-local operator)") {
+    import graft.operators.Augment
+    val root = Files.createTempDirectory("graft-corrstream").toString
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val acc = scala.collection.mutable.Set[(Long, String, String)]()
+    val q = input.toDS().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (bdf: org.apache.spark.sql.DataFrame, _: Long) =>
+        acc ++= Augment.spanCorruption(bdf, "doc_id", "text", 15, 7L)
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        ()
+      }.start()
+    val docs = (1L to 40L).map(i => (i, (1 to 20).map(k => s"tok${i}_$k").mkString(" ")))
+    input.addData(docs.take(25): _*); q.processAllAvailable()
+    input.addData(docs.drop(25): _*); q.processAllAvailable()
+    q.stop()
+    val batch = Augment.spanCorruption(docs.toDF("doc_id", "text"), "doc_id", "text", 15, 7L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(acc.toSet == batch && batch.nonEmpty)
+  }
+
   test("bloomScreen flags contaminated docs identically in batch and streaming") {
     import graft.operators.Dedup
     val root = Files.createTempDirectory("graft-bloomscreen").toString
