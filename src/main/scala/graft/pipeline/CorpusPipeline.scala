@@ -12,6 +12,10 @@ import org.apache.spark.sql.functions._
  * operators (nothing new computes here; this is the integration artifact
  * proving the pieces compose):
  *
+ *   0. markup strip            (optional, `stripMarkupFirst`) —
+ *                              Text.stripMarkup BEFORE the funnel: the
+ *                              quality stats must judge extracted text,
+ *                              not tag soup; edited docs counted
  *   1. quality funnel          Cleaning.survivors (first-failure stages)
  *   1b. line-frequency dedup   (optional, `lineDedupMinDocs`) —
  *                              Cleaning.dropFrequentLines BEFORE exact
@@ -45,6 +49,10 @@ import org.apache.spark.sql.functions._
  *                              the corpus side) → exact
  *                              crossSetContamination ≥ threshold drops
  *                              — judging the EDITED text when 3c ran
+ *   4b. token-budget sample    (optional, `tokenBudgetDocs`) —
+ *                              Sampling.ppsSample ∝ token count over the
+ *                              clean decontaminated corpus (budget is
+ *                              never spent on docs later stages drop)
  *   5. split assignment        Sampling.assignSplits (hash-stable), or
  *                              Sampling.stratifiedSplit when `stratifyBy`
  *                              is set (exact per-stratum quotas)
@@ -54,7 +62,9 @@ import org.apache.spark.sql.functions._
  *                              corpus (RAG-ingestion view; count reported)
  *   8. release emit            (optional, `emitPath`) —
  *                              Layout.writeCorpusRelease: sharded files +
- *                              _manifest.json + _datacard.json
+ *                              _manifest.json + _datacard.json; and/or
+ *                              `emitJsonlPath` — Layout.writeJsonl
+ *                              (textual JSONL shards, loader-friendly)
  *
  * Every stage is hash-driven, so the same corpus yields identical
  * surviving ids, splits and pack layout on any cluster or partitioning —
@@ -87,7 +97,9 @@ object CorpusPipeline {
       lineEditedDocs: Long = 0L,
       afterLineDedup: Long = 0L,
       selfRepeatEditedDocs: Long = 0L,
-      afterSelfRepeatCut: Long = 0L)
+      afterSelfRepeatCut: Long = 0L,
+      markupEditedDocs: Long = 0L,
+      afterBudget: Long = 0L)
 
   /**
    * Shared iterated-cut loop for stages 2b and 3c: per round, `detect`
@@ -147,7 +159,11 @@ object CorpusPipeline {
           selfRepeatWindow: Option[Int] = None,
           stratifyBy: Option[String] = None,
           stratifySeed: Long = 0L,
-          nearDupRepScore: Option[Column] = None): (DataFrame, Report) = {
+          nearDupRepScore: Option[Column] = None,
+          stripMarkupFirst: Boolean = false,
+          tokenBudgetDocs: Option[Long] = None,
+          budgetSeed: Long = 0L,
+          emitJsonlPath: Option[String] = None): (DataFrame, Report) = {
     // Argument-only checks fail BEFORE any cluster work — stage 5's
     // quota math must not be the first place a bad weight list surfaces.
     if (stratifyBy.isDefined)
@@ -156,12 +172,25 @@ object CorpusPipeline {
           s"got ${splits.map(_._2).sum}")
     val input = docs.count()
 
+    // 0 (optional): markup → text extraction — the crawl-ingest cleaner
+    // runs BEFORE the quality funnel (length/stopword/quality stats must
+    // judge the extracted text, not tag soup). Edited-doc count via one
+    // dual-column projection; no extra pass over the data.
+    val (prepped, nMarkupEdited) =
+      if (!stripMarkupFirst) (docs, 0L)
+      else {
+        val s = docs.withColumn("__stripped", Text.stripMarkup(col(textCol)))
+          .localCheckpoint() // feeds the edited count AND the funnel
+        val edited = s.where(!(col("__stripped") <=> col(textCol))).count()
+        (s.withColumn(textCol, col("__stripped")).drop("__stripped"), edited)
+      }
+
     // 1-2: funnel, then canonicalize-and-keep-first. Both frames checkpoint
     // eagerly: each feeds multiple consumers (count + next stage; `exact`
     // additionally the pair pipeline, the keeper anti-join and the screen)
     // and lazy lineage would re-run the funnel scan per consumer (NOTES
     // invariant #4).
-    val cleaned = Cleaning.survivors(docs, stages).localCheckpoint()
+    val cleaned = Cleaning.survivors(prepped, stages).localCheckpoint()
     val nCleaned = cleaned.count()
 
     // 1b (optional): line-frequency boilerplate removal — chrome cut
@@ -292,7 +321,22 @@ object CorpusPipeline {
         Dedup.hashedShingles(flagged, idCol, textCol, n = 3), Int.MaxValue)
       .where(col("contamination") >= contaminationThreshold)
       .select(col("test_id").as(idCol))
-    val corpusBase = decut.join(dirty, Seq(idCol), "left_anti")
+    val screened = decut.join(dirty, Seq(idCol), "left_anti")
+
+    // 4b (optional): token-budget downsample — PPS sampling ∝ token count
+    // over the CLEAN, decontaminated corpus (sampling earlier would spend
+    // budget on docs later stages drop). Exact-integer inclusion
+    // (Sampling.ppsSample) keeps the kept-set reproducible anywhere.
+    val (corpusBase, nScreened, nBudget) = tokenBudgetDocs match {
+      case None => (screened, -1L, -1L)
+      case Some(target) =>
+        val base = screened.localCheckpoint() // census + sample + join
+        val picked = Sampling.ppsSample(base.select(col(idCol), col(textCol)),
+            idCol, Text.tokenCount(col(textCol)), target, budgetSeed)
+          .select(col(idCol))
+        val kept = base.join(picked, Seq(idCol), "left_semi").localCheckpoint()
+        (kept, base.count(), kept.count())
+    }
     val corpus = (stratifyBy match {
       case None =>
         corpusBase.withColumn("split", Sampling.splitColumn(col(idCol), splits))
@@ -331,18 +375,27 @@ object CorpusPipeline {
       graft.operators.Chunking.chunkBySentences(corpus, idCol, textCol, mt).count())
       .getOrElse(0L)
 
-    // 8 (optional): release emit — sharded files + manifest + data card
+    // 8 (optional): release emit — sharded files + manifest + data card;
+    // emitJsonlPath additionally (or instead) writes the textual JSONL
+    // release (Layout.writeJsonl) — same corpus, loader-friendly format.
     val emitted = emitPath.map(p =>
       graft.operators.Layout.writeCorpusRelease(corpus, p, idCol, textCol, packShards))
+    emitJsonlPath.foreach(p => graft.operators.Layout.writeJsonl(
+      corpus, p, idCol, Seq(idCol, "split", textCol), packShards))
 
     (corpus, Report(input, nCleaned, nExact, nNear,
-      contaminated = nDecut - nCorpus, // stage-4 screen drops (post-cut text)
+      // stage-4 screen drops, measured on the post-cut text; with a
+      // budget stage the screen census is explicit (nScreened) so budget
+      // drops are never misattributed to contamination
+      contaminated = if (nScreened >= 0) nDecut - nScreened else nDecut - nCorpus,
       corpus = nCorpus, splitCounts = splitCounts, trainSequences = nSeqs,
       afterSemanticDedup = nSem, sentenceChunks = nChunks,
       emittedShards = emitted.map(_.shards.size).getOrElse(0),
       spanEditedDocs = nSpanEdited, afterSpanCut = nSpanCut,
       evalCutDocs = nEvalCut, afterEvalCut = nDecut,
       lineEditedDocs = nLineEdited, afterLineDedup = nLined,
-      selfRepeatEditedDocs = nSelfEdited, afterSelfRepeatCut = nDestut))
+      selfRepeatEditedDocs = nSelfEdited, afterSelfRepeatCut = nDestut,
+      markupEditedDocs = nMarkupEdited,
+      afterBudget = if (nBudget >= 0) nBudget else 0L))
   }
 }

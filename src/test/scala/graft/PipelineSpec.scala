@@ -282,4 +282,39 @@ class PipelineSpec extends SparkSpec {
     assert(r2.input == 0 && r2.corpus == 0 && r2.trainSequences == 0)
     assert(empty.count() == 0)
   }
+
+  test("corpus pipeline markup-strip, token-budget and JSONL-emit stages") {
+    import graft.pipeline.CorpusPipeline
+    import graft.functions.Text
+    import org.apache.spark.sql.functions._
+    val raw = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // crawl-shaped input: every document arrives wrapped in markup — the
+    // quality funnel must judge the EXTRACTED text
+    val docs = raw.withColumn("text", concat(lit("<html><body><p>"),
+      col("text"), lit("</p><!-- chrome --></body></html>")))
+    // planted contamination: eval items are raw (unwrapped) corpus texts —
+    // they only match AFTER the strip restores the clean text
+    val eval = raw.where(col("doc_id") % 40 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val jsonl = Files.createTempDirectory("graft-jsonl-rel").toString
+    val (corpus, rep) = CorpusPipeline.run(docs, eval, "doc_id", "text",
+      stages = Seq("minlen" -> (Text.tokenCount(col("text")) >= 5)),
+      stripMarkupFirst = true,
+      tokenBudgetDocs = Some(120L), budgetSeed = 3L,
+      emitJsonlPath = Some(jsonl))
+    assert(rep.markupEditedDocs == rep.input) // every doc was wrapped
+    // the planted eval twins survive dedup as clean text and are screened
+    assert(rep.contaminated > 0)
+    // budget drops are attributed to the budget stage, NOT contamination:
+    // screen survivors = afterEvalCut - contaminated; budget samples within
+    val screenSurvivors = rep.afterEvalCut - rep.contaminated
+    assert(rep.afterBudget > 0 && rep.afterBudget <= screenSurvivors)
+    assert(rep.corpus == rep.afterBudget) // split assignment drops nothing
+    // JSONL release loads back to exactly the emitted corpus
+    val back = spark.read.schema("doc_id LONG, split STRING, text STRING")
+      .json(jsonl).select("doc_id", "split", "text")
+    val c = corpus.select("doc_id", "split", "text")
+    assert(back.count() == rep.corpus)
+    assert(back.exceptAll(c).isEmpty && c.exceptAll(back).isEmpty)
+  }
 }
