@@ -143,6 +143,16 @@ object ScaleProbe {
       val names = spark.range(n).select(col("id"),
         concat(lit("user-"), lpad(col("id").cast("string"), 9, "0")).as("name"))
       val tFuzzy = time(noop(Dedup.editDistancePairs(names, "id", "name")))
+      // winnowing (round 5): extraction is one doc-keyed frame window
+      // (expect linear); the pair detector is the same posting-list
+      // machinery as jaccard/span_pairs but over the 2/(w+1)-density
+      // fingerprint stream — expect a constant fraction of span_pairs'
+      // curve (that fraction IS the index saving the paper promises)
+      val tWinnow = time(noop(
+        Dedup.winnowedFingerprints(docs, "doc_id", "text", k = 8, w = 4)))
+      val tWinnowPairs = time(noop(
+        Dedup.fingerprintOverlapPairs(docs, "doc_id", "text", k = 8, w = 4,
+          minShared = 1, maxBucket = 1000)))
 
       println(s"""{"n":$n,"exact_dedup":$tExact,"minhash_sig":$tSig,"lsh_cands":$tLsh,""" +
         s""""simhash_pairs":$tSim,"jaccard_capped":$tJac,"ivf_knn":$tIvf,"embed_neardup":$tNd,""" +
@@ -153,7 +163,8 @@ object ScaleProbe {
         s""""contam_exact":$tContExact,"contam_bloom":$tContBloom,""" +
         s""""contam_capped":$tContCapped,"span_ranges":$tSpans,""" +
         s""""span_pairs":$tSpanPairs,"span_hot":$tSpanHot,""" +
-        s""""span_decut":$tSpanDecut,"fuzzy_pairs":$tFuzzy}""")
+        s""""span_decut":$tSpanDecut,"fuzzy_pairs":$tFuzzy,""" +
+        s""""winnow_fp":$tWinnow,"winnow_pairs":$tWinnowPairs}""")
       docs.unpersist(); em.unpersist()
     }
     spark.stop()

@@ -1214,6 +1214,66 @@ object SparkEntry {
           col("doc_id"), col("lang"),
           concat(col("text"), lit("\n\"quoted\"\t\\end")).as("msg")))
           .as("json_line"))),
+
+    // Winnowing fingerprints (MOSS, Schleimer et al. 2003): per-window
+    // rightmost-minimum k-gram hash — a 2/(w+1)-density span index that
+    // still catches EVERY verbatim cross-doc match of ≥ w+k−1 tokens.
+    // One doc-keyed frame window, then the distinct aggregation.
+    "q107_winnow_fingerprints" -> ((s, dir) =>
+      graft.operators.Dedup.winnowedFingerprints(t(s, dir, "documents"),
+          "doc_id", "text", k = FpK, w = FpW)
+        .withColumnRenamed("id", "doc_id")),
+
+    // Fingerprint-overlap pairs: the sparse cross-doc passage detector
+    // over the winnowed index — q18's single-pass posting-list shape at
+    // ~(w+1)/2× fewer index entries; flagged candidates then feed the
+    // exact span-range machinery (q62/q73) for localization.
+    "q108_fingerprint_pairs" -> ((s, dir) =>
+      graft.operators.Dedup.fingerprintOverlapPairs(t(s, dir, "documents"),
+        "doc_id", "text", k = FpK, w = FpW, minShared = 2L,
+        maxBucket = Int.MaxValue)),
+
+    // Fill-in-the-middle transform (60% FIM rate): PSM reordering at two
+    // seeded token boundaries — infilling supervision from left-to-right
+    // training, bit-reproducible across epochs. Zero-shuffle projection.
+    "q109_fim" -> ((s, dir) =>
+      graft.operators.Augment.fimTransform(t(s, dir, "documents"),
+          "doc_id", "text", applyPct = 60, seed = 7L)
+        .withColumnRenamed("id", "doc_id")),
+
+    // Data-constrained epoch plan: per-source full-epoch repeats +
+    // remainder under a 1M-token budget, √-flattened integer quotas,
+    // repeats capped at 4 (Muennighoff et al. 2023). All-integer — the
+    // plan is bit-identical on any engine/partitioning.
+    "q110_epoch_plan" -> ((s, dir) =>
+      graft.operators.Sampling.epochPlan(t(s, dir, "documents"),
+        "source", Text.tokenCount(col("text")),
+        budgetTokens = 1000000L, maxEpochs = 4)),
+
+    // Epoch stream: the plan materialized — every doc × its source's full
+    // epochs, plus the seeded-prefix remainder pass. The training-order
+    // input a data loader actually consumes; bit-reproducible on restart.
+    "q112_epoch_stream" -> ((s, dir) =>
+      graft.operators.Sampling.expandEpochs(t(s, dir, "documents"),
+          "source", "doc_id", Text.tokenCount(col("text")),
+          budgetTokens = 1000000L, maxEpochs = 4, seed = 7L)
+        .withColumnRenamed("id", "doc_id")),
+
+    // Unigram drift census between the two doc_id-parity halves: top-30
+    // drifted tokens by the EXACT TV numerator |c_a·N_b − c_b·N_a| in
+    // DECIMAL(38,0) — double arithmetic would lose low bits at 100 TB
+    // and make the ranking partitioning-dependent.
+    "q111_token_drift" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.CorpusStats.tokenDrift(
+          d.where(col("doc_id") % 2 === 0), d.where(col("doc_id") % 2 === 1),
+          "text", k = 30)
+        // ranking runs in DECIMAL(38,0) inside the operator; the gate
+        // emits BIGINT (values fit at every test SF) because DECIMAL
+        // materializes as decimal-object vs float64 across the two
+        // engines' parquet/pandas paths — the q50 HUGEINT lesson
+        .withColumn("drift_num", col("drift_num").cast("long"))
+    }),
   )
 
   /** Hash-bucket count for the DSIR feature table (q89/q90 and oracles). */
@@ -1238,6 +1298,28 @@ object SparkEntry {
     * no document repeats a 5-token window at any SF), so 3 is the widest
     * window with live data everywhere. */
   private val SelfRepeatWindow = 3
+
+  /** Winnowing parameters shared by q107/q108 and their oracles: k-gram
+    * width 8 and winnow window 4 fit the 10-100-token corpus (guarantee
+    * threshold w+k−1 = 11 tokens; production boilerplate hunting runs
+    * k≈50, w≈25 for a ~13× sparser index). */
+  private val FpK = 8
+  private val FpW = 4
+
+  /** DuckDB twin of Sampling.epochPlan on `documents` grouped by source
+    * (budget 1M tokens, maxEpochs 4 — q110/q112's constants), ending in
+    * CTE `ep(source, avail, wt, quota, planned)`. */
+  private lazy val epochPlanCte: String =
+    s"""epa AS (SELECT source,
+       |  CAST(sum(len(string_split(text,' '))) AS BIGINT) AS avail
+       |  FROM documents WHERE source IS NOT NULL GROUP BY source),
+       |epw AS (SELECT *, CAST(floor(sqrt(CAST(avail AS DOUBLE))) AS BIGINT) AS wt
+       |  FROM epa WHERE avail > 0),
+       |epz AS (SELECT *, CAST(sum(wt) OVER () AS BIGINT) AS zz FROM epw),
+       |epq AS (SELECT *,
+       |  CAST((CAST(1000000 AS HUGEINT) * wt) // zz AS BIGINT) AS quota FROM epz),
+       |ep AS (SELECT source, avail, wt, quota,
+       |  least(quota, 4 * avail) AS planned FROM epq)""".stripMargin
 
   /** Constant word-frequency table for the subword-budget gate (q69). A
     * trained vocabulary is train-time STATE — not SQL-expressible — so
@@ -1426,6 +1508,27 @@ object SparkEntry {
        |sp AS (SELECT doc_id, CAST(i-1 AS BIGINT) AS pos,
        |       array_to_string(toks[i:i+${w - 1}],' ') AS span FROM ix)""".stripMargin
   private lazy val spanCte: String = spanCteW(SpanWindow)
+
+  /** DuckDB twin of Dedup.winnowedFingerprints (k-gram width k, winnow
+    * window w), ending in CTE `fp(doc_id, pos, h)`: explicit window-start
+    * enumeration + rightmost-min row_number — an INDEPENDENT formulation
+    * of the running frame-min(struct) the Scala side uses, so the gate
+    * cross-validates the selection rule itself, not just the hashing.
+    * Shares spanCteW's positional k-gram stream. */
+  private def winnowCte(k: Int, w: Int): String =
+    s"""${spanCteW(k)},
+       |hh AS (SELECT doc_id, pos, ${duckHash("span")} AS h FROM sp),
+       |nn AS (SELECT doc_id,
+       |  CAST(len(string_split(text,' ')) - ${k - 1} AS BIGINT) AS nk
+       |  FROM documents WHERE len(string_split(text,' ')) >= $k),
+       |ws AS (SELECT doc_id,
+       |  unnest(generate_series(0, greatest(nk - $w, 0))) AS p FROM nn),
+       |fp AS (SELECT DISTINCT doc_id, pos, h FROM (
+       |  SELECT ws.doc_id, hh.pos, hh.h,
+       |   row_number() OVER (PARTITION BY ws.doc_id, ws.p
+       |                      ORDER BY hh.h ASC, hh.pos DESC) AS rn
+       |  FROM ws JOIN hh ON hh.doc_id = ws.doc_id
+       |   AND hh.pos BETWEEN ws.p AND ws.p + ${w - 1}) WHERE rn = 1)""".stripMargin
 
   /** Fixed hyperplanes for q34 (dim 64 embeddings, 16 bits, seed 42). */
   private lazy val RpPlanes: Array[Array[Double]] =
@@ -2116,6 +2219,107 @@ object SparkEntry {
          |  msg := text || chr(10) || '"quoted"' || chr(9) || '\\end'))
          |    AS json_line
          |FROM documents""".stripMargin,
+
+    // Winnowing fingerprints: rightmost-min per k-gram-hash window,
+    // deduplicated — window starts enumerated explicitly (vs Spark's
+    // running frame min), rightmost-min via (h ASC, pos DESC) rank.
+    "q107_winnow_fingerprints" ->
+      s"""WITH ${winnowCte(FpK, FpW)}
+         |SELECT doc_id, pos, h FROM fp""".stripMargin,
+
+    // Fingerprint-overlap pairs: plain hash join over the winnowed sets
+    // (the uncapped twin of the posting-list expansion), q103's stats row.
+    "q108_fingerprint_pairs" ->
+      s"""WITH ${winnowCte(FpK, FpW)},
+         |fs AS (SELECT DISTINCT doc_id, h FROM fp),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+         |       FROM fs GROUP BY doc_id),
+         |pr AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+         |   CAST(count(*) AS BIGINT) AS shared
+         |  FROM fs x JOIN fs y ON x.h = y.h AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, shared, sx.n AS size_a, sy.n AS size_b,
+         | CAST(shared AS DOUBLE)/CAST(sx.n + sy.n - shared AS DOUBLE) AS jaccard,
+         | CAST(shared AS DOUBLE)/CAST(least(sx.n, sy.n) AS DOUBLE) AS overlap
+         |FROM pr JOIN sz sx ON id_a = sx.doc_id JOIN sz sy ON id_b = sy.doc_id
+         |WHERE shared >= 2""".stripMargin,
+
+    // FIM: same seeded draws over the n+1 token boundaries; PSM rebuild
+    // via 1-based inclusive list slices (toks[1:lo] / [hi+1:n] / [lo+1:hi]).
+    "q109_fim" ->
+      s"""WITH d AS (SELECT doc_id, text, string_split(text,' ') AS toks,
+         |  CAST(len(string_split(text,' ')) AS BIGINT) AS n FROM documents),
+         |c AS (SELECT *,
+         |  (${duckHash("'7 f ' || CAST(doc_id AS VARCHAR)")} % 100) < 60 AS applied,
+         |  ${duckHash("'7 a ' || CAST(doc_id AS VARCHAR)")} % (n+1) AS c1,
+         |  ${duckHash("'7 b ' || CAST(doc_id AS VARCHAR)")} % (n+1) AS c2
+         | FROM d),
+         |s AS (SELECT doc_id, text, toks, n, applied,
+         |  least(c1, c2) AS lo, greatest(c1, c2) AS hi FROM c)
+         |SELECT doc_id, applied AS fim_applied,
+         | CASE WHEN applied THEN array_to_string(
+         |   ['<fim_prefix>'] || toks[1:CAST(lo AS INT)]
+         |   || ['<fim_suffix>'] || toks[CAST(hi+1 AS INT):CAST(n AS INT)]
+         |   || ['<fim_middle>'] || toks[CAST(lo+1 AS INT):CAST(hi AS INT)], ' ')
+         |  ELSE text END AS fim_text,
+         | CASE WHEN applied THEN lo END AS n_prefix,
+         | CASE WHEN applied THEN hi - lo END AS n_middle,
+         | CASE WHEN applied THEN n - hi END AS n_suffix
+         |FROM s""".stripMargin,
+
+    // Epoch plan: ⌊√avail⌋ weights, HUGEINT cross-multiply for the quota
+    // floor-division, cap at 4 epochs, integer div/mod decomposition.
+    "q110_epoch_plan" ->
+      s"""WITH $epochPlanCte
+         |SELECT source, avail AS avail_tokens, wt AS weight,
+         | quota AS quota_tokens, planned AS planned_tokens,
+         | planned // avail AS full_epochs, planned % avail AS remainder_tokens
+         |FROM ep""".stripMargin,
+
+    // Epoch stream: full passes via generate_series over the plan's
+    // epoch count, remainder = seeded-hash-ordered prefix whose BEFORE
+    // cumsum stays under remainder_tokens (crossed at most once).
+    "q112_epoch_stream" ->
+      s"""WITH $epochPlanCte,
+         |pl AS (SELECT source, planned // avail AS full_epochs,
+         |        planned % avail AS remainder FROM ep),
+         |d AS (SELECT doc_id, source,
+         |   CAST(len(string_split(text,' ')) AS BIGINT) AS tokens
+         |  FROM documents WHERE source IS NOT NULL),
+         |fe AS (SELECT doc_id, d.source,
+         |   unnest(generate_series(1, full_epochs)) AS epoch, tokens
+         |  FROM d JOIN pl USING (source) WHERE full_epochs >= 1),
+         |r0 AS (SELECT d.*, full_epochs, remainder,
+         |   COALESCE(sum(tokens) OVER (PARTITION BY d.source
+         |     ORDER BY ${duckHash("'7 ' || CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+         |  FROM d JOIN pl USING (source))
+         |SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch, tokens FROM fe
+         |UNION ALL
+         |SELECT doc_id, source, full_epochs + 1 AS epoch, tokens
+         |FROM r0 WHERE bef < remainder""".stripMargin,
+
+    // Token drift: full-outer unigram join of the parity halves, exact
+    // HUGEINT TV numerator cast to DECIMAL(38,0) (Spark's product type).
+    "q111_token_drift" ->
+      s"""WITH ca AS (SELECT unnest(string_split(text,' ')) AS token
+         |    FROM documents WHERE doc_id % 2 = 0),
+         |cb AS (SELECT unnest(string_split(text,' ')) AS token
+         |    FROM documents WHERE doc_id % 2 = 1),
+         |ga AS (SELECT token, CAST(count(*) AS BIGINT) AS count_a
+         |       FROM ca GROUP BY token),
+         |gb AS (SELECT token, CAST(count(*) AS BIGINT) AS count_b
+         |       FROM cb GROUP BY token),
+         |j AS (SELECT coalesce(ga.token, gb.token) AS token,
+         |    coalesce(count_a, 0) AS count_a, coalesce(count_b, 0) AS count_b
+         |  FROM ga FULL OUTER JOIN gb ON ga.token = gb.token),
+         |t AS (SELECT CAST((SELECT sum(count_a) FROM ga) AS BIGINT) AS total_a,
+         |             CAST((SELECT sum(count_b) FROM gb) AS BIGINT) AS total_b)
+         |SELECT token, count_a, count_b, total_a, total_b,
+         | CAST(abs(CAST(count_a AS HUGEINT)*total_b
+         |        - CAST(count_b AS HUGEINT)*total_a) AS BIGINT) AS drift_num
+         |FROM j CROSS JOIN t
+         |ORDER BY drift_num DESC, token ASC LIMIT 30""".stripMargin,
 
     "q25_daily_weather_summary" -> {
       // roundAt(c, 2) twin: floor(c*100.0+0.5)/100.0

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{Hashing, Text}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -77,5 +77,58 @@ object Augment {
         coalesce(col("target_text"), lit("<extra_id_0>")).as("target_text"),
         coalesce(col("n_masked"), lit(0L)).as("n_masked"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+  }
+
+  /**
+   * Fill-in-the-middle (FIM) transform (Bavarian et al. 2022, "Efficient
+   * Training of Language Models to Fill in the Middle" — public
+   * algorithm): split the document at two seeded token boundaries into
+   * (prefix, middle, suffix) and emit the PSM reordering
+   * `<fim_prefix> P <fim_suffix> S <fim_middle> M`, so a plain
+   * left-to-right model learns infilling. Applied to `applyPct`% of
+   * documents (the paper's FIM rate ~50-90%); the rest pass through
+   * unchanged — the mix is what preserves ordinary autoregressive
+   * quality. Every draw is a seeded hash of the doc id, never `rand()`:
+   * the same document transforms identically on any cluster, any
+   * partitioning, any epoch.
+   *
+   * Cut points: two independent uniform draws over the n+1 token
+   * boundaries [0, n]; lo = min, hi = max; prefix = tokens[0,lo),
+   * middle = [lo,hi), suffix = [hi,n). Empty segments are legal and
+   * deliberately kept (the model must learn degenerate infills — empty
+   * middle teaches "nothing missing here").
+   *
+   * Output: (id, fim_applied, fim_text, n_prefix, n_middle, n_suffix);
+   * segment counts are null on passthrough rows. Zero-shuffle narrow
+   * projection — three array slices and one join, whole-stage codegen.
+   */
+  def fimTransform(docs: DataFrame, idCol: String, textCol: String,
+                   applyPct: Int, seed: Long): DataFrame = {
+    require(applyPct >= 0 && applyPct <= 100, "applyPct must be in [0,100]")
+    def draw(tag: String, modulus: Column) =
+      Hashing.stableHash60(concat_ws(" ", lit(seed.toString), lit(tag),
+        col("id").cast("string"))) % modulus
+    val toks = Text.tokens(col(textCol))
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("__text"),
+        toks.as("__toks"), size(toks).cast("long").as("__n"))
+      .withColumn("__applied", draw("f", lit(100L)) < applyPct)
+      .withColumn("__c1", draw("a", col("__n") + 1))
+      .withColumn("__c2", draw("b", col("__n") + 1))
+      .withColumn("__lo", least(col("__c1"), col("__c2")))
+      .withColumn("__hi", greatest(col("__c1"), col("__c2")))
+    val pre = slice(col("__toks"), lit(1), col("__lo").cast("int"))
+    val mid = slice(col("__toks"), (col("__lo") + 1).cast("int"),
+      (col("__hi") - col("__lo")).cast("int"))
+    val suf = slice(col("__toks"), (col("__hi") + 1).cast("int"),
+      (col("__n") - col("__hi")).cast("int"))
+    base.select(col("id"), col("__applied").as("fim_applied"),
+      when(col("__applied"), array_join(concat(
+          array(lit("<fim_prefix>")), pre,
+          array(lit("<fim_suffix>")), suf,
+          array(lit("<fim_middle>")), mid), " "))
+        .otherwise(col("__text")).as("fim_text"),
+      when(col("__applied"), col("__lo")).as("n_prefix"),
+      when(col("__applied"), col("__hi") - col("__lo")).as("n_middle"),
+      when(col("__applied"), col("__n") - col("__hi")).as("n_suffix"))
   }
 }

@@ -380,4 +380,47 @@ object CorpusStats {
     * but the ranked cut is the reproducible default. */
   def topByWeight(weights: DataFrame, nOut: Int): DataFrame =
     weights.orderBy(col("log_weight").desc, col("id").asc).limit(nOut)
+
+  /**
+   * Unigram distribution drift between two corpora — the census a pipeline
+   * runs BEFORE trusting a new crawl snapshot, after a cleaning change, or
+   * between a training mix and a target domain: which tokens moved, and by
+   * how much of the total-variation distance.
+   *
+   * Exact integer arithmetic throughout: with per-corpus counts c_a, c_b
+   * and totals N_a, N_b, the per-token TV contribution is
+   * |c_a/N_a − c_b/N_b| = |c_a·N_b − c_b·N_a| / (N_a·N_b) — the NUMERATOR
+   * `drift_num` is computed in DECIMAL(38,0) (a 100 TB corpus pushes
+   * c·N past 2^63; a double would silently lose low bits and make the
+   * ranking partitioning-dependent). TV distance itself =
+   * Σ drift_num / (2·N_a·N_b) — one IEEE division for the caller; the
+   * ranking and the gate stay division-free.
+   *
+   * Output: the `k` most-drifted tokens (ties → token ascending) with
+   * both counts, both totals and the exact numerator. Shape: two map-side
+   * combined token aggregations, one vocabulary-keyed full-outer join
+   * (absent tokens count 0 on the missing side), totals as one-row
+   * broadcasts, TakeOrdered for the top-k — never a global sort of the
+   * vocabulary.
+   */
+  def tokenDrift(a: DataFrame, b: DataFrame, textCol: String,
+                 k: Int): DataFrame = {
+    val dec = "decimal(38,0)"
+    def counts(df: DataFrame, as: String) =
+      df.select(explode(Text.tokens(col(textCol))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as(as))
+    val ca = counts(a, "count_a")
+    val cb = counts(b, "count_b")
+    val na = ca.agg(sum(col("count_a")).as("total_a"))
+    val nb = cb.agg(sum(col("count_b")).as("total_b"))
+    ca.join(cb, Seq("token"), "full_outer")
+      .na.fill(0L, Seq("count_a", "count_b"))
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .withColumn("drift_num",
+        abs(col("count_a").cast(dec) * col("total_b").cast(dec) -
+            col("count_b").cast(dec) * col("total_a").cast(dec)))
+      .orderBy(col("drift_num").desc, col("token").asc)
+      .limit(k)
+      .select("token", "count_a", "count_b", "total_a", "total_b", "drift_num")
+  }
 }

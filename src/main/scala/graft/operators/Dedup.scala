@@ -871,4 +871,73 @@ object Dedup {
       .where(col("dist") >= 0)
       .select("id_a", "id_b", "dist")
   }
+
+  /**
+   * Winnowing document fingerprints — the MOSS selection rule (Schleimer,
+   * Wilkerson & Aiken, SIGMOD 2003; public algorithm). Over each document's
+   * positional k-gram hash stream, slide a window of `w` consecutive hashes
+   * and select each window's MINIMUM hash; ties break to the RIGHTMOST
+   * position (the robust-winnowing rule — selection then depends only on
+   * the window's contents, so edits far away never flip a local
+   * fingerprint). A position picked by several windows records once.
+   *
+   * Why it matters at 100 TB: the paper's two guarantees. (1) Any verbatim
+   * match of ≥ w+k−1 tokens between two documents shares at least one
+   * selected fingerprint — detection never misses long passages. (2)
+   * Expected density is 2/(w+1) — the posting-list index carries ~(w+1)/2×
+   * fewer entries than q62's every-window span index, which is the
+   * difference between indexing 100 TB of windows and 100 TB/13 of
+   * fingerprints at w=25. The sparse index finds WHICH pairs share long
+   * passages (see [[fingerprintOverlapPairs]]); the exact range machinery
+   * ([[duplicatedSpanRanges]]) then localizes cuts on the candidates only.
+   *
+   * Documents shorter than one full window (fewer than w k-grams but ≥ 1)
+   * winnow their whole hash stream as a single truncated window, so every
+   * tokenizable document fingerprints at least once.
+   *
+   * Shape: ONE exchange on the doc id (the frame window), then the distinct
+   * aggregation on (id, pos, h) — the fingerprint table is an aggregated,
+   * sub-corpus-cardinality artifact. The per-window argmin is a frame
+   * `min(struct(h, −pos))`: struct ordering gives (smallest hash, then
+   * largest position) without a per-window expansion.
+   */
+  def winnowedFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int, w: Int): DataFrame = {
+    require(w >= 1, "winnow window must be >= 1")
+    val sp = docs.select(col(idCol).as("id"),
+        (size(Text.tokens(col(textCol))) - (k - 1)).cast("long").as("__nk"),
+        posexplode(Text.shingles(col(textCol), k)).as(Seq("__p", "__span")))
+      .select(col("id"), col("__nk"), col("__p").cast("long").as("__p"),
+        Hashing.stableHash60(col("__span")).as("__h"))
+    val frame = Window.partitionBy("id").orderBy("__p")
+      .rowsBetween(Window.currentRow, w - 1)
+    sp.withColumn("__sel",
+        min(struct(col("__h"), (-col("__p")).as("__np"))).over(frame))
+      // valid window starts only: p ≤ nk−w, plus p = 0 when nk < w (the
+      // whole-stream truncated window for short documents)
+      .where(col("__p") <= greatest(col("__nk") - w, lit(0L)))
+      .select(col("id"), (-col("__sel.__np")).as("pos"), col("__sel.__h").as("h"))
+      .distinct()
+  }
+
+  /**
+   * Fingerprint-overlap pairs — the MOSS match report, and the sparse
+   * consumer of [[winnowedFingerprints]]: document pairs sharing ≥
+   * `minShared` winnowed fingerprints, with set sizes and jaccard/overlap
+   * coefficients over the fingerprint sets. Rides the same single-pass
+   * posting-list expansion as q18 ([[overlapPairsFromHashed]]) — but on a
+   * 2/(w+1)-density stream, so the aggregation shuffle and the bucket
+   * fan-out shrink by ~(w+1)/2× versus shingle-level pairing. By guarantee
+   * (1) above, any pair sharing a ≥ w+k−1-token passage appears here; run
+   * [[duplicatedSpanRanges]] (or [[duplicateSpanPairs]]) on the flagged
+   * candidates to localize the exact ranges.
+   */
+  def fingerprintOverlapPairs(docs: DataFrame, idCol: String, textCol: String,
+                              k: Int, w: Int, minShared: Long = 1,
+                              maxBucket: Int = 10000): DataFrame =
+    overlapPairsFromHashed(
+      winnowedFingerprints(docs, idCol, textCol, k, w)
+        .select(col("id"), col("h")).distinct(),
+      minOverlap = 0.0, maxBucket = maxBucket)
+      .where(col("shared") >= minShared)
 }

@@ -269,4 +269,31 @@ object Layout {
       .select(col("shard"), jsonLine(cols.map(col)).as("value"))
       .write.mode("overwrite").partitionBy("shard").text(path)
   }
+
+  /**
+   * Bucketed co-located table writer — Spark's native pre-shuffled layout
+   * for the "same big join, every day" workload: both sides written with
+   * `bucketBy(n, keys)` (+ in-bucket `sortBy`) join WITHOUT any exchange
+   * or sort at read time — the shuffle is paid ONCE at write, then every
+   * downstream join/aggregation on the bucket keys reuses the layout. At
+   * 100 TB this converts the nightly fact×fact join from the cluster's
+   * biggest shuffle into a zipped per-bucket merge (bucket counts must
+   * match across tables — pick one power of two per subject area and
+   * standardize).
+   *
+   * Written as an EXTERNAL table (explicit `path`) so the parquet lives
+   * where the caller says; `bucketBy` requires the catalog (`saveAsTable`)
+   * because bucket metadata travels in the table definition, not the
+   * files. Read back with `spark.table(name)` — `spark.read.parquet(path)`
+   * sees the data but not the bucketing and will shuffle again.
+   */
+  def writeBucketed(df: DataFrame, name: String, path: String,
+                    buckets: Int, keys: Seq[String]): Unit = {
+    require(buckets > 0 && keys.nonEmpty, "need buckets > 0 and >= 1 key")
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .option("path", path)
+      .saveAsTable(name)
+  }
 }

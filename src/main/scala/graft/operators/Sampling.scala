@@ -524,4 +524,95 @@ object Sampling {
       .where(col("__rn") <= col("__quota"))
       .drop("__rn", "__quota")
   }
+
+  /**
+   * Data-constrained epoch plan (the repeat-allocation recipe of
+   * Muennighoff et al. 2023, "Scaling Data-Constrained Language Models" —
+   * public knowledge): given a total training token budget and per-source
+   * availability, how many FULL passes (epochs) of each source to take and
+   * how many remainder tokens to sample on top. The per-source quota
+   * splits the budget by temperature-flattened weights (τ = 1/2:
+   * w_g = ⌊√avail_g⌋, [[temperatureMixture]]'s integer-exact convention —
+   * small sources over-represented, huge sources damped), then decomposes
+   * as quota = full_epochs · avail + remainder. `maxEpochs` caps repeats
+   * (the paper's finding: value decays fast past ~4 epochs); a capped
+   * source's surplus is NOT silently redistributed — the emitted plan
+   * makes any shortfall visible (Σ planned < budget) and the caller
+   * decides, instead of a hidden data-dependent fixpoint deciding for
+   * them. The remainder is exactly what [[ppsSampleWithTotal]] then draws
+   * token-proportionally from that source.
+   *
+   * All-integer arithmetic — ⌊√⌋ (IEEE-exact below 2^52), one
+   * DECIMAL(38,0) cross-multiply, floor division and mod — so the plan is
+   * bit-identical on any engine and any partitioning.
+   *
+   * Shape: ONE count aggregation to group cardinality, then a
+   * single-partition window over the GROUP table only (the q07 rule:
+   * global windows only over aggregated cardinality). Output is
+   * sources-sized — driver-readable at any corpus scale.
+   */
+  def epochPlan(df: DataFrame, groupCol: String, lenCol: Column,
+                budgetTokens: Long, maxEpochs: Int = 4): DataFrame = {
+    require(budgetTokens >= 0, "budgetTokens must be >= 0")
+    require(maxEpochs >= 1, "maxEpochs must be >= 1")
+    df.where(col(groupCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(sum(lenCol.cast("long")).as("avail_tokens"))
+      .where(col("avail_tokens") > 0)
+      .withColumn("weight",
+        floor(sqrt(col("avail_tokens").cast("double"))).cast("long"))
+      .withColumn("__z", sum(col("weight")).over(Window.partitionBy()))
+      .withColumn("quota_tokens", expr(
+        s"CAST((CAST($budgetTokens AS DECIMAL(38,0)) * weight) div __z AS BIGINT)"))
+      .withColumn("planned_tokens",
+        least(col("quota_tokens"), lit(maxEpochs.toLong) * col("avail_tokens")))
+      .withColumn("full_epochs", expr("planned_tokens div avail_tokens"))
+      .withColumn("remainder_tokens", col("planned_tokens") % col("avail_tokens"))
+      .drop("__z")
+  }
+
+  /**
+   * Epoch expansion — materialize [[epochPlan]] into the actual repeated
+   * training stream: every document of a source is emitted once per full
+   * epoch (epoch = 1..full_epochs), and the remainder tokens come from a
+   * deterministic partial pass (epoch = full_epochs+1): documents in
+   * seeded-hash order are taken while the tokens BEFORE them stay under
+   * `remainder_tokens` (the packing convention — the budget is crossed at
+   * most once, by the last admitted doc). Exact integers throughout; the
+   * same corpus expands identically on any cluster/partitioning/restart,
+   * which is what makes mid-run resume and loss-curve reproduction
+   * possible at all.
+   *
+   * Shape: the plan is group-cardinality and broadcast onto the corpus
+   * (one narrow join); full epochs are a generator explode (output
+   * cardinality is the plan's, no shuffle); the remainder pass is ONE
+   * group-keyed window for the seeded-rank cumulative sum. Output:
+   * (id, group, epoch, tokens).
+   */
+  def expandEpochs(df: DataFrame, groupCol: String, idCol: String,
+                   lenCol: Column, budgetTokens: Long, maxEpochs: Int = 4,
+                   seed: Long = 42L): DataFrame = {
+    val plan = epochPlan(df, groupCol, lenCol, budgetTokens, maxEpochs)
+      .select(col(groupCol), col("full_epochs"), col("remainder_tokens"))
+    val base = df.where(col(groupCol).isNotNull)
+      .select(col(idCol).as("id"), col(groupCol), lenCol.cast("long").as("tokens"))
+      .join(broadcast(plan), Seq(groupCol))
+    val fullPasses = base
+      // sequence(1,0) would DESCEND in Spark — guard the zero-epoch case
+      .where(col("full_epochs") >= 1)
+      .withColumn("epoch",
+        explode(sequence(lit(1L), col("full_epochs"))))
+    val w = Window.partitionBy(groupCol)
+      .orderBy(Hashing.stableHash60(concat_ws(" ", lit(seed.toString),
+        col("id").cast("string"))).asc, col("id").asc)
+    val remainder = base
+      .withColumn("__before", coalesce(
+        sum(col("tokens")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .where(col("__before") < col("remainder_tokens"))
+      .withColumn("epoch", col("full_epochs") + 1)
+    fullPasses.select(col("id"), col(groupCol), col("epoch"), col("tokens"))
+      .unionByName(remainder.select(col("id"), col(groupCol), col("epoch"),
+        col("tokens")))
+  }
 }

@@ -347,4 +347,69 @@ class AsOfSamplingSpec extends SparkSpec {
         r.getLong(3), r.getLong(4)))
     assert(again.toSet == rows.toSet)
   }
+
+  test("epochPlan: hand-computed quotas, epoch cap, remainder decomposition") {
+    // source A: 100 one-token docs; source B: one 10000-token doc
+    // w_A = 10, w_B = 100, Z = 110; budget 34100:
+    //   quota_A = 34100*10 div 110 = 3100 → capped at 4·100 = 400 (4 epochs, rem 0)
+    //   quota_B = 34100*100 div 110 = 31000 → 3 full epochs + 1000 remainder
+    val docs = ((1 to 100).map(i => ("A", "t")) :+
+      ("B", (1 to 10000).map(_ => "w").mkString(" "))).toDF("source", "text")
+    val plan = Sampling.epochPlan(docs, "source",
+        size(split(col("text"), " ")), budgetTokens = 34100L, maxEpochs = 4)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(plan("A") == ((100L, 10L, 3100L, 400L, 4L, 0L)))
+    assert(plan("B") == ((10000L, 100L, 31000L, 31000L, 3L, 1000L)))
+    // capped surplus is NOT redistributed: the shortfall stays visible
+    assert(plan.values.map(_._4).sum == 31400L)
+    // null-source rows take no quota and don't dilute the denominator
+    val withNull = docs.union(Seq((null.asInstanceOf[String], "x y z")).toDF("source", "text"))
+    val plan2 = Sampling.epochPlan(withNull, "source",
+        size(split(col("text"), " ")), 34100L, 4)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(plan2 == plan.view.mapValues(_._4).toMap)
+    // partitioning-independent
+    val re = Sampling.epochPlan(docs.repartition(7), "source",
+        size(split(col("text"), " ")), 34100L, 4)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(re == plan)
+  }
+
+  test("expandEpochs materializes the plan: full passes, one budget " +
+    "crossing, reproducible order") {
+    // same fixture as the epochPlan test: A → 4 full epochs rem 0;
+    // B → 3 full epochs + 1000-token remainder (one 10000-token doc)
+    val docs = ((1 to 100).map(i => (i.toLong, "A", "t")) :+
+      (999L, "B", (1 to 10000).map(_ => "w").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val len = size(split(col("text"), " "))
+    val out = Sampling.expandEpochs(docs, "source", "doc_id", len,
+        budgetTokens = 34100L, maxEpochs = 4, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byGroup = out.groupBy(_._2)
+    // A: every doc exactly 4 times, epochs 1..4, no remainder pass
+    assert(byGroup("A").length == 400)
+    assert(byGroup("A").map(_._3).toSet == Set(1L, 2L, 3L, 4L))
+    assert(byGroup("A").groupBy(_._1).forall(_._2.length == 4))
+    // B: 3 full passes + the remainder pass admits the single doc once
+    // (before-cumsum 0 < 1000); the budget is crossed exactly once
+    assert(byGroup("B").map(_._3).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    val plannedB = 31000L
+    val emittedB = byGroup("B").map(_._4).sum
+    assert(emittedB >= plannedB && emittedB < plannedB + 10000L + 1)
+    // bit-reproducible under repartitioning
+    val again = Sampling.expandEpochs(docs.repartition(9), "source", "doc_id",
+        len, 34100L, 4, 7L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(again.sorted.toSeq == out.sorted.toSeq)
+    // zero-full-epoch sources still get their remainder-only partial pass
+    val tiny = Sampling.expandEpochs(docs, "source", "doc_id", len,
+        budgetTokens = 110L, maxEpochs = 4, seed = 7L)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    // budget 110: w_A=10,w_B=100,Z=110 → quota_A=10, quota_B=100 — both
+    // below one epoch → every emitted row is an epoch-1 partial pass
+    assert(tiny.nonEmpty && tiny.forall(_._2 == 1L))
+  }
 }

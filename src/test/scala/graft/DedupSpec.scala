@@ -494,6 +494,93 @@ class DedupSpec extends SparkSpec {
     assert(viaOverlap == viaJaccard && viaOverlap.nonEmpty)
   }
 
+  // ------------------------------------------------------------- winnowing
+
+  /** Plain-Scala robust-winnowing twin: every full window of w k-gram
+    * hashes (or one truncated window when a doc has fewer than w k-grams)
+    * selects its (min hash, rightmost position). */
+  private def winnowScala(text: String, k: Int, w: Int): Set[(Long, Long)] = {
+    val toks = text.split(" ").toSeq
+    val hs = toks.sliding(k).filter(_.size == k)
+      .map(g => graft.functions.Hashing.stableHash60Scala(g.mkString(" "))).toArray
+    if (hs.isEmpty) Set.empty
+    else (0 to math.max(hs.length - w, 0)).map { p =>
+      val win = p to math.min(p + w - 1, hs.length - 1)
+      val q = win.minBy(i => (hs(i), -i))
+      (q.toLong, hs(q))
+    }.toSet
+  }
+
+  test("winnowedFingerprints matches the Scala twin, incl. tie-breaking") {
+    // "a b a b …" makes alternating IDENTICAL k-grams — hash ties inside a
+    // window, so the rightmost-min rule is actually exercised, not just the
+    // min. Also one doc shorter than a window and one untokenizable.
+    val fx = Seq(
+      (1L, "a b a b a b a b a b a b"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "x y z x y z x y z x y z x y"),
+      (4L, "one two three"),      // exactly one k-gram at k=3 (nk=1 < w)
+      (5L, "s t"),                // shorter than k: no fingerprints
+      (6L, "p q r s t u")         // nk=4 = w: exactly one full window
+    ).toDF("doc_id", "text")
+    val got = Dedup.winnowedFingerprints(fx, "doc_id", "text", k = 3, w = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val fxMap = Map(1L -> "a b a b a b a b a b a b",
+      2L -> "the quick brown fox jumps over the lazy dog today",
+      3L -> "x y z x y z x y z x y z x y",
+      4L -> "one two three", 5L -> "s t", 6L -> "p q r s t u")
+    for ((id, text) <- fxMap) {
+      val want = winnowScala(text, 3, 4)
+      assert(got.getOrElse(id, Set.empty) == want, s"doc $id")
+    }
+    assert(!got.contains(5L) && got(4L).size == 1)
+  }
+
+  test("winnowing guarantee: a shared passage of w+k-1 tokens is caught") {
+    // k=3, w=4: any verbatim cross-doc match of >= 6 tokens must share a
+    // fingerprint. The shared passage sits in unrelated contexts at
+    // different offsets.
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val fx = Seq(
+      (1L, s"intro words here $shared trailing tail content"),
+      (2L, s"completely other opening stretch goes on $shared"),
+      (3L, "no overlap with anything else at all in this one document")
+    ).toDF("doc_id", "text")
+    val fp = Dedup.winnowedFingerprints(fx, "doc_id", "text", k = 3, w = 4)
+    val byDoc = fp.collect().map(r => r.getLong(0) -> r.getLong(2))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty)
+    assert((byDoc(1L) intersect byDoc(3L)).isEmpty)
+    val pairs = Dedup.fingerprintOverlapPairs(fx, "doc_id", "text",
+        k = 3, w = 4, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("winnowed fingerprints are a subset of the span-hash stream at " +
+    "~2/(w+1) density, every tokenizable doc fingerprints, and the " +
+    "selection is partitioning-independent") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val k = 8; val w = 4
+    val fp = Dedup.winnowedFingerprints(docs, "doc_id", "text", k, w)
+    val sp = Dedup.spanHashes(docs, "doc_id", "text", k)
+      .select(col("id"), col("pos"), col("h"))
+    // subset: every fingerprint is a real positional k-gram hash
+    assert(fp.join(sp, Seq("id", "pos", "h"), "left_anti").count() == 0)
+    // coverage: every doc with >= 1 k-gram selects >= 1 fingerprint
+    val nDocs = docs.where(size(split(col("text"), " ")) >= k).count()
+    assert(fp.select("id").distinct().count() == nDocs)
+    // density: expected 2/(w+1) of windows on random hashes; generous band
+    val nSpans = sp.count().toDouble
+    val d = fp.count().toDouble / nSpans
+    assert(d > 1.0 / (w + 1) && d < 3.5 / (w + 1), s"density $d")
+    // partitioning independence
+    val re = Dedup.winnowedFingerprints(
+      docs.repartition(17, col("lang")), "doc_id", "text", k, w)
+    assert(re.exceptAll(fp).count() == 0 && fp.exceptAll(re).count() == 0)
+  }
+
   private def levenshteinScala(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
     for (i <- 1 to a.length; j <- 1 to b.length)

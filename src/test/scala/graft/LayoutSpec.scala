@@ -179,4 +179,35 @@ class LayoutSpec extends SparkSpec {
       .map(_.listFiles.count(f => f.getName.startsWith("part-")))
     assert(files.length == 3 && files.forall(_ == 1))
   }
+
+  test("bucketed tables join with ZERO exchanges and ZERO sorts; " +
+    "reading the bare path instead would shuffle") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val scores = docs.select(col("doc_id"), length(col("text")).as("score"))
+    Layout.writeBucketed(docs.select("doc_id", "lang", "text"),
+      "bk_docs", tmpDir("bk-docs"), buckets = 8, keys = Seq("doc_id"))
+    Layout.writeBucketed(scores,
+      "bk_scores", tmpDir("bk-scores"), buckets = 8, keys = Seq("doc_id"))
+    try {
+      val joined = spark.table("bk_docs").join(spark.table("bk_scores"), "doc_id")
+      joined.collect() // materialize with AQE final plan
+      val p = joined.queryExecution.executedPlan.toString
+      // the whole point: no exchange, no sort — the write already paid both
+      assert(!p.contains("Exchange hashpartitioning"), p)
+      assert(!p.linesIterator.exists(_.trim.startsWith("+- Sort")), p)
+      // same join via the bare parquet path loses the bucket metadata
+      val unbucketed = spark.read.parquet(spark.table("bk_docs").inputFiles.head
+          .replaceAll("/[^/]*$", ""))
+        .join(spark.table("bk_scores"), "doc_id")
+      val pu = unbucketed.queryExecution.executedPlan.toString
+      assert(pu.contains("Exchange") || pu.contains("BroadcastExchange"), pu)
+      // and the bucketed join is still CORRECT
+      val expect = docs.select("doc_id").join(scores, "doc_id").count()
+      assert(joined.count() == expect)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bk_docs")
+      spark.sql("DROP TABLE IF EXISTS bk_scores")
+    }
+  }
 }

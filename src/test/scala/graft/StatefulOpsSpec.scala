@@ -494,6 +494,28 @@ class StatefulOpsSpec extends SparkSpec {
     assert(acc.toSet == batch && batch.nonEmpty)
   }
 
+  test("FIM transform applies to a streaming frame directly, batch-identical " +
+    "(stateless projection)") {
+    import graft.operators.Augment
+    val root = Files.createTempDirectory("graft-fimstream").toString
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val out = Augment.fimTransform(input.toDS().toDF("doc_id", "text"),
+      "doc_id", "text", applyPct = 60, seed = 7L)
+    val q = out.writeStream.format("memory").queryName("fim_stream")
+      .option("checkpointLocation", s"$root/ckpt").outputMode("append").start()
+    val docs = (1L to 40L).map(i => (i, (1 to 15).map(k => s"t${i}_$k").mkString(" ")))
+    input.addData(docs.take(23): _*); q.processAllAvailable()
+    input.addData(docs.drop(23): _*); q.processAllAvailable()
+    val streamed = spark.sql("SELECT id, fim_applied, fim_text FROM fim_stream")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2))).toSet
+    q.stop()
+    val batch = Augment.fimTransform(docs.toDF("doc_id", "text"),
+        "doc_id", "text", 60, 7L)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2))).toSet
+    assert(streamed == batch && batch.exists(_._2))
+  }
+
   test("bloomScreen flags contaminated docs identically in batch and streaming") {
     import graft.operators.Dedup
     val root = Files.createTempDirectory("graft-bloomscreen").toString

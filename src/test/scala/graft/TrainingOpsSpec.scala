@@ -483,4 +483,71 @@ class TrainingOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
     assert(views.exists { case (id, (_, a, b, _, _)) => otherSeed(id) != ((a, b)) })
   }
+
+  test("tokenDrift: exact TV numerators, absent-side zeros, tie order") {
+    val a = Seq((1L, "x x y")).toDF("doc_id", "text")   // N_a=3: x:2 y:1
+    val b = Seq((2L, "x z")).toDF("doc_id", "text")     // N_b=2: x:1 z:1
+    val rows = CorpusStats.tokenDrift(a, b, "text", k = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDecimal(5).longValueExact())).toSeq
+    // drift: x |2·2−1·3|=1, y |1·2−0·3|=2, z |0·2−1·3|=3 → order z,y,x
+    assert(rows.map(_._1) == Seq("z", "y", "x"))
+    assert(rows.toMap == Map(
+      "z" -> ((0L, 1L, 3L, 2L, 3L)),
+      "y" -> ((1L, 0L, 3L, 2L, 2L)),
+      "x" -> ((2L, 1L, 3L, 2L, 1L))))
+    // identical corpora → every numerator is zero
+    val zero = CorpusStats.tokenDrift(a, a, "text", 10)
+      .collect().map(_.getDecimal(5).longValueExact())
+    assert(zero.forall(_ == 0L))
+    // equal drift ties order by token ascending
+    val t1 = Seq((1L, "b a")).toDF("doc_id", "text")
+    val t2 = Seq((2L, "c d")).toDF("doc_id", "text")
+    val tie = CorpusStats.tokenDrift(t1, t2, "text", 10)
+      .collect().map(_.getString(0)).toSeq
+    assert(tie == Seq("a", "b", "c", "d"))
+  }
+
+  test("fimTransform is lossless: reordering PSM back rebuilds every doc") {
+    import graft.operators.Augment
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = Augment.fimTransform(docs, "doc_id", "text", applyPct = 60, seed = 7L)
+      .collect().map { r =>
+        r.getLong(0) -> (r.getBoolean(1), r.getString(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4),
+          if (r.isNullAt(5)) -1L else r.getLong(5))
+      }.toMap
+    assert(out.keySet == texts.keySet)
+    var applied = 0; var sawEmptySegment = false
+    out.foreach { case (id, (isFim, fimText, np, nm, ns)) =>
+      if (!isFim) {
+        assert(fimText == texts(id) && np == -1L && nm == -1L && ns == -1L, s"doc $id")
+      } else {
+        applied += 1
+        // parse "<fim_prefix> P <fim_suffix> S <fim_middle> M"
+        assert(fimText.startsWith("<fim_prefix>"), s"doc $id")
+        val sufAt = fimText.indexOf("<fim_suffix>")
+        val midAt = fimText.indexOf("<fim_middle>")
+        assert(sufAt > 0 && midAt > sufAt, s"doc $id")
+        def seg(s: String) = s.split(" ").filter(_.nonEmpty)
+        val p = seg(fimText.substring("<fim_prefix>".length, sufAt))
+        val sfx = seg(fimText.substring(sufAt + "<fim_suffix>".length, midAt))
+        val m = seg(fimText.substring(midAt + "<fim_middle>".length))
+        assert(p.length == np && m.length == nm && sfx.length == ns, s"doc $id counts")
+        assert((p ++ m ++ sfx).mkString(" ") == texts(id), s"doc $id rebuild")
+        sawEmptySegment ||= np == 0 || nm == 0 || ns == 0
+      }
+    }
+    // FIM rate ~60% in a generous band; degenerate cuts occur in 500 docs
+    val rate = applied.toDouble / out.size
+    assert(rate > 0.5 && rate < 0.7, s"fim rate $rate")
+    assert(sawEmptySegment, "expected at least one empty P/M/S segment")
+    // bit-reproducible under repartitioning
+    val again = Augment.fimTransform(docs.repartition(13), "doc_id", "text", 60, 7L)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(again == out.view.mapValues(_._2).toMap)
+  }
 }
