@@ -150,6 +150,16 @@ object SparkEntry {
       Dedup.duplicatedSpanRanges(t(s, dir, "documents"), "doc_id", "text",
         window = SpanWindow, maxBucket = Int.MaxValue))
 
+  /** Winnowed fingerprint table (q107/q108's k=FpK, w=FpW) — a distinct
+    * (id, pos, h) AGGREGATED artifact at 2/(w+1) of span-stream density,
+    * staging-rule compliant; a production passage-dedup pipeline
+    * materializes the fingerprint index once and both the index gate and
+    * the pair detector read it. */
+  private def winnowedShared(s: SparkSession, dir: String): DataFrame =
+    staged(s, dir, "winnow")(
+      Dedup.winnowedFingerprints(t(s, dir, "documents"), "doc_id", "text",
+        k = FpK, w = FpW))
+
   /** Embedding near-dup pair frame (q23's parameters) — pair-cardinality
     * artifact shared by q23 and q67's component grouping, like the jaccard
     * pairs shared by q18/q36. */
@@ -1220,18 +1230,18 @@ object SparkEntry {
     // still catches EVERY verbatim cross-doc match of ≥ w+k−1 tokens.
     // One doc-keyed frame window, then the distinct aggregation.
     "q107_winnow_fingerprints" -> ((s, dir) =>
-      graft.operators.Dedup.winnowedFingerprints(t(s, dir, "documents"),
-          "doc_id", "text", k = FpK, w = FpW)
-        .withColumnRenamed("id", "doc_id")),
+      winnowedShared(s, dir).withColumnRenamed("id", "doc_id")),
 
     // Fingerprint-overlap pairs: the sparse cross-doc passage detector
     // over the winnowed index — q18's single-pass posting-list shape at
     // ~(w+1)/2× fewer index entries; flagged candidates then feed the
-    // exact span-range machinery (q62/q73) for localization.
+    // exact span-range machinery (q62/q73) for localization. Reads the
+    // SAME staged fingerprint table as q107.
     "q108_fingerprint_pairs" -> ((s, dir) =>
-      graft.operators.Dedup.fingerprintOverlapPairs(t(s, dir, "documents"),
-        "doc_id", "text", k = FpK, w = FpW, minShared = 2L,
-        maxBucket = Int.MaxValue)),
+      graft.operators.Dedup.overlapPairsFromHashed(
+          winnowedShared(s, dir).select(col("id"), col("h")).distinct(),
+          minOverlap = 0.0, maxBucket = Int.MaxValue)
+        .where(col("shared") >= 2L)),
 
     // Fill-in-the-middle transform (60% FIM rate): PSM reordering at two
     // seeded token boundaries — infilling supervision from left-to-right
@@ -1274,6 +1284,55 @@ object SparkEntry {
         // engines' parquet/pandas paths — the q50 HUGEINT lesson
         .withColumn("drift_num", col("drift_num").cast("long"))
     }),
+
+    // Interval×interval overlap join, bucketed: per-user synthetic
+    // segments (deterministic integer arithmetic off event_id), half-open
+    // overlap, each pair emitted once via the max-start-bucket rule —
+    // never a per-key cartesian. Oracle = the naive overlap predicate.
+    "q113_interval_overlap" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      def iv(m: Long, mult: Long, spanMod: Long) =
+        ev.where(col("event_id") % 3 === m)
+          .select(col("user_id").as("k"), col("event_id").as("id"),
+            ((col("event_id") * mult) % 2000).as("s"))
+          .withColumn("e", col("s") + 5 + (col("id") % spanMod))
+      graft.operators.RangeJoin.joinByOverlap(
+          iv(0, 37, 50), iv(1, 53, 30), Seq("k"), "s", "e", bucketWidth = 64)
+        .select("k", "a_id", "a_s", "a_e", "b_id", "b_s", "b_e")
+    }),
+
+    // Dedup threshold-sweep census: pairs fired + docs pulled into pairs
+    // per candidate jaccard threshold (zeros included) — the tuning table
+    // that turns threshold selection into a lookup instead of a pipeline
+    // re-run. Rides the SAME staged shingle frame as q18/q103.
+    "q114_dedup_sweep" -> ((s, dir) =>
+      graft.operators.Dedup.dedupSweep(
+        graft.operators.Dedup.overlapPairsFromHashed(
+          hashedShinglesShared(s, dir), minOverlap = 0.0,
+          maxBucket = Int.MaxValue),
+        thresholds = Seq(0.25, 0.5, 0.75, 1.0))),
+
+    // Stratified PPS: per-source expected-row targets (⌊n_g/10⌋, data-
+    // driven) executed as ONE narrow pass — exact-integer per-group
+    // inclusion, per-group HT weights; the corpus never shuffles.
+    "q115_group_pps" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("w", Text.tokenCount(col("text")).cast("long"))
+        .where(col("w") > 0)
+      val targets = d.groupBy("source")
+        .agg(expr("CAST(count(1) div 10 AS BIGINT)").as("target"))
+      graft.operators.Sampling.ppsSampleByGroup(d, "source", "doc_id",
+        col("w"), targets, seed = 7L)
+    }),
+
+    // Scene/shot boundary detection over the frame stream: lag +
+    // bit_count(xor) Hamming screen + running scene ids, one doc-keyed
+    // window — the temporal-segmentation twin of q28's frame fan-out
+    // (perceptual hashes slot in where the stand-in hash sits).
+    "q116_scene_bounds" -> ((s, dir) =>
+      Multimodal.sceneBoundaries(
+        Multimodal.withBinaryPayload(t(s, dir, "documents"), "text"),
+        "doc_id", frameBytes = 100, maxHamming = 29)),
   )
 
   /** Hash-bucket count for the DSIR feature table (q89/q90 and oracles). */
@@ -2298,6 +2357,86 @@ object SparkEntry {
          |UNION ALL
          |SELECT doc_id, source, full_epochs + 1 AS epoch, tokens
          |FROM r0 WHERE bef < remainder""".stripMargin,
+
+    // Interval overlap: the naive half-open overlap predicate over the
+    // same synthetic per-user segments — validates the bucketed plan's
+    // exactly-once max-start-bucket rule.
+    "q113_interval_overlap" ->
+      s"""WITH a AS (SELECT user_id AS k, event_id AS a_id,
+         |   (event_id * 37) % 2000 AS a_s,
+         |   (event_id * 37) % 2000 + 5 + (event_id % 50) AS a_e
+         |  FROM events WHERE event_id % 3 = 0),
+         |b AS (SELECT user_id AS k, event_id AS b_id,
+         |   (event_id * 53) % 2000 AS b_s,
+         |   (event_id * 53) % 2000 + 5 + (event_id % 30) AS b_e
+         |  FROM events WHERE event_id % 3 = 1)
+         |SELECT k, a_id, a_s, a_e, b_id, b_s, b_e
+         |FROM a JOIN b USING (k)
+         |WHERE a_s < b_e AND b_s < a_e""".stripMargin,
+
+    // Dedup sweep: q103's pair CTE unfiltered, crossed with the
+    // threshold list; LEFT joins keep zero-count thresholds.
+    "q114_dedup_sweep" ->
+      s"""WITH sh AS (
+         | SELECT doc_id, unnest(${duckShingleSet("text", 3)}) AS shingle
+         | FROM documents),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |   CAST(count(*) AS BIGINT) AS shared
+         | FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+         | GROUP BY 1, 2),
+         |pj AS (SELECT id_a, id_b,
+         |   CAST(shared AS DOUBLE)/CAST(x.n + y.n - shared AS DOUBLE) AS jaccard
+         |  FROM p JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id),
+         |t AS (SELECT unnest([0.25, 0.5, 0.75, 1.0]) AS threshold),
+         |f AS (SELECT threshold, id_a, id_b FROM pj CROSS JOIN t
+         |      WHERE jaccard >= threshold),
+         |np AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
+         |       FROM f GROUP BY threshold),
+         |nd AS (SELECT threshold, CAST(count(DISTINCT id) AS BIGINT) AS n_docs
+         |  FROM (SELECT threshold, id_a AS id FROM f
+         |        UNION ALL SELECT threshold, id_b FROM f)
+         |  GROUP BY threshold)
+         |SELECT t.threshold, coalesce(np.n_pairs, 0) AS n_pairs,
+         | coalesce(nd.n_docs, 0) AS n_docs_in_pairs
+         |FROM t LEFT JOIN np USING (threshold) LEFT JOIN nd USING (threshold)""".stripMargin,
+
+    // Stratified PPS: q105's HUGEINT inclusion with per-SOURCE totals and
+    // data-driven ⌊n/10⌋ targets; per-group HT weights.
+    "q115_group_pps" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |  CAST(len(string_split(text,' ')) AS BIGINT) AS w
+         | FROM documents WHERE len(string_split(text,' ')) > 0
+         |   AND source IS NOT NULL),
+         |tg AS (SELECT source, CAST(count(*) // 10 AS BIGINT) AS target
+         |       FROM d GROUP BY source),
+         |tot AS (SELECT source, CAST(sum(w) AS BIGINT) AS total
+         |        FROM d GROUP BY source)
+         |SELECT doc_id, source, w,
+         | least(CAST(1.0 AS DOUBLE),
+         |   CAST(w AS DOUBLE) * CAST(target AS DOUBLE) / total) AS incl_prob,
+         | 1.0 / least(CAST(1.0 AS DOUBLE),
+         |   CAST(w AS DOUBLE) * CAST(target AS DOUBLE) / total) AS ht_weight
+         |FROM d JOIN tg USING (source) JOIN tot USING (source)
+         |WHERE target > 0
+         |  AND CAST(${duckHash("'7 ' || CAST(doc_id AS VARCHAR)")} AS HUGEINT) * total
+         |    < CAST(target AS HUGEINT) * w * 1152921504606846976""".stripMargin,
+
+    // Scene boundaries: q28's frame enumeration + the same 60-bit hash,
+    // lag/bit_count(xor) screen, running boundary sum − 1 as scene id.
+    "q116_scene_bounds" ->
+      s"""WITH f AS (SELECT doc_id, CAST(fr.frame_idx AS INTEGER) AS frame_idx,
+         |  ${duckHash("substr(text, fr.frame_idx*100+1, 100)")} AS h
+         | FROM documents, LATERAL (SELECT unnest(range(0,
+         |   CAST(floor((octet_length(encode(text))-1)/100) AS BIGINT)+1)) AS frame_idx) fr),
+         |l AS (SELECT *, lag(h) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+         |      FROM f),
+         |b AS (SELECT doc_id, frame_idx,
+         |  (prev IS NULL OR bit_count(xor(h, prev)) > 29) AS is_boundary FROM l)
+         |SELECT doc_id, frame_idx, is_boundary,
+         | CAST(sum(CASE WHEN is_boundary THEN 1 ELSE 0 END)
+         |   OVER (PARTITION BY doc_id ORDER BY frame_idx) - 1 AS BIGINT) AS scene_id
+         |FROM b""".stripMargin,
 
     // Token drift: full-outer unigram join of the parity halves, exact
     // HUGEINT TV numerator cast to DECIMAL(38,0) (Spark's product type).

@@ -940,4 +940,41 @@ object Dedup {
         .select(col("id"), col("h")).distinct(),
       minOverlap = 0.0, maxBucket = maxBucket)
       .where(col("shared") >= minShared)
+
+  /**
+   * Threshold-sweep census over a scored near-dup pair frame (id_a, id_b,
+   * jaccard) — the tuning table a pipeline computes BEFORE committing to a
+   * dedup threshold: for each candidate threshold, how many pairs fire
+   * and how many distinct documents get pulled into some pair. Run it
+   * once on the (already-materialized) pair frame and the cost of
+   * choosing 0.5 vs 0.7 becomes a table lookup instead of a re-run of
+   * the whole dedup pipeline.
+   *
+   * Every threshold emits a row (zeros included — an empty census row is
+   * the interesting datum at the strict end). Shape: the pair frame
+   * explodes |thresholds|× (a handful), then two group-by-threshold
+   * aggregations — pair-cardinality input, never the corpus.
+   */
+  def dedupSweep(pairs: DataFrame, thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val base = thresholds.toDF("threshold")
+    // two aggregation consumers below — eager checkpoint so the (possibly
+    // expensive) pair pipeline runs once, not per consumer (invariant 4)
+    val at = pairs.select(col("id_a"), col("id_b"), col("jaccard"))
+      .localCheckpoint()
+      .withColumn("threshold",
+        explode(array(thresholds.map(lit(_)): _*)))
+      .where(col("jaccard") >= col("threshold"))
+    val np = at.groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
+    val nd = at
+      .select(col("threshold"),
+        explode(array(col("id_a"), col("id_b"))).as("id"))
+      .groupBy("threshold").agg(countDistinct(col("id")).as("n_docs_in_pairs"))
+    broadcast(base)
+      .join(np, Seq("threshold"), "left")
+      .join(nd, Seq("threshold"), "left")
+      .na.fill(0L, Seq("n_pairs", "n_docs_in_pairs"))
+  }
 }

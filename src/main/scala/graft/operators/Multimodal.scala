@@ -114,4 +114,37 @@ object Multimodal {
       .distinct()
     Dedup.jaccardPairsFromHashed(frames, threshold, maxBucket)
   }
+
+  /**
+   * Temporal segmentation (scene/shot boundary detection) over the frame
+   * stream: a boundary wherever the frame fingerprint's Hamming distance
+   * to the PREVIOUS frame exceeds `maxHamming`; the first frame always
+   * opens scene 0, and scene ids are a running count of boundaries. With
+   * a real decoder the fingerprint is a perceptual hash (pHash/dHash —
+   * small Hamming distance ⟺ visually similar); the deterministic
+   * stand-in hash keeps identical frames at distance 0, so planted
+   * repeat/change structure segments exactly (spec-pinned), and the
+   * lag + bit_count(xor) + running-sum machinery is what production
+   * keyframe extraction runs unchanged.
+   *
+   * Shape: the frame fan-out is narrow (frames inherit file-split
+   * locality), then ONE doc-keyed window computes lag, boundary flag and
+   * the running scene id — everything downstream shares that partition.
+   */
+  def sceneBoundaries(df: DataFrame, idCol: String, binCol: String = "content",
+                      frameBytes: Int = 100, maxHamming: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("frame_idx")
+    sampleFrames(df, binCol, frameBytes)
+      .select(col(idCol), col("frame_idx"),
+        Hashing.stableHash60(col("frame")).as("__h"))
+      .withColumn("__prev", lag(col("__h"), 1).over(w))
+      .withColumn("is_boundary", col("__prev").isNull ||
+        bit_count(expr("__h ^ __prev")) > maxHamming)
+      .withColumn("scene_id",
+        sum(when(col("is_boundary"), 1L).otherwise(0L))
+          .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)) - 1)
+      .select(col(idCol), col("frame_idx"), col("is_boundary"), col("scene_id"))
+  }
 }

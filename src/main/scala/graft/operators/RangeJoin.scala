@@ -57,4 +57,50 @@ object RangeJoin {
       .where(col(timeCol) >= col(startCol) && col(timeCol) < col(endCol))
       .drop("__bucket")
   }
+
+  /**
+   * Interval×interval OVERLAP join: every (a, b) pair with equal keys
+   * whose half-open intervals intersect — `a.start < b.end AND b.start <
+   * a.end` (touching intervals do NOT overlap). The segment-alignment
+   * primitive: media segments × transcript spans, sessions × incident
+   * windows, validity epochs × validity epochs.
+   *
+   * Scale shape: BOTH sides bucket-explode (each interval replicates
+   * ceil(span/bucketWidth) times) and the join is a plain equi-join on
+   * (keys, bucket). A pair overlapping across several shared buckets
+   * would surface once per bucket — instead of a dedup shuffle, the
+   * standard positional rule keeps each pair ONLY in the bucket
+   * containing max(a.start, b.start): that bucket is covered by both
+   * intervals of every truly overlapping pair (an interval always covers
+   * its own start, and max-start < min-end), and it is unique — so every
+   * qualifying pair is emitted exactly once, duplicate-free by
+   * construction. Pick `bucketWidth` near the typical span: replication
+   * stays O(1)/row while buckets stay selective; skewed keys ride the
+   * same AQE/salting controls as any equi-join.
+   *
+   * Non-key columns are prefixed `a_`/`b_` (both sides may carry
+   * arbitrary payloads); empty intervals (end ≤ start) match nothing.
+   */
+  def joinByOverlap(a: DataFrame, b: DataFrame, keys: Seq[String],
+                    startCol: String, endCol: String,
+                    bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    def side(df: DataFrame, p: String): DataFrame = {
+      val renamed = df.columns.foldLeft(df) { (d, c) =>
+        if (keys.contains(c)) d else d.withColumnRenamed(c, p + c)
+      }
+      renamed
+        .where(col(p + endCol) > col(p + startCol))
+        .withColumn("__bucket", explode(sequence(
+          floor(col(p + startCol) / bucketWidth).cast("long"),
+          floor((col(p + endCol) - 1) / bucketWidth).cast("long"))))
+    }
+    side(a, "a_").join(side(b, "b_"), (keys :+ "__bucket").toSeq)
+      .where(col("a_" + startCol) < col("b_" + endCol) &&
+        col("b_" + startCol) < col("a_" + endCol))
+      .where(col("__bucket") ===
+        floor(greatest(col("a_" + startCol), col("b_" + startCol)) / bucketWidth)
+          .cast("long"))
+      .drop("__bucket")
+  }
 }

@@ -256,6 +256,47 @@ object Sampling {
   }
 
   /**
+   * Stratified PPS: [[ppsSample]] WITHIN each group, with per-group
+   * expected-row targets supplied as a (group, target) plan table —
+   * mixture quotas executed as one narrow pass over the corpus instead
+   * of |groups| separate sampling jobs. Same exact-integer inclusion
+   * test per group (hash·Σw_g < target_g·w·2^60 in DECIMAL(38,0) — no
+   * float threshold, so the draw is bit-identical on any
+   * engine/partitioning), and per-group Horvitz-Thompson weights keep
+   * downstream statistics unbiased. Groups absent from `targets`, or
+   * with target ≤ 0, emit nothing.
+   *
+   * Shape: one group-cardinality total aggregation and the plan table
+   * both broadcast back onto the corpus; the corpus itself never
+   * shuffles. By construction the draw within a group is EXACTLY
+   * [[ppsSample]] run on that group's slice at its target (spec-pinned),
+   * so per-group statistical properties carry over unchanged.
+   */
+  def ppsSampleByGroup(df: DataFrame, groupCol: String, idCol: String,
+                       weightExpr: Column, targets: DataFrame,
+                       seed: Long): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val weighted = df.withColumn("w", weightExpr.cast("long"))
+      .where(col("w") > 0 && col(groupCol).isNotNull)
+    val tot = weighted.groupBy(col(groupCol)).agg(sum(col("w")).as("__total"))
+    val h = Hashing.stableHash60(concat_ws(" ",
+      lit(seed.toString), col(idCol).cast("string")))
+    weighted
+      .join(broadcast(tot), Seq(groupCol))
+      .join(broadcast(targets.select(col(groupCol),
+        col("target").cast("long").as("__target"))), Seq(groupCol))
+      .where(col("__target") > 0)
+      .where(h.cast(dec) * col("__total").cast(dec) <
+        col("__target").cast(dec) * col("w").cast(dec) *
+          lit(1152921504606846976L).cast(dec)) // 2^60
+      .withColumn("incl_prob", least(lit(1.0),
+        col("w").cast("double") * col("__target").cast("double") / col("__total")))
+      .withColumn("ht_weight", lit(1.0) / col("incl_prob"))
+      .select(col(idCol), col(groupCol), col("w"), col("incl_prob"),
+        col("ht_weight"))
+  }
+
+  /**
    * Per-batch padding census over [[lengthBucketBatches]] output: rows,
    * padded width (batch max), real tokens, and wasted pad slots
    * (rows·max − sum) — exact integers, one aggregation over batch

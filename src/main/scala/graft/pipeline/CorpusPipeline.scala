@@ -398,4 +398,20 @@ object CorpusPipeline {
       markupEditedDocs = nMarkupEdited,
       afterBudget = if (nBudget >= 0) nBudget else 0L))
   }
+
+  /**
+   * Post-release composition: the epoch-ordered training stream over the
+   * final corpus — [[Sampling.expandEpochs]] on the train split, grouped
+   * by `groupCol` under a data-constrained token budget (full per-source
+   * passes + a deterministic partial pass; repeats capped at `maxEpochs`).
+   * This is the frame a data loader consumes: every row is one (doc,
+   * epoch) occurrence, bit-reproducible on restart, so the release and
+   * its training order ship together.
+   */
+  def trainingStream(corpus: DataFrame, idCol: String, textCol: String,
+                     groupCol: String, budgetTokens: Long,
+                     maxEpochs: Int = 4, seed: Long = 42L): DataFrame =
+    Sampling.expandEpochs(corpus.where(col("split") === "train"),
+      groupCol, idCol, Text.tokenCount(col(textCol)), budgetTokens,
+      maxEpochs, seed)
 }

@@ -100,4 +100,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(pairs((1L, 2L)) == 1.0)
     assert(pairs((1L, 3L)) == 0.5) // shares ABCD,EFGH of {ABCD,EFGH,IJKL,ZZZZ}
   }
+
+  test("Multimodal: scene boundaries segment exactly at planted frame changes") {
+    // frameBytes=100: payload = 250×'A' + 200×'B' → frames
+    //   f0=A¹⁰⁰ f1=A¹⁰⁰ (identical → same scene) f2=A⁵⁰B⁵⁰ f3=B¹⁰⁰ f4=B⁵⁰
+    // at maxHamming=0 boundaries land at 0,2,3,4 → scenes 0,0,1,2,3
+    val docs = Seq((1L, "A" * 250 + "B" * 200)).toDF("doc_id", "text")
+    val withBin = Multimodal.withBinaryPayload(docs, "text")
+    val got = Multimodal.sceneBoundaries(withBin, "doc_id",
+        frameBytes = 100, maxHamming = 0)
+      .orderBy("frame_idx")
+      .collect().map(r => (r.getInt(1), r.getBoolean(2), r.getLong(3)))
+    assert(got.toSeq == Seq((0, true, 0L), (1, false, 0L), (2, true, 1L),
+      (3, true, 2L), (4, true, 3L)))
+    // a permissive threshold merges everything into one scene
+    val one = Multimodal.sceneBoundaries(withBin, "doc_id",
+        frameBytes = 100, maxHamming = 60)
+      .collect().map(_.getLong(3)).toSet
+    assert(one == Set(0L))
+  }
 }

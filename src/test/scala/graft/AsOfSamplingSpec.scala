@@ -377,6 +377,42 @@ class AsOfSamplingSpec extends SparkSpec {
     assert(re == plan)
   }
 
+  test("ppsSampleByGroup is exactly ppsSample per group; missing/zero " +
+    "targets emit nothing") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("w", size(split(col("text"), " ")).cast("long"))
+      .where(col("w") > 0)
+    val sources = docs.select("source").distinct()
+      .collect().map(_.getString(0)).sorted
+    // varied targets per source (5, 10, 15, ... by source rank); one
+    // source dropped from the plan, one set to zero
+    val targetMap = sources.zipWithIndex.map { case (s, i) => s -> (5L + 5L * (i % 4)) }.toMap
+    val dropped = sources.head; val zeroed = sources.last
+    val targets = targetMap.toSeq
+      .filter(_._1 != dropped)
+      .map { case (s, t) => (s, if (s == zeroed) 0L else t) }
+      .toDF("source", "target")
+    val got = Sampling.ppsSampleByGroup(docs, "source", "doc_id",
+        col("w"), targets, seed = 11L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.nonEmpty)
+    assert(!got.exists(r => r._2 == dropped || r._2 == zeroed))
+    // per group, the draw is EXACTLY ppsSample on that group's slice
+    got.groupBy(_._2).keySet.foreach { src =>
+      val slice = Sampling.ppsSample(docs.where(col("source") === src),
+          "doc_id", col("w"), targetMap(src), seed = 11L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+      val mine = got.filter(_._2 == src).map(r => (r._1, r._3, r._4, r._5)).toSet
+      assert(mine == slice, s"source $src")
+    }
+    // deterministic under repartitioning
+    val again = Sampling.ppsSampleByGroup(docs.repartition(13), "source",
+        "doc_id", col("w"), targets, 11L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(again == got.map(r => (r._1, r._2)).toSet)
+  }
+
   test("expandEpochs materializes the plan: full passes, one budget " +
     "crossing, reproducible order") {
     // same fixture as the epochPlan test: A → 4 full epochs rem 0;

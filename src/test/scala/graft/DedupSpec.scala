@@ -494,6 +494,20 @@ class DedupSpec extends SparkSpec {
     assert(viaOverlap == viaJaccard && viaOverlap.nonEmpty)
   }
 
+  test("dedupSweep: hand-computed census incl. zero-count thresholds") {
+    // fixture pairs (3-gram jaccard): (1,4)=1.0, (1,2)=(2,4)=0.75
+    val pairs = Dedup.overlapPairsFromHashed(
+      Dedup.hashedShingles(docs, "doc_id", "text", 3),
+      minOverlap = 0.0, maxBucket = Int.MaxValue)
+    val got = Dedup.dedupSweep(pairs, Seq(0.5, 0.8, 1.0, 1.5))
+      .collect().map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      0.5 -> ((3L, 3L)),   // all three pairs; docs {1,2,4}
+      0.8 -> ((1L, 2L)),   // only the exact dup (1,4)
+      1.0 -> ((1L, 2L)),
+      1.5 -> ((0L, 0L)))) // zero row survives the census
+  }
+
   // ------------------------------------------------------------- winnowing
 
   /** Plain-Scala robust-winnowing twin: every full window of w k-gram

@@ -317,4 +317,39 @@ class PipelineSpec extends SparkSpec {
     assert(back.count() == rep.corpus)
     assert(back.exceptAll(c).isEmpty && c.exceptAll(back).isEmpty)
   }
+
+  test("trainingStream: release + epoch-ordered train order ship together") {
+    import graft.pipeline.CorpusPipeline
+    import graft.operators.Sampling
+    import graft.functions.Text
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val noEval = docs.limit(0).select(col("doc_id"), col("text"))
+    val stages = Seq("nonempty" -> (length(col("text")) > 0))
+    val (corpus, _) = CorpusPipeline.run(docs, noEval, "doc_id", "text", stages)
+    // keep `source` for grouping (run() preserves non-text columns)
+    assert(corpus.columns.contains("source"))
+    val stream = CorpusPipeline.trainingStream(corpus, "doc_id", "text",
+      "source", budgetTokens = 100000L, maxEpochs = 4, seed = 7L)
+    val rows = stream.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // only train-split docs appear
+    val trainIds = corpus.where(col("split") === "train")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_._1).toSet.subsetOf(trainIds))
+    // per-source token accounting matches the plan: emitted tokens land in
+    // [planned, planned + max doc) — the budget crossed at most once
+    val plan = Sampling.epochPlan(corpus.where(col("split") === "train"),
+        "source", Text.tokenCount(col("text")), 100000L, 4)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    val maxDoc = corpus.where(col("split") === "train")
+      .groupBy("source").agg(max(Text.tokenCount(col("text"))).as("m"))
+      .collect().map(r => r.getString(0) -> r.getInt(1).toLong).toMap
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      val emitted = rs.map(_._4).sum
+      assert(emitted >= plan(src) && emitted < plan(src) + maxDoc(src) + 1,
+        s"source $src emitted $emitted planned ${plan(src)}")
+    }
+  }
 }

@@ -29,6 +29,17 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("winnowing plans ONE exchange: the window's id-clustering satisfies " +
+    "the distinct's subset distribution") {
+    SparkEntry.releaseStaged(spark) // q107 reads the staged fingerprint frame
+    val p = plan("q107_winnow_fingerprints")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+  }
+
+  test("FIM transform is a zero-exchange scan-speed projection") {
+    assert(!plan("q109_fim").contains("Exchange hashpartitioning"))
+  }
+
   test("dimension joins broadcast (no sort-merge join on the dim side)") {
     val p = plan("q02_revenue_by_nation")
     assert(p.contains("BroadcastHashJoin"))

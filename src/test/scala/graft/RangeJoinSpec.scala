@@ -61,4 +61,50 @@ class RangeJoinSpec extends SparkSpec {
     val got = RangeJoin.joinByRange(f, iv, Seq.empty, "t", "s", "e", 7L)
     assert(got.select("fact_id").as[Long].collect().sorted === Array(1L, 2L, 3L))
   }
+
+  // interval fixture for the overlap join: varied spans (incl. spans far
+  // wider than the bucket), an empty interval, clustered starts so
+  // touching/nested/multi-bucket-shared cases all occur
+  private lazy val segsA = (1 to 60).map { i =>
+    val s = (i * 613 % 3000).toLong
+    (i.toLong, (i % 4).toLong, s, s + (if (i % 11 == 0) 0L else (i * 271 % 900 + 1)))
+  }.toDF("id", "k", "s", "e")
+  private lazy val segsB = (1 to 60).map { j =>
+    val s = (j * 449 % 3000).toLong
+    (j.toLong, (j % 4).toLong, s, s + (if (j % 13 == 0) 0L else (j * 157 % 500 + 1)))
+  }.toDF("id", "k", "s", "e")
+
+  private def naiveOverlap =
+    segsA.toDF("a_id", "k", "a_s", "a_e")
+      .join(segsB.toDF("b_id", "k2", "b_s", "b_e"), col("k") === col("k2"))
+      // overlap = nonempty intersection; the bare a_s<b_e && b_s<a_e
+      // predicate alone would claim an EMPTY interval sitting strictly
+      // inside the other "overlaps" — [x,x) contains no points
+      .where(col("a_s") < col("b_e") && col("b_s") < col("a_e") &&
+        col("a_s") < col("a_e") && col("b_s") < col("b_e"))
+      .select("k", "a_id", "a_s", "a_e", "b_id", "b_s", "b_e")
+
+  test("bucketed overlap join matches the naive predicate at any width, " +
+    "each pair exactly once") {
+    Seq(16L, 128L, 100000L).foreach { w =>
+      val got = RangeJoin.joinByOverlap(segsA, segsB, Seq("k"), "s", "e", w)
+        .select("k", "a_id", "a_s", "a_e", "b_id", "b_s", "b_e")
+      withClue(s"width=$w") {
+        // exceptAll is multiset difference: catches duplicate emissions a
+        // set-based except would hide (the max-start-bucket rule's job)
+        assert(got.exceptAll(naiveOverlap).isEmpty && naiveOverlap.exceptAll(got).isEmpty)
+      }
+    }
+  }
+
+  test("overlap join: touching intervals do not match; nested ones do; " +
+    "keyless mode works") {
+    val a = Seq((1L, 0L, 10L), (2L, 20L, 30L)).toDF("id", "s", "e")
+    val b = Seq((10L, 10L, 20L), (20L, 22L, 25L), (30L, 5L, 21L)).toDF("id", "s", "e")
+    val got = RangeJoin.joinByOverlap(a, b, Seq.empty, "s", "e", 8L)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a1 [0,10) touches b10 [10,20): NO. b30 [5,21) overlaps both a's;
+    // b20 [22,25) nests inside a2 [20,30)
+    assert(got == Set((1L, 30L), (2L, 30L), (2L, 20L)))
+  }
 }

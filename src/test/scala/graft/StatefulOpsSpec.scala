@@ -494,6 +494,35 @@ class StatefulOpsSpec extends SparkSpec {
     assert(acc.toSet == batch && batch.nonEmpty)
   }
 
+  test("overlap join runs stream-static (new segments vs reference windows), " +
+    "batch-identical") {
+    import graft.operators.RangeJoin
+    val root = Files.createTempDirectory("graft-ivstream").toString
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // static side: reference validity windows; stream side: arriving segments
+    val ref = Seq((100L, 0L, 0L, 50L), (101L, 0L, 40L, 90L), (102L, 1L, 10L, 20L))
+      .toDF("id", "k", "s", "e")
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long, Long)]
+    val joined = RangeJoin.joinByOverlap(
+      input.toDS().toDF("id", "k", "s", "e"), ref, Seq("k"), "s", "e", 16L)
+      .select("k", "a_id", "b_id")
+    val q = joined.writeStream.format("memory").queryName("iv_stream")
+      .option("checkpointLocation", s"$root/ckpt").outputMode("append").start()
+    val segs = Seq((1L, 0L, 45L, 60L), (2L, 0L, 90L, 95L), (3L, 1L, 5L, 15L),
+      (4L, 0L, 49L, 49L), (5L, 1L, 19L, 30L))
+    input.addData(segs.take(3): _*); q.processAllAvailable()
+    input.addData(segs.drop(3): _*); q.processAllAvailable()
+    val streamed = spark.sql("SELECT * FROM iv_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    val batch = RangeJoin.joinByOverlap(
+        segs.toDF("id", "k", "s", "e"), ref, Seq("k"), "s", "e", 16L)
+      .select("k", "a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("FIM transform applies to a streaming frame directly, batch-identical " +
     "(stateless projection)") {
     import graft.operators.Augment
