@@ -153,6 +153,12 @@ object ScaleProbe {
       val tWinnowPairs = time(noop(
         Dedup.fingerprintOverlapPairs(docs, "doc_id", "text", k = 8, w = 4,
           minShared = 1, maxBucket = 1000)))
+      // prefix-filtered jaccard at a high threshold — same output as the
+      // full-index join; the index holds ~(1-t) of each set, so the curve
+      // should sit UNDER jaccard_capped's and flatten as t rises
+      val tJacPrefix = time(noop(
+        Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 3, 0.8,
+          maxBucket = 1000)))
 
       println(s"""{"n":$n,"exact_dedup":$tExact,"minhash_sig":$tSig,"lsh_cands":$tLsh,""" +
         s""""simhash_pairs":$tSim,"jaccard_capped":$tJac,"ivf_knn":$tIvf,"embed_neardup":$tNd,""" +
@@ -164,7 +170,8 @@ object ScaleProbe {
         s""""contam_capped":$tContCapped,"span_ranges":$tSpans,""" +
         s""""span_pairs":$tSpanPairs,"span_hot":$tSpanHot,""" +
         s""""span_decut":$tSpanDecut,"fuzzy_pairs":$tFuzzy,""" +
-        s""""winnow_fp":$tWinnow,"winnow_pairs":$tWinnowPairs}""")
+        s""""winnow_fp":$tWinnow,"winnow_pairs":$tWinnowPairs,""" +
+        s""""jaccard_prefix":$tJacPrefix}""")
       docs.unpersist(); em.unpersist()
     }
     spark.stop()

@@ -1333,6 +1333,16 @@ object SparkEntry {
       Multimodal.sceneBoundaries(
         Multimodal.withBinaryPayload(t(s, dir, "documents"), "text"),
         "doc_id", frameBytes = 100, maxHamming = 29)),
+
+    // Prefix-filtered set-similarity join (AllPairs/PPJoin): SAME result
+    // set as q18 — gated against q18's oracle — from an index holding
+    // only each doc's prefix hashes (no false negatives by the prefix
+    // theorem; candidates verified exactly). The sparse-index plan you'd
+    // ship at 100 TB for high thresholds.
+    "q117_jaccard_prefix" -> ((s, dir) =>
+      graft.operators.Dedup.jaccardPairsPrefix(t(s, dir, "documents"),
+        "doc_id", "text", n = 3, threshold = 0.5,
+        maxBucket = Int.MaxValue)),
   )
 
   /** Hash-bucket count for the DSIR feature table (q89/q90 and oracles). */
@@ -1842,6 +1852,10 @@ object SparkEntry {
          |FROM documents""".stripMargin,
 
     "q18_ngram_jaccard_pairs" -> jaccardPairsSql,
+
+    // Prefix-filtered join: bit-identical OUTPUT to q18 by construction —
+    // the same oracle gates the sparse-index plan.
+    "q117_jaccard_prefix" -> jaccardPairsSql,
 
     "q19_minhash_signatures" -> minhashSigSql,
 

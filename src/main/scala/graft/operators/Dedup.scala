@@ -942,6 +942,60 @@ object Dedup {
       .where(col("shared") >= minShared)
 
   /**
+   * Set-similarity join with PREFIX FILTERING (the AllPairs/PPJoin family
+   * — Bayardo et al. 2007, Xiao et al. 2008; public algorithms): the same
+   * output as [[jaccardPairsFromHashed]] at threshold `t`, but the
+   * inverted index holds only each document's PREFIX — its first
+   * |s| − ⌈t·|s|⌉ + 1 shingle hashes under the global hash order —
+   * instead of all of them.
+   *
+   * Why that is sound (the prefix theorem): let x be the SMALLEST shared
+   * hash of a qualifying pair (jaccard ≥ t ⟹ overlap o ≥ ⌈t·|a|⌉). In
+   * a's sorted set every shared hash sits at or after x, so x's position
+   * is ≤ |a| − o + 1 ≤ |a| − ⌈t·|a|⌉ + 1 — inside a's prefix; same for
+   * b. So every qualifying pair shares a hash IN BOTH PREFIXES and is
+   * generated as a candidate — no false negatives. Candidates are then
+   * verified exactly against the full sets (array_intersect on the
+   * per-doc sorted hash arrays), so false positives die.
+   *
+   * Why it matters at 100 TB: at t = 0.8 the index (and with it the
+   * posting-list aggregation shuffle and the in-bucket pair expansion —
+   * the dominant stages) carries ~20% of the shingle stream; the higher
+   * the threshold, the sparser the index, which is exactly the regime
+   * near-dup dedup runs in. `maxBucket` caps hot prefix hashes like
+   * stop-shingles. Verification joins candidate pairs (already
+   * pair-cardinality) to the per-doc set arrays — doc-sized rows, fetched
+   * twice per candidate.
+   */
+  def jaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int, threshold: Double,
+                         maxBucket: Int = 10000): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0,1]")
+    val sets = hashedShingles(docs, idCol, textCol, n)
+      .groupBy("id").agg(sort_array(collect_list(col("h"))).as("__hs"))
+      .withColumn("__sz", size(col("__hs")))
+      .localCheckpoint() // consumed by the prefix index AND twice by verify
+    val prefixLen = (col("__sz") - ceil(col("__sz") * threshold) + 1).cast("int")
+    val cands = sets
+      .select(col("id"), explode(slice(col("__hs"), lit(1), prefixLen)).as("h"))
+      .groupBy("h").agg(sort_array(collect_set(col("id"))).as("ids"))
+      .where(size(col("ids")).between(2, maxBucket))
+      .select(explode(pairsFromSorted(col("ids"))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
+    cands
+      .join(sets.select(col("id").as("id_a"), col("__hs").as("__ha"),
+        col("__sz").as("__na")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("__hs").as("__hb"),
+        col("__sz").as("__nb")), Seq("id_b"))
+      .withColumn("__shared", size(array_intersect(col("__ha"), col("__hb"))))
+      .withColumn("jaccard", col("__shared").cast("double") /
+        (col("__na") + col("__nb") - col("__shared")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /**
    * Threshold-sweep census over a scored near-dup pair frame (id_a, id_b,
    * jaccard) — the tuning table a pipeline computes BEFORE committing to a
    * dedup threshold: for each candidate threshold, how many pairs fire

@@ -508,6 +508,27 @@ class DedupSpec extends SparkSpec {
       1.5 -> ((0L, 0L)))) // zero row survives the census
   }
 
+  test("jaccardPairsPrefix equals the full-index join at several " +
+    "thresholds; the prefix index is strictly sparser") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sh = Dedup.hashedShingles(corpus, "doc_id", "text", n = 3)
+    Seq(0.3, 0.5, 0.8, 1.0).foreach { t =>
+      val full = Dedup.jaccardPairsFromHashed(sh, t, Int.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pref = Dedup.jaccardPairsPrefix(corpus, "doc_id", "text", 3, t,
+          Int.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      withClue(s"t=$t")(assert(pref == full))
+    }
+    // index sparsity: at t the prefix keeps ~ (1-t) of each set (+1 hash)
+    val nFull = sh.count().toDouble
+    val nDocs = corpus.count().toDouble
+    val prefLen = sh.groupBy("id").count()
+      .select(sum(expr("CAST(count - ceil(count * 0.8) + 1 AS BIGINT)")))
+      .head.getLong(0).toDouble
+    assert(prefLen < 0.3 * nFull + nDocs, s"prefix $prefLen of $nFull")
+  }
+
   // ------------------------------------------------------------- winnowing
 
   /** Plain-Scala robust-winnowing twin: every full window of w k-gram
