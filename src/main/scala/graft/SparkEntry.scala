@@ -1343,6 +1343,28 @@ object SparkEntry {
       graft.operators.Dedup.jaccardPairsPrefix(t(s, dir, "documents"),
         "doc_id", "text", n = 3, threshold = 0.5,
         maxBucket = Int.MaxValue)),
+
+    // Multi-level ROLLUP aggregation (corpus census by lang → lang×source
+    // with grand total): one Expand + one aggregation — Catalyst's native
+    // grouping-sets machinery, grouping_id() disambiguating subtotal
+    // nulls from data nulls.
+    "q118_rollup_census" -> ((s, dir) =>
+      t(s, dir, "documents").rollup("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(Text.tokenCount(col("text")).cast("long")).as("n_tokens"),
+          grouping_id().as("lvl"))),
+
+    // Trailing RANGE-frame features: events in the PAST HOUR per user
+    // (count + exact cent sum) — value-range frames keep "last hour"
+    // meaning an hour on irregularly-spaced events, where ROWS frames
+    // (q44) would drift with density.
+    "q119_trailing_hour" -> ((s, dir) =>
+      graft.operators.Aggregates.trailingRange(
+        t(s, dir, "events").select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("ts_epoch"),
+          floor(col("value") * 100.0 + 0.5).cast("long").as("cents")),
+        keys = Seq("user_id"), orderCol = "ts_epoch", valueCol = col("cents"),
+        horizon = 3600L)),
   )
 
   /** Hash-bucket count for the DSIR feature table (q89/q90 and oracles). */
@@ -1856,6 +1878,25 @@ object SparkEntry {
     // Prefix-filtered join: bit-identical OUTPUT to q18 by construction —
     // the same oracle gates the sparse-index plan.
     "q117_jaccard_prefix" -> jaccardPairsSql,
+
+    // ROLLUP census: GROUPING() carries the same leftmost-MSB bitmask
+    // convention on both engines.
+    "q118_rollup_census" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens,
+        | CAST(GROUPING(lang, source) AS BIGINT) AS lvl
+        |FROM documents GROUP BY ROLLUP(lang, source)""".stripMargin,
+
+    // Trailing hour: RANGE frame over epoch seconds, exact cent sums.
+    "q119_trailing_hour" ->
+      """SELECT event_id, user_id,
+        | CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+        | CAST(floor(value*100.0+0.5) AS BIGINT) AS cents,
+        | CAST(count(*) OVER w AS BIGINT) AS trail_n,
+        | CAST(sum(CAST(floor(value*100.0+0.5) AS BIGINT)) OVER w AS BIGINT) AS trail_sum
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q19_minhash_signatures" -> minhashSigSql,
 

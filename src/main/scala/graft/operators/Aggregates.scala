@@ -268,4 +268,28 @@ object Aggregates {
       "pct",
       col("cnt").cast("double") * 100.0 / sum("cnt").over(Window.partitionBy()).cast("double"))
   }
+
+  /**
+   * Trailing VALUE-RANGE window aggregation: per key, count and sum over
+   * the rows whose numeric order value lies in [current − horizon,
+   * current] — the RANGE-frame sibling of [[rollingFeatures]]' ROWS
+   * frames. The distinction matters on irregularly-spaced events: a
+   * "last hour" feature is an hour whether three events landed in it or
+   * three thousand; a ROWS frame would silently change meaning with
+   * density. RANGE frames include ALL peers of the current order value
+   * (both engines), so ties need no break column and the result is
+   * deterministic on any partitioning. `valueCol` should be integral
+   * (sum in longs — a double sum's association order would vary with
+   * the frame's internal order).
+   *
+   * One keyed window exchange; everything else rides it.
+   */
+  def trailingRange(df: DataFrame, keys: Seq[String], orderCol: String,
+                    valueCol: Column, horizon: Long): DataFrame = {
+    require(horizon >= 0, "horizon must be >= 0")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+      .rangeBetween(-horizon, 0)
+    df.withColumn("trail_n", count(lit(1)).over(w))
+      .withColumn("trail_sum", sum(valueCol.cast("long")).over(w))
+  }
 }

@@ -988,6 +988,10 @@ object Dedup {
         col("__sz").as("__na")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("__hs").as("__hb"),
         col("__sz").as("__nb")), Seq("id_b"))
+      // length filter (AllPairs): jaccard ≤ min/max of the sizes, so pairs
+      // failing min ≥ t·max can't qualify — pruned before the intersect
+      .where(least(col("__na"), col("__nb")).cast("double") >=
+        lit(threshold) * greatest(col("__na"), col("__nb")).cast("double"))
       .withColumn("__shared", size(array_intersect(col("__ha"), col("__hb"))))
       .withColumn("jaccard", col("__shared").cast("double") /
         (col("__na") + col("__nb") - col("__shared")).cast("double"))

@@ -186,4 +186,31 @@ class AggregatesSpec extends SparkSpec {
     assert(math.abs(columnEst - twinEst) / twinEst < 1e-9,
       s"column $columnEst vs twin $twinEst")
   }
+
+  test("trailingRange: value-range frames on irregular spacing, peers included") {
+    import spark.implicits._
+    // key A at t = 0, 50, 100, 100, 3000: horizon 100 —
+    //  t=0   → {0}                 n=1 sum=1
+    //  t=50  → {0,50}              n=2 sum=3
+    //  t=100 → BOTH peers + {0,50} n=4 sum=10  (RANGE includes all peers)
+    //  t=3000→ {3000}              n=1 sum=8
+    // a ROWS frame of any fixed width gets at least one of these wrong
+    val df = Seq(("A", 0L, 1L), ("A", 50L, 2L), ("A", 100L, 3L),
+      ("A", 100L, 4L), ("A", 3000L, 8L), ("B", 60L, 5L))
+      .toDF("k", "t", "v")
+    val got = Aggregates.trailingRange(df, Seq("k"), "t", col("v"), horizon = 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    assert(got(("A", 0L, 1L)) == ((1L, 1L)))
+    assert(got(("A", 50L, 2L)) == ((2L, 3L)))
+    assert(got(("A", 100L, 3L)) == ((4L, 10L)) && got(("A", 100L, 4L)) == ((4L, 10L)))
+    assert(got(("A", 3000L, 8L)) == ((1L, 8L)))
+    assert(got(("B", 60L, 5L)) == ((1L, 5L)))
+    // partitioning-independent (peer inclusion makes ties order-free)
+    val re = Aggregates.trailingRange(df.repartition(5), Seq("k"), "t",
+        col("v"), 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    assert(re == got)
+  }
 }
