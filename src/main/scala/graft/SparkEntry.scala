@@ -150,6 +150,15 @@ object SparkEntry {
       Dedup.duplicatedSpanRanges(t(s, dir, "documents"), "doc_id", "text",
         window = SpanWindow, maxBucket = Int.MaxValue))
 
+  /** Unfiltered scored pair frame (all sharing pairs with jaccard/overlap
+    * stats) — pair-cardinality artifact shared by q103 (containment
+    * filter) and q114 (threshold sweep), the way q18/q36 share the
+    * jaccard pairs. */
+  private def overlapPairsShared(s: SparkSession, dir: String): DataFrame =
+    staged(s, dir, "ovpairs")(
+      Dedup.overlapPairsFromHashed(hashedShinglesShared(s, dir),
+        minOverlap = 0.0, maxBucket = Int.MaxValue))
+
   /** Winnowed fingerprint table (q107/q108's k=FpK, w=FpW) — a distinct
     * (id, pos, h) AGGREGATED artifact at 2/(w+1) of span-stream density,
     * staging-rule compliant; a production passage-dedup pipeline
@@ -1192,9 +1201,7 @@ object SparkEntry {
     // ≥ 0.5 — the snippet-inside-document class Jaccard's union
     // denominator hides. Rides the SAME staged shingle frame as q18.
     "q103_containment" -> ((s, dir) =>
-      graft.operators.Dedup.overlapPairsFromHashed(
-        hashedShinglesShared(s, dir), minOverlap = 0.5,
-        maxBucket = Int.MaxValue)),
+      overlapPairsShared(s, dir).where(col("overlap") >= 0.5)),
 
     // T5-style span corruption (15% seeded-hash Bernoulli per position,
     // consecutive masks merge into one sentinel span): input text with
@@ -1306,10 +1313,7 @@ object SparkEntry {
     // that turns threshold selection into a lookup instead of a pipeline
     // re-run. Rides the SAME staged shingle frame as q18/q103.
     "q114_dedup_sweep" -> ((s, dir) =>
-      graft.operators.Dedup.dedupSweep(
-        graft.operators.Dedup.overlapPairsFromHashed(
-          hashedShinglesShared(s, dir), minOverlap = 0.0,
-          maxBucket = Int.MaxValue),
+      graft.operators.Dedup.dedupSweep(overlapPairsShared(s, dir),
         thresholds = Seq(0.25, 0.5, 0.75, 1.0))),
 
     // Stratified PPS: per-source expected-row targets (⌊n_g/10⌋, data-
