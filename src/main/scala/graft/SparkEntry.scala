@@ -1369,6 +1369,16 @@ object SparkEntry {
           floor(col("value") * 100.0 + 0.5).cast("long").as("cents")),
         keys = Seq("user_id"), orderCol = "ts_epoch", valueCol = col("cents"),
         horizon = 3600L)),
+
+    // Winnow-accelerated span dedup: fingerprint candidates (sparse,
+    // full-corpus pass) → exact positional ranges on the flagged docs
+    // only — EXACTLY q62's output because fpK+fpW−1 = 11 ≤ 20 makes the
+    // winnowing guarantee cover every duplicated window. Same oracle.
+    "q120_span_ranges_sparse" -> ((s, dir) =>
+      graft.operators.Dedup.duplicatedSpanRangesSparse(
+          t(s, dir, "documents"), "doc_id", "text", window = SpanWindow,
+          fpK = FpK, fpW = FpW, maxBucket = Int.MaxValue)
+        .withColumnRenamed("id", "doc_id")),
   )
 
   /** Hash-bucket count for the DSIR feature table (q89/q90 and oracles). */
@@ -1595,6 +1605,23 @@ object SparkEntry {
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
        | FROM d)""".stripMargin
   }
+
+  /** q62's oracle — merged duplicated-span ranges; shared verbatim by
+    * q120 (the winnow-accelerated plan must reproduce it exactly). */
+  private lazy val spanRangesSql: String =
+    s"""WITH $spanCte,
+       |d AS (SELECT span FROM sp GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
+       |m AS (SELECT sp.doc_id, sp.pos FROM sp JOIN d USING (span)),
+       |f AS (SELECT doc_id, pos,
+       |  CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + $SpanWindow
+       |       THEN 1 ELSE 0 END AS nw
+       | FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |g AS (SELECT doc_id, pos, sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM f)
+       |SELECT doc_id, min(pos) AS span_start,
+       | max(pos) + ${SpanWindow - 1} AS span_end,
+       | CAST(count(*) AS BIGINT) AS n_windows
+       |FROM g GROUP BY doc_id, grp""".stripMargin
 
   private def spanCteW(w: Int): String =
     s"""t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
@@ -3012,20 +3039,12 @@ object SparkEntry {
     // Span dedup: duplicated windows marked by a cross-doc HAVING, then the
     // textbook gaps-and-islands interval merge — same lag/running-sum
     // construction as the Spark window chain.
-    "q62_dup_span_ranges" ->
-      s"""WITH $spanCte,
-         |d AS (SELECT span FROM sp GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
-         |m AS (SELECT sp.doc_id, sp.pos FROM sp JOIN d USING (span)),
-         |f AS (SELECT doc_id, pos,
-         |  CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + $SpanWindow
-         |       THEN 1 ELSE 0 END AS nw
-         | FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-         |g AS (SELECT doc_id, pos, sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
-         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM f)
-         |SELECT doc_id, min(pos) AS span_start,
-         | max(pos) + ${SpanWindow - 1} AS span_end,
-         | CAST(count(*) AS BIGINT) AS n_windows
-         |FROM g GROUP BY doc_id, grp""".stripMargin,
+    "q62_dup_span_ranges" -> spanRangesSql,
+
+    // Sparse span dedup: the restricted run is EXACTLY the full run when
+    // fpK+fpW-1 <= window (winnowing guarantee) — q62's oracle gates the
+    // two-stage plan unchanged.
+    "q120_span_ranges_sparse" -> spanRangesSql,
 
     // Span pairs: the oracle may self-join on the span string (reference
     // semantics — the Spark plan is the single-pass bucket expansion);

@@ -942,6 +942,43 @@ object Dedup {
       .where(col("shared") >= minShared)
 
   /**
+   * Sparse span-level dedup — the winnowing-accelerated twin of
+   * [[duplicatedSpanRanges]] with a PROVABLE exactness condition. Stage 1
+   * flags candidate documents from the winnowed fingerprint index
+   * ([[fingerprintOverlapPairs]] at minShared = 1); stage 2 runs the
+   * exact positional range machinery ONLY over the flagged documents.
+   *
+   * Exactness: when fpK + fpW − 1 ≤ window, every duplicated
+   * `window`-token passage contains a (fpK+fpW−1)-token verbatim match,
+   * so by the winnowing guarantee EVERY pair of documents sharing a
+   * duplicated window shares a fingerprint — both members land in the
+   * candidate set, the restricted span stream keeps every qualifying
+   * posting list intact, and the restricted run returns EXACTLY the full
+   * run's ranges (spec-pinned; the gate rides q62's own oracle).
+   *
+   * Why at 100 TB: [[duplicatedSpanRanges]]' shuffle is
+   * occurrence-cardinality over EVERY window of EVERY document. Here the
+   * full-corpus pass is the 2/(w+1)-density fingerprint index; the
+   * heavyweight positional machinery then touches only the flagged
+   * fraction — on a mostly-clean corpus, a few percent. `maxBucket`
+   * caps buckets in both stages (the stop-span rule; exactness above is
+   * for the uncapped setting, as with every capped operator here).
+   */
+  def duplicatedSpanRangesSparse(docs: DataFrame, idCol: String,
+                                 textCol: String, window: Int,
+                                 fpK: Int = 8, fpW: Int = 4,
+                                 maxBucket: Int = 10000): DataFrame = {
+    require(fpK + fpW - 1 <= window,
+      s"exactness needs fpK+fpW-1 <= window, got $fpK+$fpW-1 > $window")
+    val candidates = fingerprintOverlapPairs(docs, idCol, textCol, fpK, fpW,
+        minShared = 1, maxBucket = maxBucket)
+      .select(explode(array(col("id_a"), col("id_b"))).as(idCol))
+      .distinct()
+    duplicatedSpanRanges(docs.join(candidates, Seq(idCol), "left_semi"),
+      idCol, textCol, window, maxBucket)
+  }
+
+  /**
    * Set-similarity join with PREFIX FILTERING (the AllPairs/PPJoin family
    * — Bayardo et al. 2007, Xiao et al. 2008; public algorithms): the same
    * output as [[jaccardPairsFromHashed]] at threshold `t`, but the

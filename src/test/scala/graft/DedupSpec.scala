@@ -616,6 +616,24 @@ class DedupSpec extends SparkSpec {
     assert(re.exceptAll(fp).count() == 0 && fp.exceptAll(re).count() == 0)
   }
 
+  test("duplicatedSpanRangesSparse equals the full run when " +
+    "fpK+fpW-1 <= window (the winnowing guarantee, end to end)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val full = Dedup.duplicatedSpanRanges(docs, "doc_id", "text",
+        window = 20, maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val sparse = Dedup.duplicatedSpanRangesSparse(docs, "doc_id", "text",
+        window = 20, fpK = 8, fpW = 4, maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(sparse == full && full.nonEmpty)
+    // and the candidate restriction is REAL: fewer docs reach the exact
+    // stage than exist in the corpus (the sparse pass's whole point)
+    val nCand = Dedup.fingerprintOverlapPairs(docs, "doc_id", "text", 8, 4,
+        minShared = 1, maxBucket = Int.MaxValue)
+      .select(explode(array(col("id_a"), col("id_b")))).distinct().count()
+    assert(nCand < docs.count(), s"candidates $nCand of ${docs.count()}")
+  }
+
   private def levenshteinScala(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
     for (i <- 1 to a.length; j <- 1 to b.length)
