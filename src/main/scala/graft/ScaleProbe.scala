@@ -159,6 +159,22 @@ object ScaleProbe {
       val tJacPrefix = time(noop(
         Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 3, 0.8,
           maxBucket = 1000)))
+      // sparse span dedup in its design regime: a MOSTLY-CLEAN corpus
+      // (4% of docs form disjoint pairs sharing a unique 24-token block;
+      // the rest are unique). Full span dedup shuffles every window of
+      // every doc; the sparse plan's exact stage touches only flagged
+      // docs — the gap should widen with n.
+      val pairId = col("doc_id") / 2
+      val block = concat_ws(" ", transform(sequence(lit(0), lit(23)),
+        j => concat(lit("bp"), pmod(xxhash64(pairId, j), lit(999999)))))
+      val cleanDocs = synthDocs(spark, n).withColumn("text",
+        when(pairId % 25 === 0, concat(block, lit(" "), col("text")))
+          .otherwise(col("text")))
+      val tSpanFullClean = time(noop(Dedup.duplicatedSpanRanges(
+        cleanDocs, "doc_id", "text", window = 20, maxBucket = 1000)))
+      val tSpanSparseClean = time(noop(Dedup.duplicatedSpanRangesSparse(
+        cleanDocs, "doc_id", "text", window = 20, fpK = 8, fpW = 4,
+        maxBucket = 1000)))
 
       println(s"""{"n":$n,"exact_dedup":$tExact,"minhash_sig":$tSig,"lsh_cands":$tLsh,""" +
         s""""simhash_pairs":$tSim,"jaccard_capped":$tJac,"ivf_knn":$tIvf,"embed_neardup":$tNd,""" +
@@ -171,7 +187,8 @@ object ScaleProbe {
         s""""span_pairs":$tSpanPairs,"span_hot":$tSpanHot,""" +
         s""""span_decut":$tSpanDecut,"fuzzy_pairs":$tFuzzy,""" +
         s""""winnow_fp":$tWinnow,"winnow_pairs":$tWinnowPairs,""" +
-        s""""jaccard_prefix":$tJacPrefix}""")
+        s""""jaccard_prefix":$tJacPrefix,""" +
+        s""""span_full_clean":$tSpanFullClean,"span_sparse_clean":$tSpanSparseClean}""")
       docs.unpersist(); em.unpersist()
     }
     spark.stop()

@@ -1379,6 +1379,17 @@ object SparkEntry {
           t(s, dir, "documents"), "doc_id", "text", window = SpanWindow,
           fpK = FpK, fpW = FpW, maxBucket = Int.MaxValue)
         .withColumnRenamed("id", "doc_id")),
+
+    // Full CUBE over (event_type, weekday): all four grouping levels in
+    // one Expand + one aggregation — q118's rollup generalized to the
+    // complete grouping-sets lattice; exact cent sums.
+    "q121_cube_census" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"), dayofweek(col("ts")).as("weekday"),
+          floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+        .cube("event_type", "weekday")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"),
+          grouping_id().as("lvl"))),
   )
 
   /** Hash-bucket count for the DSIR feature table (q89/q90 and oracles). */
@@ -1917,6 +1928,16 @@ object SparkEntry {
         | CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens,
         | CAST(GROUPING(lang, source) AS BIGINT) AS lvl
         |FROM documents GROUP BY ROLLUP(lang, source)""".stripMargin,
+
+    // CUBE census: DuckDB dayofweek is 0=Sunday, Spark is 1=Sunday — the
+    // +1 remap from the enrichment oracles; GROUPING() bitmask as q118.
+    "q121_cube_census" ->
+      """SELECT event_type, CAST(dayofweek(ts)+1 AS INTEGER) AS weekday,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(floor(value*100.0+0.5) AS BIGINT)) AS BIGINT) AS cents_sum,
+        | CAST(GROUPING(event_type, CAST(dayofweek(ts)+1 AS INTEGER)) AS BIGINT) AS lvl
+        |FROM events
+        |GROUP BY CUBE(event_type, CAST(dayofweek(ts)+1 AS INTEGER))""".stripMargin,
 
     // Trailing hour: RANGE frame over epoch seconds, exact cent sums.
     "q119_trailing_hour" ->
