@@ -411,8 +411,11 @@ object CorpusStats {
         .groupBy("token").agg(count(lit(1)).as(as))
     val ca = counts(a, "count_a")
     val cb = counts(b, "count_b")
-    val na = ca.agg(sum(col("count_a")).as("total_a"))
-    val nb = cb.agg(sum(col("count_b")).as("total_b"))
+    // empty-side totals coalesce to 0 (sum over nothing is null) — an
+    // empty corpus degenerates to zero totals/numerators instead of
+    // null-poisoning every drift row
+    val na = ca.agg(coalesce(sum(col("count_a")), lit(0L)).as("total_a"))
+    val nb = cb.agg(coalesce(sum(col("count_b")), lit(0L)).as("total_b"))
     ca.join(cb, Seq("token"), "full_outer")
       .na.fill(0L, Seq("count_a", "count_b"))
       .crossJoin(broadcast(na)).crossJoin(broadcast(nb))

@@ -1052,6 +1052,8 @@ object Dedup {
    */
   def dedupSweep(pairs: DataFrame, thresholds: Seq[Double]): DataFrame = {
     require(thresholds.nonEmpty, "need at least one threshold")
+    require(thresholds.distinct.size == thresholds.size,
+      "duplicate thresholds would emit duplicate census rows")
     val spark = pairs.sparkSession
     import spark.implicits._
     val base = thresholds.toDF("threshold")

@@ -281,10 +281,20 @@ object Sampling {
     val tot = weighted.groupBy(col(groupCol)).agg(sum(col("w")).as("__total"))
     val h = Hashing.stableHash60(concat_ws(" ",
       lit(seed.toString), col(idCol).cast("string")))
+    // one plan row per group, enforced in-plan (the assert_true-in-filter
+    // pattern — a duplicated group would silently MULTIPLY sampled rows
+    // through the join); plan tables are group-cardinality, so the
+    // window is cheap
+    val uniqueTargets = targets
+      .select(col(groupCol), col("target").cast("long").as("__target"))
+      .withColumn("__tc", count(lit(1))
+        .over(Window.partitionBy(col(groupCol))))
+      .where(assert_true(col("__tc") === 1,
+        lit("ppsSampleByGroup: duplicate target rows for a group")).isNull)
+      .drop("__tc")
     weighted
       .join(broadcast(tot), Seq(groupCol))
-      .join(broadcast(targets.select(col(groupCol),
-        col("target").cast("long").as("__target"))), Seq(groupCol))
+      .join(broadcast(uniqueTargets), Seq(groupCol))
       .where(col("__target") > 0)
       .where(h.cast(dec) * col("__total").cast(dec) <
         col("__target").cast(dec) * col("w").cast(dec) *

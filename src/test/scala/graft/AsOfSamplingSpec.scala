@@ -411,6 +411,13 @@ class AsOfSamplingSpec extends SparkSpec {
         "doc_id", col("w"), targets, 11L)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(again == got.map(r => (r._1, r._2)).toSet)
+    // duplicated plan rows are REJECTED in-plan (they would silently
+    // multiply sampled rows through the join)
+    val dup = targets.unionByName(targets.limit(1))
+    intercept[Exception] {
+      Sampling.ppsSampleByGroup(docs, "source", "doc_id", col("w"), dup, 11L)
+        .count()
+    }
   }
 
   test("expandEpochs materializes the plan: full passes, one budget " +

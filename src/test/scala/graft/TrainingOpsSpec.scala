@@ -507,6 +507,14 @@ class TrainingOpsSpec extends SparkSpec {
     val tie = CorpusStats.tokenDrift(t1, t2, "text", 10)
       .collect().map(_.getString(0)).toSeq
     assert(tie == Seq("a", "b", "c", "d"))
+    // an EMPTY side yields zero totals and zero numerators (TV against a
+    // zero distribution degenerates to 0·c products) — never null rows
+    val empty = a.limit(0)
+    val vs = CorpusStats.tokenDrift(a, empty, "text", 10)
+      .collect().map(r => (r.getString(0), r.getLong(4),
+        r.getDecimal(5).longValueExact()))
+    assert(vs.map(_._1).toSet == Set("x", "y"))
+    assert(vs.forall { case (_, totB, num) => totB == 0L && num == 0L })
   }
 
   test("fimTransform is lossless: reordering PSM back rebuilds every doc") {
