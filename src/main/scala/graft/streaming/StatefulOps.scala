@@ -160,6 +160,61 @@ object StatefulOps {
       }
   }
 
+  final case class TrailRow(key: Long, id: Long, epoch: Long, v: Long)
+  final case class TrailOut(key: Long, id: Long, epoch: Long, v: Long,
+                            trailN: Long, trailSum: Long)
+  final case class TrailBuf(epochs: Seq[Long], values: Seq[Long])
+
+  /**
+   * Streaming twin of `Aggregates.trailingRange` (q119): per key, count
+   * and exact long sum over the rows whose epoch lies in
+   * [current − horizon, current]. State is the horizon-bounded (epoch,
+   * value) buffer — evicted below every possible future frame under the
+   * in-order contract, so state size is bounded by the horizon's row
+   * count, never the stream's.
+   *
+   * Tie semantics: batch RANGE frames include ALL peers of the current
+   * order value — including ones a stream hasn't seen yet. The streaming
+   * contract therefore matches batch bit-for-bit when same-epoch rows
+   * arrive within one micro-batch (they are processed as one peer group
+   * here); ties split across batches get the prefix the stream has seen
+   * — the unavoidable streaming relaxation, same in-order caveat as
+   * [[rollingFeaturesStream]].
+   */
+  def trailingRangeStream(events: Dataset[TrailRow],
+                          horizonSec: Long): Dataset[TrailOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[TrailRow], state: GroupState[TrailBuf]) =>
+          var epochs = state.getOption.map(_.epochs.toVector).getOrElse(Vector.empty)
+          var values = state.getOption.map(_.values.toVector).getOrElse(Vector.empty)
+          val out = Seq.newBuilder[TrailOut]
+          // equal-epoch runs process as ONE peer group (the RANGE frame's
+          // all-peers rule, restricted to what the stream has seen)
+          rows.toSeq.sortBy(r => (r.epoch, r.id)).foldLeft(Vector.empty[Vector[TrailRow]]) {
+            case (acc, r) if acc.nonEmpty && acc.last.head.epoch == r.epoch =>
+              acc.init :+ (acc.last :+ r)
+            case (acc, r) => acc :+ Vector(r)
+          }.foreach { grp =>
+            val t = grp.head.epoch
+            val lo = t - horizonSec
+            val firstKeep = epochs.indexWhere(_ >= lo) match {
+              case -1 => epochs.size
+              case i  => i
+            }
+            epochs = epochs.drop(firstKeep); values = values.drop(firstKeep)
+            grp.foreach { r => epochs :+= r.epoch; values :+= r.v }
+            // after eviction the whole buffer IS the frame (all ≥ lo, ≤ t)
+            val n = epochs.size.toLong
+            val s = values.sum
+            grp.foreach(r => out += TrailOut(key, r.id, r.epoch, r.v, n, s))
+          }
+          state.update(TrailBuf(epochs, values))
+          out.result().iterator
+      }
+  }
+
   final case class KeyedRow(group: String, id: Long)
   final case class AdmitCount(n: Long)
 

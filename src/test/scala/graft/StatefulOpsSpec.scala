@@ -618,6 +618,36 @@ class StatefulOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("trailingRangeStream matches batch trailingRange across micro-batches " +
+    "(ties co-batched, frames span the boundary)") {
+    import graft.streaming.StatefulOps.{TrailOut, TrailRow}
+    val root = Files.createTempDirectory("graft-trail").toString
+    implicit val sqlCtx = spark.sqlContext
+    // same shape as the q119 fixture: irregular spacing, equal-epoch peers
+    // (arriving within one batch), frames spanning the batch boundary
+    val all = Seq(
+      TrailRow(1L, 10L, 0L, 1L), TrailRow(1L, 11L, 50L, 2L),
+      TrailRow(1L, 12L, 100L, 3L), TrailRow(1L, 13L, 100L, 4L),
+      TrailRow(1L, 14L, 430L, 8L), TrailRow(1L, 15L, 3000L, 16L),
+      TrailRow(2L, 20L, 60L, 5L), TrailRow(2L, 21L, 400L, 7L))
+    val (b1, b2) = all.partition(_.epoch < 400) // in-order split per key
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[TrailRow]
+    val q = StatefulOps.trailingRangeStream(input.toDS(), horizonSec = 400)
+      .writeStream.format("memory").queryName("trailstream")
+      .option("checkpointLocation", s"$root/ckpt").outputMode("append").start()
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    val got = spark.sql("SELECT * FROM trailstream").as[TrailOut].collect()
+      .map(r => (r.key, r.id, r.epoch, r.v, r.trailN, r.trailSum)).toSet
+    q.stop()
+    val expected = graft.operators.Aggregates.trailingRange(
+        all.toDF("key", "id", "epoch", "v"), Seq("key"), "epoch", col("v"),
+        horizon = 400L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("capPerGroupStream: single-batch draw is bit-identical to batch; cap holds across batches") {
     import graft.streaming.StatefulOps.KeyedRow
     val root = Files.createTempDirectory("graft-cap").toString
