@@ -117,4 +117,58 @@ class PropertySpec extends SparkSpec {
       assert(fast == slow, s"k=$k parts=$parts")
     }
   }
+
+  /** Plain-JVM robust winnowing (the DedupSpec twin, re-stated here for
+    * theorem-level randomized checks without Spark jobs per case). */
+  private def winnowTwin(toks: IndexedSeq[String], k: Int, w: Int): Set[(Int, Long)] = {
+    val hs = toks.sliding(k).filter(_.size == k)
+      .map(g => graft.functions.Hashing.stableHash60Scala(g.mkString(" "))).toArray
+    if (hs.isEmpty) Set.empty
+    else (0 to math.max(hs.length - w, 0)).map { p =>
+      val win = p to math.min(p + w - 1, hs.length - 1)
+      val q = win.minBy(i => (hs(i), -i))
+      (q, hs(q))
+    }.toSet
+  }
+
+  test("property: winnowing guarantee holds on 200 random planted-passage pairs") {
+    // THEOREM check (pure JVM, no Spark): two random docs sharing a random
+    // verbatim passage of >= w+k-1 tokens ALWAYS share a fingerprint hash;
+    // random vocab makes chance hash collisions impossible in practice.
+    val rnd = new scala.util.Random(2026)
+    val (k, w) = (4, 5)
+    def words(n: Int) = IndexedSeq.fill(n)(s"v${rnd.nextInt(1 << 30)}")
+    (1 to 200).foreach { i =>
+      val passage = words(k + w - 1 + rnd.nextInt(10))
+      val a = words(rnd.nextInt(30)) ++ passage ++ words(rnd.nextInt(30))
+      val b = words(rnd.nextInt(30)) ++ passage ++ words(rnd.nextInt(30))
+      val fa = winnowTwin(a, k, w).map(_._2)
+      val fb = winnowTwin(b, k, w).map(_._2)
+      assert((fa intersect fb).nonEmpty, s"case $i: guarantee violated")
+    }
+  }
+
+  test("property: prefix-filter theorem holds on 300 random set pairs") {
+    // THEOREM check: any pair with jaccard >= t shares an element within
+    // BOTH prefixes (first |s|-ceil(t|s|)+1 elements in sorted order) —
+    // the exactness premise of jaccardPairsPrefix (q117).
+    val rnd = new scala.util.Random(7)
+    Seq(0.3, 0.5, 0.8).foreach { t =>
+      var checked = 0
+      while (checked < 100) {
+        // overlapping sets: shared core + per-side noise
+        val core = Set.fill(1 + rnd.nextInt(40))(rnd.nextLong() >>> 4)
+        val a = core ++ Set.fill(rnd.nextInt(30))(rnd.nextLong() >>> 4)
+        val b = core ++ Set.fill(rnd.nextInt(30))(rnd.nextLong() >>> 4)
+        val jac = (a intersect b).size.toDouble / (a union b).size
+        if (jac >= t) {
+          checked += 1
+          def prefix(s: Set[Long]) =
+            s.toSeq.sorted.take(s.size - math.ceil(t * s.size).toInt + 1).toSet
+          assert((prefix(a) intersect prefix(b)).nonEmpty,
+            s"t=$t jac=$jac |a|=${a.size} |b|=${b.size}")
+        }
+      }
+    }
+  }
 }
