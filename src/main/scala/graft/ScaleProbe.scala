@@ -164,7 +164,10 @@ object ScaleProbe {
       // the rest are unique). Full span dedup shuffles every window of
       // every doc; the sparse plan's exact stage touches only flagged
       // docs — the gap should widen with n.
-      val pairId = col("doc_id") / 2
+      // INTEGER pair id (round-5 advice: `col/2` is double division in
+      // Spark, so `%25===0` matched only doc_ids divisible by 50 and odd
+      // partners got pairId m+0.5 — unique blocks, zero planted pairs)
+      val pairId = expr("doc_id div 2")
       val block = concat_ws(" ", transform(sequence(lit(0), lit(23)),
         j => concat(lit("bp"), pmod(xxhash64(pairId, j), lit(999999)))))
       val cleanDocs = synthDocs(spark, n).withColumn("text",

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -25,11 +25,22 @@ import org.apache.spark.sql.functions._
  * interval emits each overlapped bucket exactly once, so every qualifying
  * pair is produced exactly once — no dedup stage.
  *
- * Times are NUMERIC (e.g. epoch seconds) — callers convert timestamps
- * first; integer bucket math is bit-identical across engines, which the
- * oracle gate requires.
+ * Times are INTEGRAL (e.g. epoch seconds/nanos) — callers convert
+ * timestamps first; integer bucket math is bit-identical across engines,
+ * which the oracle gate requires.
  */
 object RangeJoin {
+
+  /** Exact integer floor division by a positive width, valid over the FULL
+    * long range. `floor(col / w)` computes in IEEE double and is off by one
+    * once |col| exceeds 2^53 (e.g. nanosecond-epoch intervals) — a silently
+    * dropped or duplicated pair. `a − pmod(a, w)` is the largest multiple
+    * of w ≤ a (pmod is non-negative for positive w), and dividing an exact
+    * multiple with integral `div` is truncation-free. */
+  private def floorDiv(c: Column, w: Long): Column = {
+    val lc = c.cast("long")
+    call_function("div", lc - pmod(lc, lit(w)), lit(w))
+  }
 
   /**
    * @param keys     equality keys present on both sides (may be empty: the
@@ -43,16 +54,15 @@ object RangeJoin {
                   timeCol: String, startCol: String, endCol: String,
                   bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
-    val f = facts.withColumn("__bucket",
-      floor(col(timeCol) / bucketWidth).cast("long"))
+    val f = facts.withColumn("__bucket", floorDiv(col(timeCol), bucketWidth))
     // empty intervals (end ≤ start) match nothing and are dropped BEFORE the
     // bucket expansion — sequence() would otherwise step backwards and emit
     // wrong buckets. end−1 = last instant an exclusive-end interval covers.
     val iv = intervals
       .where(col(endCol) > col(startCol))
       .withColumn("__bucket",
-        explode(sequence(floor(col(startCol) / bucketWidth).cast("long"),
-          floor((col(endCol) - 1) / bucketWidth).cast("long"))))
+        explode(sequence(floorDiv(col(startCol), bucketWidth),
+          floorDiv(col(endCol) - 1, bucketWidth))))
     f.join(iv, (keys :+ "__bucket").toSeq)
       .where(col(timeCol) >= col(startCol) && col(timeCol) < col(endCol))
       .drop("__bucket")
@@ -92,15 +102,14 @@ object RangeJoin {
       renamed
         .where(col(p + endCol) > col(p + startCol))
         .withColumn("__bucket", explode(sequence(
-          floor(col(p + startCol) / bucketWidth).cast("long"),
-          floor((col(p + endCol) - 1) / bucketWidth).cast("long"))))
+          floorDiv(col(p + startCol), bucketWidth),
+          floorDiv(col(p + endCol) - 1, bucketWidth))))
     }
     side(a, "a_").join(side(b, "b_"), (keys :+ "__bucket").toSeq)
       .where(col("a_" + startCol) < col("b_" + endCol) &&
         col("b_" + startCol) < col("a_" + endCol))
       .where(col("__bucket") ===
-        floor(greatest(col("a_" + startCol), col("b_" + startCol)) / bucketWidth)
-          .cast("long"))
+        floorDiv(greatest(col("a_" + startCol), col("b_" + startCol)), bucketWidth))
       .drop("__bucket")
   }
 }

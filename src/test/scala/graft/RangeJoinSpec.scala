@@ -62,6 +62,30 @@ class RangeJoinSpec extends SparkSpec {
     assert(got.select("fact_id").as[Long].collect().sorted === Array(1L, 2L, 3L))
   }
 
+  test("bucket math is exact beyond 2^53 (nanosecond-epoch regime)") {
+    // round-5 advice: floor(col/width) computed in IEEE double loses the
+    // low bits above 2^53 and can mis-bucket by one. Facts sit just inside/
+    // outside an interval whose bounds straddle a bucket edge near 2^60 —
+    // the off-by-one double rounding would drop or duplicate these pairs.
+    val base = 1152921504606846976L // 2^60
+    val f = Seq((1L, base - 1L), (2L, base), (3L, base + 999L),
+      (4L, base + 1000L)).toDF("fact_id", "t")
+    val iv = Seq((100L, base, base + 1000L)).toDF("iv_id", "s", "e")
+    Seq(7L, 1000L, 1000000007L).foreach { w =>
+      val got = RangeJoin.joinByRange(f, iv, Seq.empty, "t", "s", "e", w)
+        .select("fact_id").as[Long].collect().sorted
+      withClue(s"width=$w")(assert(got === Array(2L, 3L)))
+    }
+    // overlap join at the same magnitude: [base, base+10) vs a touching,
+    // an overlapping and a nested neighbour
+    val a = Seq((1L, base, base + 10L)).toDF("id", "s", "e")
+    val b = Seq((10L, base + 10L, base + 20L), (20L, base + 3L, base + 5L),
+      (30L, base - 5L, base + 1L)).toDF("id", "s", "e")
+    val got = RangeJoin.joinByOverlap(a, b, Seq.empty, "s", "e", 9L)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 20L), (1L, 30L)))
+  }
+
   // interval fixture for the overlap join: varied spans (incl. spans far
   // wider than the bucket), an empty interval, clustered starts so
   // touching/nested/multi-bucket-shared cases all occur
