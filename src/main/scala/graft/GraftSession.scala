@@ -21,6 +21,15 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString))
       .getOrCreate()
     GraftExtensions.registerInto(spark) // graft_cosine/graft_dot/graft_shingles in SQL
+    // Every unpartitioned window in the engine runs over AGGREGATED
+    // cardinality by design (the q07 rule; PlanShapeSpec pins each site),
+    // so WindowExec's "No Partition Defined" warning carries no signal
+    // here — it only buries real warnings in the driver tail. A literal
+    // partition key can't silence it on Spark 4 (EliminateWindowPartitions
+    // strips foldable keys), so raise this one logger to ERROR.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     spark
   }
 

@@ -1,0 +1,42 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/**
+ * Candidate-funnel census for the prefix-filtered set-similarity join
+ * (q117) — the measurement the PPJoin positional filter decision rides
+ * on (judge r5 #6): the positional filter (Xiao et al. 2008) prunes
+ * CANDIDATES before the verify join, so it can only pay if candidate
+ * cardinality dominates verified-pair cardinality. Prints one JSON line
+ * per threshold: prefix-index postings vs full postings (the index
+ * saving), raw candidate pairs, pairs surviving the length filter (the
+ * verify join's true input), and exact-verified pairs.
+ *
+ * Usage: runMain graft.PrefixFunnel [sfDir] [thresholds csv]
+ */
+object PrefixFunnel {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val ts = args.drop(1).headOption.getOrElse("0.5,0.7,0.8,0.9")
+      .split(",").map(_.trim.toDouble)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.local(cpus, "graft-prefix-funnel")
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val fullPostings = Dedup.hashedShingles(docs, "doc_id", "text", 3).count()
+    ts.foreach { t =>
+      val (sets, afterLength) =
+        Dedup.prefixStages(docs, "doc_id", "text", 3, t, Int.MaxValue)
+      val prefixLen = (col("__sz") - ceil(col("__sz") * t) + 1).cast("int")
+      val prefixPostings = sets.select(sum(prefixLen)).head().getLong(0)
+      val cands = Dedup.prefixCandidatePairs(sets, t, Int.MaxValue).count()
+      val lengthOk = afterLength.count()
+      val verified = Dedup.verifyPrefixCandidates(afterLength, t).count()
+      println(s"""{"t":$t,"full_postings":$fullPostings,""" +
+        s""""prefix_postings":$prefixPostings,"cand_pairs":$cands,""" +
+        s""""after_length":$lengthOk,"verified":$verified}""")
+    }
+    spark.stop()
+  }
+}

@@ -159,6 +159,23 @@ object ScaleProbe {
       val tJacPrefix = time(noop(
         Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 3, 0.8,
           maxBucket = 1000)))
+      // threshold sweep (round 6, judge #3): prefix vs full-index at the
+      // SAME t, t ∈ {0.5, 0.7, 0.9} (t=0.8 is the pair above +
+      // jaccard_capped's t=0.5 full row) — locates the crossover where
+      // the (1−t)-sized prefix index starts beating the full posting
+      // list, instead of only reporting the t=0.5 worst case.
+      val tJacPrefix05 = time(noop(
+        Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 3, 0.5, maxBucket = 1000)))
+      val tJacPrefix07 = time(noop(
+        Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 3, 0.7, maxBucket = 1000)))
+      val tJacPrefix09 = time(noop(
+        Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 3, 0.9, maxBucket = 1000)))
+      val tJacFull07 = time(noop(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.7, 1000)))
+      val tJacFull08 = time(noop(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8, 1000)))
+      val tJacFull09 = time(noop(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.9, 1000)))
       // sparse span dedup in its design regime: a MOSTLY-CLEAN corpus
       // (4% of docs form disjoint pairs sharing a unique 24-token block;
       // the rest are unique). Full span dedup shuffles every window of
@@ -170,14 +187,27 @@ object ScaleProbe {
       val pairId = expr("doc_id div 2")
       val block = concat_ws(" ", transform(sequence(lit(0), lit(23)),
         j => concat(lit("bp"), pmod(xxhash64(pairId, j), lit(999999)))))
-      val cleanDocs = synthDocs(spark, n).withColumn("text",
-        when(pairId % 25 === 0, concat(block, lit(" "), col("text")))
+      // dirty-fraction dial (round 6, judge #3): 1/m of the pair-ids get
+      // the shared block → 2/(2m)·100% of docs are duplicated. m=25 is
+      // the 4% design regime; m=5 (20%) and m=2 (50%) locate where the
+      // sparse plan's flag-then-exact staging stops paying for itself.
+      def dirtyDocs(m: Int): DataFrame = synthDocs(spark, n).withColumn("text",
+        when(pairId % m === 0, concat(block, lit(" "), col("text")))
           .otherwise(col("text")))
-      val tSpanFullClean = time(noop(Dedup.duplicatedSpanRanges(
-        cleanDocs, "doc_id", "text", window = 20, maxBucket = 1000)))
-      val tSpanSparseClean = time(noop(Dedup.duplicatedSpanRangesSparse(
-        cleanDocs, "doc_id", "text", window = 20, fpK = 8, fpW = 4,
-        maxBucket = 1000)))
+      def spanFull(d: DataFrame): Double = time(noop(Dedup.duplicatedSpanRanges(
+        d, "doc_id", "text", window = 20, maxBucket = 1000)))
+      def spanSparse(d: DataFrame): Double = time(noop(Dedup.duplicatedSpanRangesSparse(
+        d, "doc_id", "text", window = 20, fpK = 8, fpW = 4, maxBucket = 1000)))
+      val d04 = dirtyDocs(25).persist(); d04.count()
+      val d20 = dirtyDocs(5).persist(); d20.count()
+      val d50 = dirtyDocs(2).persist(); d50.count()
+      val tSpanFullClean = spanFull(d04)
+      val tSpanSparseClean = spanSparse(d04)
+      val tSpanFullD20 = spanFull(d20)
+      val tSpanSparseD20 = spanSparse(d20)
+      val tSpanFullD50 = spanFull(d50)
+      val tSpanSparseD50 = spanSparse(d50)
+      d04.unpersist(); d20.unpersist(); d50.unpersist()
 
       println(s"""{"n":$n,"exact_dedup":$tExact,"minhash_sig":$tSig,"lsh_cands":$tLsh,""" +
         s""""simhash_pairs":$tSim,"jaccard_capped":$tJac,"ivf_knn":$tIvf,"embed_neardup":$tNd,""" +
@@ -191,7 +221,12 @@ object ScaleProbe {
         s""""span_decut":$tSpanDecut,"fuzzy_pairs":$tFuzzy,""" +
         s""""winnow_fp":$tWinnow,"winnow_pairs":$tWinnowPairs,""" +
         s""""jaccard_prefix":$tJacPrefix,""" +
-        s""""span_full_clean":$tSpanFullClean,"span_sparse_clean":$tSpanSparseClean}""")
+        s""""jaccard_prefix_t05":$tJacPrefix05,"jaccard_prefix_t07":$tJacPrefix07,""" +
+        s""""jaccard_prefix_t09":$tJacPrefix09,"jaccard_full_t07":$tJacFull07,""" +
+        s""""jaccard_full_t08":$tJacFull08,"jaccard_full_t09":$tJacFull09,""" +
+        s""""span_full_clean":$tSpanFullClean,"span_sparse_clean":$tSpanSparseClean,""" +
+        s""""span_full_d20":$tSpanFullD20,"span_sparse_d20":$tSpanSparseD20,""" +
+        s""""span_full_d50":$tSpanFullD50,"span_sparse_d50":$tSpanSparseD50}""")
       docs.unpersist(); em.unpersist()
     }
     spark.stop()

@@ -1007,20 +1007,35 @@ object Dedup {
   def jaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
                          n: Int, threshold: Double,
                          maxBucket: Int = 10000): DataFrame = {
+    val (_, afterLength) =
+      prefixStages(docs, idCol, textCol, n, threshold, maxBucket)
+    verifyPrefixCandidates(afterLength, threshold)
+  }
+
+  /** Exact verification tail of [[jaccardPairsPrefix]]: candidate pairs
+    * already carrying their set arrays score by array_intersect and keep
+    * jaccard ≥ t. Split out (with [[prefixStages]]) so the candidate
+    * funnel can be measured stage by stage without forking the logic. */
+  private[graft] def verifyPrefixCandidates(withSets: DataFrame,
+                                            threshold: Double): DataFrame =
+    withSets
+      .withColumn("__shared", size(array_intersect(col("__ha"), col("__hb"))))
+      .withColumn("jaccard", col("__shared").cast("double") /
+        (col("__na") + col("__nb") - col("__shared")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+
+  /** The staged frames of [[jaccardPairsPrefix]]: (per-doc sorted hash
+    * sets, length-filtered candidate pairs joined to both set arrays). */
+  private[graft] def prefixStages(docs: DataFrame, idCol: String,
+                                  textCol: String, n: Int, threshold: Double,
+                                  maxBucket: Int): (DataFrame, DataFrame) = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0,1]")
     val sets = hashedShingles(docs, idCol, textCol, n)
       .groupBy("id").agg(sort_array(collect_list(col("h"))).as("__hs"))
       .withColumn("__sz", size(col("__hs")))
       .localCheckpoint() // consumed by the prefix index AND twice by verify
-    val prefixLen = (col("__sz") - ceil(col("__sz") * threshold) + 1).cast("int")
-    val cands = sets
-      .select(col("id"), explode(slice(col("__hs"), lit(1), prefixLen)).as("h"))
-      .groupBy("h").agg(sort_array(collect_set(col("id"))).as("ids"))
-      .where(size(col("ids")).between(2, maxBucket))
-      .select(explode(pairsFromSorted(col("ids"))).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .distinct()
-    cands
+    val afterLength = prefixCandidatePairs(sets, threshold, maxBucket)
       .join(sets.select(col("id").as("id_a"), col("__hs").as("__ha"),
         col("__sz").as("__na")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("__hs").as("__hb"),
@@ -1029,11 +1044,21 @@ object Dedup {
       // failing min ≥ t·max can't qualify — pruned before the intersect
       .where(least(col("__na"), col("__nb")).cast("double") >=
         lit(threshold) * greatest(col("__na"), col("__nb")).cast("double"))
-      .withColumn("__shared", size(array_intersect(col("__ha"), col("__hb"))))
-      .withColumn("jaccard", col("__shared").cast("double") /
-        (col("__na") + col("__nb") - col("__shared")).cast("double"))
-      .where(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    (sets, afterLength)
+  }
+
+  /** Raw prefix-index candidate pairs (pre length filter, pre verify)
+    * over the per-doc sorted set frame. */
+  private[graft] def prefixCandidatePairs(sets: DataFrame, threshold: Double,
+                                          maxBucket: Int): DataFrame = {
+    val prefixLen = (col("__sz") - ceil(col("__sz") * threshold) + 1).cast("int")
+    sets
+      .select(col("id"), explode(slice(col("__hs"), lit(1), prefixLen)).as("h"))
+      .groupBy("h").agg(sort_array(collect_set(col("id"))).as("ids"))
+      .where(size(col("ids")).between(2, maxBucket))
+      .select(explode(pairsFromSorted(col("ids"))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
   }
 
   /**

@@ -609,6 +609,60 @@ object Similarity {
   }
 
   /**
+   * Exact re-rank stage — the standard second stage of quantized ANN
+   * serving (Jégou et al. 2011 §V): a cheap approximate searcher (ADC,
+   * IVF-PQ) proposes `candidates` (query_id, neighbor_id) pairs, and the
+   * TRUE float vectors — which are on disk anyway — re-score just those
+   * pairs, recovering exact-tier recall at ~C/n of brute-force cost.
+   * Without it, raw asymmetric-distance order ships quantization noise as
+   * ranking (recall@5 ≈ 0.12 on near-isotropic embeddings at m=4).
+   *
+   * Scale shape: the candidate frame is queries·C rows — the BOUNDED side —
+   * so it broadcasts into the corpus scan (the 100 TB float table never
+   * shuffles and only the candidate rows' vectors are ever touched by the
+   * cosine); queries broadcast as in [[bruteForceKnn]]; the final top-k is
+   * the same WindowGroupLimit-pushed per-query window. Ties → smallest
+   * neighbor id, the family-wide rule.
+   */
+  def rerankExact(candidates: DataFrame, vectors: DataFrame, queries: DataFrame,
+                  k: Int, idCol: String = "vec_id",
+                  embCol: String = "embedding"): DataFrame = {
+    val cand = broadcast(candidates.select(col("query_id"), col("neighbor_id")))
+    val qv = broadcast(queries.select(col(idCol).as("query_id"), col(embCol).as("qv")))
+    val hits = vectors.select(col(idCol).as("neighbor_id"), col(embCol).as("nv"))
+      .join(cand, Seq("neighbor_id"))
+      .join(qv, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorExprs.cosine(col("qv"), col("nv")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    hits.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** [[pqAdcKnn]] top-`candC` proposals re-scored exactly by [[rerankExact]]
+    * — the shippable PQ search. `vectors` is the original float table the
+    * codes were encoded from. */
+  def pqAdcKnnReranked(codes: DataFrame, codebooks: DataFrame, vectors: DataFrame,
+                       queries: DataFrame, m: Int, k: Int,
+                       candC: Int = 50): DataFrame = {
+    require(candC >= k, s"candC ($candC) must be >= k ($k)")
+    rerankExact(pqAdcKnn(codes, codebooks, queries, m, candC), vectors, queries, k)
+  }
+
+  /** [[ivfPqKnn]] top-`candC` proposals re-scored exactly by [[rerankExact]]
+    * — the shippable IVF-PQ search (coarse pruning + PQ memory win + exact
+    * final order over C candidates). */
+  def ivfPqKnnReranked(index: DataFrame, centroids: DataFrame, codebooks: DataFrame,
+                       vectors: DataFrame, queries: DataFrame, m: Int, k: Int,
+                       nprobe: Int = 1, candC: Int = 50): DataFrame = {
+    require(candC >= k, s"candC ($candC) must be >= k ($k)")
+    rerankExact(ivfPqKnn(index, centroids, codebooks, queries, m, candC, nprobe),
+      vectors, queries, k)
+  }
+
+  /**
    * Bucketed hard-negative mining for contrastive training: for every
    * anchor vector, the top-`k` most-cosine-similar vectors carrying a
    * DIFFERENT label, searched among vectors sharing one of the anchor's

@@ -190,6 +190,57 @@ class SimilaritySpec extends SparkSpec {
       "nprobe = #centroids must reduce IVF-PQ to the full asymmetric scan")
   }
 
+  test("rerankExact with candC >= corpus reduces to brute force exactly") {
+    // candidates = every non-self pair -> the re-rank IS the exact scan;
+    // ranks, ids AND cosines must be bit-identical (same codegen cosine)
+    val rnd = new Random(31)
+    val vecs = (1L to 80L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(vecs.where(col("vec_id") % 20 === 0), m = 4)
+    val queries = vecs.where(col("vec_id") <= 5)
+    val rr = Similarity.pqAdcKnnReranked(Similarity.pqEncode(vecs, cb, m = 4),
+      cb, vecs, queries, m = 4, k = 4, candC = 80)
+      .orderBy("query_id", "rank").collect()
+    val brute = Similarity.bruteForceKnn(vecs, queries, k = 4)
+      .orderBy("query_id", "rank").collect()
+    assert(rr.toSeq == brute.toSeq,
+      "re-rank over the full candidate set must equal the exact scan")
+  }
+
+  test("re-ranked quantized search recovers exact-tier recall on the fixture " +
+    "(rr >= raw ADC, rr >= 0.8 at C=50)") {
+    val fx = graft.gen.ClusteredFixture.build(spark, n = 600).localCheckpoint()
+    val queries = fx.where(col("vec_id") < 10)
+    val brute = Similarity.bruteForceKnn(fx, queries, k = 5)
+      .select("query_id", "neighbor_id").localCheckpoint()
+    val bruteN = brute.count().toDouble
+    val cents = fx.where(col("vec_id") % 50 === 0)
+    val cb = Similarity.pqCodebooks(cents, m = 4)
+    val codes = Similarity.pqEncode(fx, cb, m = 4).localCheckpoint()
+    def recall(r: org.apache.spark.sql.DataFrame): Double =
+      r.select("query_id", "neighbor_id").intersect(brute).count() / bruteN
+    val raw = recall(Similarity.pqAdcKnn(codes, cb, queries, m = 4, k = 5))
+    val rr = recall(Similarity.pqAdcKnnReranked(codes, cb, fx, queries,
+      m = 4, k = 5, candC = 50))
+    assert(rr >= raw, s"re-ranked recall $rr must not trail raw ADC $raw")
+    assert(rr >= 0.8, s"re-ranked recall@5 should reach exact tier, got $rr")
+    // composed index with the same re-rank stage: never below raw IVF-PQ
+    val idx = Similarity.ivfPqIndex(fx, cents, cb, m = 4)
+    val rawIvf = recall(Similarity.ivfPqKnn(idx, cents, cb, queries, m = 4, k = 5))
+    val rrIvf = recall(Similarity.ivfPqKnnReranked(idx, cents, cb, fx, queries,
+      m = 4, k = 5, candC = 50))
+    assert(rrIvf >= rawIvf, s"re-ranked IVF-PQ $rrIvf must not trail raw $rawIvf")
+    // the production config — TRAINED coarse stage (naive coarse caps
+    // recall at its own ceiling regardless of the re-rank) — must reach
+    // exact tier: C=50 covers a 30-member cluster's ADC tie set here
+    val trained = Similarity.trainCentroids(fx, k = 20, iters = 3).localCheckpoint()
+    val tIdx = Similarity.ivfPqIndex(fx, trained, cb, m = 4)
+    val rrTrained = recall(Similarity.ivfPqKnnReranked(tIdx, trained, cb, fx,
+      queries, m = 4, k = 5, candC = 50))
+    assert(rrTrained >= 0.8,
+      s"trained-coarse re-ranked IVF-PQ should reach exact tier, got $rrTrained")
+  }
+
   test("hardNegatives returns only different-label neighbors, drops null labels") {
     // two tight direction clusters; labels interleave within each cluster so
     // the nearest different-label vector is a same-cluster neighbor
