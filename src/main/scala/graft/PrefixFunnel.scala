@@ -26,16 +26,16 @@ object PrefixFunnel {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val fullPostings = Dedup.hashedShingles(docs, "doc_id", "text", 3).count()
     ts.foreach { t =>
-      val (sets, afterLength) =
+      val (sets, withSets) =
         Dedup.prefixStages(docs, "doc_id", "text", 3, t, Int.MaxValue)
       val prefixLen = (col("__sz") - ceil(col("__sz") * t) + 1).cast("int")
       val prefixPostings = sets.select(sum(prefixLen)).head().getLong(0)
       val cands = Dedup.prefixCandidatePairs(sets, t, Int.MaxValue).count()
-      val lengthOk = afterLength.count()
-      val verified = Dedup.verifyPrefixCandidates(afterLength, t).count()
+      val afterFilters = withSets.count() // post length + positional
+      val verified = Dedup.verifyPrefixCandidates(withSets, t).count()
       println(s"""{"t":$t,"full_postings":$fullPostings,""" +
         s""""prefix_postings":$prefixPostings,"cand_pairs":$cands,""" +
-        s""""after_length":$lengthOk,"verified":$verified}""")
+        s""""after_filters":$afterFilters,"verified":$verified}""")
     }
     spark.stop()
   }

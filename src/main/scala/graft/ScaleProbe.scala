@@ -43,6 +43,10 @@ object ScaleProbe {
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+    // min-of-2 for the CROSSOVER rows (r6): these feed SCALE.md's
+    // win-regime tables where a single contention spike (r6 first run:
+    // one 7 s outlier in a 2.4-1.7 s bracket) flips the conclusion
+    def time2(f: => Unit): Double = math.min(time(f), time(f))
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
@@ -156,7 +160,7 @@ object ScaleProbe {
       // prefix-filtered jaccard at a high threshold — same output as the
       // full-index join; the index holds ~(1-t) of each set, so the curve
       // should sit UNDER jaccard_capped's and flatten as t rises
-      val tJacPrefix = time(noop(
+      val tJacPrefix = time2(noop(
         Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 3, 0.8,
           maxBucket = 1000)))
       // threshold sweep (round 6, judge #3): prefix vs full-index at the
@@ -164,17 +168,17 @@ object ScaleProbe {
       // jaccard_capped's t=0.5 full row) — locates the crossover where
       // the (1−t)-sized prefix index starts beating the full posting
       // list, instead of only reporting the t=0.5 worst case.
-      val tJacPrefix05 = time(noop(
+      val tJacPrefix05 = time2(noop(
         Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 3, 0.5, maxBucket = 1000)))
-      val tJacPrefix07 = time(noop(
+      val tJacPrefix07 = time2(noop(
         Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 3, 0.7, maxBucket = 1000)))
-      val tJacPrefix09 = time(noop(
+      val tJacPrefix09 = time2(noop(
         Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 3, 0.9, maxBucket = 1000)))
-      val tJacFull07 = time(noop(
+      val tJacFull07 = time2(noop(
         Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.7, 1000)))
-      val tJacFull08 = time(noop(
+      val tJacFull08 = time2(noop(
         Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8, 1000)))
-      val tJacFull09 = time(noop(
+      val tJacFull09 = time2(noop(
         Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.9, 1000)))
       // sparse span dedup in its design regime: a MOSTLY-CLEAN corpus
       // (4% of docs form disjoint pairs sharing a unique 24-token block;
@@ -194,19 +198,37 @@ object ScaleProbe {
       def dirtyDocs(m: Int): DataFrame = synthDocs(spark, n).withColumn("text",
         when(pairId % m === 0, concat(block, lit(" "), col("text")))
           .otherwise(col("text")))
-      def spanFull(d: DataFrame): Double = time(noop(Dedup.duplicatedSpanRanges(
+      def spanFull(d: DataFrame): Double = time2(noop(Dedup.duplicatedSpanRanges(
         d, "doc_id", "text", window = 20, maxBucket = 1000)))
-      def spanSparse(d: DataFrame): Double = time(noop(Dedup.duplicatedSpanRangesSparse(
-        d, "doc_id", "text", window = 20, fpK = 8, fpW = 4, maxBucket = 1000)))
+      def spanSparse(d: DataFrame, w: Int): Double =
+        time2(noop(Dedup.duplicatedSpanRangesSparse(
+          d, "doc_id", "text", window = 20, fpK = 8, fpW = w, maxBucket = 1000)))
       val d04 = dirtyDocs(25).persist(); d04.count()
       val d20 = dirtyDocs(5).persist(); d20.count()
       val d50 = dirtyDocs(2).persist(); d50.count()
       val tSpanFullClean = spanFull(d04)
-      val tSpanSparseClean = spanSparse(d04)
+      val tSpanSparseClean = spanSparse(d04, 4)
       val tSpanFullD20 = spanFull(d20)
-      val tSpanSparseD20 = spanSparse(d20)
+      val tSpanSparseD20 = spanSparse(d20, 4)
       val tSpanFullD50 = spanFull(d50)
-      val tSpanSparseD50 = spanSparse(d50)
+      val tSpanSparseD50 = spanSparse(d50, 4)
+      // max-sparsity fingerprinting (r6): the exactness constraint
+      // fpK+fpW−1 ≤ window permits fpW=13 at k=8/window=20 — index
+      // density 2/14 instead of fpW=4's 2/5. The flagging stage is the
+      // sparse plan's whole overhead, so this is ITS lever.
+      val tSpanSparseW13 = spanSparse(d04, 13)
+      val tSpanSparseW13D20 = spanSparse(d20, 13)
+      // amortized sparse plan: fingerprints precomputed and STORED (the
+      // production shape — winnow once at ingest, IncrementalDedup's
+      // signature-store pattern); the per-run marginal cost is only the
+      // pair probe + the exact stage on flagged docs
+      val fpStore = Dedup.winnowedFingerprints(d04, "doc_id", "text",
+          k = 8, w = 13)
+        .select(col("id"), col("h")).distinct().persist()
+      fpStore.count()
+      val tSpanSparseAmz = time2(noop(Dedup.duplicatedSpanRangesSparseFromFp(
+        fpStore, d04, "doc_id", "text", window = 20, maxBucket = 1000)))
+      fpStore.unpersist()
       d04.unpersist(); d20.unpersist(); d50.unpersist()
 
       println(s"""{"n":$n,"exact_dedup":$tExact,"minhash_sig":$tSig,"lsh_cands":$tLsh,""" +
@@ -226,7 +248,9 @@ object ScaleProbe {
         s""""jaccard_full_t08":$tJacFull08,"jaccard_full_t09":$tJacFull09,""" +
         s""""span_full_clean":$tSpanFullClean,"span_sparse_clean":$tSpanSparseClean,""" +
         s""""span_full_d20":$tSpanFullD20,"span_sparse_d20":$tSpanSparseD20,""" +
-        s""""span_full_d50":$tSpanFullD50,"span_sparse_d50":$tSpanSparseD50}""")
+        s""""span_full_d50":$tSpanFullD50,"span_sparse_d50":$tSpanSparseD50,""" +
+        s""""span_sparse_w13":$tSpanSparseW13,"span_sparse_w13_d20":$tSpanSparseW13D20,""" +
+        s""""span_sparse_amz":$tSpanSparseAmz}""")
       docs.unpersist(); em.unpersist()
     }
     spark.stop()

@@ -970,8 +970,31 @@ object Dedup {
                                  maxBucket: Int = 10000): DataFrame = {
     require(fpK + fpW - 1 <= window,
       s"exactness needs fpK+fpW-1 <= window, got $fpK+$fpW-1 > $window")
-    val candidates = fingerprintOverlapPairs(docs, idCol, textCol, fpK, fpW,
-        minShared = 1, maxBucket = maxBucket)
+    duplicatedSpanRangesSparseFromFp(
+      winnowedFingerprints(docs, idCol, textCol, fpK, fpW),
+      docs, idCol, textCol, window, maxBucket)
+  }
+
+  /**
+   * The pair-probe + exact tail of [[duplicatedSpanRangesSparse]] over an
+   * ALREADY-MATERIALIZED fingerprint table `fp` (columns `id`, `h` — the
+   * [[winnowedFingerprints]] shape, extra columns ignored). This is the
+   * production deployment of the sparse plan: fingerprints are computed
+   * ONCE at ingest and stored (the IncrementalDedup signature-store
+   * pattern), so each detection run pays only the fingerprint pair probe
+   * plus the exact stage on flagged docs — extraction, the dominant cost
+   * at small document sizes, is amortized away (measured:
+   * ScaleProbe's span_sparse_amz row). Exactness is inherited from the
+   * table's construction: the caller owes fpK + fpW − 1 ≤ window.
+   */
+  def duplicatedSpanRangesSparseFromFp(fp: DataFrame, docs: DataFrame,
+                                       idCol: String, textCol: String,
+                                       window: Int,
+                                       maxBucket: Int = 10000): DataFrame = {
+    val candidates = overlapPairsFromHashed(
+        fp.select(col("id"), col("h")).distinct(),
+        minOverlap = 0.0, maxBucket = maxBucket)
+      .where(col("shared") >= 1)
       .select(explode(array(col("id_a"), col("id_b"))).as(idCol))
       .distinct()
     duplicatedSpanRanges(docs.join(candidates, Seq(idCol), "left_semi"),
@@ -1026,7 +1049,13 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
 
   /** The staged frames of [[jaccardPairsPrefix]]: (per-doc sorted hash
-    * sets, length-filtered candidate pairs joined to both set arrays). */
+    * sets, filtered candidate pairs joined to both set arrays). Since
+    * round 6 the candidate path is [[prefixCandidatePairsPos]] — the
+    * length AND positional filters run on the (pos, size) metadata the
+    * index already carries, BEFORE the two doc-sized set-array fetches
+    * (measured by PrefixFunnel at t=0.8/sf0.1: set-fetch join input
+    * 221,519 raw → 80,725 length-only (the r5 shape) → 29,923 with the
+    * positional filter, for 256 true pairs; at t=0.9, 20,849 → 7,719). */
   private[graft] def prefixStages(docs: DataFrame, idCol: String,
                                   textCol: String, n: Int, threshold: Double,
                                   maxBucket: Int): (DataFrame, DataFrame) = {
@@ -1035,16 +1064,63 @@ object Dedup {
       .groupBy("id").agg(sort_array(collect_list(col("h"))).as("__hs"))
       .withColumn("__sz", size(col("__hs")))
       .localCheckpoint() // consumed by the prefix index AND twice by verify
-    val afterLength = prefixCandidatePairs(sets, threshold, maxBucket)
+    val withSets = prefixCandidatePairsPos(sets, threshold, maxBucket)
       .join(sets.select(col("id").as("id_a"), col("__hs").as("__ha"),
         col("__sz").as("__na")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("__hs").as("__hb"),
         col("__sz").as("__nb")), Seq("id_b"))
-      // length filter (AllPairs): jaccard ≤ min/max of the sizes, so pairs
-      // failing min ≥ t·max can't qualify — pruned before the intersect
-      .where(least(col("__na"), col("__nb")).cast("double") >=
-        lit(threshold) * greatest(col("__na"), col("__nb")).cast("double"))
-    (sets, afterLength)
+    (sets, withSets)
+  }
+
+  /**
+   * Candidate pairs with PPJoin's LENGTH and POSITIONAL filters (Xiao et
+   * al. 2008), both evaluated on index metadata before any set array is
+   * fetched. The index entries carry (id, pos-in-sorted-set, set size);
+   * per candidate pair, ONE aggregation — the same pair-keyed shuffle
+   * cardinality the plain `.distinct()` already paid — keeps the
+   * occurrence at the pair's SMALLEST shared hash x. Every shared hash
+   * sits at or after x in both sorted sets, so overlap ≤ 1 + min(|a|−i,
+   * |b|−j) (positions of x, 1-based); jaccard ≥ t needs overlap ≥
+   * t/(1+t)·(|a|+|b|) — candidates whose bound can't reach it die here.
+   * The bound check is ε-relaxed (1e-9) so double rounding can only
+   * ADMIT a boundary pair (exact verification kills it), never drop one.
+   * Under `maxBucket` capping the smallest shared hash may sit in a
+   * dropped hot bucket and the surviving occurrence's bound can
+   * undercount — the same stop-shingle approximation the candidate
+   * generation itself already accepts; the uncapped gate is exact.
+   */
+  private[graft] def prefixCandidatePairsPos(sets: DataFrame, threshold: Double,
+                                             maxBucket: Int): DataFrame = {
+    val prefixLen = (col("__sz") - ceil(col("__sz") * threshold) + 1).cast("int")
+    val entries = sets
+      .select(col("id"), col("__sz"),
+        posexplode(slice(col("__hs"), lit(1), prefixLen)).as(Seq("__i", "h")))
+      .select(col("h"), struct(col("id"),
+        (col("__i") + 1).cast("long").as("pos"),
+        col("__sz").cast("long").as("sz")).as("e"))
+    val buckets = entries.groupBy("h")
+      .agg(sort_array(collect_list(col("e"))).as("es"))
+      .where(size(col("es")).between(2, maxBucket))
+    val raw = buckets.select(col("h"), explode(flatten(transform(col("es"),
+        (x, i) => transform(slice(col("es"), i + 2, size(col("es"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("h"),
+        col("p.a.id").as("id_a"), col("p.a.pos").as("ia"), col("p.a.sz").as("na"),
+        col("p.b.id").as("id_b"), col("p.b.pos").as("ib"), col("p.b.sz").as("nb"))
+    val firstHit = raw.groupBy("id_a", "id_b")
+      .agg(min_by(struct(col("ia"), col("ib"), col("na"), col("nb")), col("h")).as("f"))
+      .select(col("id_a"), col("id_b"), col("f.ia").as("ia"), col("f.ib").as("ib"),
+        col("f.na").as("na"), col("f.nb").as("nb"))
+    firstHit
+      // length filter (AllPairs): jaccard ≤ min/max of the sizes
+      .where(least(col("na"), col("nb")).cast("double") >=
+        lit(threshold) * greatest(col("na"), col("nb")).cast("double"))
+      // positional filter: overlap ubound at the first shared hash
+      .where((lit(1L) + least(col("na") - col("ia"), col("nb") - col("ib")))
+        .cast("double") >=
+        lit(threshold / (1.0 + threshold)) *
+          (col("na") + col("nb")).cast("double") - lit(1e-9))
+      .select("id_a", "id_b")
   }
 
   /** Raw prefix-index candidate pairs (pre length filter, pre verify)

@@ -632,6 +632,15 @@ class DedupSpec extends SparkSpec {
         minShared = 1, maxBucket = Int.MaxValue)
       .select(explode(array(col("id_a"), col("id_b")))).distinct().count()
     assert(nCand < docs.count(), s"candidates $nCand of ${docs.count()}")
+    // the amortized entry point (stored fingerprint table, the production
+    // shape) must return the same ranges — at w=13, the MAX-sparsity
+    // setting the exactness constraint permits at k=8/window=20
+    val fpStore = Dedup.winnowedFingerprints(docs, "doc_id", "text",
+      k = 8, w = 13).select(col("id"), col("h")).distinct().localCheckpoint()
+    val amz = Dedup.duplicatedSpanRangesSparseFromFp(fpStore, docs,
+        "doc_id", "text", window = 20, maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(amz == full, "stored-fingerprint path must reproduce the full run")
   }
 
   private def levenshteinScala(a: String, b: String): Int = {
