@@ -171,4 +171,38 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: PPJoin positional bound never prunes a qualifying pair " +
+    "(300 random set pairs)") {
+    // THEOREM check for prefixCandidatePairsPos (q117, round 6): at the
+    // pair's SMALLEST shared element x, overlap <= 1 + min(|a|-i, |b|-j)
+    // (i, j = 1-based positions of x in the sorted sets), and for any
+    // pair at jaccard >= t the bound must clear the required overlap
+    // ceil(t/(1+t)·(|a|+|b|)) under the exact epsilon-relaxed comparison
+    // the operator ships — a pruned qualifying pair would be a silent
+    // false negative in the gate.
+    val rnd = new scala.util.Random(41)
+    Seq(0.3, 0.5, 0.8, 0.9).foreach { t =>
+      var checked = 0
+      while (checked < 75) {
+        val core = Set.fill(1 + rnd.nextInt(40))(rnd.nextLong() >>> 4)
+        val a = core ++ Set.fill(rnd.nextInt(30))(rnd.nextLong() >>> 4)
+        val b = core ++ Set.fill(rnd.nextInt(30))(rnd.nextLong() >>> 4)
+        val jac = (a intersect b).size.toDouble / (a union b).size
+        if (jac >= t) {
+          checked += 1
+          val x = (a intersect b).min
+          val (sa, sb) = (a.toSeq.sorted, b.toSeq.sorted)
+          val (i, j) = (sa.indexOf(x) + 1, sb.indexOf(x) + 1)
+          val ubound = 1L + math.min(a.size - i, b.size - j)
+          // the operator's shipped comparison, verbatim
+          assert(ubound.toDouble >= t / (1.0 + t) * (a.size + b.size) - 1e-9,
+            s"t=$t jac=$jac ubound=$ubound |a|=${a.size} |b|=${b.size}")
+          // and the bound really is an upper bound on the true overlap
+          assert((a intersect b).size <= ubound,
+            s"bound $ubound under overlap ${(a intersect b).size}")
+        }
+      }
+    }
+  }
 }
