@@ -66,6 +66,21 @@ object RecallProbe {
       s""""trained_np1":${f4(knnRecall(fx, fxTrained, 1, fxBrute, fxBruteN))}},""" +
       s""""intra_cos":${f4(intraF)},"inter_abs_cos":${f4(interF)}}""")
 
+    // ---- production ANN stack on the real embeddings (round 6): the
+    // full dial composition trained coarse × nprobe × PQ codes × exact
+    // re-rank, swept over (nprobe, C) — the number a deployment would
+    // actually ship, cited in SCALE.md next to the per-dial bench rows ----
+    val pqCb = Similarity.pqTrainCodebooks(em, m = 4, k = 40, iters = 3)
+      .localCheckpoint()
+    val idx = Similarity.ivfPqIndex(em, trained, pqCb, m = 4).localCheckpoint()
+    val stack = (for (np <- Seq(1, 4, 8); c <- Seq(50, 200)) yield {
+      val r = Similarity.ivfPqKnnReranked(idx, trained, pqCb, em,
+          em.where(col("vec_id") < 10), m = 4, k = 5, nprobe = np, candC = c)
+        .select("query_id", "neighbor_id").intersect(brute).count() / bruteN
+      s""""np${np}_c$c":${f4(r)}"""
+    }).mkString(",")
+    println(s"""STACK {$stack}""")
+
     // ---- near-dup recall vs nprobe (real embeddings, q23's parameters) ----
     val exact = Similarity.exactNearDupPairs(em, 0.4)
       .select("id_a", "id_b").localCheckpoint()

@@ -178,6 +178,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 3)
   }
 
+  test("re-rank: the float table reaches the candidate join by broadcast — " +
+    "never a sort-merge, never a corpus shuffle") {
+    Seq("q122_adc_rerank", "q123_ivfpq_rerank").foreach { q =>
+      val p = plan(q)
+      withClue(q) {
+        assert(p.contains("WindowGroupLimit"), "final top-k must push down")
+        assert(!p.contains("SortMergeJoin"),
+          "candidate and query frames are the bounded sides — they broadcast")
+        // every hash exchange in the plan is pair/query-cardinality (the
+        // ADC top-C window, the re-rank top-k window, the candidate-side
+        // aggregations); the corpus float scan feeds a BroadcastHashJoin
+        assert(p.contains("BroadcastHashJoin"),
+          "candidate ids must broadcast into the float scan")
+      }
+    }
+  }
+
+  test("grouping sets run as ONE Expand + one aggregation, never a re-scan union") {
+    Seq("q118_rollup_census", "q121_cube_census", "q124_grouping_sets").foreach { q =>
+      val p = plan(q)
+      withClue(q) {
+        assert(p.linesIterator.count(_.trim.startsWith("+- Expand")) +
+          p.linesIterator.count(_.trim.startsWith("Expand")) >= 1, "Expand node expected")
+        assert(!p.contains("Union"), "grouping sets must not re-scan per set")
+        assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+          "one aggregation exchange whatever the set list")
+      }
+    }
+  }
+
   test("DSIR: feature table is one map-side aggregation; affinity broadcasts it") {
     val p89 = plan("q89_feature_table")
     assert(p89.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
