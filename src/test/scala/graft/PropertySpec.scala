@@ -2,6 +2,7 @@ package graft
 
 import graft.functions.{Enrich, Text}
 import graft.gen.WeatherGenerator
+import graft.operators.{Components, Dedup}
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 
@@ -170,6 +171,121 @@ class PropertySpec extends SparkSpec {
         }
       }
     }
+  }
+
+  test("property: connected components equal brute-force union-find on " +
+    "random graphs (sparse/dense/chain/cliques, two partitionings)") {
+    // DIFFERENTIAL check: smallestIdPropagation (distributed pointer-jump
+    // label propagation) vs an in-memory union-find with min-label
+    // semantics. Wrong-on-long-chains and wrong-under-repartition are the
+    // two historical failure modes of label propagation — both regimes are
+    // in the graph mix.
+    val rnd = new scala.util.Random(99)
+    def randomEdges(n: Int, m: Int): Seq[(Long, Long)] =
+      Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+    val chain = (0L until 40L).sliding(2).map(w => (w(0), w(1))).toSeq
+    val cliques = (for (base <- Seq(100L, 200L); a <- 0 until 6; b <- a + 1 until 6)
+      yield (base + a, base + b))
+    val graphs = Seq(randomEdges(60, 20), randomEdges(60, 60),
+      randomEdges(60, 150), chain ++ cliques)
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    for (edges <- graphs; parts <- Seq(1, 5)) {
+      val pairs = edges.toDF("id_a", "id_b").repartition(parts)
+      val fast = Components.smallestIdPropagation(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fast == unionFind(edges), s"|E|=${edges.size} parts=$parts")
+    }
+  }
+
+  test("property: duplicatedSpanRanges equals the brute-force interval " +
+    "scan on random planted-passage corpora") {
+    // DIFFERENTIAL check: the single-pass posting-list + gaps-and-islands
+    // plan (q62) vs a from-scratch JVM scan — mark position p of doc d iff
+    // d's window-token span at p appears verbatim in ANY other doc, then
+    // merge runs with gap <= window. Random vocab makes chance span
+    // collisions impossible in practice; planted passages (some
+    // overlapping, some back-to-back) exercise the merge edge cases.
+    val rnd = new scala.util.Random(17)
+    val window = 5
+    def words(n: Int) = IndexedSeq.fill(n)(s"w${rnd.nextInt(1 << 30)}")
+    (1 to 5).foreach { trial =>
+      val base = (0 until 24).map(i => i.toLong -> words(10 + rnd.nextInt(50))).toMap
+      // plant shared passages into random doc pairs (insertion point random,
+      // so some docs get several marks; same passage may land twice)
+      var docs = base
+      (1 to 8).foreach { _ =>
+        val passage = words(window + rnd.nextInt(7))
+        val (a, b) = (rnd.nextInt(24).toLong, rnd.nextInt(24).toLong)
+        def insert(toks: IndexedSeq[String]) = {
+          val at = rnd.nextInt(toks.size + 1)
+          (toks.take(at) ++ passage ++ toks.drop(at)).toIndexedSeq
+        }
+        docs = docs + (a -> insert(docs(a))) + (b -> insert(docs(b)))
+      }
+      // brute force
+      val spansOf = docs.map { case (id, toks) =>
+        id -> toks.sliding(window).filter(_.size == window).map(_.mkString(" ")).toIndexedSeq
+      }
+      val expected = docs.keys.flatMap { id =>
+        val others = spansOf.collect { case (o, ss) if o != id => ss }.flatten.toSet
+        val marked = spansOf(id).zipWithIndex.collect { case (s, p) if others(s) => p.toLong }
+        // merge runs: boundary where gap > window
+        val runs = marked.foldLeft(Vector.empty[Vector[Long]]) { (acc, p) =>
+          if (acc.nonEmpty && p <= acc.last.last + window) acc.init :+ (acc.last :+ p)
+          else acc :+ Vector(p)
+        }
+        runs.map(r => (id, r.head, r.last + window - 1, r.size.toLong))
+      }.toSet
+      val got = Dedup.duplicatedSpanRanges(
+          docs.toSeq.map { case (id, t) => (id, t.mkString(" ")) }.toDF("doc_id", "text"),
+          "doc_id", "text", window)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == expected, s"trial $trial: ${got.diff(expected)} vs ${expected.diff(got)}")
+    }
+  }
+
+  test("property: bucketed simhash pairs equal brute-force hamming " +
+    "all-pairs (pigeonhole exactness)") {
+    // DIFFERENTIAL check: simhashNearDupPairs' chunk-bucket candidate plan
+    // vs collecting every signature and filtering all O(n^2) pairs by
+    // popcount. The pigeonhole claim — any pair at hamming <= maxDist
+    // agrees on >= 1 of maxDist+1 signature chunks — makes the bucketed
+    // plan EXACT; a missed pair here is a silent false negative in q40.
+    // Mutated copies of shared base docs force a dense near-dup spectrum
+    // (hamming values straddling the threshold both ways).
+    val rnd = new scala.util.Random(23)
+    val vocab = IndexedSeq.fill(120)(s"t${rnd.nextInt(1 << 30)}")
+    def mutate(toks: IndexedSeq[String], k: Int): IndexedSeq[String] =
+      (1 to k).foldLeft(toks)((t, _) => t.updated(rnd.nextInt(t.size), vocab(rnd.nextInt(vocab.size))))
+    val bases = (0 until 8).map(_ => IndexedSeq.fill(30)(vocab(rnd.nextInt(vocab.size))))
+    val docs = (0 until 60).map { i =>
+      i.toLong -> mutate(bases(i % bases.size), rnd.nextInt(4)).mkString(" ")
+    }
+    val df = docs.toDF("doc_id", "text")
+    val (maxDist, bits) = (3, 60)
+    val sigs = Dedup.simhashSignatures(df, "doc_id", "text", bits)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (for {
+      a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+      d = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if d <= maxDist
+    } yield (a, b, d.toLong)).toSet
+    assert(expected.nonEmpty && expected.size < docs.size * (docs.size - 1) / 2,
+      s"degenerate fixture: ${expected.size} pairs") // threshold must bite both ways
+    val got = Dedup.simhashNearDupPairs(df, "doc_id", "text", maxDist, bits)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    assert(got == expected, s"${got.diff(expected)} vs ${expected.diff(got)}")
   }
 
   test("property: PPJoin positional bound never prunes a qualifying pair " +
