@@ -1170,9 +1170,12 @@ object Dedup {
       .select(col("threshold"),
         explode(array(col("id_a"), col("id_b"))).as("id"))
       .groupBy("threshold").agg(countDistinct(col("id")).as("n_docs_in_pairs"))
-    broadcast(base)
-      .join(np, Seq("threshold"), "left")
-      .join(nd, Seq("threshold"), "left")
+    // hint the RIGHT (aggregated, ≤|thresholds| rows) sides: a broadcast
+    // hint on the preserved side of a left-outer join is unsupported
+    // (build-left) and Spark drops it with a HintErrorLogger warning
+    base
+      .join(broadcast(np), Seq("threshold"), "left")
+      .join(broadcast(nd), Seq("threshold"), "left")
       .na.fill(0L, Seq("n_pairs", "n_docs_in_pairs"))
   }
 }

@@ -288,6 +288,86 @@ class PropertySpec extends SparkSpec {
     assert(got == expected, s"${got.diff(expected)} vs ${expected.diff(got)}")
   }
 
+  test("property: ngramJaccardPairs and containmentPairs equal brute-force " +
+    "all-pairs set similarity on a mutated-copy corpus") {
+    // DIFFERENTIAL check for the flagship near-dup operator: the
+    // posting-list bucket-expansion plan (q18/q103) vs literally computing
+    // every pair's distinct-shingle Jaccard / overlap coefficient in the
+    // JVM. Mutated copies of shared bases put pair scores on both sides of
+    // both thresholds; identical division order makes doubles comparable
+    // exactly.
+    val rnd = new scala.util.Random(31)
+    val vocab = IndexedSeq.fill(150)(s"g${rnd.nextInt(1 << 30)}")
+    def mutate(toks: IndexedSeq[String], k: Int): IndexedSeq[String] =
+      (1 to k).foldLeft(toks)((t, _) => t.updated(rnd.nextInt(t.size), vocab(rnd.nextInt(vocab.size))))
+    val bases = (0 until 6).map(_ => IndexedSeq.fill(25)(vocab(rnd.nextInt(vocab.size))))
+    val docs = (0 until 40).map { i =>
+      i.toLong -> mutate(bases(i % bases.size), rnd.nextInt(6))
+    }
+    val n = 3
+    val sets = docs.map { case (id, toks) =>
+      id -> toks.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSet
+    }.toMap
+    def brute(score: (Set[String], Set[String]) => Double, t: Double) =
+      (for {
+        a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+        s = score(sets(a), sets(b)) if s >= t
+      } yield (a, b, s)).toSet
+    val df = docs.map { case (id, toks) => (id, toks.mkString(" ")) }.toDF("doc_id", "text")
+
+    val jacT = 0.5
+    val expJac = brute((x, y) => {
+      val sh = (x intersect y).size
+      sh.toDouble / (x.size + y.size - sh).toDouble
+    }, jacT)
+    val gotJac = Dedup.ngramJaccardPairs(df, "doc_id", "text", n, jacT)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(expJac.nonEmpty && gotJac == expJac,
+      s"${gotJac.diff(expJac)} vs ${expJac.diff(gotJac)}")
+
+    val ovT = 0.6
+    val expOv = brute((x, y) =>
+      (x intersect y).size.toDouble / math.min(x.size, y.size).toDouble, ovT)
+    val gotOv = Dedup.containmentPairs(df, "doc_id", "text", n, ovT)
+      .select("id_a", "id_b", "overlap")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(expOv.nonEmpty && gotOv == expOv,
+      s"${gotOv.diff(expOv)} vs ${expOv.diff(gotOv)}")
+  }
+
+  test("property: asOfJoin equals the brute-force latest-at-or-before scan " +
+    "(dense time ties, both partitionings)") {
+    // DIFFERENTIAL check: the union + carry-forward window plan vs the
+    // naive per-left-row argmax over (time, tieBreak). Times are drawn
+    // from a tiny domain so equal-time left/right and right/right
+    // collisions are everywhere — exactly the regime where the side/tie
+    // sort order either holds or silently leaks. Payload is a function of
+    // (key, time, tie) so duplicate right rows are indistinguishable and
+    // cannot fake a pass.
+    val rnd = new scala.util.Random(5)
+    val leftRows = (0 until 120).map { i =>
+      (i.toLong, rnd.nextInt(6).toLong, rnd.nextInt(30).toLong)
+    } // (row_id, key, t)
+    val rightRows = (0 until 80).map { _ =>
+      val (k, t, tie) = (rnd.nextInt(6).toLong, rnd.nextInt(30).toLong, rnd.nextInt(5).toLong)
+      (k, t, tie, k * 10000 + t * 100 + tie) // payload determined by (k,t,tie)
+    }
+    val expected = leftRows.map { case (id, k, t) =>
+      val cands = rightRows.filter(r => r._1 == k && r._2 <= t)
+      id -> (if (cands.isEmpty) None else Some(cands.maxBy(r => (r._2, r._3))._4))
+    }.toMap
+    for (parts <- Seq(1, 5)) {
+      val left = leftRows.toDF("row_id", "key", "t").repartition(parts)
+      val right = rightRows.toDF("key", "t", "tie", "payload").repartition(parts)
+      val got = graft.operators.AsOf.asOfJoin(left, right, "key", "t",
+          Seq("payload"), "tie")
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+      assert(got == expected, s"parts=$parts: " +
+        expected.collect { case (k, v) if got.get(k) != Some(v) => (k, v, got.get(k)) }.take(5))
+    }
+  }
+
   test("property: PPJoin positional bound never prunes a qualifying pair " +
     "(300 random set pairs)") {
     // THEOREM check for prefixCandidatePairsPos (q117, round 6): at the
