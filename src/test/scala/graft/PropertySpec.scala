@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{Enrich, Text}
 import graft.gen.WeatherGenerator
-import graft.operators.{Components, Dedup}
+import graft.operators.{Aggregates, Components, Dedup}
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 
@@ -365,6 +365,57 @@ class PropertySpec extends SparkSpec {
           (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
       assert(got == expected, s"parts=$parts: " +
         expected.collect { case (k, v) if got.get(k) != Some(v) => (k, v, got.get(k)) }.take(5))
+    }
+  }
+
+  test("property: trailingRange equals the brute-force [t-h, t] scan, " +
+    "duplicate order values included") {
+    // DIFFERENTIAL check: the range-frame window (q119) vs counting/summing
+    // every same-key row in [t-h, t] directly. Times collide constantly
+    // (domain 0..20) — range frames are peer-inclusive, so duplicates are
+    // exactly where a rows-frame confusion would surface.
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(21).toLong, rnd.nextInt(100).toLong)
+    } // (row_id, key, t, v)
+    val h = 4L
+    val expected = rows.map { case (id, k, t, _) =>
+      val in = rows.filter(r => r._2 == k && r._3 >= t - h && r._3 <= t)
+      id -> (in.size.toLong, in.map(_._4).sum)
+    }.toMap
+    for (parts <- Seq(1, 6)) {
+      val df = rows.toDF("row_id", "key", "t", "v").repartition(parts)
+      val got = Aggregates.trailingRange(df, Seq("key"), "t", col("v"), h)
+        .select("row_id", "trail_n", "trail_sum")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
+  test("property: deterministicMode (window and typed-aggregator forms) " +
+    "equals brute-force count-argmax with the Postgres tie rule") {
+    // DIFFERENTIAL check: both MODE implementations vs per-key counting
+    // with ties broken to the SMALLEST value. A tiny value domain plants
+    // exact count ties in most keys — the case where Spark's built-in
+    // mode() is arbitrary and these two must not be.
+    val rnd = new scala.util.Random(47)
+    val rows = (0 until 400).map { _ =>
+      (rnd.nextInt(8).toLong, s"v${rnd.nextInt(4)}")
+    }
+    val expected = rows.groupBy(_._1).map { case (k, rs) =>
+      val counts = rs.groupBy(_._2).map { case (v, g) => (v, g.size) }
+      val maxC = counts.values.max
+      k -> counts.filter(_._2 == maxC).keys.min
+    }
+    for (parts <- Seq(1, 6)) {
+      val df = rows.toDF("key", "value").repartition(parts)
+      val viaWindow = Aggregates.deterministicMode(df, Seq("key"), "value", "mode")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val viaTyped = df.groupBy("key")
+        .agg(graft.expressions.DeterministicModeAgg.modeOf(col("value")).as("mode"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(viaWindow == expected, s"window form, parts=$parts")
+      assert(viaTyped == expected, s"typed form, parts=$parts")
     }
   }
 
