@@ -20,6 +20,17 @@ import org.apache.spark.sql.functions._
  * Determinism: rows sort by (time, side, tieBreak) — right rows precede
  * left rows at equal time (inclusive semantics), and equal-time right rows
  * resolve by tieBreak (largest wins, being last in carry order).
+ *
+ * Null payloads: each payload column carries forward INDEPENDENTLY
+ * (`last(_, ignoreNulls = true)`) — if the latest right row has a null in
+ * one payload column, that column keeps the most recent non-null
+ * observation (possibly from an older right row) while other columns take
+ * the latest row's values. This is per-column last-observation-carried-
+ * forward — the feature-store semantics, where a null means "this feature
+ * was not re-measured", not "forget it" — and differs from strict
+ * latest-ROW attachment (pandas merge_asof), which would surface the
+ * null. Spec-pinned (AsOfSamplingSpec); with null-free payloads the two
+ * semantics coincide.
  */
 object AsOf {
 

@@ -25,6 +25,17 @@ import org.apache.spark.sql.functions._
  */
 object Packing {
 
+  /** Exact integer floor division by a positive width over the full long
+    * range (RangeJoin.floorDiv's pattern): `floor(x / w)` computes in IEEE
+    * double and drifts by one past 2^53. Pack ids divide the SHARD-level
+    * cumulative token offset — cross-document, so unlike the within-doc
+    * chunking offsets it is the one packing quantity that grows with the
+    * corpus rather than with a single document. */
+  private def floorDiv(c: Column, w: Long): Column = {
+    val lc = c.cast("long")
+    call_function("div", lc - pmod(lc, lit(w)), lit(w))
+  }
+
   /**
    * @param tokenCount Column producing the document's token count (e.g.
    *                   `Text.tokenCount(col("text"))`)
@@ -37,7 +48,7 @@ object Packing {
     val h = Hashing.stableHash60(col(idCol).cast("string"))
     val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val packOf = (offset: Column) => floor(offset / maxTokens).cast("long")
+    val packOf = (offset: Column) => floorDiv(offset, maxTokens)
     docs
       .select(col(idCol), tokenCount.cast("long").as("tokens"),
         pmod(h, lit(shards)).cast("long").as("shard"), h.as("__h"))
@@ -106,8 +117,8 @@ object Packing {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("tokens")).as("n_tokens"),
-        (floor((max(col("start_offset") + col("tokens")) - 1).cast("double") /
-          maxTokens).cast("long") + 1L).as("n_sequences"),
+        (floorDiv(max(col("start_offset") + col("tokens")) - 1,
+          maxTokens) + 1L).as("n_sequences"),
         sum(when(col("spans_packs") > 1, 1L).otherwise(0L)).as("n_spanning_docs"))
       .withColumn("utilization",
         when(col("n_sequences") > 0,

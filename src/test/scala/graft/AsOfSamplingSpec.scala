@@ -25,6 +25,23 @@ class AsOfSamplingSpec extends SparkSpec {
     assert(out(200L)._1.isEmpty)        // nothing at-or-before -> null
   }
 
+  test("asOfJoin null payloads carry per-column LOCF, not latest-row nulls") {
+    // The documented semantics (AsOf.scala): each payload column carries
+    // forward independently with ignoreNulls — the latest row's null keeps
+    // the older observation in THAT column while sibling columns take the
+    // latest row's values. A switch to strict latest-row attachment would
+    // flip p_value at t=30 to null and must fail here consciously.
+    val left = Seq((1L, 30L, 100L)).toDF("user_id", "t", "event_id")
+    val right = Seq(
+      (1L, 10L, Some(500L), Some(1.5)),
+      (1L, 20L, Some(501L), None: Option[Double])) // latest row: p_value null
+      .toDF("user_id", "t", "p_event", "p_value")
+    val r = AsOf.asOfJoin(left, right, "user_id", "t",
+      Seq("p_event", "p_value"), "p_event").head
+    assert(r.getAs[Long]("p_event") == 501L)  // latest row's non-null column
+    assert(r.getAs[Double]("p_value") == 1.5) // null at t=20 -> LOCF from t=10
+  }
+
   test("asOfJoin breaks equal-time right ties toward the largest tieBreak") {
     val left = Seq((1L, 10L, 1L)).toDF("user_id", "t", "event_id")
     val right = Seq((1L, 10L, 7L, 7.0), (1L, 10L, 9L, 9.0), (1L, 10L, 8L, 8.0))

@@ -42,6 +42,35 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("pack ids are exact past 2^53 cumulative tokens (floor-div regime)") {
+    // The hardened division (Packing.floorDiv) vs the old IEEE-double
+    // floor: with per-doc token counts near 2^51 the shard cumsum crosses
+    // 2^53, where floor(x/w) in double drifts. Expected values recompute
+    // from the emitted offsets with Math.floorDiv; the test also proves
+    // the regime bites by finding at least one offset the double grid
+    // would misplace.
+    // equal counts make the start sequence independent of the hash order;
+    // t ≡ −1 (mod 640) parks every start one token under a pack boundary,
+    // where the double quotient rounds UP across it (4 of the 12 starts
+    // drift, verified against exact integer arithmetic)
+    val t = ((1L << 53) / 640L + 2L) * 640L - 1L
+    val big = (1L to 12L).map(i => (i, t)).toDF("doc_id", "ntok")
+    val out = Packing.packSequences(big, "doc_id", col("ntok"), shards = 1,
+        maxTokens = 640)
+      .select("start_offset", "tokens", "pack_id", "spans_packs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(o => o._1 + o._2).max > (1L << 53), "fixture must cross 2^53")
+    out.foreach { case (start, toks, packId, spans) =>
+      val expId = Math.floorDiv(start, 640L)
+      assert(packId == expId, s"pack_id at offset $start")
+      assert(spans == Math.floorDiv(start + toks - 1, 640L) - expId + 1,
+        s"spans_packs at offset $start")
+    }
+    assert(out.exists { case (start, _, _, _) =>
+      math.floor(start.toDouble / 640.0).toLong != Math.floorDiv(start, 640L)
+    }, "no offset where the double grid drifts — fixture too small")
+  }
+
   test("packing is independent of input partitioning (deterministic order)") {
     val a = pack(docs).collect().map(_.toSeq).toSet
     val b = pack(docs.repartition(7)).collect().map(_.toSeq).toSet
