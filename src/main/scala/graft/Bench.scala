@@ -222,9 +222,21 @@ object Bench {
       else stages.map { case (k, v) => "\"" + k + "\":" + f3(v) }
         .mkString(""","stg":{""", ",", "}")
     val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
-    val json =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs$stg$recalls,"sf":"$sfName"}"""
-    if (json.length > 1900)
+    def assemble(withStg: Boolean) = {
+      val sg = if (withStg) stg else ""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs$sg$recalls,"sf":"$sfName"}"""
+    }
+    // budget fallback: a heavily contended run can push enough queries to
+    // double-digit seconds to overflow the driver's ~1928-char stdout
+    // tail, which would truncate the line's HEAD and break its JSON. The
+    // stg block is informational (per-stage timings re-derivable locally)
+    // — drop it rather than ship an unparseable line.
+    val full = assemble(withStg = true)
+    val json = if (full.length <= 1920) full else {
+      System.err.println(s"[bench] metric line ${full.length} chars > 1920 — dropping stg block")
+      assemble(withStg = false)
+    }
+    if (json.length > 1920)
       System.err.println(s"[bench] WARNING metric line ${json.length} chars — driver tail budget is ~1928")
     SparkEntry.releaseStaged(spark) // past the last consumer — drop staging cache
     spark.stop()

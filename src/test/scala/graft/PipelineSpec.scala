@@ -86,6 +86,14 @@ class PipelineSpec extends SparkSpec {
       eval, corpus, "doc_id", "text", n = 3)
       .where(col("contamination") >= 0.5).count()
     assert(residual == 0)
+    // near-dedup is exhaustive under its own detector: re-running the
+    // pipeline's detector at the pipeline's parameters over the OUTPUT
+    // finds nothing (components dropped every non-representative, and the
+    // detector is deterministic on content, so output pairs ⊆ input pairs)
+    val nearResidual = graft.operators.Dedup.minhashNearDupPairs(
+      corpus, "doc_id", "text", n = 3, numHashes = 16, bands = 4,
+      threshold = 0.5).count()
+    assert(nearResidual == 0)
 
     // determinism: a repartitioned input yields the identical corpus+splits
     val (corpus2, r2) = CorpusPipeline.run(docs.repartition(13), eval, "doc_id", "text", stages)
