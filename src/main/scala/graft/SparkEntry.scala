@@ -1472,6 +1472,16 @@ object SparkEntry {
         .select(col("position"), col("source"), col("id").as("doc_id"),
           col("epoch"), col("tokens"))
     }),
+
+    // General dyadic-temperature mixture at τ = 3/4 (k=3, m=2): weight =
+    // ⌊sqrt(c)·sqrt(sqrt(c))⌋ — repeated CORRECTLY-ROUNDED square roots
+    // instead of pow (which drifts between libms), so the dyadic grid is
+    // the portable cross-engine temperature convention; the oracle
+    // mirrors the exact association order. τ=1/2 rides q72.
+    "q126_tau_mixture" -> ((s, dir) =>
+      graft.operators.Sampling.temperatureMixtureTau(t(s, dir, "documents"),
+          "source", "doc_id", totalOut = 120, tauNum = 3, tauDenLog2 = 2)
+        .select("source", "doc_id")),
   )
 
   /** ADC candidate count for the re-rank gates (q122/q123 and oracles). */
@@ -2270,6 +2280,25 @@ object SparkEntry {
          |SELECT CAST(row_number() OVER (ORDER BY vt, source, uid) AS BIGINT) AS position,
          |  source, doc_id, epoch, tokens
          |FROM v""".stripMargin,
+
+    // Dyadic-temperature mixture at τ = 3/4: the weight mirrors the Spark
+    // side's exact shape — sqrt(c)·sqrt(sqrt(c)), left-to-right, every op
+    // correctly rounded in IEEE-754, so the doubles (hence floors) agree.
+    "q126_tau_mixture" -> {
+      val h = duckHash("CAST(doc_id AS VARCHAR)")
+      s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS c
+         |           FROM documents WHERE source IS NOT NULL GROUP BY source),
+         |w AS (SELECT source, c,
+         |       CAST(floor(sqrt(CAST(c AS DOUBLE)) * sqrt(sqrt(CAST(c AS DOUBLE)))) AS BIGINT) AS w
+         |      FROM c),
+         |q AS (SELECT source, least(c, (120 * w) // (SELECT sum(w) FROM w)) AS quota
+         |      FROM w),
+         |r AS (SELECT source, doc_id,
+         |       row_number() OVER (PARTITION BY source
+         |                          ORDER BY $h ASC NULLS LAST, doc_id ASC NULLS LAST) AS rn
+         |      FROM documents WHERE source IS NOT NULL)
+         |SELECT r.source, r.doc_id FROM r JOIN q USING (source) WHERE rn <= quota""".stripMargin
+    },
 
     // DSIR feature table: hashed-bigram target/raw counts per bucket.
     "q89_feature_table" ->

@@ -554,18 +554,68 @@ object Sampling {
    * quota filtering post-window.
    */
   def temperatureMixture(df: DataFrame, groupCol: String, keyCol: String,
-                         totalOut: Int): DataFrame = {
+                         totalOut: Int): DataFrame =
+    mixtureByWeight(df, groupCol, keyCol, totalOut,
+      c => floor(sqrt(c)).cast("long"))
+
+  /**
+   * [[temperatureMixture]] at ANY dyadic temperature τ = k/2^m ∈ (0, 1]:
+   * group weight ⌊c^τ⌋ computed by [[tauWeight]] — repeated correctly-
+   * rounded square roots instead of `pow`, so the weight (hence every
+   * quota) is bit-identical on any engine and any partitioning. τ = 1/2
+   * (k=1, m=1) reproduces [[temperatureMixture]]; τ = 1 is proportional
+   * sampling; smaller τ flattens harder toward uniform — the multilingual
+   * -sampling dial (α ≈ 0.3–0.7 in practice: pick the nearest k/2^m,
+   * e.g. 0.75 = 3/4, 0.3125 = 5/16).
+   */
+  def temperatureMixtureTau(df: DataFrame, groupCol: String, keyCol: String,
+                            totalOut: Int, tauNum: Int, tauDenLog2: Int): DataFrame =
+    mixtureByWeight(df, groupCol, keyCol, totalOut,
+      c => tauWeight(c, tauNum, tauDenLog2))
+
+  /**
+   * ⌊c^(k/2^m)⌋ without `pow`: the binary expansion of k selects nested
+   * square roots (bit b of k contributes c^(2^b/2^m) = sqrt applied
+   * m−b times), multiplied left-to-right from the shallowest nesting.
+   * Every step — long→double cast, sqrt, multiply, floor — is correctly
+   * rounded in IEEE-754, so two engines evaluating this exact shape get
+   * the SAME double and the same floor. `pow` carries no such guarantee
+   * (libm implementations drift in the last ulps), which is why the
+   * dyadic grid is the portable temperature convention: any τ a training
+   * mixture needs is within 2^-m of a dyadic rational.
+   */
+  private[graft] def tauWeight(c: Column, tauNum: Int, tauDenLog2: Int): Column = {
+    require(tauDenLog2 >= 1 && tauDenLog2 <= 10, "tauDenLog2 must be in [1, 10]")
+    require(tauNum >= 1 && tauNum <= (1 << tauDenLog2),
+      s"tau = $tauNum/2^$tauDenLog2 must be in (0, 1]")
+    val cd = c.cast("double")
+    if (tauNum == (1 << tauDenLog2)) floor(cd).cast("long") // τ = 1
+    else {
+      val terms = (1 to tauDenLog2).flatMap { j =>
+        if (((tauNum >> (tauDenLog2 - j)) & 1) == 1)
+          Some((1 to j).foldLeft(cd)((e, _) => sqrt(e)))
+        else None
+      }
+      floor(terms.reduce(_ * _)).cast("long")
+    }
+  }
+
+  private def mixtureByWeight(df: DataFrame, groupCol: String, keyCol: String,
+                              totalOut: Int, weightOf: Column => Column): DataFrame = {
     require(totalOut >= 0, "totalOut must be >= 0")
-    // w < 2^31 (⌊√long-count⌋) and totalOut < 2^31 keep the product in
-    // range. NULL-group rows are excluded from the DENOMINATOR too — they
-    // take no quota, so they must not dilute anyone else's share
+    // DECIMAL(38,0) cross-multiply (epochPlan's convention): at τ near 1
+    // the weight approaches the group count itself, so totalOut·w can
+    // overflow a long — DECIMAL keeps the product exact at any weight.
+    // NULL-group rows are excluded from the DENOMINATOR too — they take
+    // no quota, so they must not dilute anyone else's share
     val quotas = df.where(col(groupCol).isNotNull)
       .groupBy(col(groupCol)).agg(count(lit(1)).as("__c"))
-      .withColumn("__w", floor(sqrt(col("__c"))).cast("long"))
+      .withColumn("__w", weightOf(col("__c")))
       .withColumn("__z", sum(col("__w")).over(Window.partitionBy()))
       // `div`: exact integer floor-division (a DECIMAL `/` would round at
       // result scale before a floor could run)
-      .selectExpr(s"*", s"least(__c, (${totalOut}L * __w) div __z) AS __quota")
+      .selectExpr(s"*",
+        s"least(__c, CAST((CAST($totalOut AS DECIMAL(38,0)) * __w) div __z AS BIGINT)) AS __quota")
       .select(col(groupCol), col("__quota"))
     Dedup.rankLimitKeep(df.where(col(groupCol).isNotNull), Seq(col(groupCol)),
         Seq(Hashing.stableHash60(col(keyCol).cast("string")).asc_nulls_last,

@@ -115,6 +115,48 @@ class AsOfSamplingSpec extends SparkSpec {
     assert(run(df.repartition(13)).toMap == got.toMap)
   }
 
+  test("tauWeight: JVM sqrt-chain twin agrees exactly; tau=1/2 mixture " +
+    "reduces to temperatureMixture; tau=1 is proportional") {
+    // The portable-convention claim: every step (long→double cast, sqrt,
+    // multiply, floor) is correctly rounded, so the engine's double equals
+    // a JVM evaluation of the same shape BIT-FOR-BIT — no tolerance.
+    val rnd = new scala.util.Random(3)
+    val counts = (Seq(0L, 1L, 2L, 3L, 1L << 40, (1L << 40) + 1) ++
+      Seq.fill(60)(rnd.nextLong(1L << 45))).distinct
+    def jvmTau(c: Long, k: Int, m: Int): Long = {
+      val cd = c.toDouble
+      val terms = (1 to m).flatMap { j =>
+        if (((k >> (m - j)) & 1) == 1)
+          Some((1 to j).foldLeft(cd)((e, _) => math.sqrt(e)))
+        else None
+      }
+      math.floor(if (k == (1 << m)) cd else terms.reduce(_ * _)).toLong
+    }
+    for ((k, m) <- Seq((1, 1), (3, 2), (5, 4), (7, 3), (1, 10), (16, 4))) {
+      val got = counts.toDF("c")
+        .select(col("c"), Sampling.tauWeight(col("c"), k, m).as("w"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      counts.foreach(c => assert(got(c) == jvmTau(c, k, m), s"c=$c tau=$k/2^$m"))
+    }
+    // tau = 1/2 keeps the q72 operator's exact outputs
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = Sampling.temperatureMixture(docs, "source", "doc_id", 100)
+      .select("source", "doc_id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val b = Sampling.temperatureMixtureTau(docs, "source", "doc_id", 100, 1, 1)
+      .select("source", "doc_id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(a == b && a.nonEmpty)
+    // tau = 1: weights are the counts themselves -> count-proportional
+    // floor quotas, verified against a JVM recomputation
+    val srcCounts = docs.where(col("source").isNotNull)
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val z = srcCounts.values.sum
+    val expQuota = srcCounts.map { case (s, c) => s -> math.min(c, 50L * c / z) }
+    val gotQuota = Sampling.temperatureMixtureTau(docs, "source", "doc_id", 50, 2, 1)
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    expQuota.foreach { case (s, q) =>
+      assert(gotQuota.getOrElse(s, 0L) == q, s"tau=1 quota for $s") }
+  }
+
   test("curriculumInterleave respects weights in every prefix and is partition-stable") {
     val docs = (1L to 300L).map(i => (i, "s" + (i % 3))).toDF("id", "src")
     val weights = Map("s0" -> 3, "s1" -> 2, "s2" -> 1)
