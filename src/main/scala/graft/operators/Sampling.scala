@@ -541,8 +541,9 @@ object Sampling {
    * and engine-portable: √ of an integer is IEEE-correctly-rounded, ⌊·⌋
    * of it is an integer, Σ w is an integer sum (no float association
    * order), and the final quotient is integer floor-division — no libm
-   * drift anywhere. A general τ swaps the weight for pow(count, τ)
-   * (identical shape, engine-local determinism only). Σ quotas ≤
+   * drift anywhere. General dyadic τ = k/2^m keeps the same guarantee via
+   * [[tauWeight]] (nested correctly-rounded sqrts — NOT pow, which has no
+   * rounding guarantee); see [[temperatureMixtureTau]]. Σ quotas ≤
    * totalOut (floor under-allocates by < |groups|); rows whose group
    * value is NULL are dropped (no meaningful quota).
    *
