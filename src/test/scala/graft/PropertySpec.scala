@@ -277,12 +277,15 @@ class PropertySpec extends SparkSpec {
     val (maxDist, bits) = (3, 60)
     val sigs = Dedup.simhashSignatures(df, "doc_id", "text", bits)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val expected = (for {
+    val dists = (for {
       a <- docs.map(_._1); b <- docs.map(_._1) if a < b
-      d = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if d <= maxDist
-    } yield (a, b, d.toLong)).toSet
-    assert(expected.nonEmpty && expected.size < docs.size * (docs.size - 1) / 2,
-      s"degenerate fixture: ${expected.size} pairs") // threshold must bite both ways
+    } yield (a, b, java.lang.Long.bitCount(sigs(a) ^ sigs(b)))).toSeq
+    val expected = dists.collect { case (a, b, d) if d <= maxDist => (a, b, d.toLong) }.toSet
+    // the fixture must place pairs on BOTH sides of the threshold, close
+    // to it — otherwise the exactness claim is tested on nothing
+    assert(expected.exists(_._3 > 0), "need a non-identical passing pair")
+    assert(dists.exists(d => d._3 > maxDist && d._3 <= maxDist + 8),
+      "need a near-miss pair just above the threshold")
     val got = Dedup.simhashNearDupPairs(df, "doc_id", "text", maxDist, bits)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
     assert(got == expected, s"${got.diff(expected)} vs ${expected.diff(got)}")
