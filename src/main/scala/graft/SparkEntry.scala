@@ -20,7 +20,11 @@ import org.apache.spark.sql.functions._
  *  - scalar expressions keep the exact same association order in Scala and
  *    SQL, so every double matches bit-for-bit;
  *  - raw timestamps are never output (Spark µs vs DuckDB ns) — epoch
- *    seconds / dates instead.
+ *    seconds / dates instead;
+ *  - fractional powers use nested IEEE sqrt (CORRECTLY ROUNDED, so
+ *    bit-identical across engines), never pow (no rounding guarantee;
+ *    libms drift) — any dyadic exponent k/2^m is reachable this way
+ *    (q126; Sampling.tauWeight).
  */
 object SparkEntry {
 
