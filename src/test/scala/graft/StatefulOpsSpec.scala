@@ -224,6 +224,43 @@ class StatefulOpsSpec extends SparkSpec {
       "a replayed batch must not grow the signature store")
   }
 
+  test("incremental dedup union is invariant to batch boundaries and " +
+    "arrival order (randomized partitions)") {
+    // The decomposition claim behind the incremental plan: for ANY split
+    // of the corpus into ordered batches, union of per-batch candidates
+    // (new×new + new×old) equals the one-shot full run — within-batch
+    // pairs from their own step, cross-batch pairs from the later side's
+    // step, old×old never re-expanded. The fixed-50-doc test above pins
+    // one split; random splits + shuffled arrival pin the general claim.
+    import graft.operators.Dedup
+    import graft.streaming.IncrementalDedup
+    val rnd = new scala.util.Random(71)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .where(col("doc_id") < 120)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val full = Dedup.minhashLshCandidates(
+        Dedup.minhashSignatures(docs.toSeq.toDF("doc_id", "text"), "doc_id", "text",
+          n = 3, numHashes = 16), numHashes = 16, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.nonEmpty)
+    (1 to 3).foreach { trial =>
+      val root = Files.createTempDirectory(s"graft-incrand$trial").toString
+      val shuffled = rnd.shuffle(docs.toSeq)
+      // random batch boundaries: 2-5 batches of uneven sizes
+      val nBatches = 2 + rnd.nextInt(4)
+      val cuts = (Seq(0, shuffled.size) ++ Seq.fill(nBatches - 1)(rnd.nextInt(shuffled.size)))
+        .distinct.sorted
+      val union = cuts.sliding(2).zipWithIndex.flatMap { case (Seq(a, b), i) =>
+        IncrementalDedup.step(shuffled.slice(a, b).toDF("doc_id", "text"),
+            "doc_id", "text", s"$root/store", batchTag = s"b$i")
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+      }.toSet
+      assert(union == full, s"trial $trial (${cuts.size - 1} batches): " +
+        s"${union.diff(full).take(3)} vs ${full.diff(union).take(3)}")
+    }
+  }
+
   test("band-layout signature store: pruned incremental step equals the plain loop") {
     import graft.streaming.IncrementalDedup
     val root = Files.createTempDirectory("graft-bandstore").toString
