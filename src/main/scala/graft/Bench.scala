@@ -5,6 +5,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local(cpus.toInt, "graft-bench")
+    GraftSession.quietWindowWarnings() // harness tail: aggregated-cardinality windows only
     spark.sparkContext.setLogLevel("WARN")
     // optional args = query-name prefixes to run (local iteration); default all
     val wanted = SparkEntry.queries.toSeq.sortBy(_._1)

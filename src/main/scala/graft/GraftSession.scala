@@ -21,17 +21,25 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString))
       .getOrCreate()
     GraftExtensions.registerInto(spark) // graft_cosine/graft_dot/graft_shingles in SQL
-    // Every unpartitioned window in the engine runs over AGGREGATED
-    // cardinality by design (the q07 rule; PlanShapeSpec pins each site),
-    // so WindowExec's "No Partition Defined" warning carries no signal
-    // here — it only buries real warnings in the driver tail. A literal
-    // partition key can't silence it on Spark 4 (EliminateWindowPartitions
-    // strips foldable keys), so raise this one logger to ERROR.
+    spark
+  }
+
+  /**
+   * Silence WindowExec's "No Partition Defined" warning — for HARNESS
+   * mains only (bench/verify/probes), NOT the shared factory. Every
+   * unpartitioned window in the engine runs over AGGREGATED cardinality
+   * by design (the q07 rule; PlanShapeSpec pins each site), so in the
+   * harness the warning only buries real warnings in the driver tail. A
+   * literal partition key can't silence it on Spark 4
+   * (EliminateWindowPartitions strips foldable keys). User-facing mains
+   * and the test session keep the logger at WARN so a NEW accidental
+   * unpartitioned window over non-aggregated cardinality still announces
+   * itself at development time.
+   */
+  def quietWindowWarnings(): Unit =
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
-    spark
-  }
 
   /** Apply the engine's config contract to any builder (cluster or local). */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b

@@ -22,6 +22,7 @@ object PrefixFunnel {
       .split(",").map(_.trim.toDouble)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.local(cpus, "graft-prefix-funnel")
+    GraftSession.quietWindowWarnings() // harness tail: aggregated-cardinality windows only
     spark.sparkContext.setLogLevel("ERROR")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val fullPostings = Dedup.hashedShingles(docs, "doc_id", "text", 3).count()

@@ -15,6 +15,7 @@ object RecallProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-recall")
+    GraftSession.quietWindowWarnings() // harness tail: aggregated-cardinality windows only
     spark.sparkContext.setLogLevel("WARN")
     import operators.Similarity
     // Locale.ROOT like Bench's formatters: a comma-decimal host locale

@@ -38,6 +38,7 @@ object ScaleProbe {
     val sizes = args.headOption.getOrElse("5000,20000,80000").split(",").map(_.trim.toLong)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.local(cpus, "graft-scaleprobe")
+    GraftSession.quietWindowWarnings() // harness tail: aggregated-cardinality windows only
     spark.sparkContext.setLogLevel("ERROR")
 
     def time(f: => Unit): Double = {

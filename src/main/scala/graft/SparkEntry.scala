@@ -123,7 +123,11 @@ object SparkEntry {
       tm("spn")(spanRangesShared(s, dir)),
       tm("ovp")(overlapPairsShared(s, dir)),
       tm("win")(winnowedShared(s, dir)),
-      tm("emb")(embNearDupShared(s, dir)))
+      tm("emb")(embNearDupShared(s, dir)),
+      // cap = the composed CorpusPipeline run (q127/q128): `run` executes
+      // eagerly inside the memo build, so this row carries the whole
+      // pipeline cost and the two gate rows report marginal reads
+      tm("cap")(capstoneShared(s, dir)._1))
   }
 
   /** Unpersist and forget every staged frame of `s`. Callers that know
@@ -131,10 +135,14 @@ object SparkEntry {
     * pipeline run) release explicitly instead of pinning cache blocks for
     * the session's lifetime — at real scale a staging table's memory is
     * reclaimed the moment its final consumer commits. */
-  def releaseStaged(s: SparkSession): Unit =
+  def releaseStaged(s: SparkSession): Unit = {
     stageMemo.keys.filter(_._1 == s).foreach { k =>
       stageMemo.remove(k).foreach(_.unpersist(blocking = false))
     }
+    // capstone results are localCheckpoint-backed (no persist to release);
+    // dropping the entry lets the checkpoint blocks age out with the session
+    capstoneMemo.keys.filter(_._1 == s).foreach(capstoneMemo.remove)
+  }
 
   private def enrichedFullShared(s: SparkSession, dir: String): DataFrame =
     staged(s, dir, "enriched")(enrichedFull(t(s, dir, "events")))
@@ -210,6 +218,39 @@ object SparkEntry {
       Similarity.embeddingNearDupPairs(em, em.where(col("vec_id") % 50 === 0),
         threshold = 0.4, nprobe = 2)
     }
+
+  /** Minimum-token cleaning bar of the capstone pipeline (q127/q128 and
+    * their oracles) — drops ~9% of this corpus, so the funnel stage has
+    * live data at every SF. */
+  private val CapMinTokens = 20
+
+  /**
+   * The composed CorpusPipeline run gated by q127/q128 — ONE fixed,
+   * oracle-expressible configuration (the mandatory path: clean →
+   * normalized exact dedup → minhash near-dedup → bloom-screened
+   * decontamination → 8/1/1 hash split → 4-shard packing; optional
+   * stages off so the DuckDB recomposition stays tractable), run once
+   * per (session, sf-dir) and shared by the census and membership gates
+   * — exactly how a production run fans its Report and its corpus frame
+   * out to different consumers. Train pool / eval set reuse q52's mod-10
+   * convention. `run` is eager (its Report counts execute inside), so
+   * the memo holds finished results, not lineage.
+   */
+  private val capstoneMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, graft.pipeline.CorpusPipeline.Report)]
+  private def capstoneShared(s: SparkSession, dir: String)
+      : (DataFrame, graft.pipeline.CorpusPipeline.Report) = {
+    capstoneMemo.keys.filter(_._1.sparkContext.isStopped).foreach(capstoneMemo.remove)
+    capstoneMemo.getOrElseUpdate((s, dir), {
+      val docs = t(s, dir, "documents")
+      graft.pipeline.CorpusPipeline.run(
+        docs.where(col("doc_id") % 10 =!= 0),
+        docs.where(col("doc_id") % 10 === 0),
+        "doc_id", "text",
+        stages = Seq("min_tokens" ->
+          (Text.tokenCount(col("text")) >= CapMinTokens)))
+    })
+  }
 
   /** Enrichment keeping the event-time and city columns (for the analytics
     * layer: daily summary, current-status view). */
@@ -1486,6 +1527,36 @@ object SparkEntry {
       graft.operators.Sampling.temperatureMixtureTau(t(s, dir, "documents"),
           "source", "doc_id", totalOut = 120, tauNum = 3, tauDenLog2 = 2)
         .select("source", "doc_id")),
+
+    // CorpusPipeline capstone, stage census: the COMPOSED end-to-end
+    // pipeline (clean → normalized exact dedup → minhash near-dedup →
+    // decontamination → split → pack) run once per (session, sf-dir);
+    // every per-stage attributable count + the split census + the packed
+    // train-sequence count as one (stage, n) frame, vs a DuckDB oracle
+    // that recomposes the already-gated stage SQL end to end. Each stage
+    // is hash/integer-deterministic, so the composition is too.
+    "q127_pipeline_capstone" -> ((s, dir) => {
+      import s.implicits._
+      val r = capstoneShared(s, dir)._2
+      Seq(
+        "input" -> r.input,
+        "cleaned" -> r.cleaned,
+        "after_exact_dedup" -> r.afterExactDedup,
+        "after_near_dedup" -> r.afterNearDedup,
+        "contaminated" -> r.contaminated,
+        "corpus" -> r.corpus,
+        "split_train" -> r.splitCounts.getOrElse("train", 0L),
+        "split_val" -> r.splitCounts.getOrElse("val", 0L),
+        "split_test" -> r.splitCounts.getOrElse("test", 0L),
+        "train_sequences" -> r.trainSequences,
+      ).toDF("stage", "n")
+    }),
+
+    // Capstone membership: the final corpus's (doc_id, split) assignment —
+    // counts alone could match with the WRONG documents surviving; this
+    // row pins exactly WHICH documents ship and where they land.
+    "q128_pipeline_membership" -> ((s, dir) =>
+      capstoneShared(s, dir)._1.select(col("doc_id"), col("split"))),
   )
 
   /** ADC candidate count for the re-rank gates (q122/q123 and oracles). */
@@ -1715,6 +1786,86 @@ object SparkEntry {
        |  CAST(COALESCE(sum(tokens) OVER (PARTITION BY shard ORDER BY h ASC, doc_id ASC
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
        | FROM d)""".stripMargin
+  }
+
+  /**
+   * DuckDB recomposition of the q127/q128 capstone pipeline — the
+   * already-gated stage formulations (q46's normalization, q19/q20's
+   * minhash+banding, q18's exact jaccard, q36's recursive components,
+   * q52's cross-set contamination, q43's hash split, q50's pack layout)
+   * chained end to end over the mod-10 train pool, ending in CTEs the two
+   * final selects read: pool/cln/ex/nd/scr (stage frames), corp (the
+   * split corpus) and seqs (per-shard packed sequence counts). The bloom
+   * prefilter is omitted on purpose: it is bit-identical to the exact
+   * screen (no false negatives; FPs share no shingle so they never
+   * score), which is precisely what lets a plain SQL oracle gate the
+   * 100 TB plan.
+   */
+  private lazy val capstoneCtes: String = {
+    val p = Hashing.MersennePrime
+    val mins = (0 until 16).map { i =>
+      val (a, b) = Hashing.coeffs(i)
+      s"CAST(min(($a*(h%$p)+$b)%$p) AS BIGINT) AS mh_$i"
+    }.mkString(",\n ")
+    val bandSelects = (0 until 4).map { bi =>
+      val rs = (0 until 4).map(r => s"mh_${bi * 4 + r}")
+      s"SELECT id, $bi AS band, ${rs.zipWithIndex.map { case (c, j) => s"$c AS r$j" }.mkString(", ")} FROM sigx"
+    }.mkString("\n  UNION ALL ")
+    val splitHash = duckHash("CAST(doc_id AS VARCHAR)")
+    s"""pool AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+       |ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+       |cln AS (SELECT doc_id, text FROM pool
+       |        WHERE len(string_split(text,' ')) >= $CapMinTokens),
+       |nrm AS (SELECT doc_id, text,
+       |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS n
+       |  FROM cln),
+       |ex AS (SELECT doc_id, text FROM (
+       |   SELECT doc_id, text, row_number() OVER (PARTITION BY n ORDER BY doc_id) AS rn
+       |   FROM nrm) WHERE rn = 1),
+       |shx AS (SELECT doc_id AS id, unnest(${duckShingleSet("text", 3)}) AS shingle FROM ex),
+       |hx AS (SELECT id, ${duckHash("shingle")} AS h FROM shx),
+       |sigx AS (SELECT id, $mins FROM hx GROUP BY id),
+       |bx AS ($bandSelects),
+       |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+       |         FROM bx x JOIN bx y USING (band, r0, r1, r2, r3) WHERE x.id < y.id),
+       |szx AS (SELECT id, count(*) AS n FROM shx GROUP BY id),
+       |pr AS (SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS shared
+       |       FROM shx a JOIN shx b USING (shingle) WHERE a.id < b.id GROUP BY a.id, b.id),
+       |np AS (SELECT p.id_a, p.id_b FROM pr p JOIN cand USING (id_a, id_b)
+       |       JOIN szx xa ON p.id_a = xa.id JOIN szx yb ON p.id_b = yb.id
+       |       WHERE CAST(shared AS DOUBLE)/CAST(xa.n + yb.n - shared AS DOUBLE) >= 0.5),
+       |edge AS (SELECT id_a AS src, id_b AS dst FROM np UNION SELECT id_b, id_a FROM np),
+       |vtx AS (SELECT DISTINCT src AS id FROM edge),
+       |reach(id, r) AS (
+       | SELECT id, id FROM vtx
+       | UNION
+       | SELECT edge.src, reach.r FROM edge JOIN reach ON edge.dst = reach.id),
+       |keepr AS (SELECT id, min(r) AS keep_id FROM reach GROUP BY id),
+       |nd AS (SELECT e2.doc_id, e2.text FROM ex e2 LEFT JOIN keepr k ON e2.doc_id = k.id
+       |       WHERE k.id IS NULL OR k.id = k.keep_id),
+       |she AS (SELECT doc_id AS id, unnest(${duckShingleSet("text", 3)}) AS shingle FROM ev),
+       |shd AS (SELECT doc_id AS id, unnest(${duckShingleSet("text", 3)}) AS shingle FROM nd),
+       |sze AS (SELECT id, count(*) AS n FROM she GROUP BY id),
+       |szd AS (SELECT id, count(*) AS n FROM shd GROUP BY id),
+       |csh AS (SELECT d.id AS did, e.id AS eid, CAST(count(*) AS BIGINT) AS shared
+       |        FROM shd d JOIN she e USING (shingle) GROUP BY d.id, e.id),
+       |dirty AS (SELECT DISTINCT did FROM csh
+       |          JOIN szd ON csh.did = szd.id JOIN sze ON csh.eid = sze.id
+       |          WHERE CAST(shared AS DOUBLE)/CAST(szd.n + sze.n - shared AS DOUBLE) >= 0.5),
+       |scr AS (SELECT doc_id, text FROM nd WHERE doc_id NOT IN (SELECT did FROM dirty)),
+       |corp AS (SELECT doc_id, text,
+       |         CASE WHEN h < 8 THEN 'train' WHEN h < 9 THEN 'val' ELSE 'test' END AS split
+       |         FROM (SELECT doc_id, text, $splitHash % 10 AS h FROM scr)),
+       |pk AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS tokens,
+       |        $splitHash AS h, $splitHash % 4 AS shard
+       |       FROM corp WHERE split = 'train'),
+       |po AS (SELECT doc_id, shard, tokens,
+       |  CAST(COALESCE(sum(tokens) OVER (PARTITION BY shard ORDER BY h ASC, doc_id ASC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+       |  FROM pk),
+       |seqs AS (SELECT shard,
+       |  CAST(ceil(CAST(max(start_offset + tokens) AS DOUBLE)/512.0) AS BIGINT) AS s
+       |  FROM po GROUP BY shard)""".stripMargin
   }
 
   /** q62's oracle — merged duplicated-span ranges; shared verbatim by
@@ -2210,7 +2361,7 @@ object SparkEntry {
          |cand AS (SELECT query_id, neighbor_id FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
-         |  FROM s2) WHERE rank <= 50),
+         |  FROM s2) WHERE rank <= $RerankC),
          |ex AS (SELECT c.query_id, c.neighbor_id, ${duckCosine("q", "v")} AS cosine
          |       FROM cand c JOIN n q ON q.vec_id = c.query_id
          |       JOIN n v ON v.vec_id = c.neighbor_id)
@@ -2235,7 +2386,7 @@ object SparkEntry {
          |cand AS (SELECT query_id, neighbor_id FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
-         |  FROM s2) WHERE rank <= 50),
+         |  FROM s2) WHERE rank <= $RerankC),
          |ex AS (SELECT c.query_id, c.neighbor_id, ${duckCosine("q", "v")} AS cosine
          |       FROM cand c JOIN n q ON q.vec_id = c.query_id
          |       JOIN n v ON v.vec_id = c.neighbor_id)
@@ -3649,6 +3800,33 @@ object SparkEntry {
          |      FROM tr t CROSS JOIN ev x)
          |SELECT train_id, eval_id AS nearest_eval_id, c AS eval_cos,
          |       (c >= 0.45) AS flagged
-         |FROM s WHERE rn = 1""".stripMargin
+         |FROM s WHERE rn = 1""".stripMargin,
+
+    // Capstone census: every count the Spark Report carries, recomputed
+    // by the composed stage chain. The inner union is BIGINT except the
+    // packed-sequence sum (HUGEINT) — the outer CAST normalizes.
+    "q127_pipeline_capstone" ->
+      s"""WITH RECURSIVE
+         |$capstoneCtes
+         |SELECT stage, CAST(n AS BIGINT) AS n FROM (
+         | SELECT 'input' AS stage, count(*) AS n FROM pool
+         | UNION ALL SELECT 'cleaned', count(*) FROM cln
+         | UNION ALL SELECT 'after_exact_dedup', count(*) FROM ex
+         | UNION ALL SELECT 'after_near_dedup', count(*) FROM nd
+         | UNION ALL SELECT 'contaminated',
+         |   (SELECT count(*) FROM nd) - (SELECT count(*) FROM scr)
+         | UNION ALL SELECT 'corpus', count(*) FROM scr
+         | UNION ALL SELECT 'split_train', count(*) FROM corp WHERE split = 'train'
+         | UNION ALL SELECT 'split_val', count(*) FROM corp WHERE split = 'val'
+         | UNION ALL SELECT 'split_test', count(*) FROM corp WHERE split = 'test'
+         | UNION ALL SELECT 'train_sequences',
+         |   COALESCE((SELECT sum(s) FROM seqs), 0))""".stripMargin,
+
+    // Capstone membership: which documents survive the whole composed
+    // pipeline and which split each lands in.
+    "q128_pipeline_membership" ->
+      s"""WITH RECURSIVE
+         |$capstoneCtes
+         |SELECT doc_id, split FROM corp""".stripMargin
   )
 }

@@ -8,9 +8,15 @@ object Verify {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local(cpus.toInt, "graft-verify")
+    GraftSession.quietWindowWarnings() // harness tail: aggregated-cardinality windows only
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Local-iteration subset (unset in driver runs): only dump queries
+    // matching this regex — selfcheck.py then gates just those.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -1084,10 +1084,16 @@ object Dedup {
    * t/(1+t)·(|a|+|b|) — candidates whose bound can't reach it die here.
    * The bound check is ε-relaxed (1e-9) so double rounding can only
    * ADMIT a boundary pair (exact verification kills it), never drop one.
-   * Under `maxBucket` capping the smallest shared hash may sit in a
-   * dropped hot bucket and the surviving occurrence's bound can
-   * undercount — the same stop-shingle approximation the candidate
-   * generation itself already accepts; the uncapped gate is exact.
+   *
+   * Under `maxBucket` capping the smallest shared hash can sit in a
+   * DROPPED hot bucket, so the surviving occurrence's bound may
+   * undercount the true overlap and prune a pair that capped generation
+   * alone would still have emitted — a new false-negative class beyond
+   * the stop-shingle approximation. So the positional filter only runs
+   * when the index is uncapped: capped mode keeps exactly the r5
+   * candidate set (length filter only — set sizes are exact metadata
+   * regardless of capping), and capped prefix output stays equivalent to
+   * capped full-index output.
    */
   private[graft] def prefixCandidatePairsPos(sets: DataFrame, threshold: Double,
                                              maxBucket: Int): DataFrame = {
@@ -1111,16 +1117,19 @@ object Dedup {
       .agg(min_by(struct(col("ia"), col("ib"), col("na"), col("nb")), col("h")).as("f"))
       .select(col("id_a"), col("id_b"), col("f.ia").as("ia"), col("f.ib").as("ib"),
         col("f.na").as("na"), col("f.nb").as("nb"))
-    firstHit
+    val lengthFiltered = firstHit
       // length filter (AllPairs): jaccard ≤ min/max of the sizes
       .where(least(col("na"), col("nb")).cast("double") >=
         lit(threshold) * greatest(col("na"), col("nb")).cast("double"))
-      // positional filter: overlap ubound at the first shared hash
-      .where((lit(1L) + least(col("na") - col("ia"), col("nb") - col("ib")))
-        .cast("double") >=
-        lit(threshold / (1.0 + threshold)) *
-          (col("na") + col("nb")).cast("double") - lit(1e-9))
-      .select("id_a", "id_b")
+    val positioned =
+      if (maxBucket < Int.MaxValue) lengthFiltered // see scaladoc: bound unsound under capping
+      else lengthFiltered
+        // positional filter: overlap ubound at the first shared hash
+        .where((lit(1L) + least(col("na") - col("ia"), col("nb") - col("ib")))
+          .cast("double") >=
+          lit(threshold / (1.0 + threshold)) *
+            (col("na") + col("nb")).cast("double") - lit(1e-9))
+    positioned.select("id_a", "id_b")
   }
 
   /** Raw prefix-index candidate pairs (pre length filter, pre verify)

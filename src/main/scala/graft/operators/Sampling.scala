@@ -589,9 +589,11 @@ object Sampling {
     require(tauDenLog2 >= 1 && tauDenLog2 <= 10, "tauDenLog2 must be in [1, 10]")
     require(tauNum >= 1 && tauNum <= (1 << tauDenLog2),
       s"tau = $tauNum/2^$tauDenLog2 must be in (0, 1]")
-    val cd = c.cast("double")
-    if (tauNum == (1 << tauDenLog2)) floor(cd).cast("long") // τ = 1
+    // τ = 1 is the count itself — stay in integer arithmetic (a double
+    // round-trip would drift above 2^53)
+    if (tauNum == (1 << tauDenLog2)) c.cast("long")
     else {
+      val cd = c.cast("double")
       val terms = (1 to tauDenLog2).flatMap { j =>
         if (((tauNum >> (tauDenLog2 - j)) & 1) == 1)
           Some((1 to j).foldLeft(cd)((e, _) => sqrt(e)))
