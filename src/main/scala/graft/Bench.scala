@@ -144,35 +144,30 @@ object Bench {
       val fxNaive = fxRecall(fx.where(col("vec_id") % 100 === 0))
       val fxTrained = fxRecall(
         graft.operators.Similarity.trainCentroids(fx, k = 20, iters = 3).localCheckpoint())
-      // PQ quality: asymmetric ADC recall@5 vs exact brute force on the
-      // real embeddings with the gated naive codebooks (q86's config).
-      // The trained-vs-naive distortion ratio lives in SimilaritySpec
-      // (fixture-stable — recall@5 cannot separate codebook quality on
-      // clustered data; same-cluster reconstructions collapse to tie-noise)
+      // PQ quality (q86's naive-codebook config) at the SHIPPED default
+      // C = 200: full-index ADC proposals re-scored by the TRUE floats.
+      // (The raw no-re-rank rows recall_pq_at5 / recall_ivfpq_at5 retired
+      // in r7 for line budget — the rr rows are the production numbers;
+      // what the re-rank recovers stays documented in SCALE.md and pinned
+      // by SimilaritySpec's rr >= raw tests.)
       val pqCb = graft.operators.Similarity.pqCodebooks(naiveCents, m = 4)
-      val pqRecall = graft.operators.Similarity.pqAdcKnn(
-          graft.operators.Similarity.pqEncode(em, pqCb, m = 4), pqCb,
-          em.where(col("vec_id") < 10), m = 4, k = 5)
-        .select("query_id", "neighbor_id").intersect(brute).count() / bruteN
-      // composed IVF-PQ recall at the gated config (q87): coarse pruning
-      // loss × quantization loss — read against recall_ivf_at5 (pruning
-      // only) and recall_pq_at5 (quantization only)
-      val ivfPqIdx = graft.operators.Similarity
-        .ivfPqIndex(em, naiveCents, pqCb, m = 4).localCheckpoint()
-      val ivfPqRecall = graft.operators.Similarity.ivfPqKnn(
-          ivfPqIdx, naiveCents, pqCb, em.where(col("vec_id") < 10), m = 4, k = 5)
-        .select("query_id", "neighbor_id").intersect(brute).count() / bruteN
-      // two-stage re-rank (r5 judge #2): top-C ADC proposals re-scored by
-      // the TRUE floats — the shippable search. rr rows are the production
-      // numbers; raw rows stay to show what the re-rank recovers.
       val emCodes = graft.operators.Similarity.pqEncode(em, pqCb, m = 4)
         .localCheckpoint()
       val pqRr = graft.operators.Similarity.pqAdcKnnReranked(emCodes, pqCb,
-          em, em.where(col("vec_id") < 10), m = 4, k = 5, candC = 50)
+          em, em.where(col("vec_id") < 10), m = 4, k = 5)
         .select("query_id", "neighbor_id").intersect(brute).count() / bruteN
-      val ivfPqRr = graft.operators.Similarity.ivfPqKnnReranked(ivfPqIdx,
-          naiveCents, pqCb, em, em.where(col("vec_id") < 10), m = 4, k = 5,
-          candC = 50)
+      // the shipped IVF-PQ operating point (r7): trained coarse + trained
+      // codebooks + exact re-rank at the DEFAULT np8 × C200 — the knee of
+      // the RecallProbe sweep (np1 0.22 either C; np4 0.38/0.42;
+      // np8 0.46/0.60) on this worst-case near-isotropic corpus. The key
+      // carries the dial so the number can't be mistaken for a cheaper
+      // config's.
+      val pqCbT = graft.operators.Similarity
+        .pqTrainCodebooks(em, m = 4, k = 40, iters = 3).localCheckpoint()
+      val idxT = graft.operators.Similarity
+        .ivfPqIndex(em, trained, pqCbT, m = 4).localCheckpoint()
+      val ivfPqRrDefault = graft.operators.Similarity.ivfPqKnnReranked(idxT,
+          trained, pqCbT, em, em.where(col("vec_id") < 10), m = 4, k = 5)
         .select("query_id", "neighbor_id").intersect(brute).count() / bruteN
       // fixture PQ rows on the SPEC's n=600 build: C=50 must cover a
       // cluster's ADC tie set (30 members at n=600; at n=2000 a 100-member
@@ -191,25 +186,29 @@ object Bench {
         fx6.where(col("vec_id") % 50 === 0), m = 4)
       val fx6Codes = graft.operators.Similarity.pqEncode(fx6, fx6Cb, m = 4)
         .localCheckpoint()
-      val fxPqRaw = fx6Recall(graft.operators.Similarity.pqAdcKnn(
-        fx6Codes, fx6Cb, fx6Q, m = 4, k = 5))
       val fx6Cents = graft.operators.Similarity.trainCentroids(fx6, k = 20, iters = 3)
         .localCheckpoint()
       val fx6Idx = graft.operators.Similarity.ivfPqIndex(fx6, fx6Cents, fx6Cb, m = 4)
         .localCheckpoint()
-      val fxIvfPqRaw = fx6Recall(graft.operators.Similarity.ivfPqKnn(
-        fx6Idx, fx6Cents, fx6Cb, fx6Q, m = 4, k = 5))
+      // at the SHIPPED default dial (np8 × C200): C must scale with
+      // nprobe — keeping C=50 while the default nprobe widened to 8 let
+      // more collapsed same-cluster candidates compete for the 50 slots
+      // and recall dipped to 0.96 (measured r7); the default's C=200
+      // covers the probed tie sets and restores 1.00
       val fxIvfPqRr = fx6Recall(graft.operators.Similarity.ivfPqKnnReranked(
-        fx6Idx, fx6Cents, fx6Cb, fx6, fx6Q, m = 4, k = 5, candC = 50))
-      // retired rows (r6, line budget): recall_neardup_np2 / the np1
-      // trained IVF row (dominated dials) and pq_fx_distortion_ratio
-      // (fixture-stable, pinned by SimilaritySpec's distortion test)
+        fx6Idx, fx6Cents, fx6Cb, fx6, fx6Q, m = 4, k = 5))
+      // retired rows (line budget): r6 — recall_neardup_np2, the np1
+      // trained IVF row (dominated dials), pq_fx_distortion_ratio
+      // (SimilaritySpec's distortion test); r7 — the four raw no-re-rank
+      // rows (recall_pq_at5 / recall_ivfpq_at5 / recall_pq_fx_at5 /
+      // recall_ivfpq_fx_at5: rr >= raw is spec-pinned, the deltas live in
+      // SCALE.md), paying for q127-q129 + the cap stg row + the widened
+      // default-operating-point key.
       s""","recall_ivf_at5":${f4(r24)}""" +
         s""","recall_ivf_trained_np4_at5":${f4(recallOf(4))}""" + pairRecall +
         s""","recall_fx_naive_at5":${f4(fxNaive)},"recall_fx_trained_at5":${f4(fxTrained)}""" +
-        s""","recall_pq_at5":${f4(pqRecall)},"recall_ivfpq_at5":${f4(ivfPqRecall)}""" +
-        s""","recall_pq_rr_at5":${f4(pqRr)},"recall_ivfpq_rr_at5":${f4(ivfPqRr)}""" +
-        s""","recall_pq_fx_at5":${f4(fxPqRaw)},"recall_ivfpq_fx_at5":${f4(fxIvfPqRaw)}""" +
+        s""","recall_pq_rr_at5":${f4(pqRr)}""" +
+        s""","recall_ivfpq_rr_np8c200_at5":${f4(ivfPqRrDefault)}""" +
         s""","recall_ivfpq_fx_rr_at5":${f4(fxIvfPqRr)}"""
     } catch { case e: Throwable => System.err.println(s"[bench] recall failed: $e"); "" }
 

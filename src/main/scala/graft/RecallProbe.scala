@@ -82,6 +82,18 @@ object RecallProbe {
     }).mkString(",")
     println(s"""STACK {$stack}""")
 
+    // full-index ADC + re-rank C sweep (no coarse pruning — isolates the
+    // C-vs-tie-set effect from the nprobe ceiling): the pqAdcKnnReranked
+    // candC default is set from this row
+    val emCodes = Similarity.pqEncode(em, pqCb, m = 4).localCheckpoint()
+    val pqStack = Seq(50, 200).map { c =>
+      val r = Similarity.pqAdcKnnReranked(emCodes, pqCb, em,
+          em.where(col("vec_id") < 10), m = 4, k = 5, candC = c)
+        .select("query_id", "neighbor_id").intersect(brute).count() / bruteN
+      s""""c$c":${f4(r)}"""
+    }.mkString(",")
+    println(s"""PQSTACK {$pqStack}""")
+
     // ---- near-dup recall vs nprobe (real embeddings, q23's parameters) ----
     val exact = Similarity.exactNearDupPairs(em, 0.4)
       .select("id_a", "id_b").localCheckpoint()

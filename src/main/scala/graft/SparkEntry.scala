@@ -1455,6 +1455,18 @@ object SparkEntry {
           fpK = FpK, fpW = FpW, maxBucket = Int.MaxValue)
         .withColumnRenamed("id", "doc_id")),
 
+    // The AMORTIZED sparse-span path — the measured winner at scale
+    // (SCALE.md: the stored-fingerprint plan overtakes q120's one-shot
+    // extraction past ~100k docs): the q107 fingerprint table is a
+    // staged frame (`win` stg row, the ingest-time store), so detection
+    // pays only the pair probe + the exact stage on flagged docs. Same
+    // oracle as q62/q120 — exact because fpK+fpW−1 = 11 ≤ 20.
+    "q129_span_sparse_amortized" -> ((s, dir) =>
+      graft.operators.Dedup.duplicatedSpanRangesSparseFromFp(
+          winnowedShared(s, dir), t(s, dir, "documents"), "doc_id", "text",
+          window = SpanWindow, maxBucket = Int.MaxValue)
+        .withColumnRenamed("id", "doc_id")),
+
     // Full CUBE over (event_type, weekday): all four grouping levels in
     // one Expand + one aggregation — q118's rollup generalized to the
     // complete grouping-sets lattice; exact cent sums.
@@ -1484,9 +1496,12 @@ object SparkEntry {
       val em = t(s, dir, "embeddings")
       val cents = em.where(col("vec_id") % 50 === 0)
       val cb = Similarity.pqCodebooks(cents, m = PqM)
+      // nprobe = 1 / C = 50 is the GATE regime (the oracle's rn = 1
+      // assignment), not the shipped default — ivfPqKnnReranked defaults
+      // to the measured np8 × C200 knee (Similarity scaladoc)
       Similarity.ivfPqKnnReranked(Similarity.ivfPqIndex(em, cents, cb, m = PqM),
         cents, cb, em, em.where(col("vec_id") < 10), m = PqM, k = 5,
-        candC = RerankC)
+        nprobe = 1, candC = RerankC)
     }),
 
     // Arbitrary GROUPING SETS — ((lang),(source),()) is NOT a rollup (no
@@ -1557,10 +1572,34 @@ object SparkEntry {
     // row pins exactly WHICH documents ship and where they land.
     "q128_pipeline_membership" -> ((s, dir) =>
       capstoneShared(s, dir)._1.select(col("doc_id"), col("split"))),
+
+    // Corpus-TRAINED BPE tokenizer (Sennrich 2016 shape): the ordered
+    // merge table, trained on the live word-frequency table — one corpus
+    // aggregation + a vocabulary-bounded driver collect + deterministic
+    // merge rounds (count desc, pair lexicographic ties). The DuckDB
+    // oracle re-derives every round independently: unrolled
+    // count-argmax-merge CTEs with the greedy left-to-right non-overlap
+    // rule expressed as gaps-and-islands odd-rank selection.
+    "q130_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      val vocab = graft.functions.Subword.train(t(s, dir, "documents"),
+        "text", numMerges = BpeMerges, maxWords = BpeMaxWords)
+      vocab.merges.zipWithIndex.map { case ((a, b), i) =>
+        (i + 1, a, b, a + b)
+      }.toDF("rank", "a", "b", "merged")
+    }),
   )
 
   /** ADC candidate count for the re-rank gates (q122/q123 and oracles). */
   private val RerankC = 50
+
+  /** BPE training depth / candidate-vocabulary bound for the trained-
+    * tokenizer gate (q130 and its oracle). 12 rounds stay well inside
+    * this corpus's merge capacity at every SF; 10000 words covers the
+    * whole vocabulary (31 distinct tokens), and the top-N cut is
+    * deterministic on both engines anyway (occurrences desc, word asc). */
+  private val BpeMerges = 12
+  private val BpeMaxWords = 10000
 
   /** Hash-bucket count for the DSIR feature table (q89/q90 and oracles). */
   private val FeatBuckets = 4096
@@ -1866,6 +1905,67 @@ object SparkEntry {
        |seqs AS (SELECT shard,
        |  CAST(ceil(CAST(max(start_offset + tokens) AS DOUBLE)/512.0) AS BIGINT) AS s
        |  FROM po GROUP BY shard)""".stripMargin
+  }
+
+  /**
+   * DuckDB re-derivation of [[graft.functions.Subword.train]]'s BPE merge
+   * table (q130): the word-frequency table, then BpeMerges UNROLLED
+   * count-argmax-merge rounds (numMerges is a constant, so unrolling
+   * beats a recursive CTE — each round needs a global argmax over the
+   * working table, which the single-self-reference recursion rule can't
+   * express). Per round r over the segmented words w{r-1}:
+   *   p_r  adjacent-pair counts weighted by word frequency (overlapping
+   *        occurrences counted, the classic BPE census);
+   *   b_r  the merge choice — count desc, pair lexicographic (ASCII
+   *        corpus, so UTF-8 ORDER BY ≡ the Scala tuple order);
+   *   u_r/k_r/v_r/w_r  the greedy LEFT-TO-RIGHT NON-OVERLAPPING apply:
+   *        adjacent match positions chain only when a = b (s[i+1] must
+   *        equal both halves), so gaps-and-islands over match positions +
+   *        keep-odd-rank-in-chain reproduces the sequential scan; a
+   *        position is dropped iff its predecessor was a kept match.
+   * The working tables (wf/w0/b_r/w_r) are AS MATERIALIZED: DuckDB
+   * inlines CTEs by default, and with 2+ references per round the
+   * inlined tree grows EXPONENTIALLY in rounds (the un-materialized
+   * 12-round form tried to open the parquet file thousands of times).
+   */
+  private lazy val bpeMergesSql: String = {
+    val rounds = (1 to BpeMerges).map { r =>
+      val prev = s"w${r - 1}"
+      s"""p$r AS (SELECT s[i] AS a, s[i+1] AS b, CAST(sum(f) AS BIGINT) AS c
+         |  FROM (SELECT syms AS s, f, unnest(range(1, len(syms))) AS i FROM $prev)
+         |  GROUP BY s[i], s[i+1]),
+         |b$r AS MATERIALIZED (SELECT a, b FROM p$r ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+         |u$r AS (SELECT word, f, i, s[i] AS sym,
+         |  CASE WHEN i < len(s) AND s[i] = (SELECT a FROM b$r)
+         |        AND s[i+1] = (SELECT b FROM b$r) THEN 1 ELSE 0 END AS m
+         |  FROM (SELECT word, f, syms AS s,
+         |        unnest(range(1, len(syms)+1)) AS i FROM $prev)),
+         |k$r AS (SELECT word, f, i, sym, m,
+         |  CASE WHEN m = 1 THEN row_number() OVER (PARTITION BY word, grp ORDER BY i)
+         |       ELSE 0 END AS rk
+         |  FROM (SELECT *, CASE WHEN m = 1
+         |          THEN i - row_number() OVER (PARTITION BY word, m ORDER BY i)
+         |          ELSE NULL END AS grp FROM u$r)),
+         |v$r AS (SELECT word, f, i, sym, keep,
+         |  COALESCE(lag(keep) OVER (PARTITION BY word ORDER BY i), false) AS consumed
+         |  FROM (SELECT word, f, i, sym, (m = 1 AND rk % 2 = 1) AS keep FROM k$r)),
+         |w$r AS MATERIALIZED (SELECT word, f,
+         |  list(CASE WHEN keep THEN (SELECT a FROM b$r) || (SELECT b FROM b$r)
+         |       ELSE sym END ORDER BY i) AS syms
+         |  FROM v$r WHERE NOT consumed GROUP BY word, f)""".stripMargin
+    }.mkString(",\n")
+    val table = (1 to BpeMerges).map(r =>
+      s"SELECT CAST($r AS INTEGER) AS rank, a, b, a || b AS merged FROM b$r")
+      .mkString("\n UNION ALL ")
+    s"""WITH wf AS MATERIALIZED (SELECT token AS word, CAST(count(*) AS BIGINT) AS f
+       |  FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents)
+       |  WHERE token <> '' GROUP BY token
+       |  ORDER BY f DESC, word ASC LIMIT $BpeMaxWords),
+       |w0 AS MATERIALIZED (SELECT word, f,
+       |  list_transform(range(1, len(word)+1),
+       |    j -> substr(word, CAST(j AS INTEGER), 1)) AS syms FROM wf),
+       |$rounds
+       |$table""".stripMargin
   }
 
   /** q62's oracle — merged duplicated-span ranges; shared verbatim by
@@ -3424,6 +3524,13 @@ object SparkEntry {
     // fpK+fpW-1 <= window (winnowing guarantee) — q62's oracle gates the
     // two-stage plan unchanged.
     "q120_span_ranges_sparse" -> spanRangesSql,
+
+    // Amortized sparse span dedup (stored fingerprint table): same
+    // exactness argument, same oracle.
+    "q129_span_sparse_amortized" -> spanRangesSql,
+
+    // Corpus-trained BPE merge table, re-derived round by round.
+    "q130_bpe_merges" -> bpeMergesSql,
 
     // Span pairs: the oracle may self-join on the span string (reference
     // semantics — the Spark plan is the single-pass bucket expansion);

@@ -643,20 +643,38 @@ object Similarity {
 
   /** [[pqAdcKnn]] top-`candC` proposals re-scored exactly by [[rerankExact]]
     * — the shippable PQ search. `vectors` is the original float table the
-    * codes were encoded from. */
+    * codes were encoded from. Default candC = 200: C must cover the ADC
+    * tie sets quantization creates (the C-vs-tie-set law, SCALE.md) —
+    * measured on the near-isotropic sf0.1 corpus (RecallProbe PQSTACK,
+    * trained codebooks), recall@5 vs brute force is 0.46 at C = 50 vs
+    * 0.80 at C = 200; the re-rank touches only queries·C candidate rows
+    * either way, so the wider C is cheap. */
   def pqAdcKnnReranked(codes: DataFrame, codebooks: DataFrame, vectors: DataFrame,
                        queries: DataFrame, m: Int, k: Int,
-                       candC: Int = 50): DataFrame = {
+                       candC: Int = 200): DataFrame = {
     require(candC >= k, s"candC ($candC) must be >= k ($k)")
     rerankExact(pqAdcKnn(codes, codebooks, queries, m, candC), vectors, queries, k)
   }
 
   /** [[ivfPqKnn]] top-`candC` proposals re-scored exactly by [[rerankExact]]
     * — the shippable IVF-PQ search (coarse pruning + PQ memory win + exact
-    * final order over C candidates). */
+    * final order over C candidates).
+    *
+    * Defaults = the MEASURED operating point on the worst-case (near-
+    * isotropic) corpus, not the cheapest dial: the r7 sweep over nprobe ∈
+    * {1,4,8} × candC ∈ {50,200} on the sf0.1 embeddings (trained coarse +
+    * trained codebooks + re-rank) gives 0.22/0.22, 0.38/0.42, 0.46/0.60
+    * — coarse pruning is the recall ceiling (C = 200 already recovers the
+    * plain-IVF ceiling at np4: 0.42 both), so the knee is np8 × C200 =
+    * 0.60. On clusterable data the same defaults sit at recall 1.00
+    * (ClusteredFixture, SimilaritySpec). Callers on provably clustered
+    * corpora can lower nprobe; callers needing >0.6 recall on isotropic
+    * data should use [[bruteForceKnn]] — no index helps there (SCALE.md
+    * "ANN recall & data geometry").
+    */
   def ivfPqKnnReranked(index: DataFrame, centroids: DataFrame, codebooks: DataFrame,
                        vectors: DataFrame, queries: DataFrame, m: Int, k: Int,
-                       nprobe: Int = 1, candC: Int = 50): DataFrame = {
+                       nprobe: Int = 8, candC: Int = 200): DataFrame = {
     require(candC >= k, s"candC ($candC) must be >= k ($k)")
     rerankExact(ivfPqKnn(index, centroids, codebooks, queries, m, candC, nprobe),
       vectors, queries, k)
