@@ -103,6 +103,127 @@ class PipelineSpec extends SparkSpec {
     assert(s1 == s2)
   }
 
+  test("streaming admission capstone: ingest-time screens + incremental " +
+    "near-dedup replay to the SAME corpus as CorpusPipeline.run") {
+    // The composed streaming twin of the batch capstone: the corpus
+    // arrives as micro-batches (ascending doc_id — first-arrival-wins
+    // exact dedup equals keepFirst's min-id keeper ONLY under ordered
+    // arrival, which is the replay contract) and each batch runs the
+    // SAME stage chain the batch pipeline runs, against persistent
+    // stores: funnel -> insert-time exact dedup (appendIfAbsent on the
+    // normalized digest) -> incremental minhash candidates (signature
+    // store + append-only pair log) -> static-eval fixpoint span cut ->
+    // bloom-screened contamination drop -> hash split -> admitted log.
+    // Near-dup drop is the one decision that NEEDS the full pair log (a
+    // doc's partner may arrive later; the keeper is the component
+    // minimum), so it applies at reconcile time over the accumulated
+    // candidates — exactly the daily-reconcile shape of a production
+    // ingest pipeline. End state must equal the batch run byte-for-byte.
+    import graft.functions.Text
+    import graft.operators.{Cleaning, Components, Dedup, Sampling}
+    import graft.expressions.BloomExprs
+    import graft.pipeline.CorpusPipeline
+    import graft.streaming.IncrementalDedup
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-stream-capstone").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val eval = docs.where(col("doc_id").isin(5L, 17L, 42L))
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      .localCheckpoint()
+    val stages = Seq(
+      "too_short" -> (col("n_chars") >= 60),
+      "low_alpha" -> (Text.tokenCount(col("text")) >= 10))
+    val splits = Seq("train" -> 8, "val" -> 1, "test" -> 1)
+    val W = 12 // eval-cut window (the q75/q76 regime)
+
+    // ---- the batch truth ----
+    val (batchCorpus, _) = CorpusPipeline.run(docs, eval, "doc_id", "text",
+      stages, evalCutWindow = Some(W))
+
+    // ---- static eval-side artifacts, computed once for the stream ----
+    val evalHashes = Dedup.evalSpanHashes(eval, "doc_id", "text", W)
+      .localCheckpoint()
+    val evalShingles = Dedup.hashedShingles(eval, "doc_id", "text", n = 3)
+      .localCheckpoint()
+    val mBits = BloomExprs.bitsForFpp(
+      evalShingles.select("h").distinct().count(), 0.03)
+    val words = BloomExprs.buildBitmap(evalShingles, "h", mBits)
+
+    // ---- replay: seeded random batch boundaries, ascending id order ----
+    val all = docs.orderBy("doc_id").collect()
+    val rnd = new scala.util.Random(7)
+    val bounds = (0 until all.length).filter(_ => rnd.nextDouble() < 0.01)
+    val batches = (Seq(0) ++ bounds ++ Seq(all.length)).distinct.sorted
+      .sliding(2).map { case Seq(a, b) => all.slice(a, b) }
+      .filter(_.nonEmpty).toSeq
+    val exactStore = s"$root/exact"
+    val sigStore = s"$root/sigs"
+    val candLog = s"$root/cands"
+    val admittedLog = s"$root/admitted"
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val batch = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 2), docs.schema)
+      val cleaned = Cleaning.survivors(batch, stages)
+      // insert-time exact dedup: key = normalized digest; payload order
+      // (doc_id first) makes appendIfAbsent's within-batch winner the
+      // smallest id — together with ordered arrival, ≡ batch keepFirst
+      graft.sources.PartitionedStore.appendIfAbsent(spark,
+        cleaned.select(md5(Text.normalizeForDedup(col("text"))).as("norm_md5"),
+          col("doc_id"), col("text")),
+        exactStore, keys = Seq("norm_md5"), partitionCols = Seq.empty)
+      val admitted = spark.read.parquet(exactStore)
+        .join(batch.select("doc_id"), Seq("doc_id"), "left_semi")
+        .select("doc_id", "text").localCheckpoint()
+      // near-dup candidates vs the corpus-so-far, on the UNCUT text (the
+      // batch pipeline near-dedups BEFORE its eval cut): signature store
+      // + append-only candidate log
+      IncrementalDedup.step(admitted, "doc_id", "text", sigStore, s"b$i")
+        .write.mode("append").parquet(candLog)
+      // ingest-time surgical decontamination (fixpoint vs the static eval
+      // hash set); the stage's casualty rule: a doc the cut EMPTIES drops,
+      // a doc that arrived empty passes through
+      val cut = Dedup.cutEvalFixpointFromHashes(admitted, evalHashes,
+        "doc_id", "text", W, maxRounds = 3)
+      val kept = cut
+        .join(admitted.select(col("doc_id"), col("text").as("__orig")), Seq("doc_id"))
+        .where(col("text") =!= "" || col("__orig") === "").drop("__orig")
+      // contamination drop screen on the CUT text, same bitmap + exact
+      // scorer chain as the batch stage 4
+      val flagged = kept.where(Dedup.bloomScreen(col("text"), 3, words, mBits))
+      val dirty = Dedup.contaminationFromHashed(evalShingles, evalShingles,
+          Dedup.hashedShingles(flagged, "doc_id", "text", n = 3), Int.MaxValue)
+        .where(col("contamination") >= 0.5)
+        .select(col("test_id").as("doc_id"))
+      kept.join(dirty, Seq("doc_id"), "left_anti")
+        .withColumn("split", Sampling.splitColumn(col("doc_id"), splits))
+        .write.mode("append").parquet(admittedLog)
+    }
+
+    // ---- reconcile: the keeper rule over the ACCUMULATED pair log ----
+    // (union of per-batch candidates ≡ one full-corpus LSH run — the
+    // StatefulOpsSpec invariance; verified pairs and components are then
+    // the batch pipeline's own decision code on equal input)
+    val exactDocs = spark.read.parquet(exactStore).select("doc_id", "text")
+    val pairs = Dedup.jaccardVerify(
+      spark.read.parquet(candLog).select("id_a", "id_b").distinct(),
+      exactDocs, "doc_id", "text", n = 3, threshold = 0.5)
+    val losers = Components.dedupGroups(pairs)
+      .where(!col("is_keeper")).select(col("id").as("doc_id"))
+    val streamed = spark.read.parquet(admittedLog)
+      .join(losers, Seq("doc_id"), "left_anti")
+
+    // ---- byte-for-byte end-state parity ----
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "split", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val b = key(batchCorpus)
+    val s = key(streamed)
+    assert(b.nonEmpty, "degenerate fixture: batch corpus is empty")
+    assert(s == b,
+      s"streamed admission diverged: ${(s -- b).size} extra, ${(b -- s).size} missing")
+  }
+
   test("corpus pipeline quality-aware representative keeps the best near-dup, not the smallest id") {
     import graft.pipeline.CorpusPipeline
     import graft.functions.Text
