@@ -1,0 +1,107 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * ON-DISK scaling probe — ScaleProbe's heavy dedup family, but with every
+ * corpus written to and read back from PARQUET and AQE left on, at sizes
+ * far beyond the in-memory probe's 80k ceiling. ScaleProbe answers "does
+ * the operator's growth law hold?"; this answers "does it still hold when
+ * the input is a real table" — scan + decode cost, files.maxPartitionBytes
+ * splitting, AQE coalescing/skew handling, and (for the amortized span
+ * row) a fingerprint STORE that is itself a parquet table, exactly like
+ * IncrementalDedup's signature store.
+ *
+ * Corpora are ScaleProbe's generators (closed 400-word vocabulary, ~60
+ * words/doc; the span rows use the 4%-dirty planted-pair variant, its
+ * design regime) so rows are directly comparable with SCALE.md's
+ * in-memory tables. All operators run at the production cap
+ * (maxBucket = 1000, ScaleProbe's convention).
+ *
+ * Usage: runMain graft.DiskScale [sizes csv, default 500000,1600000,5000000]
+ *        [workdir, default /tmp/graft-diskscale]
+ * Emits one JSON line per size; findings land in SCALE.md ("On-disk
+ * scaling" table).
+ */
+object DiskScale {
+
+  private def writeOnce(df: => DataFrame, spark: SparkSession, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) df.write.parquet(path)
+    spark.read.parquet(path)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sizes = args.headOption.getOrElse("500000,1600000,5000000")
+      .split(",").map(_.trim.toLong)
+    val workdir = args.drop(1).headOption.getOrElse("/tmp/graft-diskscale")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.local(cpus, "graft-diskscale")
+    GraftSession.quietWindowWarnings() // harness tail: aggregated-cardinality windows only
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def time2(f: => Unit): Double = math.min(time(f), time(f))
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def f2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+
+    noop(ScaleProbe.synthDocs(spark, 1000)) // warmup
+
+    sizes.foreach { n =>
+      // clean corpus, 4%-dirty span corpus and fuzzy-name table: parquet
+      // tables, generated once per size, always READ from disk below
+      val docs = writeOnce(ScaleProbe.synthDocs(spark, n), spark, s"$workdir/docs_$n")
+      val pairId = expr("doc_id div 2")
+      val block = concat_ws(" ", transform(sequence(lit(0), lit(23)),
+        j => concat(lit("bp"), pmod(xxhash64(pairId, j), lit(999999)))))
+      val dirty = writeOnce(
+        ScaleProbe.synthDocs(spark, n).withColumn("text",
+          when(pairId % 25 === 0, concat(block, lit(" "), col("text")))
+            .otherwise(col("text"))),
+        spark, s"$workdir/dirty_$n")
+      val names = writeOnce(
+        spark.range(n).select(col("id"),
+          concat(lit("user-"), lpad(col("id").cast("string"), 9, "0")).as("name")),
+        spark, s"$workdir/names_$n")
+
+      // the q18/q117 jaccard family (capped production shape)
+      val tJac = time2(noop(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5, 1000)))
+      val tPfx = time2(noop(
+        Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 3, 0.8, maxBucket = 1000)))
+      // the q62/q120/q129 span family on the dirty corpus
+      val tSpn = time2(noop(
+        Dedup.duplicatedSpanRanges(dirty, "doc_id", "text", window = 20,
+          maxBucket = 1000)))
+      val tSpnSparse = time2(noop(
+        Dedup.duplicatedSpanRangesSparse(dirty, "doc_id", "text", window = 20,
+          fpK = 8, fpW = 13, maxBucket = 1000)))
+      // winnow extraction alone (the stg row / ingest-time store build),
+      // then the amortized detector against the STORED parquet fp table
+      val tWin = time2(noop(
+        Dedup.winnowedFingerprints(dirty, "doc_id", "text", k = 8, w = 13)))
+      val fp = writeOnce(
+        Dedup.winnowedFingerprints(dirty, "doc_id", "text", k = 8, w = 13)
+          .select(col("id"), col("h")).distinct(),
+        spark, s"$workdir/fp_$n")
+      val tSpnAmz = time2(noop(
+        Dedup.duplicatedSpanRangesSparseFromFp(fp, dirty, "doc_id", "text",
+          window = 20, maxBucket = 1000)))
+      // the q92 fuzzy family
+      val tFuz = time2(noop(Dedup.editDistancePairs(names, "id", "name")))
+
+      println(s"""{"n":$n,"jac_capped":${f2(tJac)},"jac_prefix08":${f2(tPfx)},""" +
+        s""""span_ranges":${f2(tSpn)},"span_sparse_w13":${f2(tSpnSparse)},""" +
+        s""""winnow":${f2(tWin)},"span_sparse_amz":${f2(tSpnAmz)},""" +
+        s""""fuzzy_pairs":${f2(tFuz)}}""")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * N-gram language model with Stupid Backoff scoring — the CCNet-style
+ * perplexity screen (Wenzek et al. 2020 filter corpora by KenLM
+ * perplexity; Brants et al. 2007 show Stupid Backoff matches Kneser-Ney
+ * at corpus scale while staying embarrassingly parallel — counts only,
+ * no normalized discounting pass). The reference has no LM modality;
+ * this is the training-data extension surface (SURVEY §2 extensions):
+ * a fluency screen catches machine-garbled text, OCR noise and token
+ * salad that the length/punctuation heuristics (`Text.docQualityScore`)
+ * and the bigram-novelty proxy (q70) cannot separate from merely
+ * unusual-but-fluent text.
+ *
+ * Determinism contract (the repo-wide oracle rule): everything up to
+ * and including the per-token score FRACTION is exact integer
+ * arithmetic — `matched order`, `backoff count`, and the score's
+ * numerator/denominator counts are plain BIGINTs, so the token-grain
+ * frame is engine- and partitioning-independent and hash-gateable.
+ * Only the final per-document log-sum (a float) is engine-local; like
+ * tf-idf's log and PMI's log it is a monotone-per-token transform, and
+ * it is spec-pinned against a plain-Scala twin rather than oracle-gated.
+ *
+ * Scale shape (the 100 TB contract):
+ *  - [[lmCounts]] is one hash aggregation per order with map-side
+ *    combine over the positional n-gram stream (~n× the token stream in,
+ *    vocabulary-sized out) — the classic distributed-LM count job
+ *    (Brants §4 runs exactly this as MapReduce).
+ *  - [[scoreTokens]] is ONE equi-join of the 5-slot candidate stream
+ *    (5 rows per token: trigram, its context, bigram, its context,
+ *    unigram) against the count table, plus one (doc, pos) re-group —
+ *    two shuffles total, independent of the model order, never one join
+ *    per order. The count table shuffles at aggregated (vocabulary)
+ *    cardinality; with `minCount` pruning it broadcasts.
+ *  - Nothing is quadratic, nothing collects: the corpus total rides a
+ *    one-row broadcast; per-doc reductions are keyed aggregations.
+ */
+object NgramLm {
+
+  private def toks(textCol: String): Column = split(col(textCol), " ")
+
+  /**
+   * Count tables for all orders 1..n in one frame: (ord, gram, c).
+   * Positional n-grams WITH multiplicity (`Text.shingles` semantics);
+   * grams of different orders cannot collide (an order-k gram has
+   * exactly k−1 spaces and tokens are space-free by construction).
+   * `minCount` prunes the long tail for a broadcastable model; pruning
+   * is order-consistent (c(prefix) ≥ c(gram), so a surviving gram's
+   * backoff context always survives too — the scorer never sees a
+   * numerator without its denominator).
+   */
+  def lmCounts(docs: DataFrame, textCol: String, n: Int = 3,
+               minCount: Long = 1L): DataFrame = {
+    require(n >= 1, "order must be >= 1")
+    val grams = (1 to n).map { k =>
+      docs.select(explode(graft.functions.Text.shingles(col(textCol), k)).as("gram"))
+        .select(lit(k).as("ord"), col("gram"))
+    }.reduce(_ unionByName _)
+    grams.groupBy("ord", "gram").agg(count(lit(1)).as("c"))
+      .where(col("c") >= minCount)
+  }
+
+  /** One-row corpus totals frame: total token count (the unigram
+    * denominator). */
+  def lmTotals(docs: DataFrame, textCol: String): DataFrame =
+    docs.agg(sum(size(toks(textCol)).cast("long")).as("n_tokens"))
+
+  /**
+   * Token-grain Stupid Backoff lookup — the exact-integer core of the
+   * scorer. One row per corpus token position:
+   * (id, pos, matched_ord, backoffs, c_num, c_den).
+   *
+   * Semantics: position `pos` (0-based) is scored at the highest order
+   * its context allows, `avail = min(n, pos+1)`; the matched order is
+   * the largest k ≤ avail with c(gram_k) > 0 in the (possibly pruned)
+   * table; `backoffs = avail − matched_ord` (so leading tokens pay no
+   * artificial penalty for having a short context — the Brants chain
+   * S(w|short ctx) starts at the order the context supports). The score
+   * fraction is c(gram_k)/c(context_k) for k ≥ 2 and c(w)/N for k = 1;
+   * a token absent from the table entirely (OOV under pruning, or a
+   * never-seen token when scoring a held-out document) takes the
+   * deterministic floor 1/N with matched_ord = 0 and
+   * backoffs = avail − 1 (the unigram step's penalty — there is no
+   * lower order left to charge for).
+   *
+   * The per-token SCORE is then α^backoffs · c_num/c_den (see
+   * [[docLogProb]]); everything in THIS frame is a BIGINT.
+   */
+  def scoreTokens(docs: DataFrame, lm: DataFrame, totals: DataFrame,
+                  idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    require(n == 3, "scoreTokens implements the trigram chain (n = 3)")
+    val withToks = docs.select(col(idCol).as("id"), toks(textCol).as("tk"))
+    // one row per token position, carrying the candidate grams for every
+    // slot of the backoff chain; slice() is 1-based, pos is 0-based
+    val tk = col("tk")
+    def gram(from: Int, len: Int): Column = // from = offset back from pos
+      when(col("pos") >= from, concat_ws(" ", slice(tk, col("pos") - from + 1, lit(len))))
+    val cand = withToks
+      .select(col("id"), tk, posexplode(tk).as(Seq("pos", "w")))
+      .select(col("id"), col("pos"),
+        array(
+          struct(lit("g3").as("slot"), gram(2, 3).as("gram")),
+          struct(lit("b2").as("slot"), gram(2, 2).as("gram")),
+          struct(lit("g2").as("slot"), gram(1, 2).as("gram")),
+          struct(lit("b1").as("slot"), gram(1, 1).as("gram")),
+          struct(lit("g1").as("slot"), col("w").as("gram"))).as("cands"))
+      .select(col("id"), col("pos"), explode(col("cands")).as("cd"))
+      .select(col("id"), col("pos"), col("cd.slot").as("slot"), col("cd.gram").as("gram"))
+      .where(col("gram").isNotNull)
+    val looked = cand
+      .join(lm.select(col("gram"), col("c")), Seq("gram"), "left")
+      .groupBy("id", "pos")
+      .agg(
+        max(when(col("slot") === "g3", col("c"))).as("c3"),
+        max(when(col("slot") === "b2", col("c"))).as("b2"),
+        max(when(col("slot") === "g2", col("c"))).as("c2"),
+        max(when(col("slot") === "b1", col("c"))).as("b1"),
+        max(when(col("slot") === "g1", col("c"))).as("c1"))
+    val avail = least(lit(n).cast("long"), col("pos") + 1L)
+    looked.crossJoin(broadcast(totals))
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        when(col("c3").isNotNull, 3L)
+          .when(col("c2").isNotNull, 2L)
+          .when(col("c1").isNotNull, 1L)
+          .otherwise(0L).as("matched_ord"),
+        (avail -
+          when(col("c3").isNotNull, 3L)
+            .when(col("c2").isNotNull, 2L)
+            .when(col("c1").isNotNull, 1L)
+            .otherwise(1L)).as("backoffs"),
+        coalesce(col("c3"), col("c2"), col("c1"), lit(1L)).as("c_num"),
+        when(col("c3").isNotNull, col("b2"))
+          .when(col("c2").isNotNull, col("b1"))
+          .otherwise(col("n_tokens")).as("c_den"))
+  }
+
+  /**
+   * Per-document backoff census — the integer filter-grain artifact: how
+   * much of each document the LM actually recognizes at each order. A
+   * document whose mass sits at matched_ord ≤ 1 is token salad to this
+   * model regardless of its float score.
+   */
+  def backoffCensus(scored: DataFrame): DataFrame =
+    scored.groupBy("id")
+      .agg(count(lit(1)).as("scored_tokens"),
+        sum(when(col("matched_ord") === 3, 1L).otherwise(0L)).as("o3"),
+        sum(when(col("matched_ord") === 2, 1L).otherwise(0L)).as("o2"),
+        sum(when(col("matched_ord") === 1, 1L).otherwise(0L)).as("o1"),
+        sum(when(col("matched_ord") === 0, 1L).otherwise(0L)).as("oov"),
+        sum(col("backoffs")).as("total_backoffs"))
+
+  /**
+   * Per-document mean log-probability and perplexity (floats — the
+   * engine-local tier; spec-pinned against a plain-Scala twin, not
+   * oracle-gated). score(token) = α^backoffs · c_num/c_den;
+   * logprob = Σ ln(score) / n_scored; ppl = exp(−logprob). One keyed
+   * aggregation over the integer token frame.
+   */
+  def docLogProb(scored: DataFrame, alpha: Double = 0.4): DataFrame =
+    scored.groupBy("id")
+      .agg(count(lit(1)).as("scored_tokens"),
+        sum(
+          col("backoffs").cast("double") * math.log(alpha) +
+            log(col("c_num").cast("double") / col("c_den").cast("double")))
+          .as("logprob_sum"))
+      .select(col("id"), col("scored_tokens"),
+        (col("logprob_sum") / col("scored_tokens").cast("double")).as("mean_logprob"),
+        exp(-col("logprob_sum") / col("scored_tokens").cast("double")).as("ppl"))
+
+  /**
+   * CCNet-style perplexity band filter: rank documents by perplexity and
+   * keep the fraction band [keepFrom, keepTo) — CCNet keeps the head and
+   * middle terciles and drops the tail. Rank ties (identical ppl) break
+   * on id, so the kept set is deterministic on any partitioning. The
+   * ranking is one global sort at document cardinality (ids + one double
+   * — not text); at the 100 TB tier the same band cut is a quantile
+   * threshold from `approx_percentile` instead of a full rank, which
+   * this method switches to above `exactRankLimit` documents.
+   */
+  def pplBandFilter(docs: DataFrame, scored: DataFrame, idCol: String,
+                    keepFrom: Double, keepTo: Double, alpha: Double = 0.4,
+                    exactRankLimit: Long = 10000000L): DataFrame = {
+    val ppl = docLogProb(scored, alpha).select(col("id"), col("ppl"))
+    val total = ppl.count()
+    val kept =
+      if (total <= exactRankLimit) {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.orderBy(col("ppl").asc, col("id").asc)
+        // document-cardinality ids+scores only; above exactRankLimit the
+        // quantile path below avoids the single-partition rank entirely
+        ppl.withColumn("rk", row_number().over(w) - 1L)
+          .where(col("rk") >= math.floor(keepFrom * total).toLong &&
+            col("rk") < math.floor(keepTo * total).toLong)
+          .select("id")
+      } else {
+        val Array(lo, hi) = ppl.stat.approxQuantile("ppl", Array(keepFrom, keepTo), 0.001)
+        ppl.where(col("ppl") >= lo && col("ppl") < hi).select("id")
+      }
+    docs.join(kept.withColumnRenamed("id", idCol), Seq(idCol), "leftsemi")
+  }
+}
