@@ -49,6 +49,18 @@ import org.apache.spark.sql.functions._
  *                              the corpus side) → exact
  *                              crossSetContamination ≥ threshold drops
  *                              — judging the EDITED text when 3c ran
+ *   4a. LM fluency screen      (optional, `lmBandKeep`) — the CCNet-style
+ *                              perplexity band (Wenzek 2020): a Stupid
+ *                              Backoff trigram model trains on the clean
+ *                              decontaminated corpus (or `lmTrainDocs`, a
+ *                              reference corpus — CCNet trains on
+ *                              Wikipedia), every doc is scored, and only
+ *                              the [from,to) perplexity band ships —
+ *                              catches machine-garbled text and token
+ *                              salad the length/punctuation funnel cannot
+ *                              see; runs AFTER dedup/decontamination so
+ *                              the model never trains on text later
+ *                              stages would remove
  *   4b. token-budget sample    (optional, `tokenBudgetDocs`) —
  *                              Sampling.ppsSample ∝ token count over the
  *                              clean decontaminated corpus (budget is
@@ -99,7 +111,9 @@ object CorpusPipeline {
       selfRepeatEditedDocs: Long = 0L,
       afterSelfRepeatCut: Long = 0L,
       markupEditedDocs: Long = 0L,
-      afterBudget: Long = 0L)
+      afterBudget: Long = 0L,
+      lmFiltered: Long = 0L,
+      afterLmFilter: Long = 0L)
 
   /**
    * Shared iterated-cut loop for stages 2b and 3c: per round, `detect`
@@ -161,6 +175,10 @@ object CorpusPipeline {
           stratifySeed: Long = 0L,
           nearDupRepScore: Option[Column] = None,
           stripMarkupFirst: Boolean = false,
+          lmBandKeep: Option[(Double, Double)] = None,
+          lmMinCount: Long = 2L,
+          lmAlpha: Double = 0.4,
+          lmTrainDocs: Option[DataFrame] = None,
           tokenBudgetDocs: Option[Long] = None,
           budgetSeed: Long = 0L,
           emitJsonlPath: Option[String] = None): (DataFrame, Report) = {
@@ -323,14 +341,36 @@ object CorpusPipeline {
       .select(col("test_id").as(idCol))
     val screened = decut.join(dirty, Seq(idCol), "left_anti")
 
+    // 4a (optional): LM fluency screen — train the Stupid Backoff trigram
+    // model (on the screened corpus itself, or `lmTrainDocs` when a
+    // trusted reference corpus is available), score every surviving doc,
+    // keep the [from,to) perplexity band. Runs AFTER dedup and
+    // decontamination (the CCNet order) so duplicated or leaked text
+    // never inflates its own n-gram counts; BEFORE the budget sample so
+    // budget is never spent on disfluent docs.
+    val (lmKept, nScreenCensus, nLmKept) = lmBandKeep match {
+      case None => (screened, -1L, -1L)
+      case Some((from, to)) =>
+        val base = screened.localCheckpoint() // census + scoring + band join
+        val nb = base.count()
+        val trainDocs = lmTrainDocs.getOrElse(base)
+        val scoredToks = graft.operators.NgramLm.scoreTokens(base,
+          graft.operators.NgramLm.lmCounts(trainDocs, textCol, n = 3, lmMinCount),
+          graft.operators.NgramLm.lmTotals(trainDocs, textCol), idCol, textCol)
+        val kept = graft.operators.NgramLm
+          .pplBandFilter(base, scoredToks, idCol, from, to, lmAlpha)
+          .localCheckpoint()
+        (kept, nb, kept.count())
+    }
+
     // 4b (optional): token-budget downsample — PPS sampling ∝ token count
     // over the CLEAN, decontaminated corpus (sampling earlier would spend
     // budget on docs later stages drop). Exact-integer inclusion
     // (Sampling.ppsSample) keeps the kept-set reproducible anywhere.
-    val (corpusBase, nScreened, nBudget) = tokenBudgetDocs match {
-      case None => (screened, -1L, -1L)
+    val (corpusBase, nPreBudget, nBudget) = tokenBudgetDocs match {
+      case None => (lmKept, -1L, -1L)
       case Some(target) =>
-        val base = screened.localCheckpoint() // census + sample + join
+        val base = lmKept.localCheckpoint() // census + sample + join
         val picked = Sampling.ppsSample(base.select(col(idCol), col(textCol)),
             idCol, Text.tokenCount(col(textCol)), target, budgetSeed)
           .select(col(idCol))
@@ -383,11 +423,15 @@ object CorpusPipeline {
     emitJsonlPath.foreach(p => graft.operators.Layout.writeJsonl(
       corpus, p, idCol, Seq(idCol, "split", textCol), packShards))
 
+    // stage-4 screen drops, measured on the post-cut text: whenever a
+    // downstream optional stage runs (LM band, budget), the screen census
+    // is explicit so those drops are never misattributed to contamination
+    val nAfterScreen =
+      if (nScreenCensus >= 0) nScreenCensus
+      else if (nPreBudget >= 0) nPreBudget
+      else nCorpus
     (corpus, Report(input, nCleaned, nExact, nNear,
-      // stage-4 screen drops, measured on the post-cut text; with a
-      // budget stage the screen census is explicit (nScreened) so budget
-      // drops are never misattributed to contamination
-      contaminated = if (nScreened >= 0) nDecut - nScreened else nDecut - nCorpus,
+      contaminated = nDecut - nAfterScreen,
       corpus = nCorpus, splitCounts = splitCounts, trainSequences = nSeqs,
       afterSemanticDedup = nSem, sentenceChunks = nChunks,
       emittedShards = emitted.map(_.shards.size).getOrElse(0),
@@ -396,7 +440,9 @@ object CorpusPipeline {
       lineEditedDocs = nLineEdited, afterLineDedup = nLined,
       selfRepeatEditedDocs = nSelfEdited, afterSelfRepeatCut = nDestut,
       markupEditedDocs = nMarkupEdited,
-      afterBudget = if (nBudget >= 0) nBudget else 0L))
+      afterBudget = if (nBudget >= 0) nBudget else 0L,
+      lmFiltered = if (nLmKept >= 0) nScreenCensus - nLmKept else 0L,
+      afterLmFilter = if (nLmKept >= 0) nLmKept else 0L))
   }
 
   /**

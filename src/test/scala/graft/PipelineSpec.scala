@@ -447,6 +447,36 @@ class PipelineSpec extends SparkSpec {
     assert(back.exceptAll(c).isEmpty && c.exceptAll(back).isEmpty)
   }
 
+  test("corpus pipeline LM fluency band: the stage IS pplBandFilter over the screened corpus") {
+    import graft.pipeline.CorpusPipeline
+    import graft.operators.NgramLm
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val noEval = docs.where(lit(false)).select(col("doc_id"), col("text"))
+    val stages = Seq("nonempty" -> (length(col("text")) > 0))
+    // baseline: no LM stage — its corpus is exactly the screened set the
+    // LM stage trains on and filters
+    val (base, r0) = CorpusPipeline.run(docs, noEval, "doc_id", "text", stages)
+    // LM band [0, 0.8): drop the worst-perplexity fifth
+    val (kept, r1) = CorpusPipeline.run(docs, noEval, "doc_id", "text", stages,
+      lmBandKeep = Some((0.0, 0.8)))
+    assert(r1.afterLmFilter == math.floor(0.8 * r0.corpus).toLong)
+    assert(r1.lmFiltered == r0.corpus - r1.afterLmFilter)
+    assert(r1.corpus == r1.afterLmFilter)
+    // with an empty eval set the LM drops must not read as contamination
+    assert(r1.contaminated == 0)
+    // stage ≡ operator: the kept ids are pplBandFilter's over the
+    // baseline corpus with the same self-trained model
+    val screened = base.select("doc_id", "text")
+    val sc = NgramLm.scoreTokens(screened,
+      NgramLm.lmCounts(screened, "text", n = 3, minCount = 2L),
+      NgramLm.lmTotals(screened, "text"), "doc_id", "text")
+    val direct = NgramLm.pplBandFilter(screened, sc, "doc_id", 0.0, 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == direct)
+  }
+
   test("trainingStream: release + epoch-ordered train order ship together") {
     import graft.pipeline.CorpusPipeline
     import graft.operators.Sampling
