@@ -1633,6 +1633,26 @@ object SparkEntry {
             graft.operators.NgramLm.lmTotals(t(s, dir, "documents"), "text"),
             "doc_id", "text"))
         .withColumnRenamed("id", "doc_id")),
+
+    // Gopher rule-based quality screen (Rae 2021 A1.1): per document,
+    // all seven named rule flags plus the conjunction — drops are
+    // attributable to a rule, unlike a blended score. Every threshold is
+    // exact-integer arithmetic (10·symbols < words, never a float ratio)
+    // so the flags are engine-independent at the boundary. Zero-shuffle
+    // narrow projection; the same rules plug into CorpusPipeline's stage
+    // funnel via Quality.gopherStages. The stop-word marker list is the
+    // per-language knob localized to THIS corpus's vocabulary
+    // (Text.Stopwords — only "the" from the canonical English list
+    // occurs here; QualitySpec pins the canonical list on an English
+    // fixture).
+    "q133_gopher_flags" -> ((s, dir) => {
+      val flags = graft.functions.Quality.gopherFlags(col("text"), Text.Stopwords)
+      t(s, dir, "documents").select(
+        col("doc_id") +:
+          flags.map { case (n, c) => c.cast("int").as(n) } :+
+          graft.functions.Quality.gopherKeep(col("text"), Text.Stopwords)
+            .cast("int").as("kept"): _*)
+    }),
   )
 
   /** ADC candidate count for the re-rank gates (q122/q123 and oracles). */
@@ -3643,6 +3663,46 @@ object SparkEntry {
          | CAST(sum(CASE WHEN matched_ord = 0 THEN 1 ELSE 0 END) AS BIGINT) AS oov,
          | CAST(sum(backoffs) AS BIGINT) AS total_backoffs
          |FROM sc GROUP BY doc_id""".stripMargin,
+
+    // Gopher rule flags: identical exact-integer threshold arithmetic;
+    // substring counts via the same replace-length trick.
+    "q133_gopher_flags" ->
+      """WITH gq AS (
+        | SELECT doc_id,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS wc,
+        |  CAST(list_sum(list_transform(string_split(text,' '), w -> length(w))) AS BIGINT) AS tot,
+        |  CAST(length(text) - length(replace(text,'#','')) AS BIGINT)
+        |   + CAST((length(text) - length(replace(text,'...',''))) // 3 AS BIGINT) AS sym,
+        |  CAST(len(list_filter(string_split(text, chr(10)),
+        |        l -> starts_with(l,'- ') OR starts_with(l,'• '))) AS BIGINT) AS bl,
+        |  CAST(len(list_filter(string_split(text, chr(10)),
+        |        l -> ends_with(l,'...'))) AS BIGINT) AS el,
+        |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS nl,
+        |  CAST(len(list_filter(string_split(text,' '),
+        |        w -> regexp_matches(w,'[A-Za-z]'))) AS BIGINT) AS aw,
+        |  CAST((CASE WHEN list_contains(string_split(text,' '),'the') THEN 1 ELSE 0 END)
+        |   + (CASE WHEN list_contains(string_split(text,' '),'a') THEN 1 ELSE 0 END)
+        |   + (CASE WHEN list_contains(string_split(text,' '),'of') THEN 1 ELSE 0 END)
+        |   + (CASE WHEN list_contains(string_split(text,' '),'and') THEN 1 ELSE 0 END)
+        |   + (CASE WHEN list_contains(string_split(text,' '),'to') THEN 1 ELSE 0 END) AS BIGINT) AS sw
+        | FROM documents),
+        |gf AS (
+        | SELECT doc_id,
+        |  (wc BETWEEN 50 AND 100000) AS f1,
+        |  (3*wc <= tot AND tot <= 10*wc) AS f2,
+        |  (10*sym < wc) AS f3,
+        |  (10*bl < 9*nl) AS f4,
+        |  (10*el < 3*nl) AS f5,
+        |  (5*aw >= 4*wc) AS f6,
+        |  (sw >= 2) AS f7
+        | FROM gq)
+        |SELECT doc_id,
+        | CAST(f1 AS INT) AS r_word_count, CAST(f2 AS INT) AS r_word_len,
+        | CAST(f3 AS INT) AS r_symbol_ratio, CAST(f4 AS INT) AS r_bullet_lines,
+        | CAST(f5 AS INT) AS r_ellipsis_lines, CAST(f6 AS INT) AS r_alpha_words,
+        | CAST(f7 AS INT) AS r_stop_words,
+        | CAST(f1 AND f2 AND f3 AND f4 AND f5 AND f6 AND f7 AS INT) AS kept
+        |FROM gf""".stripMargin,
 
     // Span pairs: the oracle may self-join on the span string (reference
     // semantics — the Spark plan is the single-pass bucket expansion);
