@@ -1653,6 +1653,35 @@ object SparkEntry {
           graft.functions.Quality.gopherKeep(col("text"), Text.Stopwords)
             .cast("int").as("kept"): _*)
     }),
+
+    // Gopher repetition screens (Rae 2021 A1.2): the full 13-metric
+    // battery as exact-integer character masses — duplicate line /
+    // paragraph fractions and char masses, top-{2,3,4}-gram char mass
+    // (ties on count → largest mass), duplicated-{5..10}-gram coverage
+    // (position mask: overlapping occurrences counted once). The n-gram
+    // inner loop is ONE compiled pass per document per n
+    // (expressions.NgramRepetition — hash-map count + mask, inside
+    // whole-stage codegen); denominators ride along so `kept` is a pure
+    // cross-multiplication at the canonical thresholds. Zero-shuffle
+    // scan-speed projection, like q133.
+    "q134_repetition_screens" -> ((s, dir) => {
+      import graft.functions.Quality
+      val txt = col("text")
+      val (dl, tl, dlc, tlc) = Quality.dupSegmentStats(txt, "\n")
+      val (dp, tp, dpc, tpc) = Quality.dupSegmentStats(txt, "\n\n")
+      t(s, dir, "documents").select(
+        Seq(col("doc_id"),
+          dl.as("dup_lines"), tl.as("total_lines"),
+          dlc.as("dup_line_chars"), tlc.as("total_line_chars"),
+          dp.as("dup_paras"), tp.as("total_paras"),
+          dpc.as("dup_para_chars"), tpc.as("total_para_chars"),
+          Quality.topNgramChars(txt, 2).as("top2_chars"),
+          Quality.topNgramChars(txt, 3).as("top3_chars"),
+          Quality.topNgramChars(txt, 4).as("top4_chars")) ++
+          (5 to 10).map(n => Quality.dupNgramChars(txt, n).as(s"dup${n}_chars")) ++
+          Seq(Quality.nonSpaceChars(txt).as("total_chars"),
+            Quality.repetitionKeep(txt).cast("int").as("kept")): _*)
+    }),
   )
 
   /** ADC candidate count for the re-rank gates (q122/q123 and oracles). */
@@ -3703,6 +3732,106 @@ object SparkEntry {
         | CAST(f7 AS INT) AS r_stop_words,
         | CAST(f1 AND f2 AND f3 AND f4 AND f5 AND f6 AND f7 AS INT) AS kept
         |FROM gf""".stripMargin,
+
+    // Repetition screens: the oracle rebuilds every metric from first
+    // principles — window counts over an exploded (doc, n, shingle
+    // position) grid, top n-gram via max-count-then-max-mass, coverage
+    // via DISTINCT covered positions joined to token lengths (the mask
+    // semantics), line/paragraph repeats via row_number > 1.
+    "q134_repetition_screens" ->
+      """WITH tk AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |toklen AS (
+        | SELECT doc_id, j, length(ws[j]) AS tl
+        | FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS j FROM tk)),
+        |ns AS (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n),
+        |sh AS (
+        | SELECT doc_id, n, i, array_to_string(ws[i:i+n-1], ' ') AS g,
+        |   CAST(length(array_to_string(ws[i:i+n-1], ' ')) - (n-1) AS BIGINT) AS gmass
+        | FROM (SELECT doc_id, ws, n, unnest(generate_series(1, len(ws)-n+1)) AS i
+        |       FROM tk CROSS JOIN ns WHERE len(ws) >= n)),
+        |shc AS (SELECT *, count(*) OVER (PARTITION BY doc_id, n, g) AS c FROM sh),
+        |topw AS (
+        | SELECT doc_id,
+        |  max(CASE WHEN n=2 THEN top_chars END) AS top2_chars,
+        |  max(CASE WHEN n=3 THEN top_chars END) AS top3_chars,
+        |  max(CASE WHEN n=4 THEN top_chars END) AS top4_chars
+        | FROM (
+        |  SELECT doc_id, n, CAST(mc * max(CASE WHEN c = mc THEN gmass END) AS BIGINT) AS top_chars
+        |  FROM (SELECT *, max(c) OVER (PARTITION BY doc_id, n) AS mc FROM shc)
+        |  WHERE n <= 4 GROUP BY doc_id, n, mc)
+        | GROUP BY doc_id),
+        |cov AS (
+        | SELECT DISTINCT doc_id, n, j FROM (
+        |  SELECT doc_id, n, unnest(generate_series(i, i+n-1)) AS j
+        |  FROM shc WHERE c >= 2 AND n >= 5)),
+        |dupw AS (
+        | SELECT doc_id,
+        |  max(CASE WHEN n=5 THEN dup_chars END) AS dup5_chars,
+        |  max(CASE WHEN n=6 THEN dup_chars END) AS dup6_chars,
+        |  max(CASE WHEN n=7 THEN dup_chars END) AS dup7_chars,
+        |  max(CASE WHEN n=8 THEN dup_chars END) AS dup8_chars,
+        |  max(CASE WHEN n=9 THEN dup_chars END) AS dup9_chars,
+        |  max(CASE WHEN n=10 THEN dup_chars END) AS dup10_chars
+        | FROM (
+        |  SELECT cov.doc_id, cov.n, CAST(sum(tl) AS BIGINT) AS dup_chars
+        |  FROM cov JOIN toklen ON cov.doc_id = toklen.doc_id AND cov.j = toklen.j
+        |  GROUP BY cov.doc_id, cov.n)
+        | GROUP BY doc_id),
+        |lrep AS (
+        | SELECT doc_id,
+        |  CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS dup_lines,
+        |  CAST(count(*) AS BIGINT) AS total_lines,
+        |  CAST(coalesce(sum(length(s)) FILTER (WHERE rn > 1), 0) AS BIGINT) AS dup_line_chars,
+        |  CAST(sum(length(s)) AS BIGINT) AS total_line_chars
+        | FROM (SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id, s ORDER BY i) AS rn
+        |       FROM (SELECT doc_id, i, ls[i] AS s
+        |             FROM (SELECT doc_id, string_split(text, chr(10)) AS ls,
+        |                     unnest(generate_series(1, len(string_split(text, chr(10))))) AS i
+        |                   FROM documents)))
+        | GROUP BY doc_id),
+        |prep AS (
+        | SELECT doc_id,
+        |  CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS dup_paras,
+        |  CAST(count(*) AS BIGINT) AS total_paras,
+        |  CAST(coalesce(sum(length(s)) FILTER (WHERE rn > 1), 0) AS BIGINT) AS dup_para_chars,
+        |  CAST(sum(length(s)) AS BIGINT) AS total_para_chars
+        | FROM (SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id, s ORDER BY i) AS rn
+        |       FROM (SELECT doc_id, i, ls[i] AS s
+        |             FROM (SELECT doc_id, string_split(text, chr(10)||chr(10)) AS ls,
+        |                     unnest(generate_series(1, len(string_split(text, chr(10)||chr(10))))) AS i
+        |                   FROM documents)))
+        | GROUP BY doc_id),
+        |wide AS (
+        | SELECT d.doc_id,
+        |  lrep.dup_lines, lrep.total_lines, lrep.dup_line_chars, lrep.total_line_chars,
+        |  prep.dup_paras, prep.total_paras, prep.dup_para_chars, prep.total_para_chars,
+        |  coalesce(topw.top2_chars, 0) AS top2_chars,
+        |  coalesce(topw.top3_chars, 0) AS top3_chars,
+        |  coalesce(topw.top4_chars, 0) AS top4_chars,
+        |  coalesce(dupw.dup5_chars, 0) AS dup5_chars,
+        |  coalesce(dupw.dup6_chars, 0) AS dup6_chars,
+        |  coalesce(dupw.dup7_chars, 0) AS dup7_chars,
+        |  coalesce(dupw.dup8_chars, 0) AS dup8_chars,
+        |  coalesce(dupw.dup9_chars, 0) AS dup9_chars,
+        |  coalesce(dupw.dup10_chars, 0) AS dup10_chars,
+        |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS total_chars
+        | FROM documents d
+        | LEFT JOIN lrep ON d.doc_id = lrep.doc_id
+        | LEFT JOIN prep ON d.doc_id = prep.doc_id
+        | LEFT JOIN topw ON d.doc_id = topw.doc_id
+        | LEFT JOIN dupw ON d.doc_id = dupw.doc_id)
+        |SELECT *, CAST(
+        |  (total_lines = 0 OR 10*dup_lines <= 3*total_lines) AND
+        |  (total_paras = 0 OR 10*dup_paras <= 3*total_paras) AND
+        |  (total_line_chars = 0 OR 5*dup_line_chars <= total_line_chars) AND
+        |  (total_para_chars = 0 OR 5*dup_para_chars <= total_para_chars) AND
+        |  (total_chars = 0 OR (5*top2_chars <= total_chars AND
+        |   50*top3_chars <= 9*total_chars AND 25*top4_chars <= 4*total_chars AND
+        |   20*dup5_chars <= 3*total_chars AND 50*dup6_chars <= 7*total_chars AND
+        |   100*dup7_chars <= 13*total_chars AND 25*dup8_chars <= 3*total_chars AND
+        |   100*dup9_chars <= 11*total_chars AND 10*dup10_chars <= total_chars))
+        |  AS INT) AS kept
+        |FROM wide""".stripMargin,
 
     // Span pairs: the oracle may self-join on the span string (reference
     // semantics — the Spark plan is the single-pass bucket expansion);

@@ -124,4 +124,103 @@ object Quality {
   def gopherStages(textCol: String,
                    stopwords: Seq[String] = GopherStopwords): Seq[(String, Column)] =
     gopherFlags(col(textCol), stopwords)
+
+  // ---- Gopher repetition screens (Rae 2021 A1.2) ----------------------
+  //
+  // All metrics are emitted as EXACT-INTEGER (numerator, denominator)
+  // character masses, never float fractions, so the threshold compare
+  // thrDen·num ≤ thrNum·den is engine-independent at the boundary.
+  // N-gram masses count token characters only (spaces excluded; the
+  // denominator is [[nonSpaceChars]]); line/paragraph masses count the
+  // segment's own characters (intra-segment spaces included; the
+  // denominator is the segments' total mass).
+
+  /** Token-character denominator for the n-gram family. */
+  def nonSpaceChars(text: Column): Column =
+    length(replace(text, lit(" "), lit(""))).cast("long")
+
+  /** Occurrences × mass of the most frequent word n-gram (ties on count
+    * → largest mass). Numerator of Gopher's "top n-gram character
+    * fraction" (n = 2, 3, 4); one compiled pass per document. */
+  def topNgramChars(text: Column, n: Int): Column =
+    element_at(graft.expressions.NgramRepetition.column(text, n), 1)
+
+  /** Token-character mass covered by n-grams occurring ≥ 2 times in the
+    * document, overlapping occurrences counted once (position mask).
+    * Numerator of Gopher's "duplicated n-gram character fraction"
+    * (n = 5..10). */
+  def dupNgramChars(text: Column, n: Int): Column =
+    element_at(graft.expressions.NgramRepetition.column(text, n), 2)
+
+  /** Duplicate-segment statistics over `sep`-delimited segments (lines or
+    * paragraphs): (repeat_segments, total_segments, repeat_chars,
+    * total_chars), where a repeat is any occurrence AFTER the first
+    * identical segment (so repeat_segments = total − distinct). Pure
+    * per-row array expressions — segments per document are tens, not
+    * thousands, so the O(L²) prefix scan is irrelevant next to the scan. */
+  def dupSegmentStats(text: Column, sep: String): (Column, Column, Column, Column) = {
+    val segs = split(text, java.util.regex.Pattern.quote(sep))
+    val total = size(segs).cast("long")
+    val repeats = (size(segs) - size(array_distinct(segs))).cast("long")
+    val repeatChars = aggregate(
+      transform(segs, (x, i) =>
+        when(array_position(slice(segs, lit(1), i), x) > 0,
+          length(x).cast("long")).otherwise(0L)),
+      lit(0L), (acc, v) => acc + v)
+    val totalChars = aggregate(segs, lit(0L), (acc, x) => acc + length(x))
+    (repeats, total, repeatChars, totalChars)
+  }
+
+  /** Canonical Gopher repetition thresholds, as exact rationals
+    * (metricName → (thrNum, thrDen)): drop when num/den > thr, i.e. keep
+    * iff thrDen·num ≤ thrNum·den. */
+  val RepetitionThresholds: Seq[(String, (Int, Int))] = Seq(
+    "dup_line_frac" -> (3 -> 10), // 0.30
+    "dup_para_frac" -> (3 -> 10), // 0.30
+    "dup_line_chars" -> (1 -> 5), // 0.20
+    "dup_para_chars" -> (1 -> 5), // 0.20
+    "top2_chars" -> (1 -> 5), // 0.20
+    "top3_chars" -> (9 -> 50), // 0.18
+    "top4_chars" -> (4 -> 25), // 0.16
+    "dup5_chars" -> (3 -> 20), // 0.15
+    "dup6_chars" -> (7 -> 50), // 0.14
+    "dup7_chars" -> (13 -> 100), // 0.13
+    "dup8_chars" -> (3 -> 25), // 0.12
+    "dup9_chars" -> (11 -> 100), // 0.11
+    "dup10_chars" -> (1 -> 10)) // 0.10
+
+  /** keep iff num/den ≤ thrNum/thrDen, exact cross-multiplication;
+    * an empty denominator (no segments / no tokens) passes. */
+  private def withinThreshold(num: Column, den: Column, thr: (Int, Int)): Column =
+    (den === 0L) || (lit(thr._2.toLong) * num <= lit(thr._1.toLong) * den)
+
+  /** All thirteen repetition metrics as (name, numerator, denominator)
+    * integer columns — the census/gate grain. */
+  def repetitionMetrics(text: Column): Seq[(String, Column, Column)] = {
+    val (dl, tl, dlc, tlc) = dupSegmentStats(text, "\n")
+    val (dp, tp, dpc, tpc) = dupSegmentStats(text, "\n\n")
+    val tot = nonSpaceChars(text)
+    Seq(
+      ("dup_line_frac", dl, tl), ("dup_para_frac", dp, tp),
+      ("dup_line_chars", dlc, tlc), ("dup_para_chars", dpc, tpc),
+      ("top2_chars", topNgramChars(text, 2), tot),
+      ("top3_chars", topNgramChars(text, 3), tot),
+      ("top4_chars", topNgramChars(text, 4), tot)) ++
+      (5 to 10).map(n => (s"dup${n}_chars", dupNgramChars(text, n), tot))
+  }
+
+  /** The thirteen repetition rules as named keep-flags at the canonical
+    * thresholds — funnel stages, like [[gopherStages]]. */
+  def repetitionFlags(text: Column): Seq[(String, Column)] = {
+    val thr = RepetitionThresholds.toMap
+    repetitionMetrics(text).map { case (name, num, den) =>
+      s"r_$name" -> withinThreshold(num, den, thr(name))
+    }
+  }
+
+  def repetitionKeep(text: Column): Column =
+    repetitionFlags(text).map(_._2).reduce(_ && _)
+
+  def repetitionStages(textCol: String): Seq[(String, Column)] =
+    repetitionFlags(col(textCol))
 }

@@ -845,6 +845,14 @@ object Dedup {
    * fetched by two id-joins at the end. `maxBucket` caps degenerate
    * buckets (e.g. millions of equal strings) exactly like the
    * stop-shingle cap; within-cap exactness is unchanged.
+   *
+   * The two string-fetch joins are pinned to SHUFFLE hash joins: their
+   * corpus side is a raw parquet scan, and columnar compression makes
+   * the planner's size estimate low enough to elect a broadcast of the
+   * whole string table — the on-disk probe hit driver maxResultSize at
+   * 1.6M rows exactly this way. The candidate side is pair-sized, so the
+   * id-hash shuffle it pins is bounded by the corpus's key column, never
+   * by the planner's guess.
    */
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
                         maxBucket: Int = 10000): DataFrame = {
@@ -864,6 +872,7 @@ object Dedup {
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
     val strs = df.select(col(idCol).as("id"), col(strCol).as("__str"))
+      .hint("shuffle_hash")
     cand
       .join(strs.withColumnsRenamed(Map("id" -> "id_a", "__str" -> "__sa")), Seq("id_a"))
       .join(strs.withColumnsRenamed(Map("id" -> "id_b", "__str" -> "__sb")), Seq("id_b"))

@@ -84,6 +84,79 @@ class QualitySpec extends SparkSpec {
     assert(flag("der hund und die katze", Quality.ruleStopWords(_, Seq("der", "und", "die"))))
   }
 
+  private def rep(text: String, n: Int): (Long, Long) = {
+    val r = Seq(Tuple1(text)).toDF("text")
+      .select(graft.expressions.NgramRepetition.column(col("text"), n).as("r"))
+      .collect()(0).getSeq[Long](0)
+    (r(0), r(1))
+  }
+
+  test("NgramRepetition: top n-gram = occurrences × mass, ties on count break to larger mass") {
+    // "qq w" ×2 (mass 3) vs "e rrr" ×2 (mass 4): tied count → mass 4 wins
+    val (top, _) = rep("qq w qq w e rrr e rrr t", 2)
+    assert(top == 2L * 4L)
+    // unique max-count gram: "c d" ×2 beats the heavier count-1 "aaaa b"
+    assert(rep("aaaa b c d c d", 2)._1 == 2L * 2L)
+    // a count-1 most-common gram still contributes its own mass
+    assert(rep("aa bb cc", 2)._1 == 1L * 4L)
+    // fewer tokens than n → zeros
+    assert(rep("a b", 5) == (0L, 0L))
+  }
+
+  test("NgramRepetition: duplicated coverage is a position MASK — overlaps count once") {
+    // the 6-token run repeats; dup 5-grams overlap but the mask covers
+    // each of the 12 single-char tokens exactly once (count×len would say 20)
+    val (_, dup) = rep("a b c d e f a b c d e f", 5)
+    assert(dup == 12L)
+    // no 5-gram repeats → zero coverage
+    assert(rep("a b c d e f g h i j", 5)._2 == 0L)
+    // dup 2-grams in an alternating run cover everything
+    assert(rep("a b a b a b", 2)._2 == 6L)
+  }
+
+  test("dupSegmentStats: repeats are occurrences after the first identical segment") {
+    val (dl, tl, dlc, tlc) = Quality.dupSegmentStats(col("text"), "\n")
+    val got = Seq(Tuple1("xx\nyyy\nxx\nz\nxx")).toDF("text")
+      .select(dl.as("a"), tl.as("b"), dlc.as("c"), tlc.as("d"))
+      .collect()(0)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3))
+      == ((2L, 5L, 4L, 10L))) // "xx" thrice → 2 repeats of 2 chars each
+    // paragraphs split on the double separator only
+    val (dp, tp, _, _) = Quality.dupSegmentStats(col("text"), "\n\n")
+    val p = Seq(Tuple1("para one\n\npara two\n\npara one")).toDF("text")
+      .select(dp.as("a"), tp.as("b")).collect()(0)
+    assert((p.getLong(0), p.getLong(1)) == ((1L, 3L)))
+  }
+
+  test("repetition thresholds: exact boundary at dup_line_frac 0.30 and top2 0.20") {
+    def flags(text: String): Map[String, Boolean] =
+      Seq(Tuple1(text)).toDF("text")
+        .select(Quality.repetitionFlags(col("text"))
+          .map { case (n, c) => c.as(n) }: _*)
+        .collect()(0).getValuesMap[Boolean](
+          Quality.repetitionFlags(col("text")).map(_._1))
+    // 3 repeats in 10 lines: 30 ≤ 30 — exactly 0.30 keeps; 4 drops.
+    // Repeated lines are longer than 1/5 of the mass, so the char rule
+    // (strict 0.20 on 10 distinct-heavy lines) diverges from the frac
+    // rule only past its own boundary — use distinct fillers.
+    val fill = (1 to 6).map(i => s"unique-line-$i")
+    val ok = (Seq.fill(4)("dup") ++ fill).mkString("\n")         // 3 repeats/10
+    val bad = (Seq.fill(5)("dup") ++ fill.take(5)).mkString("\n") // 4 repeats/10
+    assert(flags(ok)("r_dup_line_frac"))
+    assert(!flags(bad)("r_dup_line_frac"))
+    // top2: "a b" ×5 in 20 single-char tokens → mass 10/20 > 0.2 drops;
+    // all-distinct tokens keep it
+    val rep20 = (Seq.fill(5)(Seq("a", "b")).flatten ++
+      ('c' to 'l').map(_.toString)).mkString(" ")
+    assert(!flags(rep20)("r_top2_chars"))
+    assert(flags(('a' to 't').map(_.toString).mkString(" "))("r_top2_chars"))
+    // repetitionKeep is the conjunction
+    val keep = Seq(Tuple1(ok)).toDF("text")
+      .select(Quality.repetitionKeep(col("text")).as("k")).collect()(0).getBoolean(0)
+    assert(keep == Quality.repetitionFlags(col("text")).map(_._1)
+      .forall(flags(ok)))
+  }
+
   test("gopherKeep is the conjunction and the funnel attributes drops to the FIRST failing rule") {
     val docs = Seq(
       (1L, ("the quick brown fox jumps over a lazy dog and then runs to the hills " * 4).trim),
