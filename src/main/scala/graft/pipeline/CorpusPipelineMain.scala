@@ -23,9 +23,14 @@ object CorpusPipelineMain {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val eval = docs.where(col("doc_id") % 20 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    // corpus-local thresholds first, then the Gopher rule + repetition
+    // screens (per-rule attributable drops in the funnel report; the
+    // stop-word marker list localized to this corpus's vocabulary)
     val stages = Seq(
       "too_short" -> (col("n_chars") >= 60),
-      "too_few_tokens" -> (Text.tokenCount(col("text")) >= 10))
+      "too_few_tokens" -> (Text.tokenCount(col("text")) >= 10)) ++
+      graft.functions.Quality.gopherStages("text", Text.Stopwords) ++
+      graft.functions.Quality.repetitionStages("text")
 
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id").as("doc_id"), col("embedding"))
