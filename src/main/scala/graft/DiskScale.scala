@@ -14,11 +14,14 @@ import org.apache.spark.sql.functions._
  * row) a fingerprint STORE that is itself a parquet table, exactly like
  * IncrementalDedup's signature store.
  *
- * Corpora are ScaleProbe's generators (closed 400-word vocabulary, ~60
- * words/doc; the span rows use the 4%-dirty planted-pair variant, its
- * design regime) so rows are directly comparable with SCALE.md's
- * in-memory tables. All operators run at the production cap
- * (maxBucket = 1000, ScaleProbe's convention).
+ * Corpora are ScaleProbe's generators (~60 words/doc; the span rows use
+ * the 4%-dirty planted-pair variant, its design regime) so rows are
+ * directly comparable with SCALE.md's in-memory tables — EXCEPT the
+ * jaccard family, which runs on a Heaps-scaled corpus (vocab ∝ ∛n): the
+ * closed 400-word vocabulary keeps 3-gram bucket occupancy ∝ n/V³, which
+ * crosses 1 before 1.6M docs and turns pair expansion into an all-pairs
+ * degeneracy no real growing corpus has. All operators run at the
+ * production cap (maxBucket = 1000, ScaleProbe's convention).
  *
  * Usage: runMain graft.DiskScale [sizes csv, default 500000,1600000,5000000]
  *        [workdir, default /tmp/graft-diskscale]
@@ -56,7 +59,17 @@ object DiskScale {
 
     sizes.foreach { n =>
       // clean corpus, 4%-dirty span corpus and fuzzy-name table: parquet
-      // tables, generated once per size, always READ from disk below
+      // tables, generated once per size, always READ from disk below.
+      // The jaccard family runs on a HEAPS-SCALED corpus (vocab ∝ ∛n,
+      // anchored at the in-memory probe's 400 words / 80k docs) so
+      // 3-gram bucket occupancy stays constant across sizes — with the
+      // fixed vocabulary it grows as n/V³ and crosses 1 before 1.6M
+      // docs, after which pair expansion measures corpus degeneracy
+      // (the 5M run spilled ~50 GB of all-pairs candidates), not the
+      // operator. See ScaleProbe.synthDocs(vocab) and SCALE.md.
+      val vocabH = math.max(400L, math.round(400.0 * math.cbrt(n / 80000.0)))
+      val docsH = writeOnce(ScaleProbe.synthDocs(spark, n, vocabH), spark,
+        s"$workdir/docsh_$n")
       val docs = writeOnce(ScaleProbe.synthDocs(spark, n), spark, s"$workdir/docs_$n")
       val pairId = expr("doc_id div 2")
       val block = concat_ws(" ", transform(sequence(lit(0), lit(23)),
@@ -71,11 +84,13 @@ object DiskScale {
           concat(lit("user-"), lpad(col("id").cast("string"), 9, "0")).as("name")),
         spark, s"$workdir/names_$n")
 
-      // the q18/q117 jaccard family (capped production shape)
+      // the q18/q117 jaccard family (capped production shape), on the
+      // Heaps-scaled corpus — constant bucket occupancy isolates the
+      // operator's growth from the closed-vocab degeneracy
       val tJac = time2(noop(
-        Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5, 1000)))
+        Dedup.ngramJaccardPairs(docsH, "doc_id", "text", 3, 0.5, 1000)))
       val tPfx = time2(noop(
-        Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 3, 0.8, maxBucket = 1000)))
+        Dedup.jaccardPairsPrefix(docsH, "doc_id", "text", 3, 0.8, maxBucket = 1000)))
       // the q62/q120/q129 span family on the dirty corpus
       val tSpn = time2(noop(
         Dedup.duplicatedSpanRanges(dirty, "doc_id", "text", window = 20,
@@ -97,7 +112,7 @@ object DiskScale {
       // the q92 fuzzy family
       val tFuz = time2(noop(Dedup.editDistancePairs(names, "id", "name")))
 
-      println(s"""{"n":$n,"jac_capped":${f2(tJac)},"jac_prefix08":${f2(tPfx)},""" +
+      println(s"""{"n":$n,"jac_vocab":$vocabH,"jac_capped":${f2(tJac)},"jac_prefix08":${f2(tPfx)},""" +
         s""""span_ranges":${f2(tSpn)},"span_sparse_w13":${f2(tSpnSparse)},""" +
         s""""winnow":${f2(tWin)},"span_sparse_amz":${f2(tSpnAmz)},""" +
         s""""fuzzy_pairs":${f2(tFuz)}}""")

@@ -20,9 +20,21 @@ object ScaleProbe {
 
   /** N pseudo-documents of ~60 words drawn from a closed vocabulary by a
     * hash mix — word w of doc d is fully determined by (d, w). */
-  def synthDocs(spark: SparkSession, n: Long): DataFrame = {
+  def synthDocs(spark: SparkSession, n: Long): DataFrame =
+    synthDocs(spark, n, Vocab)
+
+  /** [[synthDocs]] with an explicit vocabulary size. The in-memory probe
+    * always uses the fixed 400-word vocabulary; DiskScale additionally
+    * generates Heaps-scaled corpora (vocab ∝ ∛n) for the shingle-bucket
+    * family, because with a FIXED vocabulary expected 3-gram bucket
+    * occupancy grows as n/V³ — it crosses 1 between 500k and 1.6M docs,
+    * after which candidate-pair expansion measures corpus degeneracy
+    * (every doc pair shares shingles), not the operator. Cube-root
+    * scaling holds occupancy constant across sizes, the statistical
+    * shape a real growing corpus has. */
+  def synthDocs(spark: SparkSession, n: Long, vocab: Long): DataFrame = {
     val words = transform(sequence(lit(0), lit(59)),
-      i => concat(lit("w"), pmod(xxhash64(col("id"), i), lit(Vocab))))
+      i => concat(lit("w"), pmod(xxhash64(col("id"), i), lit(vocab))))
     spark.range(n).select(col("id").as("doc_id"),
       concat_ws(" ", words).as("text"))
   }
