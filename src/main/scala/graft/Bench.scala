@@ -242,9 +242,11 @@ object Bench {
     spark.stop()
     // PRIMARY channel: a file — stdout passes through sbt, whose [info]/log
     // prefixing has broken machine-parsing two rounds running. The file is
-    // written with plain java.nio, immune to any logging wrapper.
+    // written with plain java.nio, immune to any logging wrapper — and has
+    // no length budget, so it ALWAYS carries the full line (stg included);
+    // only the stdout courtesy copy is tail-window-budgeted.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $out failed: $e") }
     // courtesy copy on stdout (after stop() so shutdown logging, which goes
     // to stderr, cannot interleave)
