@@ -455,4 +455,69 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  /** Independent JVM twin of expressions.NgramRepetition: Map-based
+    * counting over sliding token windows + an explicit coverage mask —
+    * no shared code with the expression's hash-map pass. */
+  private def repetitionTwin(toks: IndexedSeq[String], n: Int): (Long, Long) = {
+    if (toks.length < n) return (0L, 0L)
+    val grams = (0 to toks.length - n).map(i => toks.slice(i, i + n))
+    val counts = grams.groupBy(identity).view.mapValues(_.size).toMap
+    val withMass = grams.map(g => (counts(g), g.map(_.length.toLong).sum))
+    val (mc, _) = withMass.maxBy(_._1)
+    val topMass = withMass.filter(_._1 == mc).map(_._2).max
+    val covered = Array.fill(toks.length)(false)
+    grams.zipWithIndex.foreach { case (g, i) =>
+      if (counts(g) >= 2) (i until i + n).foreach(covered(_) = true)
+    }
+    val dup = toks.indices.collect { case j if covered(j) => toks(j).length.toLong }.sum
+    (mc.toLong * topMass, dup)
+  }
+
+  test("property: NgramRepetition equals the from-scratch Map+mask twin " +
+    "on 200 random small-alphabet documents at n in {2, 3, 5}") {
+    // small alphabet + short words force frequent repeats, overlapping
+    // duplicate windows, and count ties with distinct masses — the three
+    // regimes where the compiled pass could silently diverge
+    val rnd = new scala.util.Random(47)
+    val words = Vector("a", "bb", "ccc", "d", "ee")
+    val docs = (1 to 200).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(40))(words(rnd.nextInt(words.size))).mkString(" "))
+    }
+    Seq(2, 3, 5).foreach { n =>
+      val got = docs.toDF("id", "text")
+        .select(col("id"), graft.expressions.NgramRepetition.column(col("text"), n).as("r"))
+        .collect().map(r => r.getLong(0) -> {
+          val s = r.getSeq[Long](1); (s(0), s(1))
+        }).toMap
+      docs.foreach { case (id, text) =>
+        val want = repetitionTwin(text.split(" ", -1).toIndexedSeq, n)
+        assert(got(id) == want, s"n=$n id=$id text='$text'")
+      }
+    }
+  }
+
+  test("property: dupSegmentStats repeat counts and masses equal the " +
+    "first-occurrence scan on 150 random line multisets") {
+    val rnd = new scala.util.Random(53)
+    val lines = Vector("x", "yy", "zzz", "ww")
+    val docs = (1 to 150).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(12))(lines(rnd.nextInt(lines.size))).mkString("\n"))
+    }
+    val (dl, tl, dlc, tlc) = graft.functions.Quality.dupSegmentStats(col("text"), "\n")
+    val got = docs.toDF("id", "text")
+      .select(col("id"), dl.as("a"), tl.as("b"), dlc.as("c"), tlc.as("d"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    docs.foreach { case (id, text) =>
+      val segs = text.split("\n", -1).toSeq
+      val seen = scala.collection.mutable.Set[String]()
+      var repeats = 0L; var repeatChars = 0L
+      segs.foreach { s =>
+        if (!seen.add(s)) { repeats += 1; repeatChars += s.length }
+      }
+      val want = (repeats, segs.size.toLong, repeatChars, segs.map(_.length.toLong).sum)
+      assert(got(id) == want, s"id=$id text='${text.replace("\n", "|")}'")
+    }
+  }
 }
