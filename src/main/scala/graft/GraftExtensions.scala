@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{CosineSimilarity, DotProduct, DotProductFD, WordShingles}
+import graft.expressions.{CosineSimilarity, DotProduct, DotProductFD, NgramRepetition, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -52,6 +52,17 @@ object GraftExtensions {
             s"graft_shingles n must be an integer literal, got $other")
         }
         WordShingles(args.head, n)
+      }),
+    ("graft_ngram_repetition",
+      new ExpressionInfo(classOf[NgramRepetition].getName, "graft_ngram_repetition"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_ngram_repetition(text, n) -> [top_chars, dup_covered_chars]")
+        val n = args(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_ngram_repetition n must be an integer literal, got $other")
+        }
+        NgramRepetition(args.head, n)
       }))
 
   /** Register into an already-running session (notebooks, tests). */

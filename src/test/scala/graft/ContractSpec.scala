@@ -34,10 +34,12 @@ class ContractSpec extends SparkSpec {
       """SELECT graft_cosine(array(1.0f, 0.0f), array(1.0f, 0.0f)) AS c,
         |       graft_dot(array(1.0f, 2.0f), array(3.0f, 4.0f)) AS d,
         |       graft_dot_fd(array(1.0f, 2.0f), array(3.0d, 4.0d)) AS dfd,
-        |       graft_shingles('a b c d', 3) AS s""".stripMargin).head()
+        |       graft_shingles('a b c d', 3) AS s,
+        |       graft_ngram_repetition('a b a b', 2) AS rep""".stripMargin).head()
     assert(r.getDouble(0) == 1.0)
     assert(r.getDouble(1) == 11.0)
     assert(r.getAs[Double]("dfd") == 11.0)
     assert(r.getSeq[String](3) == Seq("a b c", "b c d"))
+    assert(r.getSeq[Long](4) == Seq(4L, 4L)) // "a b" ×2 · mass 2; all 4 chars covered
   }
 }
