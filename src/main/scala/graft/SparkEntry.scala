@@ -1682,6 +1682,19 @@ object SparkEntry {
           Seq(Quality.nonSpaceChars(txt).as("total_chars"),
             Quality.repetitionKeep(txt).cast("int").as("kept")): _*)
     }),
+
+    // Corpus-scale subword ENCODE (completes the tokenizer pipeline:
+    // q130 trains the merges, this gate applies them — the document's
+    // full unit sequence, table words expanding to their compiled
+    // segments, OOV words to per-character units, the same fallback q69
+    // charges). Vocabulary trained from the q69 constants so the oracle
+    // can inline the identical word→segments table. The segment table
+    // rides the expression as a literal map (plan-embedded broadcast);
+    // zero-shuffle scan-speed projection.
+    "q135_subword_encode" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        posexplode(graft.functions.Subword.unitsColumn(col("text"), SubwordGateVocab))
+          .as(Seq("pos", "unit")))),
   )
 
   /** ADC candidate count for the re-rank gates (q122/q123 and oracles). */
@@ -3410,6 +3423,26 @@ object SparkEntry {
          | CAST(floor((CAST(start_offset AS DOUBLE)+tokens-1.0)/256.0) AS BIGINT)
          |  - CAST(floor(CAST(start_offset AS DOUBLE)/256.0) AS BIGINT) + 1 AS spans_packs
          |FROM o""".stripMargin
+    },
+
+    "q135_subword_encode" -> {
+      val values = SubwordGateVocab.wordSegments.toSeq.sortBy(_._1)
+        .map { case (w, u) => s"('$w', '${u.mkString("|")}')" }.mkString(", ")
+      s"""WITH v(word, segs) AS (VALUES $values),
+         |tok AS (
+         | SELECT doc_id, i, ws[i] AS word
+         | FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+         |       FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents))),
+         |seg AS (
+         | SELECT tok.doc_id, tok.i,
+         |  CASE WHEN v.segs IS NULL THEN string_split(tok.word, '')
+         |       ELSE string_split(v.segs, '|') END AS units
+         | FROM tok LEFT JOIN v ON tok.word = v.word),
+         |u AS (SELECT doc_id, i, unnest(generate_series(1, len(units))) AS j, units FROM seg)
+         |SELECT doc_id,
+         | CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i, j) - 1 AS INT) AS pos,
+         | units[j] AS unit
+         |FROM u""".stripMargin
     },
 
     "q45_class_balanced_sample" -> {

@@ -31,10 +31,17 @@ import org.apache.spark.sql.functions._
  */
 object Subword {
 
-  /** Trained vocabulary: the ordered merge list (the tokenizer itself) and
-    * the word → unit-count table its training words compile to. */
-  final case class Vocab(merges: Seq[(String, String)], wordUnits: Map[String, Int]) {
+  /** Trained vocabulary: the ordered merge list (the tokenizer itself),
+    * the word → unit-count table its training words compile to, and the
+    * word → segment table (the compiled encodings themselves). The
+    * fallback for words outside the table is per-character units — the
+    * no-merges-known floor, so `unitCount` is always `units.size`. */
+  final case class Vocab(merges: Seq[(String, String)],
+                         wordUnits: Map[String, Int],
+                         wordSegments: Map[String, Seq[String]] = Map.empty) {
     def unitCount(word: String): Int = wordUnits.getOrElse(word, word.length)
+    def units(word: String): Seq[String] =
+      wordSegments.getOrElse(word, word.map(_.toString))
   }
 
   /** Apply the learned merges to one word — the real BPE segmenter (used
@@ -117,7 +124,8 @@ object Subword {
       }
     }
     val ms = merges.result()
-    Vocab(ms, wordFreq.map { case (w, _) => w -> segment(w, ms).size }.toMap)
+    val segs = wordFreq.map { case (w, _) => w -> (segment(w, ms): Seq[String]) }.toMap
+    Vocab(ms, segs.map { case (w, u) => w -> u.size }, segs)
   }
 
   /** Tokenizer-faithful token count as a pure Column: fold over the
@@ -141,4 +149,36 @@ object Subword {
   def countScala(text: String, vocab: Vocab): Long =
     if (text == null) 0L
     else text.split(" ", -1).map(w => vocab.unitCount(w).toLong).sum
+
+  /**
+   * Corpus-scale ENCODE: the document's full subword unit sequence as a
+   * pure Column — table words expand to their compiled segments,
+   * out-of-vocabulary words fall back to per-character units (the same
+   * fallback [[countColumn]] charges for, so `size(unitsColumn) ≡
+   * countColumn` by construction; SubwordSpec pins it). Segmentation is
+   * lossless: concatenating a word's units rebuilds the word.
+   *
+   * 100 TB shape: the segment table is vocabulary-cardinality and rides
+   * the expression as a literal map (the plan-embedded broadcast form,
+   * like countColumn's table); the encode is a zero-shuffle narrow
+   * projection at scan speed. Null text encodes to the empty sequence.
+   */
+  def unitsColumn(textCol: Column, vocab: Vocab): Column = {
+    val table = typedLit(vocab.wordSegments)
+    // the empty-unit filter keeps the size ≡ countColumn contract on
+    // EMPTY tokens: split("", "") is [""] in Spark while the count
+    // charges length 0 — and no legitimate unit is ever empty (segments
+    // and characters are non-empty by construction)
+    coalesce(
+      filter(
+        flatten(transform(Text.tokens(textCol),
+          t => coalesce(element_at(table, t), split(t, "")))),
+        u => length(u) > 0),
+      typedLit(Seq.empty[String]))
+  }
+
+  /** Plain-Scala twin of [[unitsColumn]]. */
+  def unitsScala(text: String, vocab: Vocab): Seq[String] =
+    if (text == null) Seq.empty
+    else text.split(" ", -1).toSeq.flatMap(w => vocab.units(w))
 }

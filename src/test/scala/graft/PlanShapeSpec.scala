@@ -25,7 +25,8 @@ class PlanShapeSpec extends SparkSpec {
     Seq("q11_weather_enrichment", "q12_alert_filter", "q14_doc_token_stats",
       "q15_doc_quality_langid", "q17_doc_fingerprint", "q27_media_metadata",
       "q28_frame_sample", "q29_media_features", "q34_rp_lsh_signatures",
-      "q133_gopher_flags", "q134_repetition_screens").foreach { q =>
+      "q133_gopher_flags", "q134_repetition_screens",
+      "q135_subword_encode").foreach { q =>
       withClue(q)(assert(!plan(q).contains("Exchange hashpartitioning")))
     }
   }

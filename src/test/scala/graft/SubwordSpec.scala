@@ -67,6 +67,34 @@ class SubwordSpec extends SparkSpec {
     assert(Subword.countScala("ab  ab", vocab) == 2L)
   }
 
+  test("encode: unitsColumn equals the Scala twin, size equals countColumn, " +
+    "and segmentation is lossless") {
+    val vocab = Subword.trainFromFrequencies(
+      Seq("aaab" -> 3L, "aab" -> 2L, "the" -> 5L), numMerges = 3)
+    val docs = Seq(
+      (1L, "aaab the aab"),
+      (2L, "zzz aaab"), // OOV word falls back to characters
+      (3L, ""),
+      (4L, "the the the")).toDF("doc_id", "text")
+    val rows = docs.select(col("doc_id"),
+      Subword.unitsColumn(col("text"), vocab).as("u"),
+      Subword.countColumn(col("text"), vocab).as("c"),
+      col("text")).collect()
+    rows.foreach { r =>
+      val units = r.getSeq[String](1)
+      // twin parity
+      assert(units == Subword.unitsScala(r.getString(3), vocab), s"doc ${r.getLong(0)}")
+      // the count contract IS the encode's length
+      assert(units.size.toLong == r.getLong(2))
+      // lossless: concatenated units rebuild the text minus spaces
+      assert(units.mkString == r.getString(3).replace(" ", ""))
+    }
+    // null text → empty sequence
+    val n = Seq((5L, null: String)).toDF("doc_id", "text")
+      .select(Subword.unitsColumn(col("text"), vocab).as("u")).head()
+    assert(n.getSeq[String](0).isEmpty)
+  }
+
   test("packing consumes subword budgets via the tokenCount column (opt-in)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val vocab = Subword.train(docs, "text", numMerges = 100, maxWords = 1000)
