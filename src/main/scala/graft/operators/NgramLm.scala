@@ -201,4 +201,40 @@ object NgramLm {
       }
     docs.join(kept.withColumnRenamed("id", idCol), Seq(idCol), "leftsemi")
   }
+
+  /**
+   * Fixed-threshold fluency screen — the STREAMABLE form of the band
+   * filter: keep documents with ppl < `maxPpl` under a FROZEN model
+   * (`lm`/`totals` from a calibration corpus). The band filter ranks the
+   * whole corpus, which an admission stream cannot do; freezing the
+   * model and threshold at calibration time makes the decision a pure
+   * per-document function, so batch and streaming replays agree exactly
+   * (the ingest-screen contract, like the eval-passage cut). Calibrate
+   * `maxPpl` with [[pplQuantile]] over the calibration corpus.
+   */
+  def pplThresholdFilter(docs: DataFrame, lm: DataFrame, totals: DataFrame,
+                         idCol: String, textCol: String, maxPpl: Double,
+                         alpha: Double = 0.4): DataFrame = {
+    val kept = docLogProb(scoreTokens(docs, lm, totals, idCol, textCol), alpha)
+      .where(col("ppl") < maxPpl)
+      .select(col("id").as(idCol))
+    docs.join(kept, Seq(idCol), "leftsemi")
+  }
+
+  /** Calibration helper: the perplexity at fraction `q` of a corpus
+    * under its own (or a reference) model — the threshold
+    * [[pplThresholdFilter]] freezes. Exact rank at this cardinality
+    * (calibration corpora are samples, not the stream). */
+  def pplQuantile(docs: DataFrame, lm: DataFrame, totals: DataFrame,
+                  idCol: String, textCol: String, q: Double,
+                  alpha: Double = 0.4): Double = {
+    val ppl = docLogProb(scoreTokens(docs, lm, totals, idCol, textCol), alpha)
+      .select(col("ppl"), col("id"))
+    val total = ppl.count()
+    val k = math.min(total - 1, math.floor(q * total).toLong)
+    import org.apache.spark.sql.expressions.Window
+    ppl.withColumn("rk", row_number().over(
+        Window.orderBy(col("ppl").asc, col("id").asc)) - 1L)
+      .where(col("rk") === k).select("ppl").head().getDouble(0)
+  }
 }

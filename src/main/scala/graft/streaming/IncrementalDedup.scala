@@ -250,6 +250,30 @@ object IncrementalDedup {
       }
       .start()
 
+  /** Ingest-time LM fluency screen — the streaming form of the CCNet
+    * band (stage 4a): per micro-batch, admit documents whose perplexity
+    * under a FROZEN calibration model clears the FROZEN threshold
+    * (`NgramLm.pplThresholdFilter`). The decision is a pure per-document
+    * function of the frozen state — no store, no rank over the stream —
+    * so batch and streaming replays agree exactly (StatefulOpsSpec pins
+    * the parity). Calibrate with `NgramLm.pplQuantile`; the band filter
+    * itself is NOT streamable (it ranks the whole corpus). */
+  def attachLmScreen(docs: DataFrame, lm: DataFrame, totals: DataFrame,
+                     idCol: String, textCol: String, maxPpl: Double,
+                     outPath: String, checkpointPath: String,
+                     alpha: Double = 0.4): StreamingQuery = {
+    val lmFrozen = lm.localCheckpoint() // static for the stream's lifetime
+    val totFrozen = totals.localCheckpoint()
+    docs.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.NgramLm.pplThresholdFilter(batch, lmFrozen, totFrozen,
+            idCol, textCol, maxPpl, alpha)
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+  }
+
   /**
    * Ingest-time LINE-frequency screen — the streaming twin of
    * `Cleaning.dropFrequentLines` under the crawl-admission contract:

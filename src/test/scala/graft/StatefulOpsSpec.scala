@@ -368,6 +368,35 @@ class StatefulOpsSpec extends SparkSpec {
     // (no train×train interaction) — that is WHY this screen is stateless
   }
 
+  test("streaming LM screen equals the batch threshold filter under the frozen model") {
+    import graft.operators.NgramLm
+    import graft.streaming.IncrementalDedup
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-lmstream").toString
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).where(col("doc_id") < 200)
+    // calibration corpus: the first half; model and threshold FROZEN there
+    val calib = all.where(col("doc_id") < 100)
+    val lm = NgramLm.lmCounts(calib, "text", n = 3, minCount = 2L).localCheckpoint()
+    val tot = NgramLm.lmTotals(calib, "text").localCheckpoint()
+    val maxPpl = NgramLm.pplQuantile(calib, lm, tot, "doc_id", "text", q = 0.8)
+    val rows = all.collect().map(r => (r.getLong(0), r.getString(1)))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = IncrementalDedup.attachLmScreen(input.toDS().toDF("doc_id", "text"),
+      lm, tot, "doc_id", "text", maxPpl, s"$root/out", s"$root/ckpt")
+    rows.grouped(60).foreach { day => input.addData(day.toSeq); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.read.parquet(s"$root/out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val batch = NgramLm.pplThresholdFilter(all, lm, tot, "doc_id", "text", maxPpl)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batch)
+    // the screen really screens: some of the second half is dropped, some
+    // admitted (the frozen threshold came from the first half's 0.8
+    // quantile, so ~20% of in-distribution docs fall past it)
+    assert(batch.nonEmpty && batch.size < rows.length)
+  }
+
   test("streaming line screen equals the batch operator over the corpus-so-far") {
     import graft.operators.Cleaning
     import graft.streaming.IncrementalDedup
