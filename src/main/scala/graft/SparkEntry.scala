@@ -244,13 +244,15 @@ object SparkEntry {
 
   /**
    * The composed CorpusPipeline run gated by q127/q128 — ONE fixed,
-   * oracle-expressible configuration (the mandatory path: clean →
-   * normalized exact dedup → minhash near-dedup → bloom-screened
-   * decontamination → 8/1/1 hash split → 4-shard packing; optional
-   * stages off so the DuckDB recomposition stays tractable), run once
-   * per (session, sf-dir) and shared by the census and membership gates
-   * — exactly how a production run fans its Report and its corpus frame
-   * out to different consumers. Train pool / eval set reuse q52's mod-10
+   * oracle-expressible configuration (the mandatory path: clean (token
+   * bar + the q133 Gopher rules + the q134 repetition screens — all
+   * exact-integer, so the funnel is oracle-recomposable) → normalized
+   * exact dedup → minhash near-dedup → bloom-screened decontamination →
+   * 8/1/1 hash split → 4-shard packing; other optional stages off so
+   * the DuckDB recomposition stays tractable), run once per (session,
+   * sf-dir) and shared by the census and membership gates — exactly how
+   * a production run fans its Report and its corpus frame out to
+   * different consumers. Train pool / eval set reuse q52's mod-10
    * convention. `run` is eager (its Report counts execute inside), so
    * the memo holds finished results, not lineage.
    */
@@ -266,7 +268,9 @@ object SparkEntry {
         docs.where(col("doc_id") % 10 === 0),
         "doc_id", "text",
         stages = Seq("min_tokens" ->
-          (Text.tokenCount(col("text")) >= CapMinTokens)))
+          (Text.tokenCount(col("text")) >= CapMinTokens)) ++
+          graft.functions.Quality.gopherStages("text", Text.Stopwords) ++
+          graft.functions.Quality.repetitionStages("text"))
     })
   }
 
@@ -1935,18 +1939,174 @@ object SparkEntry {
   }
 
   /**
+   * Gopher A1.1 rule CTE chain over `src`(doc_id, text): `${p}gq` →
+   * `${p}gf` carrying boolean flags f1..f7 per doc — the q133
+   * formulation (exact-integer thresholds, stop-word markers localized
+   * to this corpus's vocabulary). Shared by the q133 oracle (src =
+   * documents, no prefix) and the capstone funnel (src = pool, "c").
+   */
+  private def gopherCtes(src: String, p: String): String =
+    s"""${p}gq AS (
+       | SELECT doc_id,
+       |  CAST(len(string_split(text,' ')) AS BIGINT) AS wc,
+       |  CAST(list_sum(list_transform(string_split(text,' '), w -> length(w))) AS BIGINT) AS tot,
+       |  CAST(length(text) - length(replace(text,'#','')) AS BIGINT)
+       |   + CAST((length(text) - length(replace(text,'...',''))) // 3 AS BIGINT) AS sym,
+       |  CAST(len(list_filter(string_split(text, chr(10)),
+       |        l -> starts_with(l,'- ') OR starts_with(l,'• '))) AS BIGINT) AS bl,
+       |  CAST(len(list_filter(string_split(text, chr(10)),
+       |        l -> ends_with(l,'...'))) AS BIGINT) AS el,
+       |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS nl,
+       |  CAST(len(list_filter(string_split(text,' '),
+       |        w -> regexp_matches(w,'[A-Za-z]'))) AS BIGINT) AS aw,
+       |  CAST((CASE WHEN list_contains(string_split(text,' '),'the') THEN 1 ELSE 0 END)
+       |   + (CASE WHEN list_contains(string_split(text,' '),'a') THEN 1 ELSE 0 END)
+       |   + (CASE WHEN list_contains(string_split(text,' '),'of') THEN 1 ELSE 0 END)
+       |   + (CASE WHEN list_contains(string_split(text,' '),'and') THEN 1 ELSE 0 END)
+       |   + (CASE WHEN list_contains(string_split(text,' '),'to') THEN 1 ELSE 0 END) AS BIGINT) AS sw
+       | FROM $src),
+       |${p}gf AS (
+       | SELECT doc_id,
+       |  (wc BETWEEN 50 AND 100000) AS f1,
+       |  (3*wc <= tot AND tot <= 10*wc) AS f2,
+       |  (10*sym < wc) AS f3,
+       |  (10*bl < 9*nl) AS f4,
+       |  (10*el < 3*nl) AS f5,
+       |  (5*aw >= 4*wc) AS f6,
+       |  (sw >= 2) AS f7
+       | FROM ${p}gq)""".stripMargin
+
+  private val GopherKeptCond = "f1 AND f2 AND f3 AND f4 AND f5 AND f6 AND f7"
+
+  /**
+   * Gopher A1.2 repetition CTE chain over `src`(doc_id, text), ending in
+   * `${p}wide` with all thirteen integer metric columns — the q134
+   * formulation (window counts over the exploded (doc, n, position)
+   * grid, top n-gram via max-count-then-max-mass, coverage via DISTINCT
+   * covered positions, segment repeats via row_number > 1). Shared by
+   * the q134 oracle and the capstone funnel.
+   */
+  private def repetitionCtes(src: String, p: String): String =
+    s"""${p}tk AS (SELECT doc_id, string_split(text,' ') AS ws FROM $src),
+       |${p}toklen AS (
+       | SELECT doc_id, j, length(ws[j]) AS tl
+       | FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS j FROM ${p}tk)),
+       |${p}ns AS (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n),
+       |${p}sh AS (
+       | SELECT doc_id, n, i, array_to_string(ws[i:i+n-1], ' ') AS g,
+       |   CAST(length(array_to_string(ws[i:i+n-1], ' ')) - (n-1) AS BIGINT) AS gmass
+       | FROM (SELECT doc_id, ws, n, unnest(generate_series(1, len(ws)-n+1)) AS i
+       |       FROM ${p}tk CROSS JOIN ${p}ns WHERE len(ws) >= n)),
+       |${p}shc AS (SELECT *, count(*) OVER (PARTITION BY doc_id, n, g) AS c FROM ${p}sh),
+       |${p}topw AS (
+       | SELECT doc_id,
+       |  max(CASE WHEN n=2 THEN top_chars END) AS top2_chars,
+       |  max(CASE WHEN n=3 THEN top_chars END) AS top3_chars,
+       |  max(CASE WHEN n=4 THEN top_chars END) AS top4_chars
+       | FROM (
+       |  SELECT doc_id, n, CAST(mc * max(CASE WHEN c = mc THEN gmass END) AS BIGINT) AS top_chars
+       |  FROM (SELECT *, max(c) OVER (PARTITION BY doc_id, n) AS mc FROM ${p}shc)
+       |  WHERE n <= 4 GROUP BY doc_id, n, mc)
+       | GROUP BY doc_id),
+       |${p}cov AS (
+       | SELECT DISTINCT doc_id, n, j FROM (
+       |  SELECT doc_id, n, unnest(generate_series(i, i+n-1)) AS j
+       |  FROM ${p}shc WHERE c >= 2 AND n >= 5)),
+       |${p}dupw AS (
+       | SELECT doc_id,
+       |  max(CASE WHEN n=5 THEN dup_chars END) AS dup5_chars,
+       |  max(CASE WHEN n=6 THEN dup_chars END) AS dup6_chars,
+       |  max(CASE WHEN n=7 THEN dup_chars END) AS dup7_chars,
+       |  max(CASE WHEN n=8 THEN dup_chars END) AS dup8_chars,
+       |  max(CASE WHEN n=9 THEN dup_chars END) AS dup9_chars,
+       |  max(CASE WHEN n=10 THEN dup_chars END) AS dup10_chars
+       | FROM (
+       |  SELECT c1.doc_id, c1.n, CAST(sum(tl) AS BIGINT) AS dup_chars
+       |  FROM ${p}cov c1 JOIN ${p}toklen t1 ON c1.doc_id = t1.doc_id AND c1.j = t1.j
+       |  GROUP BY c1.doc_id, c1.n)
+       | GROUP BY doc_id),
+       |${p}lrep AS (
+       | SELECT doc_id,
+       |  CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS dup_lines,
+       |  CAST(count(*) AS BIGINT) AS total_lines,
+       |  CAST(coalesce(sum(length(s)) FILTER (WHERE rn > 1), 0) AS BIGINT) AS dup_line_chars,
+       |  CAST(sum(length(s)) AS BIGINT) AS total_line_chars
+       | FROM (SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id, s ORDER BY i) AS rn
+       |       FROM (SELECT doc_id, i, ls[i] AS s
+       |             FROM (SELECT doc_id, string_split(text, chr(10)) AS ls,
+       |                     unnest(generate_series(1, len(string_split(text, chr(10))))) AS i
+       |                   FROM $src)))
+       | GROUP BY doc_id),
+       |${p}prep AS (
+       | SELECT doc_id,
+       |  CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS dup_paras,
+       |  CAST(count(*) AS BIGINT) AS total_paras,
+       |  CAST(coalesce(sum(length(s)) FILTER (WHERE rn > 1), 0) AS BIGINT) AS dup_para_chars,
+       |  CAST(sum(length(s)) AS BIGINT) AS total_para_chars
+       | FROM (SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id, s ORDER BY i) AS rn
+       |       FROM (SELECT doc_id, i, ls[i] AS s
+       |             FROM (SELECT doc_id, string_split(text, chr(10)||chr(10)) AS ls,
+       |                     unnest(generate_series(1, len(string_split(text, chr(10)||chr(10))))) AS i
+       |                   FROM $src)))
+       | GROUP BY doc_id),
+       |${p}wide AS (
+       | SELECT d.doc_id,
+       |  ${p}lrep.dup_lines, ${p}lrep.total_lines, ${p}lrep.dup_line_chars, ${p}lrep.total_line_chars,
+       |  ${p}prep.dup_paras, ${p}prep.total_paras, ${p}prep.dup_para_chars, ${p}prep.total_para_chars,
+       |  coalesce(${p}topw.top2_chars, 0) AS top2_chars,
+       |  coalesce(${p}topw.top3_chars, 0) AS top3_chars,
+       |  coalesce(${p}topw.top4_chars, 0) AS top4_chars,
+       |  coalesce(${p}dupw.dup5_chars, 0) AS dup5_chars,
+       |  coalesce(${p}dupw.dup6_chars, 0) AS dup6_chars,
+       |  coalesce(${p}dupw.dup7_chars, 0) AS dup7_chars,
+       |  coalesce(${p}dupw.dup8_chars, 0) AS dup8_chars,
+       |  coalesce(${p}dupw.dup9_chars, 0) AS dup9_chars,
+       |  coalesce(${p}dupw.dup10_chars, 0) AS dup10_chars,
+       |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS total_chars
+       | FROM $src d
+       | LEFT JOIN ${p}lrep ON d.doc_id = ${p}lrep.doc_id
+       | LEFT JOIN ${p}prep ON d.doc_id = ${p}prep.doc_id
+       | LEFT JOIN ${p}topw ON d.doc_id = ${p}topw.doc_id
+       | LEFT JOIN ${p}dupw ON d.doc_id = ${p}dupw.doc_id)""".stripMargin
+
+  private val RepetitionKeptCond: String =
+    """(total_lines = 0 OR 10*dup_lines <= 3*total_lines) AND
+      |  (total_paras = 0 OR 10*dup_paras <= 3*total_paras) AND
+      |  (total_line_chars = 0 OR 5*dup_line_chars <= total_line_chars) AND
+      |  (total_para_chars = 0 OR 5*dup_para_chars <= total_para_chars) AND
+      |  (total_chars = 0 OR (5*top2_chars <= total_chars AND
+      |   50*top3_chars <= 9*total_chars AND 25*top4_chars <= 4*total_chars AND
+      |   20*dup5_chars <= 3*total_chars AND 50*dup6_chars <= 7*total_chars AND
+      |   100*dup7_chars <= 13*total_chars AND 25*dup8_chars <= 3*total_chars AND
+      |   100*dup9_chars <= 11*total_chars AND 10*dup10_chars <= total_chars))""".stripMargin
+
+  /**
    * DuckDB recomposition of the q127/q128 capstone pipeline — the
    * already-gated stage formulations (q46's normalization, q19/q20's
    * minhash+banding, q18's exact jaccard, q36's recursive components,
-   * q52's cross-set contamination, q43's hash split, q50's pack layout)
-   * chained end to end over the mod-10 train pool, ending in CTEs the two
-   * final selects read: pool/cln/ex/nd/scr (stage frames), corp (the
-   * split corpus) and seqs (per-shard packed sequence counts). The bloom
-   * prefilter is omitted on purpose: it is bit-identical to the exact
-   * screen (no false negatives; FPs share no shingle so they never
+   * q52's cross-set contamination, q43's hash split, q50's pack layout,
+   * and since round 7 the q133 Gopher rules + q134 repetition screens in
+   * the cleaning funnel — shared CTE fragments, "fq"-prefixed over the
+   * pool) chained end to end over the mod-10 train pool, ending in CTEs
+   * the two final selects read: pool/cln/ex/nd/scr (stage frames), corp
+   * (the split corpus) and seqs (per-shard packed sequence counts). The
+   * bloom prefilter is omitted on purpose: it is bit-identical to the
+   * exact screen (no false negatives; FPs share no shingle so they never
    * score), which is precisely what lets a plain SQL oracle gate the
    * 100 TB plan.
+   *
+   * Every non-recursive CTE head carries the AS MATERIALIZED hint:
+   * DuckDB re-inlines a plain CTE at each reference, and with the
+   * funnel fragments in front of a chain whose tail (census arms, the
+   * recursive closure, the eval screens) references earlier frames many
+   * times, the re-evaluation compounds — the plain form of this oracle
+   * takes >15 min at sf0.01 where the materialized form takes <1 s.
+   * Semantics are identical; only `reach` (recursive, column-list head)
+   * must stay plain.
    */
+  private def materializeCtes(ctes: String): String =
+    ctes.replaceAll("(?m)^([a-z]\\w*) AS \\(", "$1 AS MATERIALIZED (")
+
   private lazy val capstoneCtes: String = {
     val p = Hashing.MersennePrime
     val mins = (0 until 16).map { i =>
@@ -1958,10 +2118,15 @@ object SparkEntry {
       s"SELECT id, $bi AS band, ${rs.zipWithIndex.map { case (c, j) => s"$c AS r$j" }.mkString(", ")} FROM sigx"
     }.mkString("\n  UNION ALL ")
     val splitHash = duckHash("CAST(doc_id AS VARCHAR)")
-    s"""pool AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+    materializeCtes(s"""pool AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
        |ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
-       |cln AS (SELECT doc_id, text FROM pool
-       |        WHERE len(string_split(text,' ')) >= $CapMinTokens),
+       |${gopherCtes("pool", "fq")},
+       |${repetitionCtes("pool", "fq")},
+       |fqgk AS (SELECT doc_id FROM fqgf WHERE $GopherKeptCond),
+       |fqrk AS (SELECT doc_id FROM fqwide WHERE $RepetitionKeptCond),
+       |cln AS (SELECT p.doc_id, p.text FROM pool p
+       |        JOIN fqgk USING (doc_id) JOIN fqrk USING (doc_id)
+       |        WHERE len(string_split(p.text,' ')) >= $CapMinTokens),
        |nrm AS (SELECT doc_id, text,
        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS n
        |  FROM cln),
@@ -2011,7 +2176,7 @@ object SparkEntry {
        |  FROM pk),
        |seqs AS (SELECT shard,
        |  CAST(ceil(CAST(max(start_offset + tokens) AS DOUBLE)/512.0) AS BIGINT) AS s
-       |  FROM po GROUP BY shard)""".stripMargin
+       |  FROM po GROUP BY shard)""".stripMargin)
   }
 
   /**
@@ -3727,144 +3892,30 @@ object SparkEntry {
          |FROM sc GROUP BY doc_id""".stripMargin,
 
     // Gopher rule flags: identical exact-integer threshold arithmetic;
-    // substring counts via the same replace-length trick.
+    // substring counts via the same replace-length trick. The CTE chain
+    // is the shared gopherCtes fragment — the capstone oracle reuses it
+    // over the train pool.
     "q133_gopher_flags" ->
-      """WITH gq AS (
-        | SELECT doc_id,
-        |  CAST(len(string_split(text,' ')) AS BIGINT) AS wc,
-        |  CAST(list_sum(list_transform(string_split(text,' '), w -> length(w))) AS BIGINT) AS tot,
-        |  CAST(length(text) - length(replace(text,'#','')) AS BIGINT)
-        |   + CAST((length(text) - length(replace(text,'...',''))) // 3 AS BIGINT) AS sym,
-        |  CAST(len(list_filter(string_split(text, chr(10)),
-        |        l -> starts_with(l,'- ') OR starts_with(l,'• '))) AS BIGINT) AS bl,
-        |  CAST(len(list_filter(string_split(text, chr(10)),
-        |        l -> ends_with(l,'...'))) AS BIGINT) AS el,
-        |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS nl,
-        |  CAST(len(list_filter(string_split(text,' '),
-        |        w -> regexp_matches(w,'[A-Za-z]'))) AS BIGINT) AS aw,
-        |  CAST((CASE WHEN list_contains(string_split(text,' '),'the') THEN 1 ELSE 0 END)
-        |   + (CASE WHEN list_contains(string_split(text,' '),'a') THEN 1 ELSE 0 END)
-        |   + (CASE WHEN list_contains(string_split(text,' '),'of') THEN 1 ELSE 0 END)
-        |   + (CASE WHEN list_contains(string_split(text,' '),'and') THEN 1 ELSE 0 END)
-        |   + (CASE WHEN list_contains(string_split(text,' '),'to') THEN 1 ELSE 0 END) AS BIGINT) AS sw
-        | FROM documents),
-        |gf AS (
-        | SELECT doc_id,
-        |  (wc BETWEEN 50 AND 100000) AS f1,
-        |  (3*wc <= tot AND tot <= 10*wc) AS f2,
-        |  (10*sym < wc) AS f3,
-        |  (10*bl < 9*nl) AS f4,
-        |  (10*el < 3*nl) AS f5,
-        |  (5*aw >= 4*wc) AS f6,
-        |  (sw >= 2) AS f7
-        | FROM gq)
-        |SELECT doc_id,
-        | CAST(f1 AS INT) AS r_word_count, CAST(f2 AS INT) AS r_word_len,
-        | CAST(f3 AS INT) AS r_symbol_ratio, CAST(f4 AS INT) AS r_bullet_lines,
-        | CAST(f5 AS INT) AS r_ellipsis_lines, CAST(f6 AS INT) AS r_alpha_words,
-        | CAST(f7 AS INT) AS r_stop_words,
-        | CAST(f1 AND f2 AND f3 AND f4 AND f5 AND f6 AND f7 AS INT) AS kept
-        |FROM gf""".stripMargin,
+      s"""WITH ${gopherCtes("documents", "")}
+         |SELECT doc_id,
+         | CAST(f1 AS INT) AS r_word_count, CAST(f2 AS INT) AS r_word_len,
+         | CAST(f3 AS INT) AS r_symbol_ratio, CAST(f4 AS INT) AS r_bullet_lines,
+         | CAST(f5 AS INT) AS r_ellipsis_lines, CAST(f6 AS INT) AS r_alpha_words,
+         | CAST(f7 AS INT) AS r_stop_words,
+         | CAST($GopherKeptCond AS INT) AS kept
+         |FROM gf""".stripMargin,
 
     // Repetition screens: the oracle rebuilds every metric from first
     // principles — window counts over an exploded (doc, n, shingle
     // position) grid, top n-gram via max-count-then-max-mass, coverage
     // via DISTINCT covered positions joined to token lengths (the mask
-    // semantics), line/paragraph repeats via row_number > 1.
+    // semantics), line/paragraph repeats via row_number > 1. The CTE
+    // chain is the shared repetitionCtes fragment — the capstone oracle
+    // reuses it over the train pool.
     "q134_repetition_screens" ->
-      """WITH tk AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
-        |toklen AS (
-        | SELECT doc_id, j, length(ws[j]) AS tl
-        | FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS j FROM tk)),
-        |ns AS (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n),
-        |sh AS (
-        | SELECT doc_id, n, i, array_to_string(ws[i:i+n-1], ' ') AS g,
-        |   CAST(length(array_to_string(ws[i:i+n-1], ' ')) - (n-1) AS BIGINT) AS gmass
-        | FROM (SELECT doc_id, ws, n, unnest(generate_series(1, len(ws)-n+1)) AS i
-        |       FROM tk CROSS JOIN ns WHERE len(ws) >= n)),
-        |shc AS (SELECT *, count(*) OVER (PARTITION BY doc_id, n, g) AS c FROM sh),
-        |topw AS (
-        | SELECT doc_id,
-        |  max(CASE WHEN n=2 THEN top_chars END) AS top2_chars,
-        |  max(CASE WHEN n=3 THEN top_chars END) AS top3_chars,
-        |  max(CASE WHEN n=4 THEN top_chars END) AS top4_chars
-        | FROM (
-        |  SELECT doc_id, n, CAST(mc * max(CASE WHEN c = mc THEN gmass END) AS BIGINT) AS top_chars
-        |  FROM (SELECT *, max(c) OVER (PARTITION BY doc_id, n) AS mc FROM shc)
-        |  WHERE n <= 4 GROUP BY doc_id, n, mc)
-        | GROUP BY doc_id),
-        |cov AS (
-        | SELECT DISTINCT doc_id, n, j FROM (
-        |  SELECT doc_id, n, unnest(generate_series(i, i+n-1)) AS j
-        |  FROM shc WHERE c >= 2 AND n >= 5)),
-        |dupw AS (
-        | SELECT doc_id,
-        |  max(CASE WHEN n=5 THEN dup_chars END) AS dup5_chars,
-        |  max(CASE WHEN n=6 THEN dup_chars END) AS dup6_chars,
-        |  max(CASE WHEN n=7 THEN dup_chars END) AS dup7_chars,
-        |  max(CASE WHEN n=8 THEN dup_chars END) AS dup8_chars,
-        |  max(CASE WHEN n=9 THEN dup_chars END) AS dup9_chars,
-        |  max(CASE WHEN n=10 THEN dup_chars END) AS dup10_chars
-        | FROM (
-        |  SELECT cov.doc_id, cov.n, CAST(sum(tl) AS BIGINT) AS dup_chars
-        |  FROM cov JOIN toklen ON cov.doc_id = toklen.doc_id AND cov.j = toklen.j
-        |  GROUP BY cov.doc_id, cov.n)
-        | GROUP BY doc_id),
-        |lrep AS (
-        | SELECT doc_id,
-        |  CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS dup_lines,
-        |  CAST(count(*) AS BIGINT) AS total_lines,
-        |  CAST(coalesce(sum(length(s)) FILTER (WHERE rn > 1), 0) AS BIGINT) AS dup_line_chars,
-        |  CAST(sum(length(s)) AS BIGINT) AS total_line_chars
-        | FROM (SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id, s ORDER BY i) AS rn
-        |       FROM (SELECT doc_id, i, ls[i] AS s
-        |             FROM (SELECT doc_id, string_split(text, chr(10)) AS ls,
-        |                     unnest(generate_series(1, len(string_split(text, chr(10))))) AS i
-        |                   FROM documents)))
-        | GROUP BY doc_id),
-        |prep AS (
-        | SELECT doc_id,
-        |  CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS dup_paras,
-        |  CAST(count(*) AS BIGINT) AS total_paras,
-        |  CAST(coalesce(sum(length(s)) FILTER (WHERE rn > 1), 0) AS BIGINT) AS dup_para_chars,
-        |  CAST(sum(length(s)) AS BIGINT) AS total_para_chars
-        | FROM (SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id, s ORDER BY i) AS rn
-        |       FROM (SELECT doc_id, i, ls[i] AS s
-        |             FROM (SELECT doc_id, string_split(text, chr(10)||chr(10)) AS ls,
-        |                     unnest(generate_series(1, len(string_split(text, chr(10)||chr(10))))) AS i
-        |                   FROM documents)))
-        | GROUP BY doc_id),
-        |wide AS (
-        | SELECT d.doc_id,
-        |  lrep.dup_lines, lrep.total_lines, lrep.dup_line_chars, lrep.total_line_chars,
-        |  prep.dup_paras, prep.total_paras, prep.dup_para_chars, prep.total_para_chars,
-        |  coalesce(topw.top2_chars, 0) AS top2_chars,
-        |  coalesce(topw.top3_chars, 0) AS top3_chars,
-        |  coalesce(topw.top4_chars, 0) AS top4_chars,
-        |  coalesce(dupw.dup5_chars, 0) AS dup5_chars,
-        |  coalesce(dupw.dup6_chars, 0) AS dup6_chars,
-        |  coalesce(dupw.dup7_chars, 0) AS dup7_chars,
-        |  coalesce(dupw.dup8_chars, 0) AS dup8_chars,
-        |  coalesce(dupw.dup9_chars, 0) AS dup9_chars,
-        |  coalesce(dupw.dup10_chars, 0) AS dup10_chars,
-        |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS total_chars
-        | FROM documents d
-        | LEFT JOIN lrep ON d.doc_id = lrep.doc_id
-        | LEFT JOIN prep ON d.doc_id = prep.doc_id
-        | LEFT JOIN topw ON d.doc_id = topw.doc_id
-        | LEFT JOIN dupw ON d.doc_id = dupw.doc_id)
-        |SELECT *, CAST(
-        |  (total_lines = 0 OR 10*dup_lines <= 3*total_lines) AND
-        |  (total_paras = 0 OR 10*dup_paras <= 3*total_paras) AND
-        |  (total_line_chars = 0 OR 5*dup_line_chars <= total_line_chars) AND
-        |  (total_para_chars = 0 OR 5*dup_para_chars <= total_para_chars) AND
-        |  (total_chars = 0 OR (5*top2_chars <= total_chars AND
-        |   50*top3_chars <= 9*total_chars AND 25*top4_chars <= 4*total_chars AND
-        |   20*dup5_chars <= 3*total_chars AND 50*dup6_chars <= 7*total_chars AND
-        |   100*dup7_chars <= 13*total_chars AND 25*dup8_chars <= 3*total_chars AND
-        |   100*dup9_chars <= 11*total_chars AND 10*dup10_chars <= total_chars))
-        |  AS INT) AS kept
-        |FROM wide""".stripMargin,
+      s"""WITH ${repetitionCtes("documents", "")}
+         |SELECT *, CAST($RepetitionKeptCond AS INT) AS kept
+         |FROM wide""".stripMargin,
 
     // Span pairs: the oracle may self-join on the span string (reference
     // semantics — the Spark plan is the single-pass bucket expansion);
