@@ -256,6 +256,16 @@ object SparkEntry {
    * convention. `run` is eager (its Report counts execute inside), so
    * the memo holds finished results, not lineage.
    */
+  /** The capstone cleaning funnel, in census order: the token bar, then
+    * the seven Gopher rules, then the thirteen repetition screens — ONE
+    * stage list shared by the gated pipeline run (q127/q128) and the
+    * first-failure attribution census (q136), so the two gates can
+    * never screen with different batteries. */
+  private def capstoneFunnelStages: Seq[(String, Column)] =
+    Seq("min_tokens" -> (Text.tokenCount(col("text")) >= CapMinTokens)) ++
+      graft.functions.Quality.gopherStages("text", Text.Stopwords) ++
+      graft.functions.Quality.repetitionStages("text")
+
   private val capstoneMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (DataFrame, graft.pipeline.CorpusPipeline.Report)]
   private def capstoneShared(s: SparkSession, dir: String)
@@ -267,10 +277,7 @@ object SparkEntry {
         docs.where(col("doc_id") % 10 =!= 0),
         docs.where(col("doc_id") % 10 === 0),
         "doc_id", "text",
-        stages = Seq("min_tokens" ->
-          (Text.tokenCount(col("text")) >= CapMinTokens)) ++
-          graft.functions.Quality.gopherStages("text", Text.Stopwords) ++
-          graft.functions.Quality.repetitionStages("text"))
+        stages = capstoneFunnelStages)
     })
   }
 
@@ -1699,6 +1706,17 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         posexplode(graft.functions.Subword.unitsColumn(col("text"), SubwordGateVocab))
           .as(Seq("pos", "unit")))),
+
+    // Funnel attribution over the capstone's own 21-stage screen battery
+    // (token bar → 7 Gopher rules → 13 repetition screens): per-rule
+    // FIRST-FAILURE drop census over the train pool — the report a
+    // corpus run ships ("12% too short, 8% low-stopword, …"). The whole
+    // cascade is one when-chain in a narrow projection plus a single
+    // stage-cardinality aggregation: cleaning 100 TB costs one scan.
+    "q136_funnel_attribution" -> ((s, dir) =>
+      graft.operators.Cleaning.funnelReport(
+        t(s, dir, "documents").where(col("doc_id") % 10 =!= 0),
+        capstoneFunnelStages)),
   )
 
   /** ADC candidate count for the re-rank gates (q122/q123 and oracles). */
@@ -1976,7 +1994,16 @@ object SparkEntry {
        |  (sw >= 2) AS f7
        | FROM ${p}gq)""".stripMargin
 
-  private val GopherKeptCond = "f1 AND f2 AND f3 AND f4 AND f5 AND f6 AND f7"
+  /** The seven Gopher rules as (funnel stage name → SQL keep-flag over
+    * the `gf` CTE), in [[graft.functions.Quality.gopherFlags]] order —
+    * the q133 kept-condition and the q136 first-failure arms read the
+    * SAME ordered list. */
+  private val GopherCondList: Seq[(String, String)] = Seq(
+    "r_word_count" -> "f1", "r_word_len" -> "f2", "r_symbol_ratio" -> "f3",
+    "r_bullet_lines" -> "f4", "r_ellipsis_lines" -> "f5",
+    "r_alpha_words" -> "f6", "r_stop_words" -> "f7")
+
+  private val GopherKeptCond: String = GopherCondList.map(_._2).mkString(" AND ")
 
   /**
    * Gopher A1.2 repetition CTE chain over `src`(doc_id, text), ending in
@@ -2069,16 +2096,29 @@ object SparkEntry {
        | LEFT JOIN ${p}topw ON d.doc_id = ${p}topw.doc_id
        | LEFT JOIN ${p}dupw ON d.doc_id = ${p}dupw.doc_id)""".stripMargin
 
+  /** The thirteen repetition screens as (funnel stage name → SQL
+    * keep-condition over the `wide` CTE), in
+    * [[graft.functions.Quality.repetitionMetrics]] order with the
+    * canonical `RepetitionThresholds` as exact cross-multiplications
+    * (empty denominator passes) — the q134 kept-condition and the q136
+    * first-failure arms read the SAME ordered list. */
+  private val RepetitionCondList: Seq[(String, String)] = Seq(
+    "r_dup_line_frac"  -> "(total_lines = 0 OR 10*dup_lines <= 3*total_lines)",
+    "r_dup_para_frac"  -> "(total_paras = 0 OR 10*dup_paras <= 3*total_paras)",
+    "r_dup_line_chars" -> "(total_line_chars = 0 OR 5*dup_line_chars <= total_line_chars)",
+    "r_dup_para_chars" -> "(total_para_chars = 0 OR 5*dup_para_chars <= total_para_chars)",
+    "r_top2_chars"     -> "(total_chars = 0 OR 5*top2_chars <= total_chars)",
+    "r_top3_chars"     -> "(total_chars = 0 OR 50*top3_chars <= 9*total_chars)",
+    "r_top4_chars"     -> "(total_chars = 0 OR 25*top4_chars <= 4*total_chars)",
+    "r_dup5_chars"     -> "(total_chars = 0 OR 20*dup5_chars <= 3*total_chars)",
+    "r_dup6_chars"     -> "(total_chars = 0 OR 50*dup6_chars <= 7*total_chars)",
+    "r_dup7_chars"     -> "(total_chars = 0 OR 100*dup7_chars <= 13*total_chars)",
+    "r_dup8_chars"     -> "(total_chars = 0 OR 25*dup8_chars <= 3*total_chars)",
+    "r_dup9_chars"     -> "(total_chars = 0 OR 100*dup9_chars <= 11*total_chars)",
+    "r_dup10_chars"    -> "(total_chars = 0 OR 10*dup10_chars <= total_chars)")
+
   private val RepetitionKeptCond: String =
-    """(total_lines = 0 OR 10*dup_lines <= 3*total_lines) AND
-      |  (total_paras = 0 OR 10*dup_paras <= 3*total_paras) AND
-      |  (total_line_chars = 0 OR 5*dup_line_chars <= total_line_chars) AND
-      |  (total_para_chars = 0 OR 5*dup_para_chars <= total_para_chars) AND
-      |  (total_chars = 0 OR (5*top2_chars <= total_chars AND
-      |   50*top3_chars <= 9*total_chars AND 25*top4_chars <= 4*total_chars AND
-      |   20*dup5_chars <= 3*total_chars AND 50*dup6_chars <= 7*total_chars AND
-      |   100*dup7_chars <= 13*total_chars AND 25*dup8_chars <= 3*total_chars AND
-      |   100*dup9_chars <= 11*total_chars AND 10*dup10_chars <= total_chars))""".stripMargin
+    RepetitionCondList.map(_._2).mkString(" AND\n  ")
 
   /**
    * DuckDB recomposition of the q127/q128 capstone pipeline — the
@@ -3916,6 +3956,34 @@ object SparkEntry {
       s"""WITH ${repetitionCtes("documents", "")}
          |SELECT *, CAST($RepetitionKeptCond AS INT) AS kept
          |FROM wide""".stripMargin,
+
+    // Funnel attribution: the same ordered condition lists the q133/q134
+    // kept-columns read, re-assembled as a FIRST-failure CASE chain over
+    // the train pool — every document charged to the first stage that
+    // rejects it (or 'pass'), counts summing to the pool size. CTE heads
+    // materialized (fan-out via the flag/metric joins).
+    "q136_funnel_attribution" -> {
+      // flag/metric columns resolve unqualified through the USING joins
+      val stages: Seq[(String, String)] =
+        Seq("min_tokens" -> s"wc >= $CapMinTokens") ++
+          GopherCondList ++ RepetitionCondList
+      val idxArms = stages.zipWithIndex.map { case ((_, cond), i) =>
+        s"WHEN NOT ($cond) THEN $i" }.mkString("\n  ")
+      val nameArms = stages.map { case (n, cond) =>
+        s"WHEN NOT ($cond) THEN '$n'" }.mkString("\n  ")
+      val ctes = materializeCtes(
+        s"""pool AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+           |${gopherCtes("pool", "fq")},
+           |${repetitionCtes("pool", "fq")}""".stripMargin)
+      s"""WITH $ctes,
+         |st AS (SELECT g.doc_id,
+         |  CASE $idxArms ELSE ${stages.size} END AS drop_stage_idx,
+         |  CASE $nameArms ELSE 'pass' END AS drop_stage
+         | FROM fqgq g JOIN fqgf USING (doc_id) JOIN fqwide USING (doc_id))
+         |SELECT CAST(drop_stage_idx AS BIGINT) AS drop_stage_idx, drop_stage,
+         |       count(*) AS n_docs
+         |FROM st GROUP BY 1, 2""".stripMargin
+    },
 
     // Span pairs: the oracle may self-join on the span string (reference
     // semantics — the Spark plan is the single-pass bucket expansion);
