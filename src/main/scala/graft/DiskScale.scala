@@ -112,10 +112,40 @@ object DiskScale {
       // the q92 fuzzy family
       val tFuz = time2(noop(Dedup.editDistancePairs(names, "id", "name")))
 
+      // the q133/q134/q136 quality battery: token bar + 7 Gopher rules +
+      // 13 repetition screens as ONE first-failure when-chain — the row
+      // measures parquet decode + the compiled NgramRepetition passes at
+      // corpus scale (scan-speed by design; a non-flat growth here means
+      // the per-row expressions stopped being the cost)
+      val qualStages = Seq("min_tokens" ->
+          (graft.functions.Text.tokenCount(col("text")) >= 20)) ++
+        graft.functions.Quality.gopherStages("text") ++
+        graft.functions.Quality.repetitionStages("text")
+      val tQual = time2(noop(
+        graft.operators.Cleaning.funnelReport(docs, qualStages)))
+
+      // the q131/q132 LM fluency screen on the Heaps-scaled corpus:
+      // model build (one aggregation shuffle to gram cardinality, pruned
+      // by minCount like a production model) measured separately from
+      // scoring — the model is the stored artifact, scoring is the
+      // per-batch marginal cost. The 5-slot candidate stream join is
+      // planner-chosen: broadcast for vocabulary-bounded models, shuffle
+      // join when the synthetic flat-frequency gram table outgrows it.
+      val lmTbl = writeOnce(
+        graft.operators.NgramLm.lmCounts(docsH, "text", n = 3, minCount = 5),
+        spark, s"$workdir/lm_$n")
+      val tLmBuild = time2(noop(
+        graft.operators.NgramLm.lmCounts(docsH, "text", n = 3, minCount = 5)))
+      val totalsH = graft.operators.NgramLm.lmTotals(docsH, "text")
+      val tLmScore = time2(noop(
+        graft.operators.NgramLm.scoreTokens(docsH, lmTbl, totalsH,
+          "doc_id", "text")))
+
       println(s"""{"n":$n,"jac_vocab":$vocabH,"jac_capped":${f2(tJac)},"jac_prefix08":${f2(tPfx)},""" +
         s""""span_ranges":${f2(tSpn)},"span_sparse_w13":${f2(tSpnSparse)},""" +
         s""""winnow":${f2(tWin)},"span_sparse_amz":${f2(tSpnAmz)},""" +
-        s""""fuzzy_pairs":${f2(tFuz)}}""")
+        s""""fuzzy_pairs":${f2(tFuz)},"quality_funnel":${f2(tQual)},""" +
+        s""""lm_build":${f2(tLmBuild)},"lm_score":${f2(tLmScore)}}""")
     }
     spark.stop()
   }

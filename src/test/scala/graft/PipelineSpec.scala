@@ -511,4 +511,20 @@ class PipelineSpec extends SparkSpec {
         s"source $src emitted $emitted planned ${plan(src)}")
     }
   }
+
+  test("capstone funnel attribution (q136) reconciles with the capstone census (q127)") {
+    val sf = "/root/testdata/sf0.001"
+    val attr = SparkEntry.queries("q136_funnel_attribution")(spark, sf)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    val census = SparkEntry.queries("q127_pipeline_capstone")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // first-failure attribution: every pool doc charged exactly once
+    assert(attr.values.sum == census("input"),
+      s"attribution ${attr.values.sum} != pool ${census("input")}")
+    // the funnel's survivors ARE the capstone's cleaned frame
+    assert(attr("pass") == census("cleaned"),
+      s"pass ${attr("pass")} != cleaned ${census("cleaned")}")
+    // attribution rows only for stages that dropped something
+    assert(attr.collect { case (k, v) if k != "pass" => v }.forall(_ > 0))
+  }
 }
