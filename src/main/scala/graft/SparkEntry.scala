@@ -1742,6 +1742,58 @@ object SparkEntry {
         t(s, dir, "documents"), pcptModel(s, dir),
         "doc_id", "text", n = 2, buckets = FeatBuckets)
         .withColumnRenamed("id", "doc_id")),
+
+    // Distillation-quality census: the student classifier (q137's model)
+    // against its teacher (the capstone battery verdict) over the WHOLE
+    // corpus — the confusion matrix a data team reads before letting the
+    // cheap linear scorer stand in for the 21-rule battery at 100 TB
+    // (precision/recall/accuracy all derive from these four cells). One
+    // corpus scan: the teacher verdict is evaluated per doc before the
+    // feature explode and rides the score aggregation as a grouping key.
+    // The oracle replays training AND recomputes the battery from its
+    // own shared fragments, then recomposes the identical census.
+    "q139_classifier_census" -> ((s, dir) =>
+      graft.operators.Classifier.confusionCensus(
+        t(s, dir, "documents"), pcptModel(s, dir), "doc_id", "text",
+        capstoneFunnelStages.map(_._2).reduce(_ && _),
+        n = 2, buckets = FeatBuckets)),
+
+    // Bottom-k (KMV) quantile sketch: per-source length percentiles from
+    // a fixed-size deterministic sample — every quantile at once, no
+    // global sort, constant map-side state (the sketch family's missing
+    // member beside CMS/SpaceSaving/HLL; the shape that sets screen-band
+    // thresholds like a CCNet perplexity tercile at 100 TB). The retained
+    // set is the k smallest (stableHash60(id), value) pairs — a pure set
+    // function, so partitioning/merge-order/engine independent; the
+    // oracle re-derives the identical sample with one row_number and
+    // reads the same integer nearest-rank-lower positions.
+    "q140_sketch_quantiles" -> ((s, dir) => {
+      import graft.expressions.BottomKSketchAgg.{sampleByHash, quantileFromSample}
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(sampleByHash(Hashing.stableHash60(col("doc_id").cast("string")),
+          col("n_chars"), SketchK).as("smp"))
+        .select(col("source"),
+          quantileFromSample(col("smp"), 1, 4).as("p25"),
+          quantileFromSample(col("smp"), 1, 2).as("p50"),
+          quantileFromSample(col("smp"), 3, 4).as("p75"),
+          quantileFromSample(col("smp"), 9, 10).as("p90"),
+          size(col("smp")).cast("long").as("sample_n"))
+    }),
+
+    // Exact quantiles, histogram tier: when the value domain is bounded
+    // (lengths, token counts), exact per-group percentiles cost one
+    // map-side-combined (group, value) histogram + one window over
+    // histogram-sized frames — never a corpus sort, never a whole-group
+    // percentile buffer. Same nearest-rank-lower integer convention as
+    // q140, so sketch estimate and exact value compare cell-for-cell.
+    // The oracle is the ROW-grain formulation (row_number over all rows)
+    // — a genuinely different computation that must land on the same
+    // values.
+    "q141_exact_quantiles" -> ((s, dir) =>
+      graft.operators.CorpusStats.exactQuantilesByGroup(
+        t(s, dir, "documents"), "source", "n_chars",
+        Seq(("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p90", 9, 10)))),
   )
 
   /** Shared trainer for q137/q138 (train once per call site; the sample
@@ -1779,6 +1831,11 @@ object SparkEntry {
     * and 128 steps keeps each replay oracle under ~2 s. */
   private val PcptSampleN = 64
   private val PcptEpochs = 2
+
+  /** Bottom-k sketch size for the q140 quantile gate: rank error
+    * O(1/√k) ≈ 6% at 256 — the screen-band-threshold regime (SketchSpec
+    * pins the observed error), while the sample comfortably broadcasts. */
+  private val SketchK = 256
 
   /** PQ subspace count shared by q85-q87 and their oracles (dim 64 → four
     * 16-dim subspaces). */
@@ -4123,6 +4180,79 @@ object SparkEntry {
          |       GROUP BY d.doc_id, bc.bias)
          |SELECT doc_id, score, score > 0 AS keep FROM sc""".stripMargin
     },
+
+    // Distillation census: the q138 score chain joined to the battery
+    // verdict (the q133/q134 shared fragments over the FULL documents
+    // table — "cq"-prefixed so they cannot collide with the trainer's
+    // "pc" sample fragments), collapsed to the four confusion cells.
+    "q139_classifier_census" -> {
+      val battery = materializeCtes(
+        s"""${gopherCtes("documents", "cq")},
+           |${repetitionCtes("documents", "cq")},
+           |tpass AS (SELECT g.doc_id,
+           |  (wc >= $CapMinTokens AND $GopherKeptCond AND
+           |   $RepetitionKeptCond) AS teacher_pass
+           | FROM cqgq g JOIN cqgf USING (doc_id) JOIN cqwide USING (doc_id))""".stripMargin)
+      s"""WITH $perceptronCtes,
+         |$battery,
+         |bc AS (SELECT CAST(COALESCE(sum(w), 0) AS BIGINT) AS bias
+         |       FROM wavg WHERE bucket = -1),
+         |wt AS (SELECT bucket, w FROM wavg WHERE bucket >= 0),
+         |df AS (SELECT doc_id, ${duckHash("f")} % $FeatBuckets AS bucket
+         |       FROM (SELECT doc_id, unnest(${duckShingles("text", 2)}) AS f
+         |             FROM documents)),
+         |sc AS (SELECT d.doc_id,
+         |        CAST(bc.bias + COALESCE(sum(w.w), 0) AS BIGINT) AS score
+         |       FROM documents d
+         |       CROSS JOIN bc
+         |       LEFT JOIN df ON df.doc_id = d.doc_id
+         |       LEFT JOIN wt w ON w.bucket = df.bucket
+         |       GROUP BY d.doc_id, bc.bias)
+         |SELECT sc.score > 0 AS pred_keep, tpass.teacher_pass,
+         |       count(*) AS n_docs
+         |FROM sc JOIN tpass USING (doc_id)
+         |GROUP BY 1, 2""".stripMargin
+    },
+
+    // Bottom-k sketch: the oracle re-derives the retained set (k smallest
+    // (hash, value) pairs per source — ties on the full pair collapse to
+    // the same multiset, so row_number is safe) and reads the identical
+    // nearest-rank-lower positions ⌊(m−1)·num/den⌋+1 with DuckDB's exact
+    // integer // division.
+    "q140_sketch_quantiles" -> {
+      val h = duckHash("CAST(doc_id AS VARCHAR)")
+      s"""WITH hs AS (SELECT source, n_chars,
+         |  row_number() OVER (PARTITION BY source
+         |                     ORDER BY $h ASC, n_chars ASC) AS hr
+         | FROM documents),
+         |km AS (SELECT source, n_chars,
+         |  row_number() OVER (PARTITION BY source ORDER BY n_chars ASC) AS vr,
+         |  count(*) OVER (PARTITION BY source) AS m
+         | FROM hs WHERE hr <= $SketchK)
+         |SELECT source,
+         | max(CASE WHEN vr = (m-1)*1//4+1 THEN n_chars END) AS p25,
+         | max(CASE WHEN vr = (m-1)*1//2+1 THEN n_chars END) AS p50,
+         | max(CASE WHEN vr = (m-1)*3//4+1 THEN n_chars END) AS p75,
+         | max(CASE WHEN vr = (m-1)*9//10+1 THEN n_chars END) AS p90,
+         | CAST(max(m) AS BIGINT) AS sample_n
+         |FROM km GROUP BY source""".stripMargin
+    },
+
+    // Exact quantiles: the oracle ranks every ROW (row_number over all
+    // rows per source) where the engine cumulates a value HISTOGRAM —
+    // independent formulations of the same nearest-rank-lower contract.
+    "q141_exact_quantiles" ->
+      s"""WITH rk AS (SELECT source, n_chars,
+         |  row_number() OVER (PARTITION BY source ORDER BY n_chars ASC) AS vr,
+         |  count(*) OVER (PARTITION BY source) AS n
+         | FROM documents)
+         |SELECT source,
+         | max(CASE WHEN vr = (n-1)*1//4+1 THEN n_chars END) AS p25,
+         | max(CASE WHEN vr = (n-1)*1//2+1 THEN n_chars END) AS p50,
+         | max(CASE WHEN vr = (n-1)*3//4+1 THEN n_chars END) AS p75,
+         | max(CASE WHEN vr = (n-1)*9//10+1 THEN n_chars END) AS p90,
+         | CAST(max(n) AS BIGINT) AS n
+         |FROM rk GROUP BY source""".stripMargin,
 
     // Span pairs: the oracle may self-join on the span string (reference
     // semantics — the Spark plan is the single-pass bucket expansion);

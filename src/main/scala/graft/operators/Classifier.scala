@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{Hashing, Text}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -145,5 +145,36 @@ object Classifier {
       .groupBy("id")
       .agg((coalesce(sum(col("w")), lit(0L)) + lit(model.bias)).as("score"))
       .select(col("id"), col("score"), (col("score") > 0L).as("keep"))
+  }
+
+  /**
+   * Distillation-quality census: the student classifier's confusion
+   * matrix against the teacher label over the whole corpus —
+   * (pred_keep, teacher_pass, n_docs), the four cells every derived
+   * metric (precision, recall, accuracy) reads — the report a data team
+   * checks before letting the cheap linear scorer stand in for the
+   * expensive screen battery at 100 TB. One pass over the corpus: the
+   * teacher verdict (`labelCol`, any Column over the doc row) is
+   * evaluated per document BEFORE the feature explode and rides the
+   * score aggregation as a grouping key, so scoring and labeling share
+   * the single scan, the wide shuffle carries only (id, verdict,
+   * partial weight sum), and the final census aggregation map-side
+   * combines to ≤4 rows.
+   */
+  def confusionCensus(docs: DataFrame, model: PerceptronModel, idCol: String,
+                      textCol: String, labelCol: Column,
+                      n: Int = 2, buckets: Int = 4096): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wdf = model.weights.toSeq.toDF("bucket", "w")
+    docs.select(col(idCol).as("id"), labelCol.as("teacher_pass"),
+        explode_outer(Text.shingles(col(textCol), n)).as("f"))
+      .select(col("id"), col("teacher_pass"), when(col("f").isNotNull,
+        pmod(Hashing.stableHash60(col("f")), lit(buckets.toLong))).as("bucket"))
+      .join(broadcast(wdf), Seq("bucket"), "left")
+      .groupBy("id", "teacher_pass")
+      .agg((coalesce(sum(col("w")), lit(0L)) + lit(model.bias)).as("score"))
+      .groupBy((col("score") > 0L).as("pred_keep"), col("teacher_pass"))
+      .agg(count(lit(1)).as("n_docs"))
   }
 }

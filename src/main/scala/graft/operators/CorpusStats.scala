@@ -186,6 +186,48 @@ object CorpusStats {
   }
 
   /**
+   * Exact per-group quantiles via a cumulative VALUE HISTOGRAM — the
+   * exact tier beside the bottom-k sketch
+   * ([[graft.expressions.BottomKSketchAgg]]): when the value domain is
+   * bounded (token counts, char lengths, integer scores), the histogram
+   * has one row per DISTINCT (group, value) pair, so exact percentiles
+   * over 100 TB cost one map-side-combined aggregation plus one window
+   * over histogram-sized frames — never a corpus sort, and never a
+   * whole-group buffer (what Spark's exact `percentile` aggregate holds
+   * per group; `percentile_approx` bounds state but gives up exactness).
+   *
+   * Quantile convention: nearest-rank-lower — the value whose 1-based
+   * rank is ⌊(n−1)·num/den⌋ + 1 — the SAME integer convention as
+   * [[graft.expressions.BottomKSketchAgg.quantileFromSample]], so the
+   * sketch estimate and the exact value are directly comparable; all
+   * rank arithmetic is exact integer (the floorDiv convention). The
+   * pick per quantile is `min(value WHERE cumulative ≥ rank)` — correct
+   * because the cumulative count is monotone in the value.
+   *
+   * Output: one row per group — groupCol, one column per requested
+   * (name, num, den) quantile, and `n` (group cardinality).
+   */
+  def exactQuantilesByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                            qs: Seq[(String, Int, Int)]): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (_, num, den) =>
+      num >= 0 && den > 0 && num <= den })
+    val hist = df.groupBy(col(groupCol), col(valueCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = hist
+      .withColumn("__cum",
+        sum(col("__c")).over(Window.partitionBy(groupCol).orderBy("__v")))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(groupCol)))
+    val picks = qs.map { case (name, num, den) =>
+      val scaled = (col("__n") - lit(1L)) * lit(num.toLong)
+      val rank = call_function("div",
+        scaled - pmod(scaled, lit(den.toLong)), lit(den.toLong)) + lit(1L)
+      min(when(col("__cum") >= rank, col("__v"))).as(name)
+    }
+    cum.groupBy(groupCol)
+      .agg(picks.head, picks.tail :+ max(col("__n")).as("n"): _*)
+  }
+
+  /**
    * Bigram-novelty quality score — the exact-arithmetic cousin of LM
    * perplexity filtering (CCNet-style quality stacks drop documents whose
    * token transitions the corpus has never seen; gibberish and mojibake

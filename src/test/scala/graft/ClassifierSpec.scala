@@ -136,4 +136,25 @@ class ClassifierSpec extends SparkSpec {
     assert(hits > majority,
       s"classifier $hits/$total does not beat majority $majority/$total")
   }
+
+  test("confusionCensus ≡ scoreDocs joined to the label (single-pass twin), " +
+    "cells partition the corpus") {
+    val docs = fixture(48)
+    val m = Classifier.trainPerceptron(docs, "doc_id", "is_good", "text",
+      n = 2, buckets = 512, sampleN = 24, epochs = 3)
+    def cells(df: DataFrame) = df.collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+    val census = cells(Classifier.confusionCensus(docs, m, "doc_id", "text",
+      col("is_good"), n = 2, buckets = 512))
+    // differential twin: the two-pass composition
+    val twin = cells(Classifier.scoreDocs(docs, m, "doc_id", "text", 2, 512)
+      .join(docs.select(col("doc_id").as("id"), col("is_good")), Seq("id"))
+      .groupBy(col("keep").as("pred_keep"), col("is_good").as("teacher_pass"))
+      .agg(count(lit(1)).as("n_docs")))
+    assert(census == twin)
+    assert(census.values.sum == 48L)
+    // partitioning independence rides the set-function aggregation
+    assert(census == cells(Classifier.confusionCensus(docs.repartition(7),
+      m, "doc_id", "text", col("is_good"), n = 2, buckets = 512)))
+  }
 }

@@ -49,6 +49,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("classifier census: the battery verdict rides the score aggregation " +
+    "in one scan; the model broadcasts (q139)") {
+    val p = plan("q139_classifier_census")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("bottom-k quantile sketch aggregates in one exchange and never sorts " +
+    "the corpus (q140)") {
+    val p = plan("q140_sketch_quantiles")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+    assert(!p.contains("Sort "), p)
+  }
+
+  test("exact quantiles cumulate a histogram — two keyed exchanges, never a " +
+    "global range sort of the corpus (q141)") {
+    val p = plan("q141_exact_quantiles")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2, p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
   test("dimension joins broadcast (no sort-merge join on the dim side)") {
     val p = plan("q02_revenue_by_nation")
     assert(p.contains("BroadcastHashJoin"))

@@ -645,6 +645,37 @@ class StatefulOpsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("the 21-stage quality funnel screens a stream identically to batch " +
+    "Cleaning.survivors (ingest-time Gopher + repetition twins)") {
+    // every stage is a pure per-doc expression (the NgramRepetition
+    // aggregates included), so the SAME stage list the capstone funnel
+    // gates in batch (q127/q133/q134/q136) is admission-ready unchanged —
+    // no state, no watermark, batch boundaries can't matter
+    val root = Files.createTempDirectory("graft-funnelstream").toString
+    implicit val sqlCtx = spark.sqlContext
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).where(col("doc_id") < 150)
+    val stages =
+      Seq("min_tokens" -> (graft.functions.Text.tokenCount(col("text")) >= 20)) ++
+        graft.functions.Quality.gopherStages("text", graft.functions.Text.Stopwords) ++
+        graft.functions.Quality.repetitionStages("text")
+    val keep = stages.map(_._2).reduce(_ && _)
+    val rows = all.collect().map(r => (r.getLong(0), r.getString(1)))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = input.toDS().toDF("doc_id", "text").where(keep)
+      .writeStream.format("memory").queryName("funnel_stream")
+      .option("checkpointLocation", s"$root/ckpt").outputMode("append").start()
+    rows.grouped(60).foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.sql("SELECT doc_id FROM funnel_stream")
+      .collect().map(_.getLong(0)).toSet
+    val batch = graft.operators.Cleaning.survivors(all, stages)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batch)
+    // the screen is live on this corpus: some docs drop, some pass
+    assert(batch.nonEmpty && batch.size < rows.length)
+  }
+
   test("stableHash60Scala equals the Column stableHash60 (streaming draws match batch)") {
     val keys = (0 until 200).map(i => s"k$i" * (i % 5 + 1)) :+ "" :+ "πü€"
     val fromCol = keys.toDF("s")

@@ -168,6 +168,98 @@ class TextSpec extends SparkSpec {
     assert(CountMinAgg.estimate(agg, "never-seen-token-xyz", depth, width) >= 0L)
   }
 
+  test("bottom-k sketch: k smallest hash pairs, partitioning-independent, small groups exact") {
+    import graft.expressions.BottomKSketchAgg.{sampleByHash, quantileFromSample}
+    import graft.functions.Hashing
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val k = 32
+    val h = Hashing.stableHash60(col("doc_id").cast("string"))
+
+    def sketch(df: org.apache.spark.sql.DataFrame) = df.groupBy("source")
+      .agg(sampleByHash(h, col("n_chars"), k).as("smp"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val got = sketch(real)
+    // pure set function: identical under any partitioning / merge order
+    assert(got == sketch(real.repartition(13)))
+
+    // ≡ brute force: the k smallest (hash, value) pairs, values ascending
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(h.asc, col("n_chars").asc)
+    val brute = real.withColumn("hr", row_number().over(w)).where(col("hr") <= k)
+      .collect().groupBy(_.getAs[String]("source"))
+      .map { case (s, rs) => s -> rs.map(_.getAs[Long]("n_chars")).sorted.toSeq }
+    assert(got == brute)
+
+    // m ≤ k: the sample IS the group, so quantiles are the exact
+    // nearest-rank-lower percentiles of the full data
+    val tiny = Seq.tabulate(9)(i => (i.toLong, (i + 1) * 10L)).toDF("id", "v")
+    val qs = tiny.agg(sampleByHash(
+        Hashing.stableHash60(col("id").cast("string")), col("v"), k).as("smp"))
+      .select(
+        quantileFromSample(col("smp"), 0, 4).as("min"),
+        quantileFromSample(col("smp"), 1, 2).as("p50"),
+        quantileFromSample(col("smp"), 4, 4).as("max"))
+      .head()
+    assert((qs.getLong(0), qs.getLong(1), qs.getLong(2)) == ((10L, 50L, 90L)))
+    // singleton: every quantile is the value
+    val one = Seq((1L, 7L)).toDF("id", "v")
+      .agg(sampleByHash(Hashing.stableHash60(col("id").cast("string")),
+        col("v"), k).as("smp"))
+      .select(quantileFromSample(col("smp"), 1, 2)).head().getLong(0)
+    assert(one == 7L)
+  }
+
+  test("exactQuantilesByGroup equals a local sort (same nearest-rank-lower " +
+    "contract) and stays row-grain under heavy ties") {
+    import graft.operators.CorpusStats
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val qs = Seq(("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p90", 9, 10))
+    val got = CorpusStats.exactQuantilesByGroup(real, "source", "n_chars", qs)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val twin = real.select("source", "n_chars").collect()
+      .groupBy(_.getString(0)).map { case (s, rs) =>
+        val v = rs.map(_.getLong(1)).sorted
+        def q(num: Int, den: Int) = v((((v.length - 1).toLong * num) / den).toInt)
+        s -> ((q(1, 4), q(1, 2), q(3, 4), q(9, 10), v.length.toLong))
+      }
+    assert(got == twin)
+    // ties: 90× value 5 then 10× value 100 collapse to TWO histogram rows,
+    // but ranks stay row-grain — p50 is 5, p95 is 100
+    val dup = Seq.tabulate(100)(i => (i.toLong, if (i < 90) 5L else 100L))
+      .toDF("id", "v").withColumn("g", lit("x"))
+    val d = CorpusStats.exactQuantilesByGroup(dup, "g", "v",
+      Seq(("p50", 1, 2), ("p95", 19, 20))).head()
+    assert((d.getLong(1), d.getLong(2), d.getLong(3)) == ((5L, 100L, 100L)))
+  }
+
+  test("bottom-k sketch quantile rank error stays within the KMV bound") {
+    import graft.expressions.BottomKSketchAgg.{sampleByHash, quantileFromSample}
+    import graft.functions.Hashing
+    // n distinct values = their own ranks, so the estimate's rank error
+    // reads directly off the value; k=256 -> observed error well inside
+    // the 3/sqrt(k) ~ 0.1875 envelope
+    val n = 5000
+    val k = 256
+    val data = spark.range(n.toLong).select(col("id"),
+      (col("id") + 1L).as("v")) // v = true 1-based rank
+    val smp = data.agg(sampleByHash(
+        Hashing.stableHash60(col("id").cast("string")), col("v"), k).as("smp"))
+      .select(
+        quantileFromSample(col("smp"), 1, 4).as("p25"),
+        quantileFromSample(col("smp"), 1, 2).as("p50"),
+        quantileFromSample(col("smp"), 3, 4).as("p75"),
+        quantileFromSample(col("smp"), 9, 10).as("p90"))
+      .head()
+    val bound = 3.0 / math.sqrt(k.toDouble) // ~0.1875
+    Seq(0.25 -> smp.getLong(0), 0.50 -> smp.getLong(1),
+        0.75 -> smp.getLong(2), 0.90 -> smp.getLong(3)).foreach {
+      case (q, est) =>
+        val err = math.abs(est.toDouble / n - q)
+        assert(err <= bound, s"q=$q est=$est rank-err=$err > $bound")
+    }
+  }
+
   test("tfIdfTopTerms ranks rare-but-frequent-in-doc terms first") {
     // "x" appears 3 times in doc 1 only (tf=3, df=1, N=3 -> score 9);
     // "a" appears everywhere (df=3 -> score tf*3/3 = tf)
