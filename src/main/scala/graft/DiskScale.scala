@@ -141,11 +141,41 @@ object DiskScale {
         graft.operators.NgramLm.scoreTokens(docsH, lmTbl, totalsH,
           "doc_id", "text")))
 
+      // the q138/q139 distilled classifier at corpus scale: training cost
+      // is SIZE-INDEPENDENT (the 64-doc bounded sample), so the row
+      // measures inference — bigram explode, broadcast weight join, one
+      // doc-keyed map-side-combined sum. The distillation promise is
+      // exactly that this row grows linearly while the screens it stands
+      // in for stay affordable only on samples.
+      val pcpt = graft.operators.Classifier.trainPerceptron(
+        docs.withColumn("__y", qualStages.map(_._2).reduce(_ && _)),
+        "doc_id", "__y", "text", n = 2, buckets = 4096,
+        sampleN = 64, epochs = 2)
+      val tCls = time2(noop(
+        graft.operators.Classifier.scoreDocs(docs, pcpt, "doc_id", "text",
+          n = 2, buckets = 4096)))
+
+      // the q140/q141 quantile tiers over doc length, 10 synthetic groups:
+      // the sketch is one constant-state aggregation (scan-bound), the
+      // exact histogram tier adds the (group, value) histogram + window —
+      // both must stay flat-per-row for the "no corpus sort" claim to
+      // mean anything at size
+      val lenDocs = docs.withColumn("__grp", pmod(col("doc_id"), lit(10L)))
+        .withColumn("__len", length(col("text")).cast("long"))
+      val tQtlSk = time2(noop(lenDocs.groupBy("__grp").agg(
+        graft.expressions.BottomKSketchAgg.sampleByHash(
+          graft.functions.Hashing.stableHash60(col("doc_id").cast("string")),
+          col("__len"), 256).as("smp"))))
+      val tQtlEx = time2(noop(
+        graft.operators.CorpusStats.exactQuantilesByGroup(lenDocs, "__grp",
+          "__len", Seq(("p50", 1, 2), ("p90", 9, 10)))))
+
       println(s"""{"n":$n,"jac_vocab":$vocabH,"jac_capped":${f2(tJac)},"jac_prefix08":${f2(tPfx)},""" +
         s""""span_ranges":${f2(tSpn)},"span_sparse_w13":${f2(tSpnSparse)},""" +
         s""""winnow":${f2(tWin)},"span_sparse_amz":${f2(tSpnAmz)},""" +
         s""""fuzzy_pairs":${f2(tFuz)},"quality_funnel":${f2(tQual)},""" +
-        s""""lm_build":${f2(tLmBuild)},"lm_score":${f2(tLmScore)}}""")
+        s""""lm_build":${f2(tLmBuild)},"lm_score":${f2(tLmScore)},""" +
+        s""""cls_score":${f2(tCls)},"qtl_sketch":${f2(tQtlSk)},"qtl_exact":${f2(tQtlEx)}}""")
     }
     spark.stop()
   }

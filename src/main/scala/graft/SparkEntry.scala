@@ -1747,11 +1747,14 @@ object SparkEntry {
     // against its teacher (the capstone battery verdict) over the WHOLE
     // corpus — the confusion matrix a data team reads before letting the
     // cheap linear scorer stand in for the 21-rule battery at 100 TB
-    // (precision/recall/accuracy all derive from these four cells). One
-    // corpus scan: the teacher verdict is evaluated per doc before the
-    // feature explode and rides the score aggregation as a grouping key.
-    // The oracle replays training AND recomputes the battery from its
-    // own shared fragments, then recomposes the identical census.
+    // (precision/recall/accuracy all derive from these four cells). ONE
+    // corpus scan, zero joins: the score is a literal-map FOLD over the
+    // shingle array (Classifier.scoreColumn) evaluated beside the
+    // battery columns in the same projection — an exploded score would
+    // invite Catalyst to collapse the battery below the Generate and
+    // re-evaluate it once per shingle (measured 60×). The oracle replays
+    // training AND recomputes the battery from its own shared fragments,
+    // then recomposes the identical census.
     "q139_classifier_census" -> ((s, dir) =>
       graft.operators.Classifier.confusionCensus(
         t(s, dir, "documents"), pcptModel(s, dir), "doc_id", "text",

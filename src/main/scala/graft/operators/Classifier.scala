@@ -148,33 +148,52 @@ object Classifier {
   }
 
   /**
+   * Per-document score as a pure Column — a FOLD over the shingle array
+   * with the model as a plan-embedded literal map (the q135 vocab
+   * convention): score = bias + Σ_s w(hash(s) mod buckets). No explode,
+   * no join — the whole evaluation is one pass inside the row's
+   * projection, so it composes with OTHER per-doc expressions in a
+   * single scan (the property [[confusionCensus]] needs: an exploded
+   * formulation invites Catalyst to collapse sibling per-doc columns
+   * BELOW the Generate and re-evaluate them once per shingle — measured
+   * 60× on the 21-stage battery). The literal map is bounded by the
+   * model's nonzero weights (≤ buckets entries — a sample-trained
+   * model's support is far smaller); for models past plan-literal scale,
+   * [[scoreDocs]]'s broadcast-join shape is the fallback.
+   */
+  def scoreColumn(model: PerceptronModel, text: Column,
+                  n: Int = 2, buckets: Int = 4096): Column = {
+    import org.apache.spark.sql.functions.typedLit
+    val folded =
+      if (model.weights.isEmpty) lit(0L)
+      else {
+        val wMap = typedLit(model.weights)
+        coalesce(aggregate(Text.shingles(text, n), lit(0L),
+          (acc, s) => acc + coalesce(
+            element_at(wMap, pmod(Hashing.stableHash60(s), lit(buckets.toLong))),
+            lit(0L))), lit(0L))
+      }
+    lit(model.bias) + folded
+  }
+
+  /**
    * Distillation-quality census: the student classifier's confusion
    * matrix against the teacher label over the whole corpus —
    * (pred_keep, teacher_pass, n_docs), the four cells every derived
    * metric (precision, recall, accuracy) reads — the report a data team
    * checks before letting the cheap linear scorer stand in for the
-   * expensive screen battery at 100 TB. One pass over the corpus: the
-   * teacher verdict (`labelCol`, any Column over the doc row) is
-   * evaluated per document BEFORE the feature explode and rides the
-   * score aggregation as a grouping key, so scoring and labeling share
-   * the single scan, the wide shuffle carries only (id, verdict,
-   * partial weight sum), and the final census aggregation map-side
-   * combines to ≤4 rows.
+   * expensive screen battery at 100 TB. ONE scan, zero joins: both the
+   * teacher verdict (`labelCol`, any Column over the doc row) and the
+   * student score ([[scoreColumn]] — a fold, not an explode) are per-doc
+   * expressions in the same projection, and the only exchange is the
+   * ≤4-row census aggregation (map-side combined).
    */
   def confusionCensus(docs: DataFrame, model: PerceptronModel, idCol: String,
                       textCol: String, labelCol: Column,
-                      n: Int = 2, buckets: Int = 4096): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val wdf = model.weights.toSeq.toDF("bucket", "w")
-    docs.select(col(idCol).as("id"), labelCol.as("teacher_pass"),
-        explode_outer(Text.shingles(col(textCol), n)).as("f"))
-      .select(col("id"), col("teacher_pass"), when(col("f").isNotNull,
-        pmod(Hashing.stableHash60(col("f")), lit(buckets.toLong))).as("bucket"))
-      .join(broadcast(wdf), Seq("bucket"), "left")
-      .groupBy("id", "teacher_pass")
-      .agg((coalesce(sum(col("w")), lit(0L)) + lit(model.bias)).as("score"))
-      .groupBy((col("score") > 0L).as("pred_keep"), col("teacher_pass"))
+                      n: Int = 2, buckets: Int = 4096): DataFrame =
+    docs.select(
+        (scoreColumn(model, col(textCol), n, buckets) > 0L).as("pred_keep"),
+        labelCol.as("teacher_pass"))
+      .groupBy("pred_keep", "teacher_pass")
       .agg(count(lit(1)).as("n_docs"))
-  }
 }

@@ -205,14 +205,25 @@ object CorpusStats {
    * because the cumulative count is monotone in the value.
    *
    * Output: one row per group — groupCol, one column per requested
-   * (name, num, den) quantile, and `n` (group cardinality).
+   * (name, num, den) quantile, and `n` (group cardinality; total weight
+   * when `weightCol` is set).
+   *
+   * `weightCol` generalizes to WEIGHTED quantiles over the same
+   * machinery: the histogram accumulates Σweight instead of row counts,
+   * so "the doc length below which half my TOKENS sit" — the
+   * packing-budget question — costs the same two exchanges as the
+   * unweighted census (rank runs over cumulative weight; weights must
+   * be non-negative integers, the repo's exact-arithmetic contract).
    */
   def exactQuantilesByGroup(df: DataFrame, groupCol: String, valueCol: String,
-                            qs: Seq[(String, Int, Int)]): DataFrame = {
+                            qs: Seq[(String, Int, Int)],
+                            weightCol: Option[String] = None): DataFrame = {
     require(qs.nonEmpty && qs.forall { case (_, num, den) =>
       num >= 0 && den > 0 && num <= den })
+    val mass = weightCol.map(c => sum(col(c).cast("long")))
+      .getOrElse(count(lit(1)))
     val hist = df.groupBy(col(groupCol), col(valueCol).cast("long").as("__v"))
-      .agg(count(lit(1)).as("__c"))
+      .agg(mass.as("__c"))
     val cum = hist
       .withColumn("__cum",
         sum(col("__c")).over(Window.partitionBy(groupCol).orderBy("__v")))

@@ -49,11 +49,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
-  test("classifier census: the battery verdict rides the score aggregation " +
-    "in one scan; the model broadcasts (q139)") {
+  test("classifier census: ONE scan, zero joins, zero explodes — the score " +
+    "is a literal-map fold so the battery never re-evaluates per shingle " +
+    "(q139)") {
     val p = plan("q139_classifier_census")
-    assert(p.contains("BroadcastHashJoin"))
-    assert(!p.contains("SortMergeJoin"))
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+    assert(!p.contains("Generate"), p)
+    assert(!p.contains("Join"), p)
   }
 
   test("bottom-k quantile sketch aggregates in one exchange and never sorts " +

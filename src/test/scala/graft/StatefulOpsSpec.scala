@@ -493,6 +493,28 @@ class StatefulOpsSpec extends SparkSpec {
     assert(CountMinAgg.estimate(streamed, "b", depth, width) >= 3L)
   }
 
+  test("bottom-k sketch accumulates across micro-batches to the batch sample") {
+    import graft.expressions.BottomKSketchAgg
+    import graft.functions.Hashing
+    val root = Files.createTempDirectory("graft-bkstream").toString
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val k = 8
+    val smp = BottomKSketchAgg.sampleByHash(
+      Hashing.stableHash60(col("id").cast("string")), col("v"), k)
+    val agg = input.toDS().toDF("id", "v").agg(smp.as("smp"))
+    val q = agg.writeStream.format("memory").queryName("bk_stream")
+      .option("checkpointLocation", s"$root/ckpt").outputMode("complete").start()
+    val rows = (1L to 40L).map(i => (i, i * 10L))
+    input.addData(rows.take(25): _*); q.processAllAvailable()
+    input.addData(rows.drop(25): _*); q.processAllAvailable()
+    val streamed = spark.sql("SELECT smp FROM bk_stream").head.getSeq[Long](0)
+    q.stop()
+    // set-function state: streamed accumulation == one-shot batch sample
+    val batch = rows.toDF("id", "v").agg(smp).head.getSeq[Long](0)
+    assert(streamed == batch && streamed.length == k)
+  }
+
   test("HLL registers accumulate across micro-batches and shrug off re-delivery") {
     import graft.expressions.HllRegisterAgg
     val root = Files.createTempDirectory("graft-hllstream").toString

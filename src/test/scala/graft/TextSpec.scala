@@ -231,6 +231,17 @@ class TextSpec extends SparkSpec {
     val d = CorpusStats.exactQuantilesByGroup(dup, "g", "v",
       Seq(("p50", 1, 2), ("p95", 19, 20))).head()
     assert((d.getLong(1), d.getLong(2), d.getLong(3)) == ((5L, 100L, 100L)))
+    // weighted: ranks run over cumulative WEIGHT — equals expanding each
+    // row `w` times and taking the unweighted quantile
+    val wdf = Seq((10L, 3L), (20L, 2L), (30L, 5L)).toDF("v", "w")
+      .withColumn("g", lit("x"))
+    val wq = CorpusStats.exactQuantilesByGroup(wdf, "g", "v",
+      Seq(("p25", 1, 4), ("p50", 1, 2), ("p90", 9, 10)),
+      weightCol = Some("w")).head()
+    // expanded multiset: 10×3, 20×2, 30×5 (n=10) -> rank(p25)=⌊9/4⌋+1=3
+    // -> 10; rank(p50)=⌊9/2⌋+1=5 -> 20; rank(p90)=⌊81/10⌋+1=9 -> 30
+    assert((wq.getLong(1), wq.getLong(2), wq.getLong(3), wq.getLong(4)) ==
+      ((10L, 20L, 30L, 10L)))
   }
 
   test("bottom-k sketch quantile rank error stays within the KMV bound") {
