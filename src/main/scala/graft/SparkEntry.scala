@@ -1797,6 +1797,20 @@ object SparkEntry {
       graft.operators.CorpusStats.exactQuantilesByGroup(
         t(s, dir, "documents"), "source", "n_chars",
         Seq(("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p90", 9, 10)))),
+
+    // Weighted exact quantiles: "the doc length below which a quarter /
+    // half / ... of my TOKENS sit" — the packing-budget question. Same
+    // histogram machinery as q141 with Σweight masses (weight = token
+    // count); rank runs over cumulative weight. The oracle EXPANDS each
+    // doc into `weight` rows and ranks them — the obviously-correct
+    // formulation the histogram must reproduce.
+    "q142_weighted_quantiles" -> ((s, dir) =>
+      graft.operators.CorpusStats.exactQuantilesByGroup(
+        t(s, dir, "documents")
+          .withColumn("w", Text.tokenCount(col("text")).cast("long")),
+        "source", "n_chars",
+        Seq(("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p90", 9, 10)),
+        weightCol = Some("w"))),
   )
 
   /** Shared trainer for q137/q138 (train once per call site; the sample
@@ -4249,6 +4263,27 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY source ORDER BY n_chars ASC) AS vr,
          |  count(*) OVER (PARTITION BY source) AS n
          | FROM documents)
+         |SELECT source,
+         | max(CASE WHEN vr = (n-1)*1//4+1 THEN n_chars END) AS p25,
+         | max(CASE WHEN vr = (n-1)*1//2+1 THEN n_chars END) AS p50,
+         | max(CASE WHEN vr = (n-1)*3//4+1 THEN n_chars END) AS p75,
+         | max(CASE WHEN vr = (n-1)*9//10+1 THEN n_chars END) AS p90,
+         | CAST(max(n) AS BIGINT) AS n
+         |FROM rk GROUP BY source""".stripMargin,
+
+    // Weighted quantiles: the oracle literally expands each doc into
+    // `token count` rows (unnest(range(w))) and ranks the expansion —
+    // the engine's cumulative-weight histogram must land on the same
+    // values at the same ⌊(W−1)·num/den⌋+1 positions.
+    "q142_weighted_quantiles" ->
+      s"""WITH ex AS (SELECT source, n_chars FROM (
+         |  SELECT source, n_chars,
+         |    unnest(range(CAST(len(string_split(text,' ')) AS BIGINT))) AS r
+         |  FROM documents)),
+         |rk AS (SELECT source, n_chars,
+         |  row_number() OVER (PARTITION BY source ORDER BY n_chars ASC) AS vr,
+         |  count(*) OVER (PARTITION BY source) AS n
+         | FROM ex)
          |SELECT source,
          | max(CASE WHEN vr = (n-1)*1//4+1 THEN n_chars END) AS p25,
          | max(CASE WHEN vr = (n-1)*1//2+1 THEN n_chars END) AS p50,
