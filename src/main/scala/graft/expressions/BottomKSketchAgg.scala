@@ -69,14 +69,18 @@ object BottomKSketchAgg {
     * m: the element at 1-based rank ⌊(m−1)·num/den⌋ + 1 — exact integer
     * rank arithmetic, so engines agree at every m including m = 1 (any
     * quantile of a singleton is that value) and den-boundary quantiles
-    * (num = den → the max). */
+    * (num = den → the max). An EMPTY sample (m = 0 — possible when the
+    * array arrives from a left join or a filter, not from a groupBy
+    * output) yields NULL rather than a negative-rank error: at m = 0 the
+    * "non-negative operands" premise of the floor arithmetic fails, so
+    * the m > 0 branch guards it. */
   def quantileFromSample(sample: Column, num: Int, den: Int): Column = {
     require(num >= 0 && den > 0 && num <= den)
-    // non-negative operands, so `div` after subtracting pmod is an exact
-    // integer floor (the RangeJoin.floorDiv convention)
+    // non-negative operands (guarded m > 0), so `div` after subtracting
+    // pmod is an exact integer floor (the RangeJoin.floorDiv convention)
     val scaled = (size(sample) - lit(1)).cast("long") * lit(num.toLong)
     val rank = call_function("div",
       scaled - pmod(scaled, lit(den.toLong)), lit(den.toLong)) + lit(1L)
-    element_at(sample, rank.cast("int"))
+    when(size(sample) > 0, element_at(sample, rank.cast("int")))
   }
 }

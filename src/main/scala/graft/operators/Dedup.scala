@@ -1091,8 +1091,14 @@ object Dedup {
    * sits at or after x in both sorted sets, so overlap ≤ 1 + min(|a|−i,
    * |b|−j) (positions of x, 1-based); jaccard ≥ t needs overlap ≥
    * t/(1+t)·(|a|+|b|) — candidates whose bound can't reach it die here.
-   * The bound check is ε-relaxed (1e-9) so double rounding can only
-   * ADMIT a boundary pair (exact verification kills it), never drop one.
+   * Both bound checks run as EXACT integer cross-multiplications on the
+   * rational form of the threshold ([[thresholdRational]]): with
+   * t = tn/td, the length filter is min·td ≥ tn·max and the positional
+   * bound (1 + min(na−ia, nb−ib))·(tn+td) ≥ tn·(na+nb) — no float
+   * rounding, no epsilon, boundary pairs admitted at exact equality
+   * (the q133 cross-multiplication discipline). Products are bounded:
+   * tn, td ≤ 10⁹ and set sizes ≤ ~10⁹ (a multi-GB document), so every
+   * product stays ≤ ~2·10¹⁸ < Long.MaxValue.
    *
    * Under `maxBucket` capping the smallest shared hash can sit in a
    * DROPPED hot bucket, so the surviving occurrence's bound may
@@ -1126,19 +1132,34 @@ object Dedup {
       .agg(min_by(struct(col("ia"), col("ib"), col("na"), col("nb")), col("h")).as("f"))
       .select(col("id_a"), col("id_b"), col("f.ia").as("ia"), col("f.ib").as("ib"),
         col("f.na").as("na"), col("f.nb").as("nb"))
+    val (tn, td) = thresholdRational(threshold)
     val lengthFiltered = firstHit
-      // length filter (AllPairs): jaccard ≤ min/max of the sizes
-      .where(least(col("na"), col("nb")).cast("double") >=
-        lit(threshold) * greatest(col("na"), col("nb")).cast("double"))
+      // length filter (AllPairs): jaccard ≤ min/max of the sizes;
+      // min/max ≥ tn/td ⟺ min·td ≥ tn·max (exact integers)
+      .where(least(col("na"), col("nb")) * lit(td) >=
+        lit(tn) * greatest(col("na"), col("nb")))
     val positioned =
       if (maxBucket < Int.MaxValue) lengthFiltered // see scaladoc: bound unsound under capping
       else lengthFiltered
-        // positional filter: overlap ubound at the first shared hash
-        .where((lit(1L) + least(col("na") - col("ia"), col("nb") - col("ib")))
-          .cast("double") >=
-          lit(threshold / (1.0 + threshold)) *
-            (col("na") + col("nb")).cast("double") - lit(1e-9))
+        // positional filter: overlap ubound at the first shared hash;
+        // 1+min ≥ tn/(tn+td)·(na+nb) ⟺ (1+min)·(tn+td) ≥ tn·(na+nb)
+        .where((lit(1L) + least(col("na") - col("ia"), col("nb") - col("ib"))) *
+          lit(tn + td) >= lit(tn) * (col("na") + col("nb")))
     positioned.select("id_a", "id_b")
+  }
+
+  /** Recover the intended rational tn/td (reduced) from a double
+    * threshold: round to 9 decimal digits and reduce by gcd. Any
+    * threshold written as a decimal literal with ≤ 9 fractional digits
+    * (every call site: 0.5, 0.7, 0.8, 0.9, …) maps back to its exact
+    * rational, so downstream bound checks can cross-multiply in exact
+    * integer arithmetic instead of comparing rounded doubles. */
+  private[graft] def thresholdRational(threshold: Double): (Long, Long) = {
+    @annotation.tailrec def gcd(a: Long, b: Long): Long =
+      if (b == 0L) a else gcd(b, a % b)
+    val num = math.round(threshold * 1e9)
+    val g = gcd(num, 1000000000L)
+    (num / g, 1000000000L / g)
   }
 
   /** Raw prefix-index candidate pairs (pre length filter, pre verify)

@@ -529,6 +529,32 @@ class DedupSpec extends SparkSpec {
     assert(prefLen < 0.3 * nFull + nDocs, s"prefix $prefLen of $nFull")
   }
 
+  test("prefixCandidatePairsPos positional bound is exact-integer: " +
+    "equality admits, one-below prunes; thresholdRational recovers intent") {
+    assert(Dedup.thresholdRational(0.8) == (4L -> 5L))
+    assert(Dedup.thresholdRational(0.7) == (7L -> 10L))
+    assert(Dedup.thresholdRational(0.5) == (1L -> 2L))
+    assert(Dedup.thresholdRational(0.123456789) == (123456789L -> 1000000000L))
+    // t = 1/2 → bound (1+min(na−ia, nb−ib))·(1+2) ≥ 1·(na+nb).
+    // Pair (1,2): na=4, nb=5, smallest shared hash 100 at (ia=2, ib=3)
+    // → (1+2)·3 = 9 = na+nb — EXACT equality must be admitted (the old
+    // float form only reached it through the 1e-9 epsilon).
+    // Pair (1,3): na=4, nb=6, hash 100 at (ia=2, ib=4) → 9 < 10 — pruned
+    // by the positional bound alone (length filter passes: 4·2 ≥ 1·6).
+    def sets(rows: (Long, Seq[Long])*) =
+      rows.toSeq.toDF("id", "__hs").withColumn("__sz", size(col("__hs")))
+    val eq = Dedup.prefixCandidatePairsPos(
+      sets(1L -> Seq(1L, 100L, 200L, 300L),
+           2L -> Seq(2L, 3L, 100L, 400L, 500L)),
+      0.5, Int.MaxValue).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(eq == Set(1L -> 2L))
+    val below = Dedup.prefixCandidatePairsPos(
+      sets(1L -> Seq(1L, 100L, 200L, 300L),
+           3L -> Seq(2L, 3L, 4L, 100L, 400L, 500L)),
+      0.5, Int.MaxValue).collect()
+    assert(below.isEmpty)
+  }
+
   // ------------------------------------------------------------- winnowing
 
   /** Plain-Scala robust-winnowing twin: every full window of w k-gram

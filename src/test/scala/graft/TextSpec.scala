@@ -207,6 +207,11 @@ class TextSpec extends SparkSpec {
         col("v"), k).as("smp"))
       .select(quantileFromSample(col("smp"), 1, 2)).head().getLong(0)
     assert(one == 7L)
+    // empty sample (left-join / filter shape, not a groupBy output):
+    // NULL, not a negative-rank element_at error
+    val empty = Seq(Tuple1(Seq.empty[Long])).toDF("smp")
+      .select(quantileFromSample(col("smp"), 1, 2)).head()
+    assert(empty.isNullAt(0))
   }
 
   test("exactQuantilesByGroup equals a local sort (same nearest-rank-lower " +
@@ -242,6 +247,22 @@ class TextSpec extends SparkSpec {
     // -> 10; rank(p50)=⌊9/2⌋+1=5 -> 20; rank(p90)=⌊81/10⌋+1=9 -> 30
     assert((wq.getLong(1), wq.getLong(2), wq.getLong(3), wq.getLong(4)) ==
       ((10L, 20L, 30L, 10L)))
+    // contract enforcement: NULL values are excluded from the census
+    // (they would inflate __n while never being selectable), and a
+    // negative weight fails loudly instead of silently breaking the
+    // cumulative monotonicity the rank pick relies on
+    val withNull = Seq((Some(10L), 1L), (None, 1L), (Some(30L), 1L))
+      .toDF("v", "w").withColumn("g", lit("x"))
+    val nq = CorpusStats.exactQuantilesByGroup(withNull, "g", "v",
+      Seq(("p50", 1, 2))).head()
+    assert((nq.getLong(1), nq.getLong(2)) == ((10L, 2L))) // n=2, not 3
+    val negW = Seq((10L, 1L), (20L, -1L)).toDF("v", "w")
+      .withColumn("g", lit("x"))
+    val err = intercept[Exception] {
+      CorpusStats.exactQuantilesByGroup(negW, "g", "v",
+        Seq(("p50", 1, 2)), weightCol = Some("w")).collect()
+    }
+    assert(err.getMessage != null)
   }
 
   test("bottom-k sketch quantile rank error stays within the KMV bound") {
