@@ -126,6 +126,7 @@ object SparkEntry {
       tm("win")(winnowedShared(s, dir)),
       tm("emb")(embNearDupShared(s, dir)),
       tm("lmc")(lmCountsShared(s, dir)),
+      tm("lm5")(lmCounts5Shared(s, dir)),
       // cap = the composed CorpusPipeline run (q127/q128): `run` executes
       // eagerly inside the memo build, so this row carries the whole
       // pipeline cost and the two gate rows report marginal reads
@@ -230,6 +231,16 @@ object SparkEntry {
     staged(s, dir, "lmcounts")(
       graft.operators.NgramLm.lmCounts(t(s, dir, "documents"), "text",
         n = 3, minCount = LmMinCount))
+
+  /** 5-gram Stupid Backoff count tables (q143's model) — the CCNet
+    * production order (Wenzek 2020 screens with KenLM 5-grams); same
+    * staging rationale as the trigram artifact. The scorer's shape is
+    * order-independent (two shuffles; the candidate stream widens from
+    * 5 to 9 slots per token), which q143 pins at the production order. */
+  private def lmCounts5Shared(s: SparkSession, dir: String): DataFrame =
+    staged(s, dir, "lmcounts5")(
+      graft.operators.NgramLm.lmCounts(t(s, dir, "documents"), "text",
+        n = 5, minCount = LmMinCount))
 
   /** Count-table pruning floor for the LM gates (q131/q132 and oracles):
     * 2 drops hapax grams — on this corpus ~58% of trigrams — so the gate
@@ -1811,6 +1822,21 @@ object SparkEntry {
         "source", "n_chars",
         Seq(("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p90", 9, 10)),
         weightCol = Some("w"))),
+
+    // 5-gram Stupid Backoff token grain — the CCNet PRODUCTION order
+    // (Wenzek 2020 scores with KenLM 5-grams). Same two-shuffle scorer
+    // as q131 (one candidate equi-join + one (doc,pos) re-group — the
+    // order only widens the slot stream 5 → 9 rows per token, it never
+    // adds a join), against the staged `lm5` count tables. The oracle
+    // re-derives all five pruned count tables and the 9-slot lookup as
+    // explicit per-slot LEFT JOINs — independent formulation at the
+    // generalized order.
+    "q143_lm5_token_scores" -> ((s, dir) =>
+      graft.operators.NgramLm.scoreTokens(t(s, dir, "documents"),
+          lmCounts5Shared(s, dir),
+          graft.operators.NgramLm.lmTotals(t(s, dir, "documents"), "text"),
+          "doc_id", "text", n = 5)
+        .withColumnRenamed("id", "doc_id")),
   )
 
   /** Shared trainer for q137/q138 (train once per call site; the sample
@@ -2464,52 +2490,62 @@ object SparkEntry {
   }
 
   /**
-   * DuckDB twin of NgramLm.lmCounts + scoreTokens (trigram Stupid
+   * DuckDB twin of NgramLm.lmCounts + scoreTokens at order `n` (Stupid
    * Backoff, minCount = LmMinCount), ending in CTE
    * `sc(doc_id, pos, matched_ord, backoffs, c_num, c_den)` — an
    * INDEPENDENT formulation: explicit per-slot LEFT JOINs against the
    * per-order count tables vs the Spark side's single unpivoted
    * candidate join + (doc,pos) re-group, so the gate cross-validates
-   * the backoff selection rule itself. Working tables AS MATERIALIZED
-   * (the q130 lesson: DuckDB inlines CTEs by default; gr is referenced
-   * once per order plus the lookup).
+   * the backoff selection rule itself. Built FROM the order exactly
+   * like the Scala side's slot builder: per k = 2..n the gram g<k>
+   * (tokens i−k+1..i) and its context b<k−1> (tokens i−k+1..i−1).
+   * Working tables AS MATERIALIZED (the q130 lesson: DuckDB inlines
+   * CTEs by default; gr is referenced once per order plus the lookup).
    */
-  private lazy val lmCte: String =
+  private def lmCteN(n: Int): String = {
+    val gramDefs = (2 to n).flatMap { k => Seq(
+      s"CASE WHEN i >= $k THEN array_to_string(toks[i-${k - 1}:i-1],' ') END AS b${k - 1}",
+      s"CASE WHEN i >= $k THEN array_to_string(toks[i-${k - 1}:i],' ') END AS g$k")
+    }.mkString(",\n  ")
+    val countTables = (2 to n).map { k =>
+      s"c$k AS MATERIALIZED (SELECT g$k AS gram, CAST(count(*) AS BIGINT) AS c\n" +
+      s"  FROM gr WHERE g$k IS NOT NULL GROUP BY 1 HAVING count(*) >= $LmMinCount)"
+    }.mkString(",\n")
+    val lkCols = ((n to 2 by -1).flatMap { k =>
+      Seq(s"x$k.c AS c$k", s"xb${k - 1}.c AS cb${k - 1}") } :+ "x1.c AS c1")
+      .mkString(", ")
+    val lookups = (n to 2 by -1).flatMap { k => Seq(
+      s"LEFT JOIN c$k x$k ON gr.g$k = x$k.gram",
+      s"LEFT JOIN c${k - 1} xb${k - 1} ON gr.b${k - 1} = xb${k - 1}.gram")
+    }.mkString("\n  ")
+    val ordCase = (n to 1 by -1)
+      .map(k => s"WHEN c$k IS NOT NULL THEN $k").mkString(" ")
+    val numCoalesce = (n to 1 by -1).map(k => s"c$k").mkString(", ")
+    val denCase = (n to 2 by -1)
+      .map(k => s"WHEN c$k IS NOT NULL THEN cb${k - 1}").mkString(" ")
     s"""tkx AS MATERIALIZED (
        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
        |  FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents)),
        |gr AS MATERIALIZED (SELECT doc_id, CAST(i-1 AS BIGINT) AS pos,
        |  toks[i] AS w,
-       |  CASE WHEN i >= 2 THEN toks[i-1] END AS wb1,
-       |  CASE WHEN i >= 2 THEN array_to_string(toks[i-1:i],' ') END AS g2,
-       |  CASE WHEN i >= 3 THEN array_to_string(toks[i-2:i-1],' ') END AS b2,
-       |  CASE WHEN i >= 3 THEN array_to_string(toks[i-2:i],' ') END AS g3
+       |  $gramDefs
        |  FROM tkx),
        |c1 AS MATERIALIZED (SELECT w AS gram, CAST(count(*) AS BIGINT) AS c
        |  FROM gr GROUP BY 1 HAVING count(*) >= $LmMinCount),
-       |c2 AS MATERIALIZED (SELECT g2 AS gram, CAST(count(*) AS BIGINT) AS c
-       |  FROM gr WHERE g2 IS NOT NULL GROUP BY 1 HAVING count(*) >= $LmMinCount),
-       |c3 AS MATERIALIZED (SELECT g3 AS gram, CAST(count(*) AS BIGINT) AS c
-       |  FROM gr WHERE g3 IS NOT NULL GROUP BY 1 HAVING count(*) >= $LmMinCount),
+       |$countTables,
        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM gr),
-       |lk AS (SELECT gr.doc_id, gr.pos,
-       |  x3.c AS c3, xb2.c AS cb2, x2.c AS c2, xb1.c AS cb1, x1.c AS c1
+       |lk AS (SELECT gr.doc_id, gr.pos, $lkCols
        |  FROM gr
-       |  LEFT JOIN c3 x3 ON gr.g3 = x3.gram
-       |  LEFT JOIN c2 xb2 ON gr.b2 = xb2.gram
-       |  LEFT JOIN c2 x2 ON gr.g2 = x2.gram
-       |  LEFT JOIN c1 xb1 ON gr.wb1 = xb1.gram
+       |  $lookups
        |  LEFT JOIN c1 x1 ON gr.w = x1.gram),
        |sc AS (SELECT doc_id, pos,
-       |  CAST(CASE WHEN c3 IS NOT NULL THEN 3 WHEN c2 IS NOT NULL THEN 2
-       |       WHEN c1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS matched_ord,
-       |  CAST(least(3, pos + 1) - CASE WHEN c3 IS NOT NULL THEN 3
-       |       WHEN c2 IS NOT NULL THEN 2 WHEN c1 IS NOT NULL THEN 1
-       |       ELSE 1 END AS BIGINT) AS backoffs,
-       |  coalesce(c3, c2, c1, CAST(1 AS BIGINT)) AS c_num,
-       |  CASE WHEN c3 IS NOT NULL THEN cb2 WHEN c2 IS NOT NULL THEN cb1
-       |       ELSE (SELECT n_tokens FROM tot) END AS c_den
+       |  CAST(CASE $ordCase ELSE 0 END AS BIGINT) AS matched_ord,
+       |  CAST(least($n, pos + 1) - CASE $ordCase ELSE 1 END AS BIGINT) AS backoffs,
+       |  coalesce($numCoalesce, CAST(1 AS BIGINT)) AS c_num,
+       |  CASE $denCase ELSE (SELECT n_tokens FROM tot) END AS c_den
        |  FROM lk)""".stripMargin
+  }
+  private lazy val lmCte: String = lmCteN(3)
 
   /** q62's oracle — merged duplicated-span ranges; shared verbatim by
     * q120 (the winnow-accelerated plan must reproduce it exactly). */
@@ -4101,6 +4137,12 @@ object SparkEntry {
     // candidate join + re-group).
     "q131_lm_token_scores" ->
       s"""WITH $lmCte
+         |SELECT doc_id, pos, matched_ord, backoffs, c_num, c_den FROM sc""".stripMargin,
+
+    // Same cross-validation at the CCNet production order: five pruned
+    // count tables, nine lookup slots, the full 5→1 backoff chain.
+    "q143_lm5_token_scores" ->
+      s"""WITH ${lmCteN(5)}
          |SELECT doc_id, pos, matched_ord, backoffs, c_num, c_den FROM sc""".stripMargin,
 
     // Per-document backoff census over the same token grain.

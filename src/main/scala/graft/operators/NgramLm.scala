@@ -29,12 +29,14 @@ import org.apache.spark.sql.functions._
  *    combine over the positional n-gram stream (~n× the token stream in,
  *    vocabulary-sized out) — the classic distributed-LM count job
  *    (Brants §4 runs exactly this as MapReduce).
- *  - [[scoreTokens]] is ONE equi-join of the 5-slot candidate stream
- *    (5 rows per token: trigram, its context, bigram, its context,
- *    unigram) against the count table, plus one (doc, pos) re-group —
- *    two shuffles total, independent of the model order, never one join
- *    per order. The count table shuffles at aggregated (vocabulary)
- *    cardinality; with `minCount` pruning it broadcasts.
+ *  - [[scoreTokens]] is ONE equi-join of the (2n−1)-slot candidate
+ *    stream (2n−1 rows per token: for each order k = n..2 the gram and
+ *    its backoff context, plus the unigram) against the count table,
+ *    plus one (doc, pos) re-group — two shuffles total at ANY model
+ *    order (the slot count scales the stream width linearly, never the
+ *    exchange count; a per-order join chain would pay n joins). The
+ *    count table shuffles at aggregated (vocabulary) cardinality; with
+ *    `minCount` pruning it broadcasts.
  *  - Nothing is quadratic, nothing collects: the corpus total rides a
  *    one-row broadcast; per-doc reductions are keyed aggregations.
  */
@@ -91,50 +93,52 @@ object NgramLm {
    */
   def scoreTokens(docs: DataFrame, lm: DataFrame, totals: DataFrame,
                   idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    require(n == 3, "scoreTokens implements the trigram chain (n = 3)")
+    require(n >= 1, "order must be >= 1")
     val withToks = docs.select(col(idCol).as("id"), toks(textCol).as("tk"))
     // one row per token position, carrying the candidate grams for every
-    // slot of the backoff chain; slice() is 1-based, pos is 0-based
+    // slot of the backoff chain — 2n−1 slots built FROM the order: for
+    // each k = n..2 the order-k gram g<k> ending at pos and its backoff
+    // context b<k−1> (the k−1 tokens preceding pos — a different string
+    // than g<k−1>, which ENDS at pos); plus the unigram, whose
+    // denominator is the corpus total rather than a slot. slice() is
+    // 1-based, pos is 0-based; positions with too little context yield
+    // null grams and drop from the candidate stream.
     val tk = col("tk")
     def gram(from: Int, len: Int): Column = // from = offset back from pos
       when(col("pos") >= from, concat_ws(" ", slice(tk, col("pos") - from + 1, lit(len))))
+    val slots = (n to 2 by -1).flatMap { k =>
+      Seq(struct(lit(s"g$k").as("slot"), gram(k - 1, k).as("gram")),
+          struct(lit(s"b${k - 1}").as("slot"), gram(k - 1, k - 1).as("gram")))
+    } :+ struct(lit("g1").as("slot"), col("w").as("gram"))
     val cand = withToks
       .select(col("id"), tk, posexplode(tk).as(Seq("pos", "w")))
-      .select(col("id"), col("pos"),
-        array(
-          struct(lit("g3").as("slot"), gram(2, 3).as("gram")),
-          struct(lit("b2").as("slot"), gram(2, 2).as("gram")),
-          struct(lit("g2").as("slot"), gram(1, 2).as("gram")),
-          struct(lit("b1").as("slot"), gram(1, 1).as("gram")),
-          struct(lit("g1").as("slot"), col("w").as("gram"))).as("cands"))
+      .select(col("id"), col("pos"), array(slots: _*).as("cands"))
       .select(col("id"), col("pos"), explode(col("cands")).as("cd"))
       .select(col("id"), col("pos"), col("cd.slot").as("slot"), col("cd.gram").as("gram"))
       .where(col("gram").isNotNull)
+    def slotMax(s: String) = max(when(col("slot") === s, col("c")))
+    val pivots = (n to 2 by -1).flatMap { k =>
+      Seq(slotMax(s"g$k").as(s"c$k"), slotMax(s"b${k - 1}").as(s"b${k - 1}"))
+    } :+ slotMax("g1").as("c1")
     val looked = cand
       .join(lm.select(col("gram"), col("c")), Seq("gram"), "left")
       .groupBy("id", "pos")
-      .agg(
-        max(when(col("slot") === "g3", col("c"))).as("c3"),
-        max(when(col("slot") === "b2", col("c"))).as("b2"),
-        max(when(col("slot") === "g2", col("c"))).as("c2"),
-        max(when(col("slot") === "b1", col("c"))).as("b1"),
-        max(when(col("slot") === "g1", col("c"))).as("c1"))
+      .agg(pivots.head, pivots.tail: _*)
     val avail = least(lit(n).cast("long"), col("pos") + 1L)
+    // first matched order from n down; a matched g<k> (k ≥ 2) always has
+    // a non-null b<k−1> by the count-table pruning consistency
+    // (c(context) ≥ c(gram) — see lmCounts)
+    val ordChain = (n to 1 by -1).map(k =>
+      when(col(s"c$k").isNotNull, lit(k.toLong)))
+    val matchedOrd = coalesce(ordChain :+ lit(0L): _*)
+    val denChain = (n to 2 by -1).map(k =>
+      when(col(s"c$k").isNotNull, col(s"b${k - 1}")))
     looked.crossJoin(broadcast(totals))
       .select(col("id"), col("pos").cast("long").as("pos"),
-        when(col("c3").isNotNull, 3L)
-          .when(col("c2").isNotNull, 2L)
-          .when(col("c1").isNotNull, 1L)
-          .otherwise(0L).as("matched_ord"),
-        (avail -
-          when(col("c3").isNotNull, 3L)
-            .when(col("c2").isNotNull, 2L)
-            .when(col("c1").isNotNull, 1L)
-            .otherwise(1L)).as("backoffs"),
-        coalesce(col("c3"), col("c2"), col("c1"), lit(1L)).as("c_num"),
-        when(col("c3").isNotNull, col("b2"))
-          .when(col("c2").isNotNull, col("b1"))
-          .otherwise(col("n_tokens")).as("c_den"))
+        matchedOrd.as("matched_ord"),
+        (avail - coalesce(ordChain :+ lit(1L): _*)).as("backoffs"),
+        coalesce((n to 1 by -1).map(k => col(s"c$k")) :+ lit(1L): _*).as("c_num"),
+        coalesce(denChain :+ col("n_tokens"): _*).as("c_den"))
   }
 
   /**

@@ -82,6 +82,57 @@ class NgramLmSpec extends SparkSpec {
     assert(sc.groupBy("id", "pos").count().where(col("count") > 1).count() == 0L)
   }
 
+  /** Plain-Scala Stupid Backoff twin at arbitrary order: count every
+    * positional k-gram (k = 1..n) over the training corpus, prune at
+    * minCount, then score each token of the held frame at the highest
+    * matching order ≤ avail, with the 1/N OOV floor. */
+  private def twinScore(train: Seq[(Long, String)], held: Seq[(Long, String)],
+                        n: Int, minCount: Long)
+      : Map[(Long, Long), (Long, Long, Long, Long)] = {
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    for ((_, text) <- train; tk = text.split(" ");
+         k <- 1 to n; i <- 0 to tk.length - k) {
+      val g = tk.slice(i, i + k).mkString(" ")
+      counts(g) = counts.getOrElse(g, 0L) + 1L
+    }
+    val lm = counts.filter(_._2 >= minCount)
+    val nTokens = train.map(_._2.split(" ").length.toLong).sum
+    (for ((id, text) <- held; tk = text.split(" "); pos <- tk.indices) yield {
+      val avail = math.min(n, pos + 1)
+      val hit = (avail to 1 by -1).find(k =>
+        lm.contains(tk.slice(pos - k + 1, pos + 1).mkString(" ")))
+      val row = hit match {
+        case Some(k) =>
+          val num = lm(tk.slice(pos - k + 1, pos + 1).mkString(" "))
+          val den = if (k == 1) nTokens
+            else lm(tk.slice(pos - k + 1, pos).mkString(" "))
+          (k.toLong, (avail - k).toLong, num, den)
+        case None => (0L, (avail - 1).toLong, 1L, nTokens)
+      }
+      (id, pos.toLong) -> row
+    }).toMap
+  }
+
+  test("scoreTokens equals the plain-Scala twin at orders 1, 2, 4 and 5 " +
+    "(generalized slot builder, incl. the CCNet 5-gram regime)") {
+    val docs = ScaleProbe.synthDocs(spark, 150)
+    val train = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // held-out doc exercises never-seen tokens at every context length
+    val held = train ++ Seq((9001L, "qx " + train.head._2.split(" ").take(6)
+      .mkString(" ") + " zz qq"))
+    val heldDf = held.toDF("doc_id", "text")
+    for (n <- Seq(1, 2, 4, 5); mc <- Seq(1L, 2L)) {
+      val got = NgramLm.scoreTokens(heldDf,
+          NgramLm.lmCounts(docs, "text", n = n, minCount = mc),
+          NgramLm.lmTotals(docs, "text"), "doc_id", "text", n = n)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      withClue(s"n=$n minCount=$mc")(
+        assert(got == twinScore(train, held, n, mc)))
+    }
+  }
+
   test("backoffCensus partitions the token mass by matched order") {
     val cen = NgramLm.backoffCensus(scored(minCount = 2L))
       .where(col("id") === 2L).collect().head

@@ -241,16 +241,21 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("LM scoring: the count table broadcasts into the candidate stream; " +
-    "the corpus shuffles only at the (doc,pos) re-group") {
-    val p = plan("q131_lm_token_scores")
-    assert(p.contains("BroadcastHashJoin"),
-      "the vocabulary-cardinality count table must broadcast")
-    assert(!p.contains("SortMergeJoin"),
-      "a sort-merge lookup would shuffle the token stream by gram text")
-    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2,
-      "count-table build + (doc,pos) re-group are the only keyed exchanges")
-    // the corpus total is the sanctioned one-row broadcast, not a shuffle
-    assert(p.linesIterator.count(_.contains("Exchange SinglePartition")) <= 1)
+    "the corpus shuffles only at the (doc,pos) re-group — at EVERY order " +
+    "(the model order widens the slot stream, never the exchange count)") {
+    Seq("q131_lm_token_scores", "q143_lm5_token_scores").foreach { q =>
+      val p = plan(q)
+      withClue(q) {
+        assert(p.contains("BroadcastHashJoin"),
+          "the vocabulary-cardinality count table must broadcast")
+        assert(!p.contains("SortMergeJoin"),
+          "a sort-merge lookup would shuffle the token stream by gram text")
+        assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2,
+          "count-table build + (doc,pos) re-group are the only keyed exchanges")
+        // the corpus total is the sanctioned one-row broadcast, not a shuffle
+        assert(p.linesIterator.count(_.contains("Exchange SinglePartition")) <= 1)
+      }
+    }
   }
 
   test("DSIR: feature table is one map-side aggregation; affinity broadcasts it") {
