@@ -259,8 +259,11 @@ object SparkEntry {
    * bar + the q133 Gopher rules + the q134 repetition screens — all
    * exact-integer, so the funnel is oracle-recomposable) → normalized
    * exact dedup → minhash near-dedup → bloom-screened decontamination →
-   * 8/1/1 hash split → 4-shard packing; other optional stages off so
-   * the DuckDB recomposition stays tractable), run once per (session,
+   * integer-grain LM fluency screen (round 8: 2·(o3+o2) ≥ scored_tokens
+   * over the self-trained trigram backoff census — the q132 fragments)
+   * → 8/1/1 hash split → 4-shard packing; the float-tier optional
+   * stages stay off so the DuckDB recomposition stays exact), run once
+   * per (session,
    * sf-dir) and shared by the census and membership gates — exactly how
    * a production run fans its Report and its corpus frame out to
    * different consumers. Train pool / eval set reuse q52's mod-10
@@ -288,9 +291,28 @@ object SparkEntry {
         docs.where(col("doc_id") % 10 =!= 0),
         docs.where(col("doc_id") % 10 === 0),
         "doc_id", "text",
-        stages = capstoneFunnelStages)
+        stages = capstoneFunnelStages,
+        // stage 4a ON in the gated config (round 8): the integer-grain
+        // fluency screen — keep docs whose token mass matches the
+        // self-trained trigram model at order >= 2 for at least
+        // CapFluencyNum/CapFluencyDen of their scored tokens. Exact
+        // integers, so the oracle recomposes it from the q132 census
+        // fragments.
+        fluencyMin = Some(CapFluencyNum -> CapFluencyDen))
     })
   }
+
+  /** Fluency bar of the gated capstone config: keep docs with
+    * (o3+o2)·den ≥ num·scored_tokens. The bar must read the POST-SCREEN
+    * distribution, not the raw corpus's: the Gopher/repetition funnel
+    * already removes the disfluent tail (raw p05 ≈ 0.93 vs post-screen
+    * p01 ≈ 0.98 — measured round 8), so a raw-corpus bar is vacuous by
+    * stage 4a. 49/50 = 0.98 sits at the post-screen ~1-2nd percentile
+    * at every SF (drops 4/4/6 docs at sf0.001/0.01/0.1), so the stage
+    * has live casualties everywhere without gutting the corpus — the
+    * CapMinTokens "live data at every SF" principle. */
+  private val CapFluencyNum = 49
+  private val CapFluencyDen = 50
 
   /** Enrichment keeping the event-time and city columns (for the analytics
     * layer: daily summary, current-status view). */
@@ -1599,6 +1621,8 @@ object SparkEntry {
         "after_exact_dedup" -> r.afterExactDedup,
         "after_near_dedup" -> r.afterNearDedup,
         "contaminated" -> r.contaminated,
+        "fluency_filtered" -> r.fluencyFiltered,
+        "after_fluency" -> r.afterFluency,
         "corpus" -> r.corpus,
         "split_train" -> r.splitCounts.getOrElse("train", 0L),
         "split_val" -> r.splitCounts.getOrElse("val", 0L),
@@ -2272,11 +2296,14 @@ object SparkEntry {
    * already-gated stage formulations (q46's normalization, q19/q20's
    * minhash+banding, q18's exact jaccard, q36's recursive components,
    * q52's cross-set contamination, q43's hash split, q50's pack layout,
-   * and since round 7 the q133 Gopher rules + q134 repetition screens in
+   * since round 7 the q133 Gopher rules + q134 repetition screens in
    * the cleaning funnel — shared CTE fragments, "fq"-prefixed over the
-   * pool) chained end to end over the mod-10 train pool, ending in CTEs
-   * the two final selects read: pool/cln/ex/nd/scr (stage frames), corp
-   * (the split corpus) and seqs (per-shard packed sequence counts). The
+   * pool — and since round 8 the q131/q132 LM census fragments
+   * ("fl"-prefixed lmCteN over scr) recomposing the integer fluency
+   * screen: keep docs with 2·Σ[matched_ord ≥ 2] ≥ scored tokens)
+   * chained end to end over the mod-10 train pool, ending in CTEs
+   * the two final selects read: pool/cln/ex/nd/scr/flu (stage frames),
+   * corp (the split corpus) and seqs (per-shard packed sequence counts). The
    * bloom prefilter is omitted on purpose: it is bit-identical to the
    * exact screen (no false negatives; FPs share no shingle so they never
    * score), which is precisely what lets a plain SQL oracle gate the
@@ -2351,9 +2378,15 @@ object SparkEntry {
        |          JOIN szd ON csh.did = szd.id JOIN sze ON csh.eid = sze.id
        |          WHERE CAST(shared AS DOUBLE)/CAST(szd.n + sze.n - shared AS DOUBLE) >= 0.5),
        |scr AS (SELECT doc_id, text FROM nd WHERE doc_id NOT IN (SELECT did FROM dirty)),
+       |${lmCteN(3, "scr", "fl")},
+       |flu AS (SELECT s.doc_id, s.text FROM scr s JOIN (
+       |  SELECT doc_id FROM flsc GROUP BY doc_id
+       |  HAVING $CapFluencyDen*sum(CASE WHEN matched_ord >= 2 THEN 1 ELSE 0 END)
+       |         >= $CapFluencyNum*count(*)
+       |) fk USING (doc_id)),
        |corp AS (SELECT doc_id, text,
        |         CASE WHEN h < 8 THEN 'train' WHEN h < 9 THEN 'val' ELSE 'test' END AS split
-       |         FROM (SELECT doc_id, text, $splitHash % 10 AS h FROM scr)),
+       |         FROM (SELECT doc_id, text, $splitHash % 10 AS h FROM flu)),
        |pk AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS tokens,
        |        $splitHash AS h, $splitHash % 4 AS shard
        |       FROM corp WHERE split = 'train'),
@@ -2501,49 +2534,56 @@ object SparkEntry {
    * (tokens i−k+1..i) and its context b<k−1> (tokens i−k+1..i−1).
    * Working tables AS MATERIALIZED (the q130 lesson: DuckDB inlines
    * CTEs by default; gr is referenced once per order plus the lookup).
+   * `table` is the corpus the model both trains on and scores (the
+   * self-scoring gate shape); `prefix` namespaces every CTE so the
+   * fragment embeds inside a larger chain (the capstone oracle trains
+   * over its own post-screen CTE) — the token-grain result is
+   * `<prefix>sc`.
    */
-  private def lmCteN(n: Int): String = {
+  private def lmCteN(n: Int, table: String = "documents",
+                     prefix: String = ""): String = {
+    val P = prefix
     val gramDefs = (2 to n).flatMap { k => Seq(
       s"CASE WHEN i >= $k THEN array_to_string(toks[i-${k - 1}:i-1],' ') END AS b${k - 1}",
       s"CASE WHEN i >= $k THEN array_to_string(toks[i-${k - 1}:i],' ') END AS g$k")
     }.mkString(",\n  ")
     val countTables = (2 to n).map { k =>
-      s"c$k AS MATERIALIZED (SELECT g$k AS gram, CAST(count(*) AS BIGINT) AS c\n" +
-      s"  FROM gr WHERE g$k IS NOT NULL GROUP BY 1 HAVING count(*) >= $LmMinCount)"
+      s"${P}c$k AS MATERIALIZED (SELECT g$k AS gram, CAST(count(*) AS BIGINT) AS c\n" +
+      s"  FROM ${P}gr WHERE g$k IS NOT NULL GROUP BY 1 HAVING count(*) >= $LmMinCount)"
     }.mkString(",\n")
     val lkCols = ((n to 2 by -1).flatMap { k =>
       Seq(s"x$k.c AS c$k", s"xb${k - 1}.c AS cb${k - 1}") } :+ "x1.c AS c1")
       .mkString(", ")
     val lookups = (n to 2 by -1).flatMap { k => Seq(
-      s"LEFT JOIN c$k x$k ON gr.g$k = x$k.gram",
-      s"LEFT JOIN c${k - 1} xb${k - 1} ON gr.b${k - 1} = xb${k - 1}.gram")
+      s"LEFT JOIN ${P}c$k x$k ON ${P}gr.g$k = x$k.gram",
+      s"LEFT JOIN ${P}c${k - 1} xb${k - 1} ON ${P}gr.b${k - 1} = xb${k - 1}.gram")
     }.mkString("\n  ")
     val ordCase = (n to 1 by -1)
       .map(k => s"WHEN c$k IS NOT NULL THEN $k").mkString(" ")
     val numCoalesce = (n to 1 by -1).map(k => s"c$k").mkString(", ")
     val denCase = (n to 2 by -1)
       .map(k => s"WHEN c$k IS NOT NULL THEN cb${k - 1}").mkString(" ")
-    s"""tkx AS MATERIALIZED (
+    s"""${P}tkx AS MATERIALIZED (
        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
-       |  FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents)),
-       |gr AS MATERIALIZED (SELECT doc_id, CAST(i-1 AS BIGINT) AS pos,
+       |  FROM (SELECT doc_id, string_split(text,' ') AS toks FROM $table)),
+       |${P}gr AS MATERIALIZED (SELECT doc_id, CAST(i-1 AS BIGINT) AS pos,
        |  toks[i] AS w,
        |  $gramDefs
-       |  FROM tkx),
-       |c1 AS MATERIALIZED (SELECT w AS gram, CAST(count(*) AS BIGINT) AS c
-       |  FROM gr GROUP BY 1 HAVING count(*) >= $LmMinCount),
+       |  FROM ${P}tkx),
+       |${P}c1 AS MATERIALIZED (SELECT w AS gram, CAST(count(*) AS BIGINT) AS c
+       |  FROM ${P}gr GROUP BY 1 HAVING count(*) >= $LmMinCount),
        |$countTables,
-       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM gr),
-       |lk AS (SELECT gr.doc_id, gr.pos, $lkCols
-       |  FROM gr
+       |${P}tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM ${P}gr),
+       |${P}lk AS (SELECT ${P}gr.doc_id, ${P}gr.pos, $lkCols
+       |  FROM ${P}gr
        |  $lookups
-       |  LEFT JOIN c1 x1 ON gr.w = x1.gram),
-       |sc AS (SELECT doc_id, pos,
+       |  LEFT JOIN ${P}c1 x1 ON ${P}gr.w = x1.gram),
+       |${P}sc AS (SELECT doc_id, pos,
        |  CAST(CASE $ordCase ELSE 0 END AS BIGINT) AS matched_ord,
        |  CAST(least($n, pos + 1) - CASE $ordCase ELSE 1 END AS BIGINT) AS backoffs,
        |  coalesce($numCoalesce, CAST(1 AS BIGINT)) AS c_num,
-       |  CASE $denCase ELSE (SELECT n_tokens FROM tot) END AS c_den
-       |  FROM lk)""".stripMargin
+       |  CASE $denCase ELSE (SELECT n_tokens FROM ${P}tot) END AS c_den
+       |  FROM ${P}lk)""".stripMargin
   }
   private lazy val lmCte: String = lmCteN(3)
 
@@ -4724,7 +4764,10 @@ object SparkEntry {
          | UNION ALL SELECT 'after_near_dedup', count(*) FROM nd
          | UNION ALL SELECT 'contaminated',
          |   (SELECT count(*) FROM nd) - (SELECT count(*) FROM scr)
-         | UNION ALL SELECT 'corpus', count(*) FROM scr
+         | UNION ALL SELECT 'fluency_filtered',
+         |   (SELECT count(*) FROM scr) - (SELECT count(*) FROM flu)
+         | UNION ALL SELECT 'after_fluency', count(*) FROM flu
+         | UNION ALL SELECT 'corpus', count(*) FROM flu
          | UNION ALL SELECT 'split_train', count(*) FROM corp WHERE split = 'train'
          | UNION ALL SELECT 'split_val', count(*) FROM corp WHERE split = 'val'
          | UNION ALL SELECT 'split_test', count(*) FROM corp WHERE split = 'test'

@@ -49,7 +49,14 @@ import org.apache.spark.sql.functions._
  *                              the corpus side) → exact
  *                              crossSetContamination ≥ threshold drops
  *                              — judging the EDITED text when 3c ran
- *   4a. LM fluency screen      (optional, `lmBandKeep`) — the CCNet-style
+ *   4a. integer fluency screen (optional, `fluencyMin`) — the
+ *                              oracle-gateable tier of the CCNet fluency
+ *                              idea: per-doc Stupid Backoff backoff
+ *                              census, keep docs the model recognizes at
+ *                              order ≥ 2 for ≥ num/den of their tokens —
+ *                              exact cross-multiplied integers, so the
+ *                              kept set is engine-independent
+ *   4a'. LM perplexity band    (optional, `lmBandKeep`) — the CCNet-style
  *                              perplexity band (Wenzek 2020): a Stupid
  *                              Backoff trigram model trains on the clean
  *                              decontaminated corpus (or `lmTrainDocs`, a
@@ -113,7 +120,9 @@ object CorpusPipeline {
       markupEditedDocs: Long = 0L,
       afterBudget: Long = 0L,
       lmFiltered: Long = 0L,
-      afterLmFilter: Long = 0L)
+      afterLmFilter: Long = 0L,
+      fluencyFiltered: Long = 0L,
+      afterFluency: Long = 0L)
 
   /**
    * Shared iterated-cut loop for stages 2b and 3c: per round, `detect`
@@ -175,6 +184,7 @@ object CorpusPipeline {
           stratifySeed: Long = 0L,
           nearDupRepScore: Option[Column] = None,
           stripMarkupFirst: Boolean = false,
+          fluencyMin: Option[(Int, Int)] = None,
           lmBandKeep: Option[(Double, Double)] = None,
           lmMinCount: Long = 2L,
           lmAlpha: Double = 0.4,
@@ -341,17 +351,50 @@ object CorpusPipeline {
       .select(col("test_id").as(idCol))
     val screened = decut.join(dirty, Seq(idCol), "left_anti")
 
-    // 4a (optional): LM fluency screen — train the Stupid Backoff trigram
-    // model (on the screened corpus itself, or `lmTrainDocs` when a
-    // trusted reference corpus is available), score every surviving doc,
-    // keep the [from,to) perplexity band. Runs AFTER dedup and
-    // decontamination (the CCNet order) so duplicated or leaked text
-    // never inflates its own n-gram counts; BEFORE the budget sample so
-    // budget is never spent on disfluent docs.
-    val (lmKept, nScreenCensus, nLmKept) = lmBandKeep match {
+    // 4a (optional): INTEGER-grain fluency screen — the oracle-gateable
+    // tier of the CCNet fluency idea: train the Stupid Backoff trigram
+    // model (on the screened corpus itself, or `lmTrainDocs`), take the
+    // per-doc backoff census, and keep documents whose token mass the
+    // model recognizes at order ≥ 2 for at least num/den of their
+    // scored tokens — (o3 + o2)·den ≥ num·scored_tokens, exact
+    // cross-multiplication (the q133 discipline), so the kept set is
+    // engine- and partitioning-independent, unlike the float
+    // perplexity band below. Runs AFTER dedup and decontamination (the
+    // CCNet order) so duplicated or leaked text never inflates its own
+    // n-gram counts. Note: the self-trained model is a global artifact,
+    // so this stage is batch-shaped; the streamable twin is the
+    // frozen-model threshold form (NgramLm.pplThresholdFilter).
+    val (fluent, nScreenedPreFluency, nFluent) = fluencyMin match {
       case None => (screened, -1L, -1L)
+      case Some((num, den)) =>
+        require(num >= 0 && den > 0, s"fluencyMin must be a non-negative " +
+          s"rational with positive denominator, got $num/$den")
+        val base = screened.localCheckpoint() // census + scoring + keep join
+        val nb = base.count()
+        val trainDocs = lmTrainDocs.getOrElse(base)
+        val keep = graft.operators.NgramLm.backoffCensus(
+            graft.operators.NgramLm.scoreTokens(base,
+              graft.operators.NgramLm.lmCounts(trainDocs, textCol, n = 3, lmMinCount),
+              graft.operators.NgramLm.lmTotals(trainDocs, textCol), idCol, textCol))
+          .where((col("o3") + col("o2")) * lit(den.toLong) >=
+            lit(num.toLong) * col("scored_tokens"))
+          .select(col("id").as(idCol))
+        val kept = base.join(keep, Seq(idCol), "left_semi").localCheckpoint()
+        (kept, nb, kept.count())
+    }
+
+    // 4a' (optional): LM perplexity-band screen — train the Stupid
+    // Backoff trigram model (on the screened corpus itself, or
+    // `lmTrainDocs` when a trusted reference corpus is available), score
+    // every surviving doc, keep the [from,to) perplexity band. Runs
+    // AFTER dedup and decontamination (the CCNet order) so duplicated or
+    // leaked text never inflates its own n-gram counts; BEFORE the
+    // budget sample so budget is never spent on disfluent docs. Floats
+    // at the band edge — spec-pinned, not oracle-gated.
+    val (lmKept, nScreenCensus, nLmKept) = lmBandKeep match {
+      case None => (fluent, -1L, -1L)
       case Some((from, to)) =>
-        val base = screened.localCheckpoint() // census + scoring + band join
+        val base = fluent.localCheckpoint() // census + scoring + band join
         val nb = base.count()
         val trainDocs = lmTrainDocs.getOrElse(base)
         val scoredToks = graft.operators.NgramLm.scoreTokens(base,
@@ -424,10 +467,12 @@ object CorpusPipeline {
       corpus, p, idCol, Seq(idCol, "split", textCol), packShards))
 
     // stage-4 screen drops, measured on the post-cut text: whenever a
-    // downstream optional stage runs (LM band, budget), the screen census
-    // is explicit so those drops are never misattributed to contamination
+    // downstream optional stage runs (fluency, LM band, budget), the
+    // screen census is explicit so those drops are never misattributed
+    // to contamination
     val nAfterScreen =
-      if (nScreenCensus >= 0) nScreenCensus
+      if (nScreenedPreFluency >= 0) nScreenedPreFluency
+      else if (nScreenCensus >= 0) nScreenCensus
       else if (nPreBudget >= 0) nPreBudget
       else nCorpus
     (corpus, Report(input, nCleaned, nExact, nNear,
@@ -442,7 +487,9 @@ object CorpusPipeline {
       markupEditedDocs = nMarkupEdited,
       afterBudget = if (nBudget >= 0) nBudget else 0L,
       lmFiltered = if (nLmKept >= 0) nScreenCensus - nLmKept else 0L,
-      afterLmFilter = if (nLmKept >= 0) nLmKept else 0L))
+      afterLmFilter = if (nLmKept >= 0) nLmKept else 0L,
+      fluencyFiltered = if (nFluent >= 0) nScreenedPreFluency - nFluent else 0L,
+      afterFluency = if (nFluent >= 0) nFluent else 0L))
   }
 
   /**

@@ -477,6 +477,39 @@ class PipelineSpec extends SparkSpec {
     assert(got == direct)
   }
 
+  test("corpus pipeline integer fluency screen: the stage IS the backoff-census " +
+    "cross-multiplication over the screened corpus, deterministic on any partitioning") {
+    import graft.pipeline.CorpusPipeline
+    import graft.operators.NgramLm
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val noEval = docs.where(lit(false)).select(col("doc_id"), col("text"))
+    val stages = Seq("nonempty" -> (length(col("text")) > 0))
+    val (base, r0) = CorpusPipeline.run(docs, noEval, "doc_id", "text", stages)
+    val (kept, r1) = CorpusPipeline.run(docs, noEval, "doc_id", "text", stages,
+      fluencyMin = Some(49 -> 50))
+    // stage ≡ operator: kept ids are exactly the census rows with
+    // 50·(o3+o2) ≥ 49·scored_tokens under the self-trained trigram model
+    val screened = base.select("doc_id", "text")
+    val cen = NgramLm.backoffCensus(NgramLm.scoreTokens(screened,
+      NgramLm.lmCounts(screened, "text", n = 3, minCount = 2L),
+      NgramLm.lmTotals(screened, "text"), "doc_id", "text"))
+    val direct = cen
+      .where((col("o3") + col("o2")) * lit(50L) >= lit(49L) * col("scored_tokens"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val got = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == direct)
+    // drops are live here (no Gopher funnel ahead of it in this config)
+    // and attributed to the fluency row, never to contamination
+    assert(r1.fluencyFiltered == r0.corpus - direct.size && r1.fluencyFiltered > 0)
+    assert(r1.afterFluency == direct.size.toLong && r1.corpus == direct.size.toLong)
+    assert(r1.contaminated == 0)
+    val (kept2, r2) = CorpusPipeline.run(docs.repartition(13), noEval, "doc_id",
+      "text", stages, fluencyMin = Some(49 -> 50))
+    assert(kept2.select("doc_id").collect().map(_.getLong(0)).toSet == got)
+    assert(r2.fluencyFiltered == r1.fluencyFiltered)
+  }
+
   test("trainingStream: release + epoch-ordered train order ship together") {
     import graft.pipeline.CorpusPipeline
     import graft.operators.Sampling
