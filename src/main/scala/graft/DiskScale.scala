@@ -142,18 +142,19 @@ object DiskScale {
           "doc_id", "text")))
 
       // the q138/q139 distilled classifier at corpus scale: training cost
-      // is SIZE-INDEPENDENT (the 64-doc bounded sample), so the row
-      // measures inference — bigram explode, broadcast weight join, one
-      // doc-keyed map-side-combined sum. The distillation promise is
+      // is SIZE-INDEPENDENT (the 128-doc bounded sample), so the row
+      // measures inference — trigram explode (the gate's round-8 feature
+      // space), broadcast weight join, one doc-keyed map-side-combined
+      // sum. The distillation promise is
       // exactly that this row grows linearly while the screens it stands
       // in for stay affordable only on samples.
       val pcpt = graft.operators.Classifier.trainPerceptron(
         docs.withColumn("__y", qualStages.map(_._2).reduce(_ && _)),
-        "doc_id", "__y", "text", n = 2, buckets = 4096,
-        sampleN = 64, epochs = 2)
+        "doc_id", "__y", "text", ns = Seq(3), buckets = 4096,
+        sampleN = 128, epochs = 1)
       val tCls = time2(noop(
         graft.operators.Classifier.scoreDocs(docs, pcpt, "doc_id", "text",
-          n = 2, buckets = 4096)))
+          ns = Seq(3), buckets = 4096)))
 
       // the q140/q141 quantile tiers over doc length, 10 synthetic groups:
       // the sketch is one constant-state aggregation (scan-bound), the

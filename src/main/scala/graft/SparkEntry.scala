@@ -1775,7 +1775,7 @@ object SparkEntry {
     "q138_classifier_scores" -> ((s, dir) =>
       graft.operators.Classifier.scoreDocs(
         t(s, dir, "documents"), pcptModel(s, dir),
-        "doc_id", "text", n = 2, buckets = FeatBuckets)
+        "doc_id", "text", ns = PcptOrders, buckets = FeatBuckets)
         .withColumnRenamed("id", "doc_id")),
 
     // Distillation-quality census: the student classifier (q137's model)
@@ -1794,7 +1794,7 @@ object SparkEntry {
       graft.operators.Classifier.confusionCensus(
         t(s, dir, "documents"), pcptModel(s, dir), "doc_id", "text",
         capstoneFunnelStages.map(_._2).reduce(_ && _),
-        n = 2, buckets = FeatBuckets)),
+        ns = PcptOrders, buckets = FeatBuckets)),
 
     // Bottom-k (KMV) quantile sketch: per-source length percentiles from
     // a fixed-size deterministic sample — every quantile at once, no
@@ -1873,7 +1873,7 @@ object SparkEntry {
     graft.operators.Classifier.trainPerceptron(
       t(s, dir, "documents").withColumn("is_pass",
         capstoneFunnelStages.map(_._2).reduce(_ && _)),
-      "doc_id", "is_pass", "text", n = 2, buckets = FeatBuckets,
+      "doc_id", "is_pass", "text", ns = PcptOrders, buckets = FeatBuckets,
       sampleN = PcptSampleN, epochs = PcptEpochs)
 
   /** ADC candidate count for the re-rank gates (q122/q123 and oracles). */
@@ -1891,13 +1891,31 @@ object SparkEntry {
   private val FeatBuckets = 4096
 
   /** Perceptron quality-classifier gate config (q137/q138 and oracles):
-    * the 64 smallest-id docs, 2 epochs — 128 update steps, each one
-    * unrolled CTE in the oracle. Measured on this corpus: 64 docs is the
-    * knee where the distilled classifier pulls clear of the majority
-    * baseline (holdout 0.68 vs 0.53; 32 docs is data-starved at 0.52),
-    * and 128 steps keeps each replay oracle under ~2 s. */
-  private val PcptSampleN = 64
-  private val PcptEpochs = 2
+    * the 128 smallest-id docs, ONE pass — 128 update steps, each one
+    * unrolled CTE in the oracle (the unroll cost bounds STEPS, not docs;
+    * round 7 ran 64 docs × 2 epochs at the same step count). Measured
+    * round 8 (sf0.01, majority 0.52): 128×1 beats 64×2 at every feature
+    * space tried — the second pass re-walks docs the averaged vote has
+    * already absorbed, while fresh docs carry new information. */
+  private val PcptSampleN = 128
+  private val PcptEpochs = 1
+
+  /** Perceptron feature orders (round 8). The oracle's superlinear
+    * unroll cost pins the step budget, so capacity had to come from the
+    * feature space — but the measured answer is NOT width: every hashed
+    * n-gram UNION tried made holdout WORSE than a single order ({2}
+    * 0.68, {1,2} 0.58, {1,2,3} 0.57, {2,3} 0.62-0.66, {2,3,4} 0.60-0.64
+    * at 64×2/4096 — 128 steps can't apportion credit across correlated
+    * overlapping feature families), while single orders climb with n
+    * ({2} 0.68, {3} 0.69, {4} 0.70) and TRIGRAMS at the 128×1 schedule
+    * reach 0.73. Full sweep in NOTES.md round 8. */
+  private val PcptOrders = Seq(3)
+
+  /** The gate feature stream in DuckDB: the same order union as
+    * PcptOrders (list concat — grams of different orders cannot collide
+    * pre-hash, the space-count argument). */
+  private def duckPcptGrams(textCol: String): String =
+    PcptOrders.map(k => s"(${duckShingles(textCol, k)})").mkString(" || ")
 
   /** Bottom-k sketch size for the q140 quantile gate: rank error
     * O(1/√k) ≈ 6% at 256 — the screen-band-threshold regime (SketchSpec
@@ -2468,7 +2486,7 @@ object SparkEntry {
        |pf AS MATERIALIZED (
        |  SELECT o, y, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
        |    SELECT o, y, ${duckHash("f")} % $FeatBuckets AS bucket
-       |    FROM (SELECT o, y, unnest(${duckShingles("text", 2)}) AS f FROM samp))
+       |    FROM (SELECT o, y, unnest(${duckPcptGrams("text")}) AS f FROM samp))
        |  GROUP BY o, y, bucket
        |  UNION ALL
        |  SELECT o, y, CAST(-1 AS BIGINT) AS bucket, CAST(1 AS BIGINT) AS cnt
@@ -4268,7 +4286,7 @@ object SparkEntry {
          |       FROM $wf WHERE bucket = -1),
          |wt AS (SELECT bucket, w FROM $wf WHERE bucket >= 0),
          |df AS (SELECT doc_id, ${duckHash("f")} % $FeatBuckets AS bucket
-         |       FROM (SELECT doc_id, unnest(${duckShingles("text", 2)}) AS f
+         |       FROM (SELECT doc_id, unnest(${duckPcptGrams("text")}) AS f
          |             FROM documents)),
          |sc AS (SELECT d.doc_id,
          |        CAST(bc.bias + COALESCE(sum(w.w), 0) AS BIGINT) AS score
@@ -4298,7 +4316,7 @@ object SparkEntry {
          |       FROM wavg WHERE bucket = -1),
          |wt AS (SELECT bucket, w FROM wavg WHERE bucket >= 0),
          |df AS (SELECT doc_id, ${duckHash("f")} % $FeatBuckets AS bucket
-         |       FROM (SELECT doc_id, unnest(${duckShingles("text", 2)}) AS f
+         |       FROM (SELECT doc_id, unnest(${duckPcptGrams("text")}) AS f
          |             FROM documents)),
          |sc AS (SELECT d.doc_id,
          |        CAST(bc.bias + COALESCE(sum(w.w), 0) AS BIGINT) AS score

@@ -23,9 +23,15 @@ import org.apache.spark.sql.functions._
  * and on separable fixtures converges to a perfect separator
  * (Novikoff 1962 mistake bound; ClassifierSpec pins it).
  *
- * Feature space: the DSIR hashed-bigram multinomial (q89/q90 convention —
- * [[Text.shingles]] with multiplicity, [[Hashing.stableHash60]] pmod
- * `buckets`), plus one bias feature (bucket −1, count 1 on every doc).
+ * Feature space: the UNION of hashed n-gram multinomials over the orders
+ * in `ns` (round 8 — the free accuracy dial: the oracle's unroll cost
+ * pins the sample size, so capacity comes from feature width, not more
+ * steps). Grams of different orders cannot collide before hashing (an
+ * order-k gram has exactly k−1 spaces and tokens are space-free), so the
+ * union is just array concatenation; each gram hashes
+ * [[Hashing.stableHash60]] pmod `buckets` into ONE shared bucket space
+ * (the DSIR q89/q90 convention), plus one bias feature (bucket −1,
+ * count 1 on every doc).
  *
  * Scale shape: training reads a DETERMINISTIC bounded sample (the
  * `sampleN` smallest ids — a TakeOrdered, then a driver collect bounded
@@ -39,13 +45,21 @@ import org.apache.spark.sql.functions._
  */
 object Classifier {
 
+  /** The union gram stream: shingle arrays of every order in `ns`,
+    * concatenated (orders cannot collide pre-hash — the space-count
+    * argument; see the object doc). */
+  private def gramUnion(text: Column, ns: Seq[Int]): Column = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"orders must be >= 1: $ns")
+    ns.map(k => Text.shingles(text, k)).reduce(concat(_, _))
+  }
+
   /** Per-document hashed feature counts (with multiplicity): (id, bucket,
-    * cnt). Docs shorter than `n` tokens have no rows — consumers that
-    * must keep them use the explode_outer path in [[scoreDocs]]. */
+    * cnt). Docs shorter than every order in `ns` have no rows — consumers
+    * that must keep them use the explode_outer path in [[scoreDocs]]. */
   def featureCounts(docs: DataFrame, idCol: String, textCol: String,
-                    n: Int = 2, buckets: Int = 4096): DataFrame =
+                    ns: Seq[Int] = Seq(2), buckets: Int = 4096): DataFrame =
     docs.select(col(idCol).as("id"),
-        explode(Text.shingles(col(textCol), n)).as("f"))
+        explode(gramUnion(col(textCol), ns)).as("f"))
       .select(col("id"),
         pmod(Hashing.stableHash60(col("f")), lit(buckets.toLong)).as("bucket"))
       .groupBy("id", "bucket")
@@ -83,7 +97,8 @@ object Classifier {
    * model (the DuckDB oracle unrolls exactly this recurrence).
    */
   def trainPerceptron(docs: DataFrame, idCol: String, labelCol: String,
-                      textCol: String, n: Int = 2, buckets: Int = 4096,
+                      textCol: String, ns: Seq[Int] = Seq(2),
+                      buckets: Int = 4096,
                       sampleN: Int = 32, epochs: Int = 2): PerceptronModel = {
     require(sampleN > 0 && epochs > 0 && buckets > 0)
     val sample = docs.orderBy(col(idCol)).limit(sampleN)
@@ -93,7 +108,7 @@ object Classifier {
     val labels = sample.select("id", "y").collect()
       .map(r => r.get(0).toString.toLong -> (if (r.getBoolean(1)) 1L else -1L))
       .sortBy(_._1)
-    val feats = featureCounts(sample, "id", "text", n, buckets).collect()
+    val feats = featureCounts(sample, "id", "text", ns, buckets).collect()
       .map(r => (r.get(0).toString.toLong, r.getLong(1), r.getLong(2)))
       .groupBy(_._1)
       .map { case (id, rs) => id -> rs.map(t => t._2 -> t._3).sortBy(_._1) }
@@ -133,12 +148,13 @@ object Classifier {
    * saw them.
    */
   def scoreDocs(docs: DataFrame, model: PerceptronModel, idCol: String,
-                textCol: String, n: Int = 2, buckets: Int = 4096): DataFrame = {
+                textCol: String, ns: Seq[Int] = Seq(2),
+                buckets: Int = 4096): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val wdf = model.weights.toSeq.toDF("bucket", "w")
     docs.select(col(idCol).as("id"),
-        explode_outer(Text.shingles(col(textCol), n)).as("f"))
+        explode_outer(gramUnion(col(textCol), ns)).as("f"))
       .select(col("id"), when(col("f").isNotNull,
         pmod(Hashing.stableHash60(col("f")), lit(buckets.toLong))).as("bucket"))
       .join(broadcast(wdf), Seq("bucket"), "left")
@@ -162,13 +178,13 @@ object Classifier {
    * [[scoreDocs]]'s broadcast-join shape is the fallback.
    */
   def scoreColumn(model: PerceptronModel, text: Column,
-                  n: Int = 2, buckets: Int = 4096): Column = {
+                  ns: Seq[Int] = Seq(2), buckets: Int = 4096): Column = {
     import org.apache.spark.sql.functions.typedLit
     val folded =
       if (model.weights.isEmpty) lit(0L)
       else {
         val wMap = typedLit(model.weights)
-        coalesce(aggregate(Text.shingles(text, n), lit(0L),
+        coalesce(aggregate(gramUnion(text, ns), lit(0L),
           (acc, s) => acc + coalesce(
             element_at(wMap, pmod(Hashing.stableHash60(s), lit(buckets.toLong))),
             lit(0L))), lit(0L))
@@ -190,9 +206,9 @@ object Classifier {
    */
   def confusionCensus(docs: DataFrame, model: PerceptronModel, idCol: String,
                       textCol: String, labelCol: Column,
-                      n: Int = 2, buckets: Int = 4096): DataFrame =
+                      ns: Seq[Int] = Seq(2), buckets: Int = 4096): DataFrame =
     docs.select(
-        (scoreColumn(model, col(textCol), n, buckets) > 0L).as("pred_keep"),
+        (scoreColumn(model, col(textCol), ns, buckets) > 0L).as("pred_keep"),
         labelCol.as("teacher_pass"))
       .groupBy("pred_keep", "teacher_pass")
       .agg(count(lit(1)).as("n_docs"))
