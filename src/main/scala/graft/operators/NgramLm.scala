@@ -35,8 +35,10 @@ import org.apache.spark.sql.functions._
  *    plus one (doc, pos) re-group — two shuffles total at ANY model
  *    order (the slot count scales the stream width linearly, never the
  *    exchange count; a per-order join chain would pay n joins). The
- *    count table shuffles at aggregated (vocabulary) cardinality; with
- *    `minCount` pruning it broadcasts.
+ *    count table shuffles at aggregated (vocabulary) cardinality at
+ *    build time; at scoring time the pruned model broadcasts
+ *    EXPLICITLY (`modelJoin` default — the planner's size-estimate
+ *    choice is a measured 13× cliff at 5M docs, SCALE.md round 8).
  *  - Nothing is quadratic, nothing collects: the corpus total rides a
  *    one-row broadcast; per-doc reductions are keyed aggregations.
  */
@@ -90,10 +92,26 @@ object NgramLm {
    *
    * The per-token SCORE is then α^backoffs · c_num/c_den (see
    * [[docLogProb]]); everything in THIS frame is a BIGINT.
+   *
+   * `modelJoin` pins the lookup-join strategy — the round-8 on-disk
+   * probe caught the planner's default as a scale cliff: at 5M docs the
+   * pruned model (2.5M grams, 15 MB parquet) sits just past the 10 MB
+   * autoBroadcast threshold, so the planner elected a sort-merge join
+   * that SORTS the (2n−1)×token candidate stream BY GRAM TEXT — 700 s
+   * vs 53 s at 1.6M (13× for a 3.1× size step; SCALE.md). A pruned LM
+   * is a model ARTIFACT orders of magnitude smaller than the corpus it
+   * scores (the lmCounts contract), so the default is an explicit
+   * `broadcast` — the KenLM shape: ship the model, never move the
+   * corpus. For model-∝-corpus analytics (self-scoring at minCount=1)
+   * pass `shuffle_hash`: both sides shuffle by gram but NOTHING SORTS;
+   * `auto` restores the planner's size-estimate choice.
    */
   def scoreTokens(docs: DataFrame, lm: DataFrame, totals: DataFrame,
-                  idCol: String, textCol: String, n: Int = 3): DataFrame = {
+                  idCol: String, textCol: String, n: Int = 3,
+                  modelJoin: String = "broadcast"): DataFrame = {
     require(n >= 1, "order must be >= 1")
+    require(Set("broadcast", "shuffle_hash", "auto")(modelJoin),
+      s"modelJoin must be broadcast|shuffle_hash|auto, got $modelJoin")
     val withToks = docs.select(col(idCol).as("id"), toks(textCol).as("tk"))
     // one row per token position, carrying the candidate grams for every
     // slot of the backoff chain — 2n−1 slots built FROM the order: for
@@ -120,8 +138,13 @@ object NgramLm {
     val pivots = (n to 2 by -1).flatMap { k =>
       Seq(slotMax(s"g$k").as(s"c$k"), slotMax(s"b${k - 1}").as(s"b${k - 1}"))
     } :+ slotMax("g1").as("c1")
+    val lmSide = modelJoin match {
+      case "broadcast"    => broadcast(lm.select(col("gram"), col("c")))
+      case "shuffle_hash" => lm.select(col("gram"), col("c")).hint("shuffle_hash")
+      case _              => lm.select(col("gram"), col("c"))
+    }
     val looked = cand
-      .join(lm.select(col("gram"), col("c")), Seq("gram"), "left")
+      .join(lmSide, Seq("gram"), "left")
       .groupBy("id", "pos")
       .agg(pivots.head, pivots.tail: _*)
     val avail = least(lit(n).cast("long"), col("pos") + 1L)
