@@ -248,6 +248,35 @@ object NgramLm {
     docs.join(kept, Seq(idCol), "leftsemi")
   }
 
+  /**
+   * INTEGER-grain fluency screen under a FROZEN model — the streamable,
+   * oracle-exact twin of the capstone's stage 4a: keep documents whose
+   * token mass the model matches at order ≥ 2 for at least `num/den` of
+   * their scored tokens, (o3+o2)·den ≥ num·scored_tokens as an exact
+   * cross-multiplication (no floats anywhere, unlike [[pplThresholdFilter]]'s
+   * perplexity cut). The decision is a pure per-document function of the
+   * frozen (lm, totals) state, so batch and streaming replays agree
+   * bit-for-bit, and it equals `CorpusPipeline.run(fluencyMin = …,
+   * lmTrainDocs = calibration)`'s stage decision on the same inputs
+   * (PipelineSpec/StatefulOpsSpec pin both parities). "Matched mass" is
+   * counted as matched_ord ≥ 2 directly — equal to the q132 census's
+   * o3+o2 at n = 3, and well-defined at any model order.
+   */
+  def fluencyThresholdFilter(docs: DataFrame, lm: DataFrame, totals: DataFrame,
+                             idCol: String, textCol: String,
+                             num: Int, den: Int, n: Int = 3,
+                             modelJoin: String = "broadcast"): DataFrame = {
+    require(num >= 0 && den > 0, s"threshold must be a non-negative " +
+      s"rational with positive denominator, got $num/$den")
+    val kept = scoreTokens(docs, lm, totals, idCol, textCol, n, modelJoin)
+      .groupBy("id")
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("matched_ord") >= 2L, 1L).otherwise(0L)).as("__hi"))
+      .where(col("__hi") * lit(den.toLong) >= lit(num.toLong) * col("__n"))
+      .select(col("id").as(idCol))
+    docs.join(kept, Seq(idCol), "leftsemi")
+  }
+
   /** Calibration helper: the perplexity at fraction `q` of a corpus
     * under its own (or a reference) model — the threshold
     * [[pplThresholdFilter]] freezes. Exact rank at this cardinality

@@ -274,6 +274,31 @@ object IncrementalDedup {
       .start()
   }
 
+  /** Ingest-time INTEGER-grain fluency screen — the streaming twin of the
+    * capstone's gated stage 4a (CorpusPipeline `fluencyMin`): per
+    * micro-batch, admit documents whose token mass the FROZEN calibration
+    * model matches at order ≥ 2 for at least num/den of their scored
+    * tokens (`NgramLm.fluencyThresholdFilter` — exact cross-multiplied
+    * integers, no floats). Pure per-document function of the frozen
+    * state, so batch and streaming replays agree BIT-FOR-BIT — unlike
+    * [[attachLmScreen]]'s float perplexity cut, this twin carries the
+    * oracle-exact decision the batch gate (q127/q128) runs. */
+  def attachFluencyScreen(docs: DataFrame, lm: DataFrame, totals: DataFrame,
+                          idCol: String, textCol: String, num: Int, den: Int,
+                          outPath: String, checkpointPath: String,
+                          n: Int = 3): StreamingQuery = {
+    val lmFrozen = lm.localCheckpoint() // static for the stream's lifetime
+    val totFrozen = totals.localCheckpoint()
+    docs.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.NgramLm.fluencyThresholdFilter(batch, lmFrozen,
+            totFrozen, idCol, textCol, num, den, n)
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+  }
+
   /**
    * Ingest-time LINE-frequency screen — the streaming twin of
    * `Cleaning.dropFrequentLines` under the crawl-admission contract:

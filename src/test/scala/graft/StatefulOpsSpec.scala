@@ -397,6 +397,49 @@ class StatefulOpsSpec extends SparkSpec {
     assert(batch.nonEmpty && batch.size < rows.length)
   }
 
+  test("streaming INTEGER fluency screen equals the batch threshold filter " +
+    "AND the capstone stage under the same frozen model (bit-exact twin)") {
+    import graft.operators.NgramLm
+    import graft.pipeline.CorpusPipeline
+    import graft.streaming.IncrementalDedup
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-flustream").toString
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).where(col("doc_id") < 200)
+    val calib = all.where(col("doc_id") < 100)
+    val lm = NgramLm.lmCounts(calib, "text", n = 3, minCount = 2L).localCheckpoint()
+    val tot = NgramLm.lmTotals(calib, "text").localCheckpoint()
+    val (num, den) = (14, 15) // ≈0.933 — the frozen model’s ~p10 match ratio
+    val rows = all.collect().map(r => (r.getLong(0), r.getString(1)))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = IncrementalDedup.attachFluencyScreen(input.toDS().toDF("doc_id", "text"),
+      lm, tot, "doc_id", "text", num, den, s"$root/out", s"$root/ckpt")
+    rows.grouped(60).foreach { day => input.addData(day.toSeq); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.read.parquet(s"$root/out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val batch = NgramLm.fluencyThresholdFilter(all, lm, tot, "doc_id", "text",
+        num, den)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batch)
+    // the screen is live: the frozen first-half model recognizes its own
+    // docs but backs off on enough unseen-vocabulary docs to drop some
+    assert(batch.nonEmpty && batch.size < rows.length)
+    // stage ≡ operator under lmTrainDocs: the capstone's fluency stage
+    // with a frozen calibration model keeps exactly the operator's ids
+    // over its own screened corpus
+    val noEval = all.where(lit(false))
+    val stages = Seq("nonempty" -> (length(col("text")) > 0))
+    val (base, _) = CorpusPipeline.run(all, noEval, "doc_id", "text", stages)
+    val (kept, _) = CorpusPipeline.run(all, noEval, "doc_id", "text", stages,
+      fluencyMin = Some(num -> den), lmTrainDocs = Some(calib))
+    val viaStage = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaOp = NgramLm.fluencyThresholdFilter(base.select("doc_id", "text"),
+        lm, tot, "doc_id", "text", num, den)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaStage == viaOp)
+  }
+
   test("streaming line screen equals the batch operator over the corpus-so-far") {
     import graft.operators.Cleaning
     import graft.streaming.IncrementalDedup
