@@ -128,9 +128,10 @@ object DiskScale {
       // model build (one aggregation shuffle to gram cardinality, pruned
       // by minCount like a production model) measured separately from
       // scoring — the model is the stored artifact, scoring is the
-      // per-batch marginal cost. The 5-slot candidate stream join is
-      // planner-chosen: broadcast for vocabulary-bounded models, shuffle
-      // join when the synthetic flat-frequency gram table outgrows it.
+      // per-batch marginal cost. The candidate-stream lookup runs at
+      // scoreTokens' default (explicit broadcast — the round-8 fix; the
+      // planner's size-estimate choice was the measured 13× cliff,
+      // SCALE.md).
       val lmTbl = writeOnce(
         graft.operators.NgramLm.lmCounts(docsH, "text", n = 3, minCount = 5),
         spark, s"$workdir/lm_$n")
@@ -143,18 +144,20 @@ object DiskScale {
 
       // the q138/q139 distilled classifier at corpus scale: training cost
       // is SIZE-INDEPENDENT (the 128-doc bounded sample), so the row
-      // measures inference — trigram explode (the gate's round-8 feature
-      // space), broadcast weight join, one doc-keyed map-side-combined
-      // sum. The distillation promise is
+      // measures inference at the SHIPPED gate config (round 8:
+      // stats-only — six bucketized doc-stat features per doc, a 6-row
+      // explode + broadcast weight join + one doc-keyed map-side-combined
+      // sum; the compiled NgramRepetition passes dominate, the same cost
+      // family as the quality funnel). The distillation promise is
       // exactly that this row grows linearly while the screens it stands
       // in for stay affordable only on samples.
       val pcpt = graft.operators.Classifier.trainPerceptron(
         docs.withColumn("__y", qualStages.map(_._2).reduce(_ && _)),
-        "doc_id", "__y", "text", ns = Seq(3), buckets = 4096,
-        sampleN = 128, epochs = 1)
+        "doc_id", "__y", "text", ns = Seq.empty, buckets = 4096,
+        sampleN = 128, epochs = 1, withStats = true)
       val tCls = time2(noop(
         graft.operators.Classifier.scoreDocs(docs, pcpt, "doc_id", "text",
-          ns = Seq(3), buckets = 4096)))
+          ns = Seq.empty, buckets = 4096, withStats = true)))
 
       // the q140/q141 quantile tiers over doc length, 10 synthetic groups:
       // the sketch is one constant-state aggregation (scan-bound), the

@@ -1775,7 +1775,8 @@ object SparkEntry {
     "q138_classifier_scores" -> ((s, dir) =>
       graft.operators.Classifier.scoreDocs(
         t(s, dir, "documents"), pcptModel(s, dir),
-        "doc_id", "text", ns = PcptOrders, buckets = FeatBuckets)
+        "doc_id", "text", ns = PcptOrders, buckets = FeatBuckets,
+        withStats = PcptStats)
         .withColumnRenamed("id", "doc_id")),
 
     // Distillation-quality census: the student classifier (q137's model)
@@ -1794,7 +1795,7 @@ object SparkEntry {
       graft.operators.Classifier.confusionCensus(
         t(s, dir, "documents"), pcptModel(s, dir), "doc_id", "text",
         capstoneFunnelStages.map(_._2).reduce(_ && _),
-        ns = PcptOrders, buckets = FeatBuckets)),
+        ns = PcptOrders, buckets = FeatBuckets, withStats = PcptStats)),
 
     // Bottom-k (KMV) quantile sketch: per-source length percentiles from
     // a fixed-size deterministic sample — every quantile at once, no
@@ -1874,7 +1875,7 @@ object SparkEntry {
       t(s, dir, "documents").withColumn("is_pass",
         capstoneFunnelStages.map(_._2).reduce(_ && _)),
       "doc_id", "is_pass", "text", ns = PcptOrders, buckets = FeatBuckets,
-      sampleN = PcptSampleN, epochs = PcptEpochs)
+      sampleN = PcptSampleN, epochs = PcptEpochs, withStats = PcptStats)
 
   /** ADC candidate count for the re-rank gates (q122/q123 and oracles). */
   private val RerankC = 50
@@ -1900,22 +1901,59 @@ object SparkEntry {
   private val PcptSampleN = 128
   private val PcptEpochs = 1
 
-  /** Perceptron feature orders (round 8). The oracle's superlinear
-    * unroll cost pins the step budget, so capacity had to come from the
-    * feature space — but the measured answer is NOT width: every hashed
-    * n-gram UNION tried made holdout WORSE than a single order ({2}
-    * 0.68, {1,2} 0.58, {1,2,3} 0.57, {2,3} 0.62-0.66, {2,3,4} 0.60-0.64
-    * at 64×2/4096 — 128 steps can't apportion credit across correlated
-    * overlapping feature families), while single orders climb with n
-    * ({2} 0.68, {3} 0.69, {4} 0.70) and TRIGRAMS at the 128×1 schedule
-    * reach 0.73. Full sweep in NOTES.md round 8. */
-  private val PcptOrders = Seq(3)
+  /** Perceptron feature space (round 8, measured progression). The
+    * oracle's superlinear unroll cost pins the step budget, so capacity
+    * had to come from the feature space — and the measured answer is
+    * neither gram width nor gram order: every hashed n-gram UNION made
+    * holdout WORSE than a single order ({2} 0.68, {1,2} 0.58, {1,2,3}
+    * 0.57, {2,3} 0.62-0.66 — 128 steps can't apportion credit across
+    * correlated overlapping families), single orders climb modestly
+    * ({2} 0.68 → {3} 0.73 at the 128×1 schedule), and the BUCKETIZED
+    * DOC-STAT channel alone reaches 0.86 — the teacher is a threshold
+    * battery over exactly these statistics, and six dense integer
+    * features let 128 steps place thresholds where 4096 sparse gram
+    * buckets cannot. Gate config: stats-only. Full sweep in NOTES.md
+    * round 8; the gram path stays API-live and spec-covered. */
+  private val PcptOrders = Seq.empty[Int]
+  private val PcptStats = true
 
-  /** The gate feature stream in DuckDB: the same order union as
-    * PcptOrders (list concat — grams of different orders cannot collide
-    * pre-hash, the space-count argument). */
+  /** The gate gram stream in DuckDB (when PcptOrders is nonempty): the
+    * same order union as PcptOrders (list concat — grams of different
+    * orders cannot collide pre-hash, the space-count argument). */
   private def duckPcptGrams(textCol: String): String =
     PcptOrders.map(k => s"(${duckShingles(textCol, k)})").mkString(" || ")
+
+  /** DuckDB twin of Classifier.statFeatureStrings over `src`, reading
+    * the `${p}wide` repetition CTE (must already be in scope — its
+    * top/dup masses and total_chars are the q134-gated twins of
+    * Quality.topNgramChars/dupNgramChars/nonSpaceChars). Emits
+    * `${p}sfx(doc_id, f)`. DuckDB `//` on non-negative BIGINTs matches
+    * Spark's `div`. */
+  private def duckStatFeats(src: String, p: String): String =
+    s"""${p}sfb AS (SELECT d.doc_id,
+       |  CAST(len(string_split(d.text,' ')) AS BIGINT) AS wcv,
+       |  w.total_chars AS nsc, w.top2_chars, w.top3_chars,
+       |  w.dup5_chars, w.dup9_chars
+       | FROM $src d JOIN ${p}wide w ON d.doc_id = w.doc_id),
+       |${p}sfx AS (SELECT doc_id, unnest([
+       |  'wc' || chr(10) || CAST(least(wcv // 5, 60) AS VARCHAR),
+       |  'mwl' || chr(10) || CAST(least((nsc * 10) // greatest(wcv, 1), 30) AS VARCHAR),
+       |  'top2' || chr(10) || CAST(least((top2_chars * 20) // greatest(nsc, 1), 20) AS VARCHAR),
+       |  'top3' || chr(10) || CAST(least((top3_chars * 20) // greatest(nsc, 1), 20) AS VARCHAR),
+       |  'dup5' || chr(10) || CAST(least((dup5_chars * 20) // greatest(nsc, 1), 20) AS VARCHAR),
+       |  'dup9' || chr(10) || CAST(least((dup9_chars * 20) // greatest(nsc, 1), 20) AS VARCHAR)]) AS f
+       | FROM ${p}sfb)""".stripMargin
+
+  /** Per-doc classifier feature stream over `src` (doc_id, f): the gram
+    * selects plus the stat strings, matching Classifier.featureStream at
+    * the gate config. */
+  private def duckPcptFeatSelects(src: String, p: String): String = {
+    val grams =
+      if (PcptOrders.isEmpty) Nil
+      else Seq(s"SELECT doc_id, unnest(${duckPcptGrams("text")}) AS f FROM $src")
+    val stats = if (PcptStats) Seq(s"SELECT doc_id, f FROM ${p}sfx") else Nil
+    (grams ++ stats).mkString("\n       UNION ALL ")
+  }
 
   /** Bottom-k sketch size for the q140 quantile gate: rank error
     * O(1/√k) ≈ 6% at 256 — the screen-band-threshold regime (SketchSpec
@@ -2481,12 +2519,15 @@ object SparkEntry {
          | FROM pcgq g JOIN pcgf USING (doc_id) JOIN pcwide USING (doc_id))""".stripMargin)
     s"""$labelCtes,
        |samp AS MATERIALIZED (
-       |  SELECT row_number() OVER (ORDER BY p.doc_id) AS o, l.y, p.text
+       |  SELECT row_number() OVER (ORDER BY p.doc_id) AS o, l.y, p.doc_id, p.text
        |  FROM pool p JOIN lab l ON l.doc_id = p.doc_id),
+       |${duckStatFeats("samp", "pc")},
        |pf AS MATERIALIZED (
        |  SELECT o, y, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
        |    SELECT o, y, ${duckHash("f")} % $FeatBuckets AS bucket
-       |    FROM (SELECT o, y, unnest(${duckPcptGrams("text")}) AS f FROM samp))
+       |    FROM (SELECT s.o, s.y, x.f FROM samp s
+       |          JOIN (${duckPcptFeatSelects("samp", "pc")}) x
+       |            ON x.doc_id = s.doc_id))
        |  GROUP BY o, y, bucket
        |  UNION ALL
        |  SELECT o, y, CAST(-1 AS BIGINT) AS bucket, CAST(1 AS BIGINT) AS cnt
@@ -4281,13 +4322,16 @@ object SparkEntry {
     // featureless docs at the bare bias, as training scored them).
     "q138_classifier_scores" -> {
       val wf = "wavg"
+      val docFeats = materializeCtes(
+        s"""${repetitionCtes("documents", "sf")},
+           |${duckStatFeats("documents", "sf")}""".stripMargin)
       s"""WITH $perceptronCtes,
+         |$docFeats,
          |bc AS (SELECT CAST(COALESCE(sum(w), 0) AS BIGINT) AS bias
          |       FROM $wf WHERE bucket = -1),
          |wt AS (SELECT bucket, w FROM $wf WHERE bucket >= 0),
          |df AS (SELECT doc_id, ${duckHash("f")} % $FeatBuckets AS bucket
-         |       FROM (SELECT doc_id, unnest(${duckPcptGrams("text")}) AS f
-         |             FROM documents)),
+         |       FROM (${duckPcptFeatSelects("documents", "sf")})),
          |sc AS (SELECT d.doc_id,
          |        CAST(bc.bias + COALESCE(sum(w.w), 0) AS BIGINT) AS score
          |       FROM documents d
@@ -4315,9 +4359,9 @@ object SparkEntry {
          |bc AS (SELECT CAST(COALESCE(sum(w), 0) AS BIGINT) AS bias
          |       FROM wavg WHERE bucket = -1),
          |wt AS (SELECT bucket, w FROM wavg WHERE bucket >= 0),
+         |${duckStatFeats("documents", "cq")},
          |df AS (SELECT doc_id, ${duckHash("f")} % $FeatBuckets AS bucket
-         |       FROM (SELECT doc_id, unnest(${duckPcptGrams("text")}) AS f
-         |             FROM documents)),
+         |       FROM (${duckPcptFeatSelects("documents", "cq")})),
          |sc AS (SELECT d.doc_id,
          |        CAST(bc.bias + COALESCE(sum(w.w), 0) AS BIGINT) AS score
          |       FROM documents d

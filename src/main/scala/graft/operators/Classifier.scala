@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{Hashing, Text}
+import graft.functions.{Hashing, Quality, Text}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -23,15 +23,22 @@ import org.apache.spark.sql.functions._
  * and on separable fixtures converges to a perfect separator
  * (Novikoff 1962 mistake bound; ClassifierSpec pins it).
  *
- * Feature space: the UNION of hashed n-gram multinomials over the orders
- * in `ns` (round 8 — the free accuracy dial: the oracle's unroll cost
- * pins the sample size, so capacity comes from feature width, not more
- * steps). Grams of different orders cannot collide before hashing (an
- * order-k gram has exactly k−1 spaces and tokens are space-free), so the
- * union is just array concatenation; each gram hashes
- * [[Hashing.stableHash60]] pmod `buckets` into ONE shared bucket space
- * (the DSIR q89/q90 convention), plus one bias feature (bucket −1,
- * count 1 on every doc).
+ * Feature space: hashed n-gram multinomials over the orders in `ns`,
+ * optionally unioned with BUCKETIZED DOC-STAT features (`withStats` —
+ * the fastText-style stat channel: six exact-integer buckets over word
+ * count, mean word length, top-2/3-gram mass and dup-5/9-gram mass, the
+ * same statistics the Gopher battery thresholds). Every feature is a
+ * string hashed [[Hashing.stableHash60]] pmod `buckets` into ONE shared
+ * bucket space (the DSIR q89/q90 convention), plus one bias feature
+ * (bucket −1, count 1 on every doc); collisions — between grams, between
+ * buckets, or in principle between a stat string and a gram — are the
+ * hashing-trick contract: deterministic, engine-independent, mirrored
+ * bit-for-bit by the oracle. Round-8 measurement (NOTES): gram-order
+ * UNIONS hurt at the 128-step budget (0.57-0.66 vs 0.68-0.73 single
+ * order), while the stat channel alone reaches 0.86 holdout — the
+ * teacher is a threshold battery over exactly these statistics, and six
+ * dense features let 128 steps place thresholds where 4096 sparse gram
+ * buckets cannot.
  *
  * Scale shape: training reads a DETERMINISTIC bounded sample (the
  * `sampleN` smallest ids — a TakeOrdered, then a driver collect bounded
@@ -45,21 +52,53 @@ import org.apache.spark.sql.functions._
  */
 object Classifier {
 
-  /** The union gram stream: shingle arrays of every order in `ns`,
-    * concatenated (orders cannot collide pre-hash — the space-count
-    * argument; see the object doc). */
-  private def gramUnion(text: Column, ns: Seq[Int]): Column = {
-    require(ns.nonEmpty && ns.forall(_ >= 1), s"orders must be >= 1: $ns")
-    ns.map(k => Text.shingles(text, k)).reduce(concat(_, _))
+  /** The six bucketized doc-stat feature strings ("name\nbucket", one
+    * per stat — integer div with caps, no floats): word-count/5 (cap
+    * 60), 10·nonSpaceChars/words (cap 30 — mean word length in tenths),
+    * and 20·mass/nonSpaceChars (cap 20 — 5%-grain fractions) for the
+    * top-2-gram, top-3-gram, dup-5-gram and dup-9-gram masses. These are
+    * the Gopher/repetition batteries' own inputs, already oracle-twinned
+    * by q133/q134's fragments. */
+  def statFeatureStrings(text: Column): Column = {
+    def div(a: Column, b: Column) = call_function("div", a, b)
+    val wc = Text.tokenCount(text).cast("long")
+    val nsc = Quality.nonSpaceChars(text)
+    val stats: Seq[(String, Column)] = Seq(
+      "wc"   -> least(div(wc, lit(5L)), lit(60L)),
+      "mwl"  -> least(div(nsc * 10L, greatest(wc, lit(1L))), lit(30L)),
+      "top2" -> least(div(Quality.topNgramChars(text, 2) * 20L,
+                   greatest(nsc, lit(1L))), lit(20L)),
+      "top3" -> least(div(Quality.topNgramChars(text, 3) * 20L,
+                   greatest(nsc, lit(1L))), lit(20L)),
+      "dup5" -> least(div(Quality.dupNgramChars(text, 5) * 20L,
+                   greatest(nsc, lit(1L))), lit(20L)),
+      "dup9" -> least(div(Quality.dupNgramChars(text, 9) * 20L,
+                   greatest(nsc, lit(1L))), lit(20L)))
+    array(stats.map { case (nm, c) =>
+      concat(lit(nm + "\n"), c.cast("string")) }: _*)
+  }
+
+  /** The feature stream: shingle arrays of every order in `ns` (orders
+    * cannot collide pre-hash — the space-count argument), optionally
+    * concatenated with the stat-feature strings. */
+  private def featureStream(text: Column, ns: Seq[Int],
+                            withStats: Boolean): Column = {
+    require(ns.nonEmpty || withStats,
+      "feature space is empty: no gram orders and no stat channel")
+    require(ns.forall(_ >= 1), s"orders must be >= 1: $ns")
+    val parts = ns.map(k => Text.shingles(text, k)) ++
+      (if (withStats) Seq(statFeatureStrings(text)) else Nil)
+    parts.reduce(concat(_, _))
   }
 
   /** Per-document hashed feature counts (with multiplicity): (id, bucket,
     * cnt). Docs shorter than every order in `ns` have no rows — consumers
     * that must keep them use the explode_outer path in [[scoreDocs]]. */
   def featureCounts(docs: DataFrame, idCol: String, textCol: String,
-                    ns: Seq[Int] = Seq(2), buckets: Int = 4096): DataFrame =
+                    ns: Seq[Int] = Seq(2), buckets: Int = 4096,
+                    withStats: Boolean = false): DataFrame =
     docs.select(col(idCol).as("id"),
-        explode(gramUnion(col(textCol), ns)).as("f"))
+        explode(featureStream(col(textCol), ns, withStats)).as("f"))
       .select(col("id"),
         pmod(Hashing.stableHash60(col("f")), lit(buckets.toLong)).as("bucket"))
       .groupBy("id", "bucket")
@@ -99,7 +138,8 @@ object Classifier {
   def trainPerceptron(docs: DataFrame, idCol: String, labelCol: String,
                       textCol: String, ns: Seq[Int] = Seq(2),
                       buckets: Int = 4096,
-                      sampleN: Int = 32, epochs: Int = 2): PerceptronModel = {
+                      sampleN: Int = 32, epochs: Int = 2,
+                      withStats: Boolean = false): PerceptronModel = {
     require(sampleN > 0 && epochs > 0 && buckets > 0)
     val sample = docs.orderBy(col(idCol)).limit(sampleN)
       .select(col(idCol).as("id"), col(labelCol).cast("boolean").as("y"),
@@ -108,7 +148,7 @@ object Classifier {
     val labels = sample.select("id", "y").collect()
       .map(r => r.get(0).toString.toLong -> (if (r.getBoolean(1)) 1L else -1L))
       .sortBy(_._1)
-    val feats = featureCounts(sample, "id", "text", ns, buckets).collect()
+    val feats = featureCounts(sample, "id", "text", ns, buckets, withStats).collect()
       .map(r => (r.get(0).toString.toLong, r.getLong(1), r.getLong(2)))
       .groupBy(_._1)
       .map { case (id, rs) => id -> rs.map(t => t._2 -> t._3).sortBy(_._1) }
@@ -149,12 +189,12 @@ object Classifier {
    */
   def scoreDocs(docs: DataFrame, model: PerceptronModel, idCol: String,
                 textCol: String, ns: Seq[Int] = Seq(2),
-                buckets: Int = 4096): DataFrame = {
+                buckets: Int = 4096, withStats: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val wdf = model.weights.toSeq.toDF("bucket", "w")
     docs.select(col(idCol).as("id"),
-        explode_outer(gramUnion(col(textCol), ns)).as("f"))
+        explode_outer(featureStream(col(textCol), ns, withStats)).as("f"))
       .select(col("id"), when(col("f").isNotNull,
         pmod(Hashing.stableHash60(col("f")), lit(buckets.toLong))).as("bucket"))
       .join(broadcast(wdf), Seq("bucket"), "left")
@@ -178,13 +218,14 @@ object Classifier {
    * [[scoreDocs]]'s broadcast-join shape is the fallback.
    */
   def scoreColumn(model: PerceptronModel, text: Column,
-                  ns: Seq[Int] = Seq(2), buckets: Int = 4096): Column = {
+                  ns: Seq[Int] = Seq(2), buckets: Int = 4096,
+                  withStats: Boolean = false): Column = {
     import org.apache.spark.sql.functions.typedLit
     val folded =
       if (model.weights.isEmpty) lit(0L)
       else {
         val wMap = typedLit(model.weights)
-        coalesce(aggregate(gramUnion(text, ns), lit(0L),
+        coalesce(aggregate(featureStream(text, ns, withStats), lit(0L),
           (acc, s) => acc + coalesce(
             element_at(wMap, pmod(Hashing.stableHash60(s), lit(buckets.toLong))),
             lit(0L))), lit(0L))
@@ -206,9 +247,10 @@ object Classifier {
    */
   def confusionCensus(docs: DataFrame, model: PerceptronModel, idCol: String,
                       textCol: String, labelCol: Column,
-                      ns: Seq[Int] = Seq(2), buckets: Int = 4096): DataFrame =
+                      ns: Seq[Int] = Seq(2), buckets: Int = 4096,
+                      withStats: Boolean = false): DataFrame =
     docs.select(
-        (scoreColumn(model, col(textCol), ns, buckets) > 0L).as("pred_keep"),
+        (scoreColumn(model, col(textCol), ns, buckets, withStats) > 0L).as("pred_keep"),
         labelCol.as("teacher_pass"))
       .groupBy("pred_keep", "teacher_pass")
       .agg(count(lit(1)).as("n_docs"))

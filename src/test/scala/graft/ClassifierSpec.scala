@@ -121,9 +121,10 @@ class ClassifierSpec extends SparkSpec {
       stages.map(_._2).reduce(_ && _).as("is_pass"))
     val m = Classifier.trainPerceptron(
       docs.join(labeled, "doc_id"), "doc_id", "is_pass", "text",
-      ns = Seq(3), buckets = 4096, sampleN = 128, epochs = 1)
+      ns = Seq.empty, buckets = 4096, sampleN = 128, epochs = 1,
+      withStats = true)
     val verdicts = Classifier.scoreDocs(docs, m, "doc_id", "text",
-        ns = Seq(3), buckets = 4096)
+        ns = Seq.empty, buckets = 4096, withStats = true)
       .join(labeled.withColumnRenamed("doc_id", "id"), "id")
       .where(col("id") >= 128) // holdout: never seen in training
       .select((col("keep") === col("is_pass")).cast("long").as("hit"),
@@ -135,10 +136,41 @@ class ClassifierSpec extends SparkSpec {
     val majority = math.max(npos, total - npos)
     assert(hits > majority,
       s"classifier $hits/$total does not beat majority $majority/$total")
-    // round-8 pin: the trigram 128x1 config measured 0.726 holdout
-    // accuracy (majority 0.52); 0.70 leaves margin for corpus noise only
-    assert(hits.toDouble / total >= 0.70,
-      s"holdout accuracy ${hits.toDouble / total} fell below the 0.70 pin")
+    // round-8 pin: the stats-only 128x1 gate config measured 0.858
+    // holdout accuracy (majority 0.52; the best gram config reached
+    // 0.73); 0.80 leaves margin for corpus noise only
+    assert(hits.toDouble / total >= 0.80,
+      s"holdout accuracy ${hits.toDouble / total} fell below the 0.80 pin")
+  }
+
+  test("stat-channel scoring: fold ≡ broadcast-join twin, featureless docs " +
+    "carry their six stat features, stats compose with gram orders") {
+    val docs = fixture(24)
+    val m = Classifier.trainPerceptron(docs, "doc_id", "is_good", "text",
+      ns = Seq.empty, buckets = 512, sampleN = 24, epochs = 2,
+      withStats = true)
+    assert(m.weights.nonEmpty)
+    val viaJoin = Classifier.scoreDocs(docs, m, "doc_id", "text",
+        ns = Seq.empty, buckets = 512, withStats = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaFold = docs.select(col("doc_id"),
+        Classifier.scoreColumn(m, col("text"), ns = Seq.empty, buckets = 512,
+          withStats = true).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaJoin == viaFold)
+    // every doc has exactly six stat features (counts sum per doc = 6)
+    val cnts = Classifier.featureCounts(docs, "doc_id", "text",
+        ns = Seq.empty, buckets = 512, withStats = true)
+      .groupBy("id").agg(sum("cnt").as("n")).collect().map(_.getLong(1)).toSet
+    assert(cnts == Set(6L))
+    // union composes: gram + stat counts = gram counts + 6
+    val both = Classifier.featureCounts(docs, "doc_id", "text",
+        ns = Seq(2), buckets = 512, withStats = true)
+      .agg(sum("cnt")).head().getLong(0)
+    val grams = Classifier.featureCounts(docs, "doc_id", "text",
+        ns = Seq(2), buckets = 512)
+      .agg(sum("cnt")).head().getLong(0)
+    assert(both == grams + 6L * 24L)
   }
 
   test("confusionCensus ≡ scoreDocs joined to the label (single-pass twin), " +
