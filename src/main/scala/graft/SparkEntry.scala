@@ -127,6 +127,9 @@ object SparkEntry {
       tm("emb")(embNearDupShared(s, dir)),
       tm("lmc")(lmCountsShared(s, dir)),
       tm("lm5")(lmCounts5Shared(s, dir)),
+      // lmf = the per-doc fluency score table (rescores the corpus
+      // against the already-staged lmc model — the CCNet score file)
+      tm("lmf")(lmFluencyShared(s, dir)),
       // cap = the composed CorpusPipeline run (q127/q128): `run` executes
       // eagerly inside the memo build, so this row carries the whole
       // pipeline cost and the two gate rows report marginal reads
@@ -241,6 +244,30 @@ object SparkEntry {
     staged(s, dir, "lmcounts5")(
       graft.operators.NgramLm.lmCounts(t(s, dir, "documents"), "text",
         n = 5, minCount = LmMinCount))
+
+  /** Per-document integer fluency score table (doc_id, source,
+    * fluency_pm = ⌊1000·(order-≥2 matched tokens)/scored⌋ over the q132
+    * backoff census) — the CCNet "score file" artifact the banding gate
+    * (q144) reads. A document-cardinality AGGREGATED frame, so staging
+    * is sanctioned (the q129 fingerprint-store precedent); materializing
+    * it matters doubly here because the band assignment reads the score
+    * table TWICE (edge census + assignment join), which is exactly why
+    * CCNet ships per-shard score files rather than rescoring. */
+  private def lmFluencyShared(s: SparkSession, dir: String): DataFrame =
+    staged(s, dir, "lmfluency") {
+      val docs = t(s, dir, "documents")
+      val cen = graft.operators.NgramLm.scoreTokens(docs,
+          lmCountsShared(s, dir),
+          graft.operators.NgramLm.lmTotals(docs, "text"), "doc_id", "text")
+        .groupBy("id")
+        .agg(count(lit(1)).as("__sn"),
+          sum(when(col("matched_ord") >= 2L, 1L).otherwise(0L)).as("__hi"))
+      docs.select(col("doc_id"), col("source"))
+        .join(cen.withColumnRenamed("id", "doc_id"), "doc_id")
+        .select(col("doc_id"), col("source"),
+          call_function("div", col("__hi") * 1000L, col("__sn"))
+            .as("fluency_pm"))
+    }
 
   /** Count-table pruning floor for the LM gates (q131/q132 and oracles):
     * 2 drops hapax grams — on this corpus ~58% of trigrams — so the gate
@@ -1862,6 +1889,23 @@ object SparkEntry {
           graft.operators.NgramLm.lmTotals(t(s, dir, "documents"), "text"),
           "doc_id", "text", n = 5)
         .withColumnRenamed("id", "doc_id")),
+
+    // CCNet head/middle/tail corpus banding (Wenzek 2020 §4.3: split
+    // each language's corpus by LM score and sample preferentially from
+    // the head) at the repo's exact-integer grain: per-doc score = the
+    // order-≥2 match PERMILLE of the q132 census (the staged `lmf`
+    // score file), per-SOURCE band edges = exact histogram quantiles at
+    // 1/3 and 2/3 (the q141 nearest-rank-lower convention), band =
+    // value-vs-edge comparison (ties share a band — deterministic on
+    // any partitioning, unlike a rank tercile, which also cannot scale:
+    // a per-group row_number puts a whole language in one partition).
+    // The corpus never sorts; the edges broadcast back at source
+    // cardinality. Oracle: independent row_number-grain edge derivation
+    // over its own recomposed census.
+    "q144_fluency_bands" -> ((s, dir) =>
+      graft.operators.CorpusStats.bandByGroupQuantiles(
+        lmFluencyShared(s, dir), "source", "fluency_pm",
+        Seq(("p33", 1, 3), ("p66", 2, 3)), Seq("tail", "middle", "head"))),
   )
 
   /** Shared trainer for q137/q138 (train once per call site; the sample
@@ -4243,6 +4287,33 @@ object SparkEntry {
     "q143_lm5_token_scores" ->
       s"""WITH ${lmCteN(5)}
          |SELECT doc_id, pos, matched_ord, backoffs, c_num, c_den FROM sc""".stripMargin,
+
+    // CCNet banding: the oracle recomposes the fluency permille from the
+    // lmCte census fragments, then derives the per-source band edges the
+    // ROW-GRAIN way (row_number at ⌊(n−1)·k/3⌋+1 — the q141 convention,
+    // a genuinely different computation than the engine's histogram) and
+    // assigns bands by the same value-vs-edge comparison.
+    "q144_fluency_bands" ->
+      s"""WITH $lmCte,
+         |cen AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sn,
+         |  CAST(sum(CASE WHEN matched_ord >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS hi
+         | FROM sc GROUP BY doc_id),
+         |pm AS (SELECT d.doc_id, d.source,
+         |  (c.hi * 1000) // c.sn AS fluency_pm
+         | FROM documents d JOIN cen c ON d.doc_id = c.doc_id),
+         |rk AS (SELECT source, fluency_pm,
+         |  row_number() OVER (PARTITION BY source ORDER BY fluency_pm ASC) AS vr,
+         |  count(*) OVER (PARTITION BY source) AS n
+         | FROM pm),
+         |th AS (SELECT source,
+         |  max(CASE WHEN vr = (n-1)*1//3+1 THEN fluency_pm END) AS p33,
+         |  max(CASE WHEN vr = (n-1)*2//3+1 THEN fluency_pm END) AS p66
+         | FROM rk GROUP BY source)
+         |SELECT p.doc_id, p.source, p.fluency_pm,
+         |  CASE WHEN p.fluency_pm <= t.p33 THEN 'tail'
+         |       WHEN p.fluency_pm <= t.p66 THEN 'middle'
+         |       ELSE 'head' END AS band
+         |FROM pm p JOIN th t USING (source)""".stripMargin,
 
     // Per-document backoff census over the same token grain.
     "q132_lm_backoff_census" ->

@@ -251,6 +251,54 @@ object CorpusStats {
   }
 
   /**
+   * Assign each row a BAND by comparing its value to its group's exact
+   * quantile edges — the CCNet corpus-splitting shape (Wenzek et al.
+   * 2020 §4.3 split each language's corpus into head/middle/tail by LM
+   * score and sample preferentially from the head), generalized to any
+   * integer score and any edge list. `edges` are ascending quantile
+   * fractions ((name, num, den) — the [[exactQuantilesByGroup]]
+   * nearest-rank-lower convention); `bands` is one label longer: a row
+   * lands in `bands(i)` for the FIRST edge with value ≤ edge_i, and in
+   * the last band above every edge — so with edges (p33, p66) and bands
+   * (tail, middle, head), `head` is value > p66. Ties share a band by
+   * construction (the comparison is against the group-wide edge VALUE,
+   * not a rank), so the assignment is deterministic on any partitioning.
+   * Rows with a NULL value get a NULL band (they are invisible to the
+   * edge census too — the [[exactQuantilesByGroup]] contract).
+   *
+   * Scale shape: the edges ride [[exactQuantilesByGroup]]'s two
+   * histogram-cardinality exchanges, then broadcast back as a
+   * groups-cardinality frame — the corpus itself never shuffles and
+   * never sorts (contrast a rank-based tercile: a per-group row_number
+   * puts a whole group — a language at 100 TB — in one partition). The
+   * input's lineage is read twice (edge census + assignment); at scale
+   * the caller hands a MATERIALIZED score table (the CCNet score file,
+   * here the staged fluency census), exactly like the LM count tables.
+   */
+  def bandByGroupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                           edges: Seq[(String, Int, Int)], bands: Seq[String],
+                           bandCol: String = "band"): DataFrame = {
+    require(bands.size == edges.size + 1,
+      s"need ${edges.size + 1} band labels for ${edges.size} edges, got ${bands.size}")
+    require(edges.nonEmpty, "need at least one edge")
+    val ascending = edges.sliding(2).forall {
+      case Seq((_, n1, d1), (_, n2, d2)) => n1.toLong * d2 < n2.toLong * d1
+      case _ => true
+    }
+    require(ascending, s"edge fractions must be strictly ascending: $edges")
+    val th = exactQuantilesByGroup(df, groupCol, valueCol, edges)
+      .select(col(groupCol) +: edges.map { case (nm, _, _) => col(nm) }: _*)
+    val v = col(valueCol)
+    val chain = edges.zip(bands.init).foldLeft(when(v.isNull, lit(null))) {
+      case (c, ((nm, _, _), label)) => c.when(v <= col(nm), lit(label))
+    }.otherwise(lit(bands.last))
+    // left join: a group whose values are ALL null has no edge row (no
+    // histogram mass) — its rows still flow through with a null band
+    df.join(broadcast(th), Seq(groupCol), "left")
+      .select(df.columns.map(col) :+ chain.as(bandCol): _*)
+  }
+
+  /**
    * Bigram-novelty quality score — the exact-arithmetic cousin of LM
    * perplexity filtering (CCNet-style quality stacks drop documents whose
    * token transitions the corpus has never seen; gibberish and mojibake

@@ -72,6 +72,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
 
+  test("CCNet banding: edges broadcast back onto the score table — no range " +
+    "sort, no sort-merge join of the corpus (q144)") {
+    val p = plan("q144_fluency_bands")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
   test("dimension joins broadcast (no sort-merge join on the dim side)") {
     val p = plan("q02_revenue_by_nation")
     assert(p.contains("BroadcastHashJoin"))

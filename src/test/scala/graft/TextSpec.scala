@@ -265,6 +265,53 @@ class TextSpec extends SparkSpec {
     assert(err.getMessage != null)
   }
 
+  test("bandByGroupQuantiles equals the local edge-then-compare twin, keeps " +
+    "ties in one band, and null values band as null") {
+    import graft.operators.CorpusStats
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val edges = Seq(("p33", 1, 3), ("p66", 2, 3))
+    val got = CorpusStats.bandByGroupQuantiles(real.select("doc_id", "source", "n_chars"),
+        "source", "n_chars", edges, Seq("tail", "middle", "head"))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val twin = real.select("source", "n_chars", "doc_id").collect()
+      .groupBy(_.getString(0)).flatMap { case (_, rs) =>
+        val v = rs.map(_.getLong(1)).sorted
+        def q(num: Int, den: Int) = v((((v.length - 1).toLong * num) / den).toInt)
+        val (p33, p66) = (q(1, 3), q(2, 3))
+        rs.toSeq.map { r =>
+          val x = r.getLong(1)
+          r.getLong(2) -> (if (x <= p33) "tail" else if (x <= p66) "middle" else "head")
+        }
+      }.toMap
+    assert(got == twin)
+    // bands are deterministic on any partitioning (the edge is a group
+    // VALUE, not a rank — ties always share a band)
+    val rep = CorpusStats.bandByGroupQuantiles(
+        real.select("doc_id", "source", "n_chars").repartition(13),
+        "source", "n_chars", edges, Seq("tail", "middle", "head"))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(rep == twin)
+    // null value -> null band; an ALL-null group survives with null bands
+    val withNull = Seq(("g1", Some(1L)), ("g1", None), ("g1", Some(10L)),
+      ("g2", None)).toDF("g", "v")
+    val nb = CorpusStats.bandByGroupQuantiles(withNull, "g", "v",
+        Seq(("p50", 1, 2)), Seq("lo", "hi"))
+      .collect().map(r => (r.getString(0), Option(r.get(1)), r.getString(2)))
+    assert(nb.length == 4)
+    assert(nb.filter(_._2.isEmpty).forall(_._3 == null))
+    assert(nb.filter(t => t._1 == "g1" && t._2.nonEmpty).map(_._3).sorted
+      .sameElements(Array("hi", "lo")))
+    // contract: label count and edge ordering fail loudly
+    intercept[IllegalArgumentException] {
+      CorpusStats.bandByGroupQuantiles(withNull, "g", "v",
+        Seq(("p50", 1, 2)), Seq("only"))
+    }
+    intercept[IllegalArgumentException] {
+      CorpusStats.bandByGroupQuantiles(withNull, "g", "v",
+        Seq(("p66", 2, 3), ("p33", 1, 3)), Seq("a", "b", "c"))
+    }
+  }
+
   test("bottom-k sketch quantile rank error stays within the KMV bound") {
     import graft.expressions.BottomKSketchAgg.{sampleByHash, quantileFromSample}
     import graft.functions.Hashing
