@@ -25,6 +25,8 @@ import org.apache.spark.sql.functions._
  *
  * Usage: runMain graft.DiskScale [sizes csv, default 500000,1600000,5000000]
  *        [workdir, default /tmp/graft-diskscale]
+ *        [ops csv, default all — row keys to run, e.g. lm5_score,band;
+ *         corpora/artifacts are built (or reused) regardless]
  * Emits one JSON line per size; findings land in SCALE.md ("On-disk
  * scaling" table).
  */
@@ -41,6 +43,9 @@ object DiskScale {
     val sizes = args.headOption.getOrElse("500000,1600000,5000000")
       .split(",").map(_.trim.toLong)
     val workdir = args.drop(1).headOption.getOrElse("/tmp/graft-diskscale")
+    val opsArg = args.drop(2).headOption.getOrElse("all")
+    val wanted = opsArg.split(",").map(_.trim).filter(_.nonEmpty).toSet
+    def want(key: String): Boolean = wanted("all") || wanted(key)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.local(cpus, "graft-diskscale")
     GraftSession.quietWindowWarnings() // harness tail: aggregated-cardinality windows only
@@ -84,33 +89,37 @@ object DiskScale {
           concat(lit("user-"), lpad(col("id").cast("string"), 9, "0")).as("name")),
         spark, s"$workdir/names_$n")
 
+      val rows = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      def row(key: String)(f: => Unit): Unit =
+        if (want(key)) rows(key) = time2(f)
+
       // the q18/q117 jaccard family (capped production shape), on the
       // Heaps-scaled corpus — constant bucket occupancy isolates the
       // operator's growth from the closed-vocab degeneracy
-      val tJac = time2(noop(
+      row("jac_capped")(noop(
         Dedup.ngramJaccardPairs(docsH, "doc_id", "text", 3, 0.5, 1000)))
-      val tPfx = time2(noop(
+      row("jac_prefix08")(noop(
         Dedup.jaccardPairsPrefix(docsH, "doc_id", "text", 3, 0.8, maxBucket = 1000)))
       // the q62/q120/q129 span family on the dirty corpus
-      val tSpn = time2(noop(
+      row("span_ranges")(noop(
         Dedup.duplicatedSpanRanges(dirty, "doc_id", "text", window = 20,
           maxBucket = 1000)))
-      val tSpnSparse = time2(noop(
+      row("span_sparse_w13")(noop(
         Dedup.duplicatedSpanRangesSparse(dirty, "doc_id", "text", window = 20,
           fpK = 8, fpW = 13, maxBucket = 1000)))
       // winnow extraction alone (the stg row / ingest-time store build),
       // then the amortized detector against the STORED parquet fp table
-      val tWin = time2(noop(
+      row("winnow")(noop(
         Dedup.winnowedFingerprints(dirty, "doc_id", "text", k = 8, w = 13)))
       val fp = writeOnce(
         Dedup.winnowedFingerprints(dirty, "doc_id", "text", k = 8, w = 13)
           .select(col("id"), col("h")).distinct(),
         spark, s"$workdir/fp_$n")
-      val tSpnAmz = time2(noop(
+      row("span_sparse_amz")(noop(
         Dedup.duplicatedSpanRangesSparseFromFp(fp, dirty, "doc_id", "text",
           window = 20, maxBucket = 1000)))
       // the q92 fuzzy family
-      val tFuz = time2(noop(Dedup.editDistancePairs(names, "id", "name")))
+      row("fuzzy_pairs")(noop(Dedup.editDistancePairs(names, "id", "name")))
 
       // the q133/q134/q136 quality battery: token bar + 7 Gopher rules +
       // 13 repetition screens as ONE first-failure when-chain — the row
@@ -121,7 +130,7 @@ object DiskScale {
           (graft.functions.Text.tokenCount(col("text")) >= 20)) ++
         graft.functions.Quality.gopherStages("text") ++
         graft.functions.Quality.repetitionStages("text")
-      val tQual = time2(noop(
+      row("quality_funnel")(noop(
         graft.operators.Cleaning.funnelReport(docs, qualStages)))
 
       // the q131/q132 LM fluency screen on the Heaps-scaled corpus:
@@ -135,12 +144,50 @@ object DiskScale {
       val lmTbl = writeOnce(
         graft.operators.NgramLm.lmCounts(docsH, "text", n = 3, minCount = 5),
         spark, s"$workdir/lm_$n")
-      val tLmBuild = time2(noop(
+      row("lm_build")(noop(
         graft.operators.NgramLm.lmCounts(docsH, "text", n = 3, minCount = 5)))
       val totalsH = graft.operators.NgramLm.lmTotals(docsH, "text")
-      val tLmScore = time2(noop(
+      row("lm_score")(noop(
         graft.operators.NgramLm.scoreTokens(docsH, lmTbl, totalsH,
           "doc_id", "text")))
+
+      // the q143 production order: FIVE count tables and a 9-slot
+      // candidate stream — 1.8× the order-3 stream per token, the widest
+      // per-token fan-out in the repo. The "two shuffles at any order"
+      // contract is only meaningful if this row stays linear with the
+      // same broadcast-lookup law as the trigram row.
+      val lm5Tbl = writeOnce(
+        graft.operators.NgramLm.lmCounts(docsH, "text", n = 5, minCount = 5),
+        spark, s"$workdir/lm5_$n")
+      row("lm5_build")(noop(
+        graft.operators.NgramLm.lmCounts(docsH, "text", n = 5, minCount = 5)))
+      row("lm5_score")(noop(
+        graft.operators.NgramLm.scoreTokens(docsH, lm5Tbl, totalsH,
+          "doc_id", "text", n = 5)))
+
+      // the q144 CCNet banding at scale, in its production decomposition:
+      // score-file build (LM rescoring + census — the lmf staged frame)
+      // measured separately from the BANDING read, which runs off the
+      // STORED parquet score table (the CCNet score-file shape) and reads
+      // it twice (edge census + assignment). The banding marginal must
+      // stay near scan-speed — its exchanges carry histogram and
+      // group-cardinality frames, never the corpus.
+      if (want("band_build") || want("band")) {
+        val sfBuild = graft.operators.NgramLm.scoreTokens(docsH, lmTbl, totalsH,
+            "doc_id", "text")
+          .groupBy("id")
+          .agg(count(lit(1)).as("sn"),
+            sum(when(col("matched_ord") >= 2L, 1L).otherwise(0L)).as("hi"))
+          .select(col("id").as("doc_id"),
+            pmod(col("id"), lit(10L)).as("src"),
+            expr("(hi * 1000) div sn").as("fluency_pm"))
+        row("band_build")(noop(sfBuild))
+        val scoreFile = writeOnce(sfBuild, spark, s"$workdir/lmf_$n")
+        row("band")(noop(
+          graft.operators.CorpusStats.bandByGroupQuantiles(scoreFile, "src",
+            "fluency_pm", Seq(("p33", 1, 3), ("p66", 2, 3)),
+            Seq("tail", "middle", "head"))))
+      }
 
       // the q138/q139 distilled classifier at corpus scale: training cost
       // is SIZE-INDEPENDENT (the 128-doc bounded sample), so the row
@@ -155,7 +202,7 @@ object DiskScale {
         docs.withColumn("__y", qualStages.map(_._2).reduce(_ && _)),
         "doc_id", "__y", "text", ns = Seq.empty, buckets = 4096,
         sampleN = 128, epochs = 1, withStats = true)
-      val tCls = time2(noop(
+      row("cls_score")(noop(
         graft.operators.Classifier.scoreDocs(docs, pcpt, "doc_id", "text",
           ns = Seq.empty, buckets = 4096, withStats = true)))
 
@@ -166,20 +213,17 @@ object DiskScale {
       // mean anything at size
       val lenDocs = docs.withColumn("__grp", pmod(col("doc_id"), lit(10L)))
         .withColumn("__len", length(col("text")).cast("long"))
-      val tQtlSk = time2(noop(lenDocs.groupBy("__grp").agg(
+      row("qtl_sketch")(noop(lenDocs.groupBy("__grp").agg(
         graft.expressions.BottomKSketchAgg.sampleByHash(
           graft.functions.Hashing.stableHash60(col("doc_id").cast("string")),
           col("__len"), 256).as("smp"))))
-      val tQtlEx = time2(noop(
+      row("qtl_exact")(noop(
         graft.operators.CorpusStats.exactQuantilesByGroup(lenDocs, "__grp",
           "__len", Seq(("p50", 1, 2), ("p90", 9, 10)))))
 
-      println(s"""{"n":$n,"jac_vocab":$vocabH,"jac_capped":${f2(tJac)},"jac_prefix08":${f2(tPfx)},""" +
-        s""""span_ranges":${f2(tSpn)},"span_sparse_w13":${f2(tSpnSparse)},""" +
-        s""""winnow":${f2(tWin)},"span_sparse_amz":${f2(tSpnAmz)},""" +
-        s""""fuzzy_pairs":${f2(tFuz)},"quality_funnel":${f2(tQual)},""" +
-        s""""lm_build":${f2(tLmBuild)},"lm_score":${f2(tLmScore)},""" +
-        s""""cls_score":${f2(tCls)},"qtl_sketch":${f2(tQtlSk)},"qtl_exact":${f2(tQtlEx)}}""")
+      println((Seq(s""""n":$n""", s""""jac_vocab":$vocabH""") ++
+        rows.map { case (k, v) => s""""$k":${f2(v)}""" })
+        .mkString("{", ",", "}"))
     }
     spark.stop()
   }

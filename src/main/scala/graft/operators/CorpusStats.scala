@@ -288,13 +288,38 @@ object CorpusStats {
     require(ascending, s"edge fractions must be strictly ascending: $edges")
     val th = exactQuantilesByGroup(df, groupCol, valueCol, edges)
       .select(col(groupCol) +: edges.map { case (nm, _, _) => col(nm) }: _*)
+    bandByEdges(df, th, groupCol, valueCol, edges.map(_._1), bands, bandCol)
+  }
+
+  /**
+   * Band assignment under a FROZEN edges frame — the streamable form of
+   * [[bandByGroupQuantiles]] (which derives the edges from the corpus it
+   * bands, a ranking no admission stream can do). `edgesDf` holds one
+   * row per group with the ascending edge-value columns `edgeCols`
+   * (typically a [[exactQuantilesByGroup]] output materialized at
+   * calibration time); the assignment is then a pure per-row function of
+   * the frozen state, so batch and streaming replays agree bit-for-bit —
+   * the same freeze-the-threshold contract as
+   * [[NgramLm.fluencyThresholdFilter]]. A row whose group has no edge
+   * row, or whose value is NULL, gets a NULL band.
+   */
+  def bandByEdges(df: DataFrame, edgesDf: DataFrame, groupCol: String,
+                  valueCol: String, edgeCols: Seq[String], bands: Seq[String],
+                  bandCol: String = "band"): DataFrame = {
+    require(edgeCols.nonEmpty, "need at least one edge column")
+    require(bands.size == edgeCols.size + 1,
+      s"need ${edgeCols.size + 1} band labels for ${edgeCols.size} edges, got ${bands.size}")
     val v = col(valueCol)
-    val chain = edges.zip(bands.init).foldLeft(when(v.isNull, lit(null))) {
-      case (c, ((nm, _, _), label)) => c.when(v <= col(nm), lit(label))
-    }.otherwise(lit(bands.last))
+    // the first edge ≥ value picks the band; NULL value or NULL edges (a
+    // group absent from the frozen frame joins as all-null) give NULL —
+    // the final `when(isNull(e_last))` arm keeps the unknown-group case
+    // out of the top band
+    val chain = edgeCols.zip(bands.init).foldLeft(when(v.isNull, lit(null))) {
+      case (c, (nm, label)) => c.when(v <= col(nm), lit(label))
+    }.when(col(edgeCols.last).isNull, lit(null)).otherwise(lit(bands.last))
     // left join: a group whose values are ALL null has no edge row (no
     // histogram mass) — its rows still flow through with a null band
-    df.join(broadcast(th), Seq(groupCol), "left")
+    df.join(broadcast(edgesDf), Seq(groupCol), "left")
       .select(df.columns.map(col) :+ chain.as(bandCol): _*)
   }
 

@@ -166,18 +166,29 @@ object NgramLm {
 
   /**
    * Per-document backoff census — the integer filter-grain artifact: how
-   * much of each document the LM actually recognizes at each order. A
-   * document whose mass sits at matched_ord ≤ 1 is token salad to this
-   * model regardless of its float score.
+   * much of each document the LM actually recognizes at each order (one
+   * `o<k>` column per order k = n..1, plus the OOV floor). A document
+   * whose mass sits at matched_ord ≤ 1 is token salad to this model
+   * regardless of its float score. `n` must be the order [[scoreTokens]]
+   * scored with — a census narrower than the model silently misfiles
+   * high-order mass, so tokens above order `n` fail loudly in-plan.
    */
-  def backoffCensus(scored: DataFrame): DataFrame =
+  def backoffCensus(scored: DataFrame, n: Int = 3): DataFrame = {
+    require(n >= 1, "order must be >= 1")
+    val orderCols = (n to 1 by -1).map { k =>
+      sum(when(col("matched_ord") === k.toLong, 1L).otherwise(0L)).as(s"o$k")
+    }
+    // the loud-contract oov column: a matched_ord above the census order
+    // raises in-plan instead of silently vanishing from every o<k> bucket
+    val oov = sum(when(col("matched_ord") > n.toLong,
+        raise_error(concat(lit(s"backoffCensus(n=$n): matched_ord "),
+          col("matched_ord").cast("string"),
+          lit(" above the census order — pass the model order"))).cast("long"))
+      .when(col("matched_ord") === 0L, 1L).otherwise(0L)).as("oov")
     scored.groupBy("id")
       .agg(count(lit(1)).as("scored_tokens"),
-        sum(when(col("matched_ord") === 3, 1L).otherwise(0L)).as("o3"),
-        sum(when(col("matched_ord") === 2, 1L).otherwise(0L)).as("o2"),
-        sum(when(col("matched_ord") === 1, 1L).otherwise(0L)).as("o1"),
-        sum(when(col("matched_ord") === 0, 1L).otherwise(0L)).as("oov"),
-        sum(col("backoffs")).as("total_backoffs"))
+        orderCols ++ Seq(oov, sum(col("backoffs")).as("total_backoffs")): _*)
+  }
 
   /**
    * Per-document mean log-probability and perplexity (floats — the

@@ -140,6 +140,41 @@ class NgramLmSpec extends SparkSpec {
       cen.getLong(5), cen.getLong(6)) == (3L, 0L, 1L, 1L, 1L, 2L))
   }
 
+  test("backoffCensus generalizes to any order: o-columns partition " +
+    "scored_tokens at n=5, and a census narrower than the model raises") {
+    // duplicate the corpus so 5-grams survive minCount=2 (random synth
+    // text is hapax at high orders) — order-5 matches must EXIST for the
+    // census and the contract guard to be exercised
+    val base = ScaleProbe.synthDocs(spark, 120)
+    val docs = base.unionByName(
+      base.withColumn("doc_id", col("doc_id") + 1000L))
+    val sc5 = NgramLm.scoreTokens(docs,
+      NgramLm.lmCounts(docs, "text", n = 5, minCount = 2L),
+      NgramLm.lmTotals(docs, "text"), "doc_id", "text", n = 5)
+    val cen = NgramLm.backoffCensus(sc5, n = 5)
+    assert(cen.columns.toSeq == Seq("id", "scored_tokens",
+      "o5", "o4", "o3", "o2", "o1", "oov", "total_backoffs"))
+    // the order buckets + oov partition the scored mass, per doc
+    assert(cen.where(col("o5") + col("o4") + col("o3") + col("o2") +
+      col("o1") + col("oov") =!= col("scored_tokens")).isEmpty)
+    // each bucket equals the token-grain filter count (the census is a
+    // pivot of the scored frame, nothing more)
+    val byFilter = (0 to 5).map(k =>
+      k -> sc5.where(col("matched_ord") === k.toLong).count()).toMap
+    val byCensus = cen.agg(sum("oov"), sum("o1"), sum("o2"), sum("o3"),
+        sum("o4"), sum("o5")).head()
+    assert((0 to 5).forall(k => byCensus.getLong(k) == byFilter(k)))
+    assert(byFilter(5) > 0, "fixture must carry order-5 mass or the test is vacuous")
+    // loud contract: censusing 5-gram scores at n=3 raises in-plan
+    // instead of silently dropping the o4/o5 mass
+    val err = intercept[Exception] {
+      NgramLm.backoffCensus(sc5, n = 3).collect()
+    }
+    def mentions(t: Throwable): Boolean = t != null &&
+      (String.valueOf(t.getMessage).contains("backoffCensus") || mentions(t.getCause))
+    assert(mentions(err), s"expected the backoffCensus contract error, got $err")
+  }
+
   test("docLogProb matches a plain-Scala twin") {
     val alpha = 0.4
     val got = NgramLm.docLogProb(scored(minCount = 2L), alpha)

@@ -440,6 +440,40 @@ class StatefulOpsSpec extends SparkSpec {
     assert(viaStage == viaOp)
   }
 
+  test("streaming admission banding under frozen edges equals the batch " +
+    "assignment (the CCNet score-file contract)") {
+    import graft.operators.CorpusStats
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-bandstream").toString
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val calib = all.where(col("doc_id") < 250)
+    val frozen = CorpusStats.exactQuantilesByGroup(calib, "source", "n_chars",
+        Seq(("p33", 1, 3), ("p66", 2, 3)))
+      .select("source", "p33", "p66").localCheckpoint()
+    val bands = Seq("tail", "middle", "head")
+    val rows = all.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long)]
+    val banded = CorpusStats.bandByEdges(
+      input.toDS().toDF("doc_id", "source", "n_chars"),
+      frozen, "source", "n_chars", Seq("p33", "p66"), bands)
+    val q = banded.writeStream.format("parquet")
+      .option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/ckpt").start()
+    rows.grouped(120).foreach { day => input.addData(day.toSeq); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.read.parquet(s"$root/out").collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val batch = CorpusStats.bandByEdges(all, frozen, "source", "n_chars",
+        Seq("p33", "p66"), bands)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(streamed == batch)
+    // the calibration split is live: the admitted docs land in all three
+    // bands, so the parity isn't vacuous
+    assert(streamed.values.toSet == bands.toSet)
+  }
+
   test("streaming line screen equals the batch operator over the corpus-so-far") {
     import graft.operators.Cleaning
     import graft.streaming.IncrementalDedup

@@ -312,6 +312,35 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("bandByEdges (frozen calibration frame) replays bandByGroupQuantiles " +
+    "and NULL-bands rows from groups the frame has never seen") {
+    import graft.operators.CorpusStats
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "source", "n_chars")
+    val edges = Seq(("p33", 1, 3), ("p66", 2, 3))
+    val bands = Seq("tail", "middle", "head")
+    // freezing the edges the self-derived pass would compute must replay
+    // that pass bit-for-bit — the ingest-screen contract (batch ranking
+    // at calibration, pure per-row function at admission)
+    val frozen = CorpusStats.exactQuantilesByGroup(real, "source", "n_chars", edges)
+      .select("source", "p33", "p66")
+    val viaFrozen = CorpusStats.bandByEdges(real, frozen, "source", "n_chars",
+        Seq("p33", "p66"), bands)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val viaSelf = CorpusStats.bandByGroupQuantiles(real, "source", "n_chars",
+        edges, bands)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(viaFrozen == viaSelf)
+    // a group the calibration frame never saw bands as NULL — never as
+    // the top band (the all-null edge join must not fall through the
+    // otherwise arm)
+    val unseen = Seq(("ghost", 999L)).toDF("source", "n_chars")
+      .withColumn("doc_id", lit(-1L)).select("doc_id", "source", "n_chars")
+    val g = CorpusStats.bandByEdges(unseen, frozen, "source", "n_chars",
+      Seq("p33", "p66"), bands).collect().head
+    assert(g.isNullAt(3))
+  }
+
   test("bottom-k sketch quantile rank error stays within the KMV bound") {
     import graft.expressions.BottomKSketchAgg.{sampleByHash, quantileFromSample}
     import graft.functions.Hashing
