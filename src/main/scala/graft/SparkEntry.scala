@@ -1906,6 +1906,20 @@ object SparkEntry {
       graft.operators.CorpusStats.bandByGroupQuantiles(
         lmFluencyShared(s, dir), "source", "fluency_pm",
         Seq(("p33", 1, 3), ("p66", 2, 3)), Seq("tail", "middle", "head"))),
+
+    // Backoff census at the production order — gates the GENERALIZED
+    // census path (one o<k> bucket per order k = 5..1, round 8): how much
+    // of each document the 5-gram model recognizes at each order. Same
+    // one-keyed-aggregation shape as q132; the oracle recomposes it over
+    // its own 9-slot lookup chain.
+    "q145_lm5_backoff_census" -> ((s, dir) =>
+      graft.operators.NgramLm.backoffCensus(
+          graft.operators.NgramLm.scoreTokens(t(s, dir, "documents"),
+            lmCounts5Shared(s, dir),
+            graft.operators.NgramLm.lmTotals(t(s, dir, "documents"), "text"),
+            "doc_id", "text", n = 5),
+          n = 5)
+        .withColumnRenamed("id", "doc_id")),
   )
 
   /** Shared trainer for q137/q138 (train once per call site; the sample
@@ -4314,6 +4328,20 @@ object SparkEntry {
          |       WHEN p.fluency_pm <= t.p66 THEN 'middle'
          |       ELSE 'head' END AS band
          |FROM pm p JOIN th t USING (source)""".stripMargin,
+
+    // Backoff census at the production order — the generalized o5..o1
+    // bucket columns over the 9-slot lookup chain.
+    "q145_lm5_backoff_census" ->
+      s"""WITH ${lmCteN(5)}
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS scored_tokens,
+         | CAST(sum(CASE WHEN matched_ord = 5 THEN 1 ELSE 0 END) AS BIGINT) AS o5,
+         | CAST(sum(CASE WHEN matched_ord = 4 THEN 1 ELSE 0 END) AS BIGINT) AS o4,
+         | CAST(sum(CASE WHEN matched_ord = 3 THEN 1 ELSE 0 END) AS BIGINT) AS o3,
+         | CAST(sum(CASE WHEN matched_ord = 2 THEN 1 ELSE 0 END) AS BIGINT) AS o2,
+         | CAST(sum(CASE WHEN matched_ord = 1 THEN 1 ELSE 0 END) AS BIGINT) AS o1,
+         | CAST(sum(CASE WHEN matched_ord = 0 THEN 1 ELSE 0 END) AS BIGINT) AS oov,
+         | CAST(sum(backoffs) AS BIGINT) AS total_backoffs
+         |FROM sc GROUP BY doc_id""".stripMargin,
 
     // Per-document backoff census over the same token grain.
     "q132_lm_backoff_census" ->
