@@ -213,6 +213,34 @@ object DiskScale {
       // mean anything at size
       val lenDocs = docs.withColumn("__grp", pmod(col("doc_id"), lit(10L)))
         .withColumn("__len", length(col("text")).cast("long"))
+      // the composed capstone (q127/q128's mandatory chain) end to end
+      // on parquet: clean funnel → normalized exact dedup → minhash
+      // near-dedup → bloom decontamination → integer LM fluency screen
+      // (the gate's own 49/50 bar) → split → pack. Timed as ONE eager
+      // pass (run() checkpoints stage by stage, so a second timing would
+      // mostly re-measure checkpoints; one multi-minute run amortizes
+      // contention). The Heaps corpus keeps near-dedup out of the
+      // closed-vocab degeneracy, same as the jaccard rows; the stage
+      // report prints to stderr so drops stay attributable.
+      if (want("cap")) {
+        val corpus = docsH.where(col("doc_id") % 10 =!= 0)
+        val evalD = docsH.where(col("doc_id") % 10 === 0)
+        // the stop-word rule is the per-language knob (SparkEntry
+        // localizes it to ITS corpus via Text.Stopwords); the synthetic
+        // vocabulary has no stopwords at all, so the row runs the other
+        // 20 screens — every expression still evaluates per doc, which is
+        // what the timing measures
+        val capStages = qualStages.filterNot(_._1 == "r_stop_words")
+        rows("cap") = time {
+          val (corpusOut, rep) = graft.pipeline.CorpusPipeline.run(
+            corpus, evalD, "doc_id", "text",
+            stages = capStages,
+            fluencyMin = Some(49 -> 50))
+          noop(corpusOut)
+          System.err.println(s"[diskscale] cap@$n report: $rep")
+        }
+      }
+
       row("qtl_sketch")(noop(lenDocs.groupBy("__grp").agg(
         graft.expressions.BottomKSketchAgg.sampleByHash(
           graft.functions.Hashing.stableHash60(col("doc_id").cast("string")),
