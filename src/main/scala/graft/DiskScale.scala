@@ -75,16 +75,16 @@ object DiskScale {
       val vocabH = math.max(400L, math.round(400.0 * math.cbrt(n / 80000.0)))
       val docsH = writeOnce(ScaleProbe.synthDocs(spark, n, vocabH), spark,
         s"$workdir/docsh_$n")
-      val docs = writeOnce(ScaleProbe.synthDocs(spark, n), spark, s"$workdir/docs_$n")
+      lazy val docs = writeOnce(ScaleProbe.synthDocs(spark, n), spark, s"$workdir/docs_$n")
       val pairId = expr("doc_id div 2")
       val block = concat_ws(" ", transform(sequence(lit(0), lit(23)),
         j => concat(lit("bp"), pmod(xxhash64(pairId, j), lit(999999)))))
-      val dirty = writeOnce(
+      lazy val dirty = writeOnce(
         ScaleProbe.synthDocs(spark, n).withColumn("text",
           when(pairId % 25 === 0, concat(block, lit(" "), col("text")))
             .otherwise(col("text"))),
         spark, s"$workdir/dirty_$n")
-      val names = writeOnce(
+      lazy val names = writeOnce(
         spark.range(n).select(col("id"),
           concat(lit("user-"), lpad(col("id").cast("string"), 9, "0")).as("name")),
         spark, s"$workdir/names_$n")
@@ -111,7 +111,7 @@ object DiskScale {
       // then the amortized detector against the STORED parquet fp table
       row("winnow")(noop(
         Dedup.winnowedFingerprints(dirty, "doc_id", "text", k = 8, w = 13)))
-      val fp = writeOnce(
+      lazy val fp = writeOnce(
         Dedup.winnowedFingerprints(dirty, "doc_id", "text", k = 8, w = 13)
           .select(col("id"), col("h")).distinct(),
         spark, s"$workdir/fp_$n")
@@ -141,12 +141,12 @@ object DiskScale {
       // scoreTokens' default (explicit broadcast — the round-8 fix; the
       // planner's size-estimate choice was the measured 13× cliff,
       // SCALE.md).
-      val lmTbl = writeOnce(
+      lazy val lmTbl = writeOnce(
         graft.operators.NgramLm.lmCounts(docsH, "text", n = 3, minCount = 5),
         spark, s"$workdir/lm_$n")
       row("lm_build")(noop(
         graft.operators.NgramLm.lmCounts(docsH, "text", n = 3, minCount = 5)))
-      val totalsH = graft.operators.NgramLm.lmTotals(docsH, "text")
+      lazy val totalsH = graft.operators.NgramLm.lmTotals(docsH, "text")
       row("lm_score")(noop(
         graft.operators.NgramLm.scoreTokens(docsH, lmTbl, totalsH,
           "doc_id", "text")))
@@ -156,7 +156,7 @@ object DiskScale {
       // per-token fan-out in the repo. The "two shuffles at any order"
       // contract is only meaningful if this row stays linear with the
       // same broadcast-lookup law as the trigram row.
-      val lm5Tbl = writeOnce(
+      lazy val lm5Tbl = writeOnce(
         graft.operators.NgramLm.lmCounts(docsH, "text", n = 5, minCount = 5),
         spark, s"$workdir/lm5_$n")
       row("lm5_build")(noop(
@@ -198,7 +198,7 @@ object DiskScale {
       // family as the quality funnel). The distillation promise is
       // exactly that this row grows linearly while the screens it stands
       // in for stay affordable only on samples.
-      val pcpt = graft.operators.Classifier.trainPerceptron(
+      lazy val pcpt = graft.operators.Classifier.trainPerceptron(
         docs.withColumn("__y", qualStages.map(_._2).reduce(_ && _)),
         "doc_id", "__y", "text", ns = Seq.empty, buckets = 4096,
         sampleN = 128, epochs = 1, withStats = true)
@@ -211,7 +211,7 @@ object DiskScale {
       // exact histogram tier adds the (group, value) histogram + window —
       // both must stay flat-per-row for the "no corpus sort" claim to
       // mean anything at size
-      val lenDocs = docs.withColumn("__grp", pmod(col("doc_id"), lit(10L)))
+      lazy val lenDocs = docs.withColumn("__grp", pmod(col("doc_id"), lit(10L)))
         .withColumn("__len", length(col("text")).cast("long"))
       // the composed capstone (q127/q128's mandatory chain) end to end
       // on parquet: clean funnel → normalized exact dedup → minhash
