@@ -90,8 +90,12 @@ object DiskScale {
         spark, s"$workdir/names_$n")
 
       val rows = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      // SPARK_GRAFT_TIME1=1: single-pass timing for one-off diagnosis
+      // runs at sizes where min-of-2 costs more wall-clock than the
+      // contention noise it removes (multi-minute rows amortize spikes)
+      val onePass = sys.env.get("SPARK_GRAFT_TIME1").contains("1")
       def row(key: String)(f: => Unit): Unit =
-        if (want(key)) rows(key) = time2(f)
+        if (want(key)) rows(key) = if (onePass) time(f) else time2(f)
 
       // the q18/q117 jaccard family (capped production shape), on the
       // Heaps-scaled corpus — constant bucket occupancy isolates the

@@ -15,10 +15,17 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
 
   def local(cores: Int, appName: String = "graft"): SparkSession = {
+    // SPARK_GRAFT_SHUFFLE_PARTITIONS decouples shuffle width from the
+    // core count for probe runs — the cluster sizing rule above says
+    // partitions scale with DATA, and the 15M-doc probe needed exactly
+    // that knob to show the fixed-width spill, not the operator, bends
+    // the growth law (SCALE.md round 8)
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
+      cores.toString)
     val spark = configure(SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
-      .config("spark.sql.shuffle.partitions", cores.toString))
+      .config("spark.sql.shuffle.partitions", shuffleParts))
       .getOrCreate()
     GraftExtensions.registerInto(spark) // graft_cosine/graft_dot/graft_shingles in SQL
     spark
