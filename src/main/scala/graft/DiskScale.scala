@@ -45,6 +45,17 @@ object DiskScale {
     val workdir = args.drop(1).headOption.getOrElse("/tmp/graft-diskscale")
     val opsArg = args.drop(2).headOption.getOrElse("all")
     val wanted = opsArg.split(",").map(_.trim).filter(_.nonEmpty).toSet
+    // fail fast on a typo'd row key: a silent no-op filter still builds
+    // the (tens-of-minutes at 15M docs) corpus artifacts before emitting
+    // an empty measurement line
+    val knownOps = Set("all", "jac_capped", "jac_prefix08", "span_ranges",
+      "span_sparse_w13", "winnow", "span_sparse_amz", "fuzzy_pairs",
+      "quality_funnel", "lm_build", "lm_score", "lm5_build", "lm5_score",
+      "band_build", "band", "cls_score", "cap", "qtl_sketch", "qtl_exact")
+    val unknown = wanted -- knownOps
+    require(unknown.isEmpty,
+      s"unknown DiskScale op key(s): ${unknown.toSeq.sorted.mkString(", ")}; " +
+        s"known: ${knownOps.toSeq.sorted.mkString(", ")}")
     def want(key: String): Boolean = wanted("all") || wanted(key)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.local(cpus, "graft-diskscale")

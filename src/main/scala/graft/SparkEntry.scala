@@ -286,8 +286,9 @@ object SparkEntry {
    * bar + the q133 Gopher rules + the q134 repetition screens — all
    * exact-integer, so the funnel is oracle-recomposable) → normalized
    * exact dedup → minhash near-dedup → bloom-screened decontamination →
-   * integer-grain LM fluency screen (round 8: 2·(o3+o2) ≥ scored_tokens
-   * over the self-trained trigram backoff census — the q132 fragments)
+   * integer-grain LM fluency screen (round 8: (o3+o2)·CapFluencyDen ≥
+   * CapFluencyNum·scored_tokens — 49/50 — over the self-trained trigram
+   * backoff census, the q132 fragments)
    * → 8/1/1 hash split → 4-shard packing; the float-tier optional
    * stages stay off so the DuckDB recomposition stays exact), run once
    * per (session,
@@ -2414,7 +2415,8 @@ object SparkEntry {
    * the cleaning funnel — shared CTE fragments, "fq"-prefixed over the
    * pool — and since round 8 the q131/q132 LM census fragments
    * ("fl"-prefixed lmCteN over scr) recomposing the integer fluency
-   * screen: keep docs with 2·Σ[matched_ord ≥ 2] ≥ scored tokens)
+   * screen: keep docs with CapFluencyDen·Σ[matched_ord ≥ 2] ≥
+   * CapFluencyNum·scored tokens — 49/50, interpolated, never restated)
    * chained end to end over the mod-10 train pool, ending in CTEs
    * the two final selects read: pool/cln/ex/nd/scr/flu (stage frames),
    * corp (the split corpus) and seqs (per-shard packed sequence counts). The
@@ -2537,7 +2539,7 @@ object SparkEntry {
   /**
    * DuckDB twin of Classifier.trainPerceptron at the gate config: the
    * oracle first labels its own sample with the SHARED battery fragments
-   * (gopherCtes + repetitionCtes over the 32-doc pool — the q133/q134/
+   * (gopherCtes + repetitionCtes over the PcptSampleN-doc pool — the q133/q134/
    * q136 formulations, not the Spark expressions), then unrolls the
    * PcptSampleN·PcptEpochs update steps (q130's convention), each step
    * one MATERIALIZED CTE carrying the sparse nonzero weight table

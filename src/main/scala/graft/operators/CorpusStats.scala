@@ -221,19 +221,22 @@ object CorpusStats {
     require(qs.nonEmpty && qs.forall { case (_, num, den) =>
       num >= 0 && den > 0 && num <= den })
     // Contract enforcement (both failure modes are silent corruptions
-    // otherwise): a NULL value would form a histogram row that inflates
-    // __n/__cum — shifting every rank — while never being selectable by
-    // min(when(...)), so NULL values are excluded from the census (the
-    // same rows DuckDB's percentile machinery ignores); a NEGATIVE
+    // otherwise): a NULL value — or a NULL weight — would form a
+    // histogram row that inflates __n/__cum (shifting every rank) while
+    // carrying no selectable mass, so both are excluded from the census
+    // (the same rows DuckDB's percentile machinery ignores); a NEGATIVE
     // weight would break the cumulative-count monotonicity the
-    // min-where-cum≥rank pick relies on, so it fails loudly in-plan.
+    // min-where-cum≥rank pick relies on, so it fails loudly in-plan
+    // (the NULL exclusion runs first, so the guard can only fire on a
+    // genuinely negative weight — never on a NULL three-valued compare).
     val mass = weightCol.map { c =>
       sum(when(col(c) >= 0, col(c).cast("long"))
         .otherwise(raise_error(concat(
           lit(s"exactQuantilesByGroup: negative weight in '$c': "),
           col(c).cast("string")))))
     }.getOrElse(count(lit(1)))
-    val hist = df.where(col(valueCol).isNotNull)
+    val nonNull = df.where(col(valueCol).isNotNull)
+    val hist = weightCol.fold(nonNull)(c => nonNull.where(col(c).isNotNull))
       .groupBy(col(groupCol), col(valueCol).cast("long").as("__v"))
       .agg(mass.as("__c"))
     val cum = hist

@@ -1148,17 +1148,32 @@ object Dedup {
     positioned.select("id_a", "id_b")
   }
 
-  /** Recover the intended rational tn/td (reduced) from a double
-    * threshold: round to 9 decimal digits and reduce by gcd. Any
-    * threshold written as a decimal literal with ≤ 9 fractional digits
-    * (every call site: 0.5, 0.7, 0.8, 0.9, …) maps back to its exact
-    * rational, so downstream bound checks can cross-multiply in exact
-    * integer arithmetic instead of comparing rounded doubles. */
+  /** Recover a SAFE rational tn/td (reduced) from a double threshold for
+    * the admit-only prefix filters. Two cases:
+    *
+    *  - Decimal-literal thresholds (≤ 9 fractional digits — every gate
+    *    call site: 0.5, 0.7, 0.8, 0.9, …): `round(t·10⁹)` reconstructs
+    *    the intended rational exactly, and using it is sound against the
+    *    double-compare verification because no ratio with a feasible
+    *    denominator can sit strictly between the double and the rational
+    *    (|p/q − k/10⁹| ≥ 1/(10⁹q) ≥ 10⁻²⁸ for q ≤ 2³², vastly wider than
+    *    the ≤ 2⁻⁵² gap between the rational and its nearest double).
+    *    Detected by round-trip: `num/1e9` converts back to the input.
+    *  - Any other double (e.g. `2.0/3`): rounding could land ABOVE the
+    *    double the verification compares against, making the filter
+    *    prune true boundary pairs. Fall back to an under-approximation
+    *    (`floor − 1`, clamped at 0): the filters may only loosen — the
+    *    exact-jaccard verification kills the extra candidates — never
+    *    tighten. The 10⁻⁹ margin dwarfs the ≤ 1-ulp (~10⁻¹⁶) rounding of
+    *    the verification's double division. */
   private[graft] def thresholdRational(threshold: Double): (Long, Long) = {
     @annotation.tailrec def gcd(a: Long, b: Long): Long =
       if (b == 0L) a else gcd(b, a % b)
-    val num = math.round(threshold * 1e9)
-    val g = gcd(num, 1000000000L)
+    val rounded = math.round(threshold * 1e9)
+    val num =
+      if (rounded.toDouble / 1e9 == threshold) rounded
+      else math.max(0L, math.floor(threshold * 1e9).toLong - 1L)
+    val g = gcd(math.max(num, 1L), 1000000000L)
     (num / g, 1000000000L / g)
   }
 

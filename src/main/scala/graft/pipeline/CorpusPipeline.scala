@@ -362,8 +362,11 @@ object CorpusPipeline {
     // perplexity band below. Runs AFTER dedup and decontamination (the
     // CCNet order) so duplicated or leaked text never inflates its own
     // n-gram counts. Note: the self-trained model is a global artifact,
-    // so this stage is batch-shaped; the streamable twin is the
-    // frozen-model threshold form (NgramLm.pplThresholdFilter).
+    // so this stage is batch-shaped; the streamable twin is the same
+    // operator under a FROZEN model (NgramLm.fluencyThresholdFilter via
+    // IncrementalDedup.attachFluencyScreen — StatefulOpsSpec pins the
+    // parity). The stage IS that operator applied to the self-trained
+    // (or lmTrainDocs) model — one decision rule, one implementation.
     val (fluent, nScreenedPreFluency, nFluent) = fluencyMin match {
       case None => (screened, -1L, -1L)
       case Some((num, den)) =>
@@ -372,14 +375,10 @@ object CorpusPipeline {
         val base = screened.localCheckpoint() // census + scoring + keep join
         val nb = base.count()
         val trainDocs = lmTrainDocs.getOrElse(base)
-        val keep = graft.operators.NgramLm.backoffCensus(
-            graft.operators.NgramLm.scoreTokens(base,
-              graft.operators.NgramLm.lmCounts(trainDocs, textCol, n = 3, lmMinCount),
-              graft.operators.NgramLm.lmTotals(trainDocs, textCol), idCol, textCol))
-          .where((col("o3") + col("o2")) * lit(den.toLong) >=
-            lit(num.toLong) * col("scored_tokens"))
-          .select(col("id").as(idCol))
-        val kept = base.join(keep, Seq(idCol), "left_semi").localCheckpoint()
+        val kept = graft.operators.NgramLm.fluencyThresholdFilter(base,
+            graft.operators.NgramLm.lmCounts(trainDocs, textCol, n = 3, lmMinCount),
+            graft.operators.NgramLm.lmTotals(trainDocs, textCol),
+            idCol, textCol, num, den).localCheckpoint()
         (kept, nb, kept.count())
     }
 

@@ -535,6 +535,16 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.thresholdRational(0.7) == (7L -> 10L))
     assert(Dedup.thresholdRational(0.5) == (1L -> 2L))
     assert(Dedup.thresholdRational(0.123456789) == (123456789L -> 1000000000L))
+    // NON-decimal doubles (2.0/3 has no 9-digit decimal form) must fall
+    // back to an admit-only under-approximation: tn/td ≤ the double the
+    // exact verification compares against, so the metadata filters can
+    // only loosen. round(t·1e9) = 666666667/1e9 > 2/3 sat ABOVE the
+    // verification threshold and pruned true boundary pairs (sizes 4 and
+    // 6 sharing all 4 hashes: jaccard 4/6 ≥ the 2.0/3 double, but
+    // 4·10⁹ < 666666667·6) — the round-8 regression.
+    val (tn23, td23) = Dedup.thresholdRational(2.0 / 3)
+    assert(tn23.toDouble / td23.toDouble <= 2.0 / 3)
+    assert(4L * td23 >= tn23 * 6L)
     // t = 1/2 → bound (1+min(na−ia, nb−ib))·(1+2) ≥ 1·(na+nb).
     // Pair (1,2): na=4, nb=5, smallest shared hash 100 at (ia=2, ib=3)
     // → (1+2)·3 = 9 = na+nb — EXACT equality must be admitted (the old
@@ -553,6 +563,19 @@ class DedupSpec extends SparkSpec {
            3L -> Seq(2L, 3L, 4L, 100L, 400L, 500L)),
       0.5, Int.MaxValue).collect()
     assert(below.isEmpty)
+  }
+
+  test("jaccardPairsPrefix with a non-decimal threshold (2.0/3) keeps the " +
+    "boundary pair the rounded rational used to prune") {
+    // 4 word-bigram shingles vs a 6-shingle superset: jaccard = 4/6,
+    // which the verification's double compare admits at threshold 2.0/3
+    // (both round to the same double) — so the prefix filters must too
+    val docs = Seq(1L -> "a b c d e", 2L -> "a b c d e f g")
+      .toDF("doc_id", "text")
+    val got = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", n = 2,
+        threshold = 2.0 / 3, maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set(1L -> 2L))
   }
 
   // ------------------------------------------------------------- winnowing

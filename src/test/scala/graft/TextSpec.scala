@@ -263,6 +263,15 @@ class TextSpec extends SparkSpec {
         Seq(("p50", 1, 2)), weightCol = Some("w")).collect()
     }
     assert(err.getMessage != null)
+    // NULL weights are excluded like NULL values — they carry no mass —
+    // and must NOT trip the negative-weight guard through the
+    // three-valued `NULL >= 0` compare (the round-8 regression)
+    val wNull = Seq((Some(3L), 10L), (None, 20L), (Some(5L), 30L))
+      .toDF("w", "v").withColumn("g", lit("x"))
+    val wnq = CorpusStats.exactQuantilesByGroup(wNull, "g", "v",
+      Seq(("p50", 1, 2)), weightCol = Some("w")).head()
+    // surviving mass: 10×3, 30×5 (n=8) → rank(p50)=⌊7/2⌋+1=4 → 30
+    assert((wnq.getLong(1), wnq.getLong(2)) == ((30L, 8L)))
   }
 
   test("bandByGroupQuantiles equals the local edge-then-compare twin, keeps " +
