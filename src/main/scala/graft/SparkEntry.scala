@@ -1921,6 +1921,39 @@ object SparkEntry {
             "doc_id", "text", n = 5),
           n = 5)
         .withColumnRenamed("id", "doc_id")),
+
+    // CCNet banding, CONSUMED (Wenzek 2020 §4.3's downstream step:
+    // "sample preferentially from the head"): the gated band assignment
+    // (q144's exact chain, off the same staged score file) feeding the
+    // gated mixture draw (q56's hash-rank quota machinery) with
+    // head-heavy quotas — a pure composition gate, zero new operator
+    // surface, zero new float surface. Scale shape composes too: the
+    // banding never sorts the corpus, and the per-band rank is
+    // WindowGroupLimit-bounded (each partition forwards ≤ max-quota rows
+    // per band before the single band shuffle).
+    "q146_band_mixture" -> ((s, dir) =>
+      graft.operators.Sampling.mixtureSample(
+        graft.operators.CorpusStats.bandByGroupQuantiles(
+          lmFluencyShared(s, dir), "source", "fluency_pm",
+          Seq(("p33", 1, 3), ("p66", 2, 3)), Seq("tail", "middle", "head")),
+        "band", "doc_id", BandQuotas, defaultQuota = 0)),
+
+    // Classifier-weighted PPS draw (the FineWeb/DCLM shape: score every
+    // document with the cheap distilled classifier, keep a
+    // quality-weighted sample): q138's integer score chain feeding
+    // q105's exact-integer PPS inclusion with weight = score (ppsSample
+    // drops w ≤ 0, so classifier-rejected docs are excluded by the same
+    // rule as q138's `keep`). Composition of two gated families; the
+    // draw stays a narrow broadcast-total filter — the scored corpus
+    // never shuffles.
+    "q147_classifier_pps" -> ((s, dir) =>
+      graft.operators.Sampling.ppsSample(
+        graft.operators.Classifier.scoreDocs(
+            t(s, dir, "documents"), pcptModel(s, dir),
+            "doc_id", "text", ns = PcptOrders, buckets = FeatBuckets,
+            withStats = PcptStats)
+          .withColumnRenamed("id", "doc_id"),
+        "doc_id", col("score"), targetRows = ClsPpsTarget, seed = ClsPpsSeed)),
   )
 
   /** Shared trainer for q137/q138 (train once per call site; the sample
@@ -2165,6 +2198,17 @@ object SparkEntry {
   /** Source quotas shared by q56's query and oracle. */
   private val MixtureQuotas: Map[String, Int] =
     Map("src0" -> 12, "src1" -> 8, "src2" -> 5)
+
+  /** Band quotas shared by q146's query and oracle — head-preferential,
+    * the CCNet §4.3 usage ratio (most of the kept corpus from the head
+    * band, a thin slice of the tail for diversity). */
+  private val BandQuotas: Map[String, Int] =
+    Map("head" -> 60, "middle" -> 30, "tail" -> 10)
+
+  /** Target rows / hash seed for the classifier-weighted PPS gate
+    * (q147 and its oracle). */
+  private val ClsPpsTarget = 100L
+  private val ClsPpsSeed = 11L
 
   /** DuckDB twin of ngramJaccardPairs (n=3, threshold 0.5, uncapped);
     * shared by q18 and q36's component oracle. */
@@ -2601,6 +2645,33 @@ object SparkEntry {
        |  ) GROUP BY bucket HAVING CAST(sum(w) AS BIGINT) <> 0)""".stripMargin
   }
 
+  /** q138's inference chain over the replayed model — bias/weight split,
+    * hashed doc features, per-doc integer score — ending in
+    * `sc(doc_id, score)`. ONE copy shared by q138 and the
+    * classifier-weighted PPS composition (q147), so the gate score and
+    * the sampling weight can never drift; q139 keeps its own
+    * "cq"-prefixed twin beside the battery fragments. */
+  private lazy val classifierScoreCtes: String = {
+    val wf = "wavg"
+    val docFeats = materializeCtes(
+      s"""${repetitionCtes("documents", "sf")},
+         |${duckStatFeats("documents", "sf")}""".stripMargin)
+    s"""$perceptronCtes,
+       |$docFeats,
+       |bc AS (SELECT CAST(COALESCE(sum(w), 0) AS BIGINT) AS bias
+       |       FROM $wf WHERE bucket = -1),
+       |wt AS (SELECT bucket, w FROM $wf WHERE bucket >= 0),
+       |df AS (SELECT doc_id, ${duckHash("f")} % $FeatBuckets AS bucket
+       |       FROM (${duckPcptFeatSelects("documents", "sf")})),
+       |sc AS (SELECT d.doc_id,
+       |        CAST(bc.bias + COALESCE(sum(w.w), 0) AS BIGINT) AS score
+       |       FROM documents d
+       |       CROSS JOIN bc
+       |       LEFT JOIN df ON df.doc_id = d.doc_id
+       |       LEFT JOIN wt w ON w.bucket = df.bucket
+       |       GROUP BY d.doc_id, bc.bias)""".stripMargin
+  }
+
   private lazy val bpeMergesSql: String = {
     val rounds = (1 to BpeMerges).map { r =>
       val prev = s"w${r - 1}"
@@ -2705,6 +2776,33 @@ object SparkEntry {
        |  FROM ${P}lk)""".stripMargin
   }
   private lazy val lmCte: String = lmCteN(3)
+
+  /** q144's banding chain (trigram backoff census → order-≥2 match
+    * permille → row-grain tercile edges → value-vs-edge assignment),
+    * ending in `bd(doc_id, source, fluency_pm, band)` — ONE copy shared
+    * by q144 and the band-mixture composition (q146), so the banding
+    * gate and its downstream draw can never band differently. */
+  private lazy val fluencyBandCtes: String =
+    s"""$lmCte,
+       |cen AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sn,
+       |  CAST(sum(CASE WHEN matched_ord >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS hi
+       | FROM sc GROUP BY doc_id),
+       |pm AS (SELECT d.doc_id, d.source,
+       |  (c.hi * 1000) // c.sn AS fluency_pm
+       | FROM documents d JOIN cen c ON d.doc_id = c.doc_id),
+       |rk AS (SELECT source, fluency_pm,
+       |  row_number() OVER (PARTITION BY source ORDER BY fluency_pm ASC) AS vr,
+       |  count(*) OVER (PARTITION BY source) AS n
+       | FROM pm),
+       |th AS (SELECT source,
+       |  max(CASE WHEN vr = (n-1)*1//3+1 THEN fluency_pm END) AS p33,
+       |  max(CASE WHEN vr = (n-1)*2//3+1 THEN fluency_pm END) AS p66
+       | FROM rk GROUP BY source),
+       |bd AS (SELECT p.doc_id, p.source, p.fluency_pm,
+       |  CASE WHEN p.fluency_pm <= t.p33 THEN 'tail'
+       |       WHEN p.fluency_pm <= t.p66 THEN 'middle'
+       |       ELSE 'head' END AS band
+       | FROM pm p JOIN th t USING (source))""".stripMargin
 
   /** q62's oracle — merged duplicated-span ranges; shared verbatim by
     * q120 (the winnow-accelerated plan must reproduce it exactly). */
@@ -4310,26 +4408,23 @@ object SparkEntry {
     // a genuinely different computation than the engine's histogram) and
     // assigns bands by the same value-vs-edge comparison.
     "q144_fluency_bands" ->
-      s"""WITH $lmCte,
-         |cen AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sn,
-         |  CAST(sum(CASE WHEN matched_ord >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS hi
-         | FROM sc GROUP BY doc_id),
-         |pm AS (SELECT d.doc_id, d.source,
-         |  (c.hi * 1000) // c.sn AS fluency_pm
-         | FROM documents d JOIN cen c ON d.doc_id = c.doc_id),
-         |rk AS (SELECT source, fluency_pm,
-         |  row_number() OVER (PARTITION BY source ORDER BY fluency_pm ASC) AS vr,
-         |  count(*) OVER (PARTITION BY source) AS n
-         | FROM pm),
-         |th AS (SELECT source,
-         |  max(CASE WHEN vr = (n-1)*1//3+1 THEN fluency_pm END) AS p33,
-         |  max(CASE WHEN vr = (n-1)*2//3+1 THEN fluency_pm END) AS p66
-         | FROM rk GROUP BY source)
-         |SELECT p.doc_id, p.source, p.fluency_pm,
-         |  CASE WHEN p.fluency_pm <= t.p33 THEN 'tail'
-         |       WHEN p.fluency_pm <= t.p66 THEN 'middle'
-         |       ELSE 'head' END AS band
-         |FROM pm p JOIN th t USING (source)""".stripMargin,
+      s"""WITH $fluencyBandCtes
+         |SELECT doc_id, source, fluency_pm, band FROM bd""".stripMargin,
+
+    // Band-preferential mixture: the shared banding chain + the q56
+    // hash-rank quota draw, partitioned by band.
+    "q146_band_mixture" -> {
+      val h = duckHash("CAST(doc_id AS VARCHAR)")
+      val quotaCase = BandQuotas.toSeq.sortBy(_._1)
+        .map { case (g, q) => s"WHEN '$g' THEN $q" }.mkString(" ")
+      s"""WITH $fluencyBandCtes,
+         |mr AS (SELECT doc_id, source, fluency_pm, band,
+         |  row_number() OVER (PARTITION BY band
+         |                     ORDER BY $h ASC NULLS LAST, doc_id ASC NULLS LAST) AS rn
+         | FROM bd)
+         |SELECT doc_id, source, fluency_pm, band FROM mr
+         |WHERE rn <= CASE band $quotaCase ELSE 0 END""".stripMargin
+    },
 
     // Backoff census at the production order — the generalized o5..o1
     // bucket columns over the 9-slot lookup chain.
@@ -4421,27 +4516,25 @@ object SparkEntry {
     // Classifier inference over the full corpus from the replayed model:
     // bias + matched-occurrence weight sum per doc (LEFT joins keep
     // featureless docs at the bare bias, as training scored them).
-    "q138_classifier_scores" -> {
-      val wf = "wavg"
-      val docFeats = materializeCtes(
-        s"""${repetitionCtes("documents", "sf")},
-           |${duckStatFeats("documents", "sf")}""".stripMargin)
-      s"""WITH $perceptronCtes,
-         |$docFeats,
-         |bc AS (SELECT CAST(COALESCE(sum(w), 0) AS BIGINT) AS bias
-         |       FROM $wf WHERE bucket = -1),
-         |wt AS (SELECT bucket, w FROM $wf WHERE bucket >= 0),
-         |df AS (SELECT doc_id, ${duckHash("f")} % $FeatBuckets AS bucket
-         |       FROM (${duckPcptFeatSelects("documents", "sf")})),
-         |sc AS (SELECT d.doc_id,
-         |        CAST(bc.bias + COALESCE(sum(w.w), 0) AS BIGINT) AS score
-         |       FROM documents d
-         |       CROSS JOIN bc
-         |       LEFT JOIN df ON df.doc_id = d.doc_id
-         |       LEFT JOIN wt w ON w.bucket = df.bucket
-         |       GROUP BY d.doc_id, bc.bias)
-         |SELECT doc_id, score, score > 0 AS keep FROM sc""".stripMargin
-    },
+    "q138_classifier_scores" ->
+      s"""WITH $classifierScoreCtes
+         |SELECT doc_id, score, score > 0 AS keep FROM sc""".stripMargin,
+
+    // Classifier-weighted PPS: the shared score chain feeding q105's
+    // exact-HUGEINT inclusion test with weight = score (positive scores
+    // only — the same keep rule as q138).
+    "q147_classifier_pps" ->
+      s"""WITH $classifierScoreCtes,
+         |wd AS (SELECT doc_id, score AS w FROM sc WHERE score > 0),
+         |tt AS (SELECT CAST(sum(w) AS BIGINT) AS total FROM wd)
+         |SELECT doc_id, w,
+         | least(CAST(1.0 AS DOUBLE), CAST(w AS DOUBLE) * $ClsPpsTarget.0 / total)
+         |   AS incl_prob,
+         | 1.0 / least(CAST(1.0 AS DOUBLE), CAST(w AS DOUBLE) * $ClsPpsTarget.0 / total)
+         |   AS ht_weight
+         |FROM wd CROSS JOIN tt
+         |WHERE CAST(${duckHash(s"'$ClsPpsSeed ' || CAST(doc_id AS VARCHAR)")} AS HUGEINT) * total
+         |   < CAST($ClsPpsTarget AS HUGEINT) * w * 1152921504606846976""".stripMargin,
 
     // Distillation census: the q138 score chain joined to the battery
     // verdict (the q133/q134 shared fragments over the FULL documents

@@ -83,6 +83,32 @@ class ClassifierSpec extends SparkSpec {
     assert(viaSpark == local)
   }
 
+  test("classifier-weighted PPS (the q147 composition): the draw over the " +
+    "scored frame equals the draw over its keep subset, so a rejected doc " +
+    "can never be admitted") {
+    val docs = fixture(48)
+    val m = Classifier.trainPerceptron(docs, "doc_id", "is_good", "text",
+      ns = Seq(2), buckets = 4096, sampleN = 48, epochs = 8)
+    val scored = Classifier.scoreDocs(docs, m, "doc_id", "text",
+      ns = Seq(2), buckets = 4096).withColumnRenamed("id", "doc_id")
+    val full = graft.operators.Sampling.ppsSample(
+      scored, "doc_id", col("score"), targetRows = 10L, seed = 11L)
+    val keepOnly = graft.operators.Sampling.ppsSample(
+      scored.where(col("keep")), "doc_id", col("score"),
+      targetRows = 10L, seed = 11L)
+    // ppsSample's w > 0 filter IS q138's keep rule (score > 0), so the
+    // composition is insensitive to pre-filtering by keep: same admitted
+    // docs, same weights, same inclusion probabilities
+    assert(full.collect().map(_.toSeq).toSet ==
+      keepOnly.collect().map(_.toSeq).toSet)
+    assert(full.count() > 0, "separable fixture must admit some positives")
+    // every admitted doc is classifier-kept
+    val keepSet = scored.where(col("keep")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    full.select("doc_id").collect().map(_.getLong(0))
+      .foreach(id => assert(keepSet(id), s"admitted rejected doc $id"))
+  }
+
   test("a doc below the shingle width scores the bare bias and still appears") {
     val docs = Seq((1L, true, "solo"), (2L, false, "two words here now"))
       .toDF("doc_id", "is_good", "text")

@@ -124,6 +124,30 @@ class TrainingOpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("band mixture (the q146 composition): per-band draws are " +
+    "min(quota, band size) and a NULL band draws nothing under quota 0") {
+    // one source, values 1..30 → nearest-rank-lower tercile edges p33 =
+    // rank (29*1)//3+1 = 10, p66 = rank (29*2)//3+1 = 20: tail = 1..10,
+    // middle = 11..20, head = 21..30 (10 docs each); a NULL value bands
+    // as NULL and must vanish under defaultQuota = 0 (the q146 config)
+    val df = ((1 to 30).map(i => (i.toLong, "g", Some(i.toLong))) :+
+      ((99L, "g", Option.empty[Long]))).toDF("doc_id", "source", "v")
+    val banded = CorpusStats.bandByGroupQuantiles(df, "source", "v",
+      Seq(("p33", 1, 3), ("p66", 2, 3)), Seq("tail", "middle", "head"))
+    val drawn = Sampling.mixtureSample(banded, "band", "doc_id",
+      Map("head" -> 4, "middle" -> 2, "tail" -> 25), defaultQuota = 0)
+    val counts = drawn.groupBy("band").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // head/middle capped by quota, tail capped by band size, NULL gone
+    assert(counts == Map("head" -> 4L, "middle" -> 2L, "tail" -> 10L))
+    // the draw is a subset of the banded frame with bands intact
+    val bandOf = banded.where(col("v").isNotNull).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("band")).toMap
+    drawn.collect().foreach { r =>
+      assert(bandOf(r.getAs[Long]("doc_id")) == r.getAs[String]("band"))
+    }
+  }
+
   test("temperatureMixture flattens: small groups take a super-proportional share") {
     // 900 vs 100 rows: proportional 60-row draw would take 54/6; √-count
     // weights (30, 10) give quotas ⌊60·30/40⌋=45 and ⌊60·10/40⌋=15
