@@ -474,6 +474,55 @@ class StatefulOpsSpec extends SparkSpec {
     assert(streamed.values.toSet == bands.toSet)
   }
 
+  test("classifier-screened streaming admission under a frozen model and " +
+    "total equals the batch classifier-weighted PPS draw (the q147 twin)") {
+    import graft.operators.{Classifier, Sampling}
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-clsstream").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // calibration: train a frozen model (any cheap teacher — the twin is
+    // about admission parity, not accuracy) and census the frozen Σw —
+    // the previous release's score total, the ppsSampleWithTotal contract
+    val m = Classifier.trainPerceptron(
+      docs.withColumn("is_pass", length(col("text")) > 80),
+      "doc_id", "is_pass", "text", ns = Seq(2), buckets = 4096,
+      sampleN = 64, epochs = 2)
+    val scoreOf = Classifier.scoreColumn(m, col("text"), ns = Seq(2),
+      buckets = 4096)
+    val total = docs.select(scoreOf.as("s")).where(col("s") > 0)
+      .agg(sum("s")).head.getLong(0)
+    assert(total > 0, "fixture must produce positive scores")
+    // batch truth: the q147 composition against the known total; the
+    // scoreColumn fold is spec-pinned ≡ scoreDocs, so this is q147's
+    // admission rule exactly
+    val batch = Sampling.ppsSampleWithTotal(
+        docs.withColumn("score", scoreOf), "doc_id", col("score"),
+        targetRows = 25L, seed = 11L, total = total)
+      .select("doc_id", "w").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "the draw must admit something")
+    // streaming: the SAME stateless narrow filter — fold + fixed-total
+    // inclusion, no aggregation, no state — over a MemoryStream
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val admitted = Sampling.ppsSampleWithTotal(
+      input.toDS().toDF("doc_id", "text")
+        .withColumn("score", Classifier.scoreColumn(m, col("text"),
+          ns = Seq(2), buckets = 4096)),
+      "doc_id", col("score"), targetRows = 25L, seed = 11L, total = total)
+    val q = admitted.writeStream.format("parquet")
+      .option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/ckpt").start()
+    rows.grouped(120).foreach { day => input.addData(day.toSeq); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.read.parquet(s"$root/out")
+      .select("doc_id", "w").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+  }
+
   test("streaming line screen equals the batch operator over the corpus-so-far") {
     import graft.operators.Cleaning
     import graft.streaming.IncrementalDedup
