@@ -1800,12 +1800,7 @@ object SparkEntry {
     // keep = score > 0 — the model is a ≤FeatBuckets-row broadcast, the
     // corpus never shuffles anything wider than (doc_id, long). The
     // oracle recomposes scores from its own replayed model.
-    "q138_classifier_scores" -> ((s, dir) =>
-      graft.operators.Classifier.scoreDocs(
-        t(s, dir, "documents"), pcptModel(s, dir),
-        "doc_id", "text", ns = PcptOrders, buckets = FeatBuckets,
-        withStats = PcptStats)
-        .withColumnRenamed("id", "doc_id")),
+    "q138_classifier_scores" -> ((s, dir) => scoredDocs(s, dir)),
 
     // Distillation-quality census: the student classifier (q137's model)
     // against its teacher (the capstone battery verdict) over the WHOLE
@@ -1903,10 +1898,7 @@ object SparkEntry {
     // The corpus never sorts; the edges broadcast back at source
     // cardinality. Oracle: independent row_number-grain edge derivation
     // over its own recomposed census.
-    "q144_fluency_bands" -> ((s, dir) =>
-      graft.operators.CorpusStats.bandByGroupQuantiles(
-        lmFluencyShared(s, dir), "source", "fluency_pm",
-        Seq(("p33", 1, 3), ("p66", 2, 3)), Seq("tail", "middle", "head"))),
+    "q144_fluency_bands" -> ((s, dir) => fluencyBanded(s, dir)),
 
     // Backoff census at the production order — gates the GENERALIZED
     // census path (one o<k> bucket per order k = 5..1, round 8): how much
@@ -1933,10 +1925,8 @@ object SparkEntry {
     // per band before the single band shuffle).
     "q146_band_mixture" -> ((s, dir) =>
       graft.operators.Sampling.mixtureSample(
-        graft.operators.CorpusStats.bandByGroupQuantiles(
-          lmFluencyShared(s, dir), "source", "fluency_pm",
-          Seq(("p33", 1, 3), ("p66", 2, 3)), Seq("tail", "middle", "head")),
-        "band", "doc_id", BandQuotas, defaultQuota = 0)),
+        fluencyBanded(s, dir), "band", "doc_id", BandQuotas,
+        defaultQuota = 0)),
 
     // Classifier-weighted PPS draw (the FineWeb/DCLM shape: score every
     // document with the cheap distilled classifier, keep a
@@ -1948,12 +1938,8 @@ object SparkEntry {
     // never shuffles.
     "q147_classifier_pps" -> ((s, dir) =>
       graft.operators.Sampling.ppsSample(
-        graft.operators.Classifier.scoreDocs(
-            t(s, dir, "documents"), pcptModel(s, dir),
-            "doc_id", "text", ns = PcptOrders, buckets = FeatBuckets,
-            withStats = PcptStats)
-          .withColumnRenamed("id", "doc_id"),
-        "doc_id", col("score"), targetRows = ClsPpsTarget, seed = ClsPpsSeed)),
+        scoredDocs(s, dir), "doc_id", col("score"),
+        targetRows = ClsPpsTarget, seed = ClsPpsSeed)),
   )
 
   /** Shared trainer for q137/q138 (train once per call site; the sample
@@ -1968,6 +1954,25 @@ object SparkEntry {
         capstoneFunnelStages.map(_._2).reduce(_ && _)),
       "doc_id", "is_pass", "text", ns = PcptOrders, buckets = FeatBuckets,
       sampleN = PcptSampleN, epochs = PcptEpochs, withStats = PcptStats)
+
+  /** The gate-config scored corpus (doc_id, score, keep) — ONE engine-side
+    * copy shared by q138 and its PPS consumer q147, mirroring the oracle's
+    * shared `classifierScoreCtes` fragment: the gate score and the
+    * sampling weight can never drift on either side. */
+  private def scoredDocs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Classifier.scoreDocs(
+        t(s, dir, "documents"), pcptModel(s, dir),
+        "doc_id", "text", ns = PcptOrders, buckets = FeatBuckets,
+        withStats = PcptStats)
+      .withColumnRenamed("id", "doc_id")
+
+  /** The gate-config banded corpus (doc_id, source, fluency_pm, band) —
+    * ONE engine-side copy shared by q144 and its mixture consumer q146,
+    * mirroring the oracle's shared `fluencyBandCtes` fragment. */
+  private def fluencyBanded(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusStats.bandByGroupQuantiles(
+      lmFluencyShared(s, dir), "source", "fluency_pm",
+      Seq(("p33", 1, 3), ("p66", 2, 3)), Seq("tail", "middle", "head"))
 
   /** ADC candidate count for the re-rank gates (q122/q123 and oracles). */
   private val RerankC = 50

@@ -490,8 +490,11 @@ class StatefulOpsSpec extends SparkSpec {
       sampleN = 64, epochs = 2)
     val scoreOf = Classifier.scoreColumn(m, col("text"), ns = Seq(2),
       buckets = 4096)
+    // coalesce the empty-filter NULL sum to 0 so the diagnostic assert
+    // fires instead of an NPE if the fixture ever stops producing
+    // positive scores
     val total = docs.select(scoreOf.as("s")).where(col("s") > 0)
-      .agg(sum("s")).head.getLong(0)
+      .agg(coalesce(sum("s"), lit(0L))).head.getLong(0)
     assert(total > 0, "fixture must produce positive scores")
     // batch truth: the q147 composition against the known total; the
     // scoreColumn fold is spec-pinned ≡ scoreDocs, so this is q147's
