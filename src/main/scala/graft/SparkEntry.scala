@@ -1940,6 +1940,17 @@ object SparkEntry {
       graft.operators.Sampling.ppsSample(
         scoredDocs(s, dir), "doc_id", col("score"),
         targetRows = ClsPpsTarget, seed = ClsPpsSeed)),
+
+    // Band-preferential RATE admission — the 100 TB form of q146: where
+    // the quota draw ranks within each band (right for bounded mixes; a
+    // corpus-sized quota would funnel the corpus into |bands| window
+    // partitions), the rate draw keeps a per-band FRACTION via the
+    // hash-threshold test — a pure stateless per-row filter, no shuffle,
+    // no state, streamable under frozen edges. Same shared banded frame
+    // as q146; rates keep 9/10 of head, 1/2 of middle, 1/10 of tail.
+    "q148_band_rate_sample" -> ((s, dir) =>
+      graft.operators.Sampling.hashSampleByGroup(
+        fluencyBanded(s, dir), "band", "doc_id", BandRates)),
   )
 
   /** Shared trainer for q137/q138 (train once per call site; the sample
@@ -2214,6 +2225,12 @@ object SparkEntry {
     * (q147 and its oracle). */
   private val ClsPpsTarget = 100L
   private val ClsPpsSeed = 11L
+
+  /** Per-band keep rates (num, denom) shared by q148's query and oracle —
+    * the CCNet head-preferential mix as FRACTIONS (the form that scales:
+    * a rate is a stateless per-row test, a quota is a rank). */
+  private val BandRates: Map[String, (Int, Int)] =
+    Map("head" -> ((9, 10)), "middle" -> ((1, 2)), "tail" -> ((1, 10)))
 
   /** DuckDB twin of ngramJaccardPairs (n=3, threshold 0.5, uncapped);
     * shared by q18 and q36's component oracle. */
@@ -4415,6 +4432,21 @@ object SparkEntry {
     "q144_fluency_bands" ->
       s"""WITH $fluencyBandCtes
          |SELECT doc_id, source, fluency_pm, band FROM bd""".stripMargin,
+
+    // Band-preferential rate admission: the shared banding chain + the
+    // per-band hash-threshold test (hash mod denom < num), both CASEs
+    // built from the same shared BandRates.
+    "q148_band_rate_sample" -> {
+      val h = duckHash("CAST(doc_id AS VARCHAR)")
+      def caseOf(pick: ((Int, Int)) => Int, dflt: Int): String =
+        BandRates.toSeq.sortBy(_._1)
+          .map { case (g, r) => s"WHEN '$g' THEN ${pick(r)}" }
+          .mkString("CASE band ", " ", s" ELSE $dflt END")
+      s"""WITH $fluencyBandCtes
+         |SELECT doc_id, source, fluency_pm, band FROM bd
+         |WHERE CAST($h AS HUGEINT) % ${caseOf(_._2, 1)}
+         |    < ${caseOf(_._1, 0)}""".stripMargin
+    },
 
     // Band-preferential mixture: the shared banding chain + the q56
     // hash-rank quota draw, partitioned by band.

@@ -358,6 +358,40 @@ object Sampling {
     df.where(pmod(Hashing.stableHash60(col(keyCol).cast("string")), lit(denom)) < num)
 
   /**
+   * Per-group rate admission: [[hashSample]] with GROUP-DEPENDENT
+   * fractions — keeps a row iff hash(key) mod denom_g < num_g under its
+   * group's rate. This is the RATE form of [[mixtureSample]]: the quota
+   * draw bounds the OUTPUT (a per-group rank — right for bounded mixes,
+   * where the constant max-quota keeps WindowGroupLimit pushdown), while
+   * the rate draw keeps a FRACTION — the only form that scales to
+   * production-sized band-preferential sampling (keeping most of the
+   * head band of a 100 TB corpus via a rank quota would funnel the
+   * corpus into |bands| window partitions; the rate test is a pure
+   * stateless per-row filter — no shuffle, no state, and therefore
+   * directly applicable to a streaming admission under frozen band
+   * edges). Groups absent from `rates` (or NULL) use `defaultRate`;
+   * (0, d) drops the group, (d, d) keeps it whole. Deterministic branch
+   * order (sorted keys) — map iteration order must never decide the
+   * expression tree.
+   */
+  def hashSampleByGroup(df: DataFrame, groupCol: String, keyCol: String,
+                        rates: Map[String, (Int, Int)],
+                        defaultRate: (Int, Int) = (0, 1)): DataFrame = {
+    require((rates.values.toSeq :+ defaultRate).forall {
+      case (n, d) => d > 0 && n >= 0 && n <= d },
+      "rates must satisfy 0 <= num <= denom, denom > 0")
+    def caseOf(pick: ((Int, Int)) => Int, dflt: Int): Column =
+      rates.toSeq.sortBy(_._1)
+        .foldLeft(Option.empty[Column]) { case (acc, (g, r)) =>
+          Some(acc.fold(when(col(groupCol) === g, pick(r)))(
+            _.when(col(groupCol) === g, pick(r))))
+        }.fold(lit(dflt))(_.otherwise(dflt))
+    df.where(pmod(Hashing.stableHash60(col(keyCol).cast("string")),
+        caseOf(_._2, defaultRate._2).cast("long")) <
+      caseOf(_._1, defaultRate._1).cast("long"))
+  }
+
+  /**
    * Curriculum / mixture-ordered interleave: a single deterministic
    * global training order in which source s appears with long-run
    * frequency ∝ its integer weight — the "data order file" a trainer

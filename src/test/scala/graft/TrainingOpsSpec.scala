@@ -148,6 +148,30 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("hashSampleByGroup (the q148 composition): each group's admission " +
+    "equals hashSample at that group's rate, absent groups use the default, " +
+    "(d,d) keeps a group whole") {
+    val df = (0 until 300).map(i => (i.toLong, s"g${i % 3}")).toDF("id", "grp")
+    val rates = Map("g0" -> ((9, 10)), "g1" -> ((1, 2)))
+    val got = Sampling.hashSampleByGroup(df, "grp", "id", rates)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // the rate test is per-row, so group slices decompose to plain
+    // hashSample — the identity that makes the filter stateless
+    for ((g, (n, d)) <- rates) {
+      val slice = Sampling.hashSample(df.where(col("grp") === g), "id", n, d)
+        .collect().map(_.getLong(0)).toSet
+      assert(got.filter(_._2 == g).map(_._1).toSet == slice,
+        s"group $g diverged from hashSample($n/$d)")
+      assert(slice.nonEmpty && slice.size < 100, s"rate $n/$d must bite on $g")
+    }
+    // the default rate (0, 1) drops the unlisted group entirely
+    assert(!got.exists(_._2 == "g2"))
+    // a (d, d) rate keeps its group whole
+    val whole = Sampling.hashSampleByGroup(df, "grp", "id", Map("g2" -> ((1, 1))))
+      .collect().map(_.getLong(0)).toSet
+    assert(whole == (0 until 300).filter(_ % 3 == 2).map(_.toLong).toSet)
+  }
+
   test("temperatureMixture flattens: small groups take a super-proportional share") {
     // 900 vs 100 rows: proportional 60-row draw would take 54/6; √-count
     // weights (30, 10) give quotas ⌊60·30/40⌋=45 and ⌊60·10/40⌋=15
