@@ -51,7 +51,7 @@ object DiskScale {
     val knownOps = Set("all", "jac_capped", "jac_prefix08", "span_ranges",
       "span_sparse_w13", "winnow", "span_sparse_amz", "fuzzy_pairs",
       "quality_funnel", "lm_build", "lm_score", "lm5_build", "lm5_score",
-      "band_build", "band", "cls_score", "cap", "qtl_sketch", "qtl_exact")
+      "band_build", "band", "band_rate", "cls_score", "cap", "qtl_sketch", "qtl_exact")
     val unknown = wanted -- knownOps
     require(unknown.isEmpty,
       s"unknown DiskScale op key(s): ${unknown.toSeq.sorted.mkString(", ")}; " +
@@ -187,7 +187,7 @@ object DiskScale {
       // it twice (edge census + assignment). The banding marginal must
       // stay near scan-speed — its exchanges carry histogram and
       // group-cardinality frames, never the corpus.
-      if (want("band_build") || want("band")) {
+      if (want("band_build") || want("band") || want("band_rate")) {
         val sfBuild = graft.operators.NgramLm.scoreTokens(docsH, lmTbl, totalsH,
             "doc_id", "text")
           .groupBy("id")
@@ -198,10 +198,17 @@ object DiskScale {
             expr("(hi * 1000) div sn").as("fluency_pm"))
         row("band_build")(noop(sfBuild))
         val scoreFile = writeOnce(sfBuild, spark, s"$workdir/lmf_$n")
-        row("band")(noop(
-          graft.operators.CorpusStats.bandByGroupQuantiles(scoreFile, "src",
-            "fluency_pm", Seq(("p33", 1, 3), ("p66", 2, 3)),
-            Seq("tail", "middle", "head"))))
+        lazy val banded = graft.operators.CorpusStats.bandByGroupQuantiles(
+          scoreFile, "src", "fluency_pm", Seq(("p33", 1, 3), ("p66", 2, 3)),
+          Seq("tail", "middle", "head"))
+        row("band")(noop(banded))
+        // the q148 rate draw off the stored score file: banding + the
+        // per-band hash-threshold filter — must stay at banding cost
+        // (the filter adds ZERO exchanges; q148's plan row ≡ q144's)
+        row("band_rate")(noop(
+          graft.operators.Sampling.hashSampleByGroup(banded, "band",
+            "doc_id", Map("head" -> ((9, 10)), "middle" -> ((1, 2)),
+              "tail" -> ((1, 10))))))
       }
 
       // the q138/q139 distilled classifier at corpus scale: training cost

@@ -474,6 +474,41 @@ class StatefulOpsSpec extends SparkSpec {
     assert(streamed.values.toSet == bands.toSet)
   }
 
+  test("band-rate streaming admission under frozen edges equals the batch " +
+    "draw (the q148 twin: banding and the rate test are both stateless)") {
+    import graft.operators.{CorpusStats, Sampling}
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-ratestream").toString
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val frozen = CorpusStats.exactQuantilesByGroup(
+        all.where(col("doc_id") < 250), "source", "n_chars",
+        Seq(("p33", 1, 3), ("p66", 2, 3)))
+      .select("source", "p33", "p66").localCheckpoint()
+    val bands = Seq("tail", "middle", "head")
+    val rates = Map("head" -> ((9, 10)), "middle" -> ((1, 2)),
+      "tail" -> ((1, 10)))
+    def screen(df: org.apache.spark.sql.DataFrame) =
+      Sampling.hashSampleByGroup(
+        CorpusStats.bandByEdges(df, frozen, "source", "n_chars",
+          Seq("p33", "p66"), bands),
+        "band", "doc_id", rates)
+    val batch = screen(all).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(batch.nonEmpty && batch.size < all.count())
+    val rows = all.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long)]
+    val q = screen(input.toDS().toDF("doc_id", "source", "n_chars"))
+      .writeStream.format("parquet").option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/ckpt").start()
+    rows.grouped(120).foreach { day => input.addData(day.toSeq); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.read.parquet(s"$root/out").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed == batch)
+  }
+
   test("classifier-screened streaming admission under a frozen model and " +
     "total equals the batch classifier-weighted PPS draw (the q147 twin)") {
     import graft.operators.{Classifier, Sampling}
