@@ -36,9 +36,9 @@ object RecallProbe {
         .join(cent.select(col("vec_id").as("centroid_id"), col("embedding").as("ce")),
           Seq("centroid_id"))
         .select(avg(graft.expressions.VectorExprs.cosine(col("embedding"), col("ce"))))
-        .head.getDouble(0)
+        .head().getDouble(0)
       val inter = Similarity.exactNearDupPairs(cent, -2.0) // threshold −2 ⇒ all pairs
-        .select(avg(abs(col("cosine")))).head.getDouble(0)
+        .select(avg(abs(col("cosine")))).head().getDouble(0)
       (intra, inter)
     }
 

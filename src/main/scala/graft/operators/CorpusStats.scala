@@ -323,7 +323,7 @@ object CorpusStats {
     // left join: a group whose values are ALL null has no edge row (no
     // histogram mass) — its rows still flow through with a null band
     df.join(broadcast(edgesDf), Seq(groupCol), "left")
-      .select(df.columns.map(col) :+ chain.as(bandCol): _*)
+      .select(scala.collection.immutable.ArraySeq.unsafeWrapArray(df.columns.map(col)) :+ chain.as(bandCol): _*)
   }
 
   /**

@@ -224,7 +224,7 @@ object Layout {
   def writeCorpusRelease(docs: DataFrame, path: String, idCol: String,
                          textCol: String, numShards: Int): Manifest = {
     val manifest = writeShards(docs, path, idCol, numShards)
-    val card = graft.operators.CorpusStats.corpusReport(docs, idCol, textCol).head
+    val card = graft.operators.CorpusStats.corpusReport(docs, idCol, textCol).head()
     val fields = card.schema.fields.zipWithIndex.map { case (f, i) =>
       val v = card.get(i) match {
         case null      => "null"

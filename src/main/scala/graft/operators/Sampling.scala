@@ -438,7 +438,7 @@ object Sampling {
     val schema = StructType(ordered.schema.fields :+
       StructField(as, LongType, nullable = false))
     spark.createDataFrame(
-      ordered.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) },
+      ordered.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) },
       schema)
   }
 
@@ -510,7 +510,7 @@ object Sampling {
       .orderBy(Hashing.stableHash60(col("id").cast("string")), col("id"))
     val idField = StructField("id", ordered.schema("id").dataType, nullable = false)
     val indexed = spark.createDataFrame(
-      ordered.rdd.zipWithIndex.map { case (r, i) => Row(r.get(0), i) },
+      ordered.rdd.zipWithIndex().map { case (r, i) => Row(r.get(0), i) },
       StructType(Seq(idField, StructField("__idx", LongType, nullable = false))))
       .localCheckpoint() // consumed by the anchor side AND the resolve join
     val n = indexed.count()
