@@ -56,6 +56,19 @@ import org.apache.spark.sql.functions._
  *                              order ≥ 2 for ≥ num/den of their tokens —
  *                              exact cross-multiplied integers, so the
  *                              kept set is engine-independent
+ *   4a''. banded-sampling admission (optional, `bandRates`) — the CCNet
+ *                              §4.3 recipe proper: per-doc integer
+ *                              fluency permille (the q132/q144 census
+ *                              grain) over the self-trained (or
+ *                              `lmTrainDocs`) model, per-group tercile
+ *                              banding by exact histogram edges
+ *                              (CorpusStats.bandByGroupQuantiles), then
+ *                              the per-band hash-RATE draw
+ *                              (Sampling.hashSampleByGroup) — a
+ *                              stateless fraction, the form that scales
+ *                              (rank quotas are for bounded mixes);
+ *                              group = `bandGroupCol` (a language/source
+ *                              column) or one global band set when None
  *   4a'. LM perplexity band    (optional, `lmBandKeep`) — the CCNet-style
  *                              perplexity band (Wenzek 2020): a Stupid
  *                              Backoff trigram model trains on the clean
@@ -122,7 +135,9 @@ object CorpusPipeline {
       lmFiltered: Long = 0L,
       afterLmFilter: Long = 0L,
       fluencyFiltered: Long = 0L,
-      afterFluency: Long = 0L)
+      afterFluency: Long = 0L,
+      bandRateFiltered: Long = 0L,
+      afterBandRate: Long = 0L)
 
   /**
    * Shared iterated-cut loop for stages 2b and 3c: per round, `detect`
@@ -185,6 +200,8 @@ object CorpusPipeline {
           nearDupRepScore: Option[Column] = None,
           stripMarkupFirst: Boolean = false,
           fluencyMin: Option[(Int, Int)] = None,
+          bandRates: Option[Map[String, (Int, Int)]] = None,
+          bandGroupCol: Option[String] = None,
           lmBandKeep: Option[(Double, Double)] = None,
           lmMinCount: Long = 2L,
           lmAlpha: Double = 0.4,
@@ -382,6 +399,45 @@ object CorpusPipeline {
         (kept, nb, kept.count())
     }
 
+    // 4a'' (optional): CCNet banded-sampling admission — the §4.3 recipe
+    // proper, one operator call per decision rule: the per-doc integer
+    // fluency permille is the backoffCensus grain (q132's), the per-group
+    // tercile banding is bandByGroupQuantiles (q144's operator), and the
+    // per-band draw is hashSampleByGroup (q148's — a stateless RATE, the
+    // form that scales; rank quotas are for bounded mixes). Group =
+    // `bandGroupCol` (a language/source column carried through the
+    // pipeline) or one global band set when None. Like stage 4a, a doc
+    // the model scores zero tokens for has no census row and is dropped.
+    // The self-trained edges make this stage batch-shaped; the streamable
+    // twin is bandByEdges (frozen calibration frame) + the same rate
+    // filter — both stream-pinned in StatefulOpsSpec.
+    val (bandKept, nPreBandRate, nBandKept) = bandRates match {
+      case None => (fluent, -1L, -1L)
+      case Some(rates) =>
+        val base = fluent.localCheckpoint() // census + banding + draw join
+        val nb = base.count()
+        val trainDocs = lmTrainDocs.getOrElse(base)
+        val cen = graft.operators.NgramLm.backoffCensus(
+          graft.operators.NgramLm.scoreTokens(base,
+            graft.operators.NgramLm.lmCounts(trainDocs, textCol, n = 3, lmMinCount),
+            graft.operators.NgramLm.lmTotals(trainDocs, textCol),
+            idCol, textCol))
+        val pm = cen.select(col("id"),
+          expr("((o3 + o2) * 1000) div scored_tokens").as("fluency_pm"))
+        val grouped = bandGroupCol match {
+          case Some(g) => pm.join(
+            base.select(col(idCol).as("id"), col(g).as("__bandgrp")), Seq("id"))
+          case None => pm.withColumn("__bandgrp", lit("all"))
+        }
+        val banded = graft.operators.CorpusStats.bandByGroupQuantiles(grouped,
+          "__bandgrp", "fluency_pm", Seq(("p33", 1, 3), ("p66", 2, 3)),
+          Seq("tail", "middle", "head"))
+        val admitted = graft.operators.Sampling.hashSampleByGroup(banded,
+          "band", "id", rates).select(col("id").as(idCol))
+        val kept = base.join(admitted, Seq(idCol), "leftsemi").localCheckpoint()
+        (kept, nb, kept.count())
+    }
+
     // 4a' (optional): LM perplexity-band screen — train the Stupid
     // Backoff trigram model (on the screened corpus itself, or
     // `lmTrainDocs` when a trusted reference corpus is available), score
@@ -391,9 +447,9 @@ object CorpusPipeline {
     // budget sample so budget is never spent on disfluent docs. Floats
     // at the band edge — spec-pinned, not oracle-gated.
     val (lmKept, nScreenCensus, nLmKept) = lmBandKeep match {
-      case None => (fluent, -1L, -1L)
+      case None => (bandKept, -1L, -1L)
       case Some((from, to)) =>
-        val base = fluent.localCheckpoint() // census + scoring + band join
+        val base = bandKept.localCheckpoint() // census + scoring + band join
         val nb = base.count()
         val trainDocs = lmTrainDocs.getOrElse(base)
         val scoredToks = graft.operators.NgramLm.scoreTokens(base,
@@ -471,6 +527,7 @@ object CorpusPipeline {
     // to contamination
     val nAfterScreen =
       if (nScreenedPreFluency >= 0) nScreenedPreFluency
+      else if (nPreBandRate >= 0) nPreBandRate
       else if (nScreenCensus >= 0) nScreenCensus
       else if (nPreBudget >= 0) nPreBudget
       else nCorpus
@@ -488,7 +545,9 @@ object CorpusPipeline {
       lmFiltered = if (nLmKept >= 0) nScreenCensus - nLmKept else 0L,
       afterLmFilter = if (nLmKept >= 0) nLmKept else 0L,
       fluencyFiltered = if (nFluent >= 0) nScreenedPreFluency - nFluent else 0L,
-      afterFluency = if (nFluent >= 0) nFluent else 0L))
+      afterFluency = if (nFluent >= 0) nFluent else 0L,
+      bandRateFiltered = if (nBandKept >= 0) nPreBandRate - nBandKept else 0L,
+      afterBandRate = if (nBandKept >= 0) nBandKept else 0L))
   }
 
   /**

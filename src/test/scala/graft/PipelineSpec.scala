@@ -510,6 +510,54 @@ class PipelineSpec extends SparkSpec {
     assert(r2.fluencyFiltered == r1.fluencyFiltered)
   }
 
+  test("corpus pipeline banded-sampling stage (4a''): run-with-bandRates " +
+    "equals the census→band→rate operator composition over the " +
+    "run-without's corpus, per source") {
+    import graft.pipeline.CorpusPipeline
+    import graft.operators.{CorpusStats, NgramLm, Sampling}
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val noEval = docs.where(lit(false)).select(col("doc_id"), col("text"))
+    val stages = Seq("nonempty" -> (length(col("text")) > 0))
+    val rates = Map("head" -> ((9, 10)), "middle" -> ((1, 2)),
+      "tail" -> ((1, 10)))
+    val (base, r0) = CorpusPipeline.run(docs, noEval, "doc_id", "text", stages)
+    val (kept, r1) = CorpusPipeline.run(docs, noEval, "doc_id", "text", stages,
+      bandRates = Some(rates), bandGroupCol = Some("source"))
+    // stage ≡ operators composed: census permille over the self-trained
+    // trigram model on the run-without corpus (the stage's own input
+    // set), per-source tercile banding, per-band rate draw
+    val screened = base.select("doc_id", "text")
+    val cen = NgramLm.backoffCensus(NgramLm.scoreTokens(screened,
+      NgramLm.lmCounts(screened, "text", n = 3, minCount = 2L),
+      NgramLm.lmTotals(screened, "text"), "doc_id", "text"))
+    val pm = cen.select(col("id").as("doc_id"),
+        expr("((o3 + o2) * 1000) div scored_tokens").as("fluency_pm"))
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+    val banded = CorpusStats.bandByGroupQuantiles(pm, "source", "fluency_pm",
+      Seq(("p33", 1, 3), ("p66", 2, 3)), Seq("tail", "middle", "head"))
+    val direct = Sampling.hashSampleByGroup(banded, "band", "doc_id", rates)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == direct)
+    // drops are attributed to the band-rate row, never to contamination
+    assert(r1.bandRateFiltered == r0.corpus - direct.size && r1.bandRateFiltered > 0)
+    assert(r1.afterBandRate == direct.size.toLong && r1.corpus == direct.size.toLong)
+    assert(r1.contaminated == 0)
+    // the head-preferential draw is live: every band contributes, and the
+    // admitted set skews toward the head rate
+    val byBand = Sampling.hashSampleByGroup(banded, "band", "doc_id", rates)
+      .groupBy("band").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byBand.keySet == Set("head", "middle", "tail"))
+    // determinism under repartitioning (the stage is hash-driven end to end)
+    val (kept2, r2) = CorpusPipeline.run(docs.repartition(13), noEval,
+      "doc_id", "text", stages, bandRates = Some(rates),
+      bandGroupCol = Some("source"))
+    assert(kept2.select("doc_id").collect().map(_.getLong(0)).toSet == got)
+    assert(r2.bandRateFiltered == r1.bandRateFiltered)
+  }
+
   test("trainingStream: release + epoch-ordered train order ship together") {
     import graft.pipeline.CorpusPipeline
     import graft.operators.Sampling
