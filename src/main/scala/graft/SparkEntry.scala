@@ -1951,6 +1951,25 @@ object SparkEntry {
     "q148_band_rate_sample" -> ((s, dir) =>
       graft.operators.Sampling.hashSampleByGroup(
         fluencyBanded(s, dir), "band", "doc_id", BandRates)),
+
+    // Banded admission over the CAPSTONE corpus — the release-tier form
+    // of CCNet §4.3 (band the shipped corpus by its own self-trained
+    // model's fluency permille, admit head-preferentially; FineWeb-style
+    // quality-tier releases are this shape). The decision rule is
+    // NgramLm.bandRateAdmission — the SAME single implementation the
+    // CorpusPipeline stage 4a'' calls (PipelineSpec pins stage ≡
+    // composition-over-run-without), so the capstone's banded stage is
+    // thereby oracle-gated through this composition without running a
+    // second capstone. One global band set (single-language corpus);
+    // the oracle extends the composed capstone chain with a second
+    // census over the fluent pool.
+    "q149_capstone_banded" -> ((s, dir) => {
+      val flu = capstoneShared(s, dir)._1.select(col("doc_id"), col("text"))
+      graft.operators.NgramLm.bandRateAdmission(flu,
+        graft.operators.NgramLm.lmCounts(flu, "text", n = 3, minCount = 2L),
+        graft.operators.NgramLm.lmTotals(flu, "text"),
+        "doc_id", "text", BandRates)
+    }),
   )
 
   /** Shared trainer for q137/q138 (train once per call site; the sample
@@ -4444,6 +4463,43 @@ object SparkEntry {
           .mkString("CASE band ", " ", s" ELSE $dflt END")
       s"""WITH $fluencyBandCtes
          |SELECT doc_id, source, fluency_pm, band FROM bd
+         |WHERE CAST($h AS HUGEINT) % ${caseOf(_._2, 1)}
+         |    < ${caseOf(_._1, 0)}""".stripMargin
+    },
+
+    // Banded capstone admission: the composed capstone chain (ending in
+    // the fluent pool `flu`), a SECOND census over flu under flu's own
+    // self-trained model ("fb"-prefixed lmCteN — the capstone's "fl"
+    // chain censuses scr under scr's model, a different artifact), the
+    // global row-grain tercile edges, and the q148 hash-threshold draw.
+    "q149_capstone_banded" -> {
+      val h = duckHash("CAST(doc_id AS VARCHAR)")
+      def caseOf(pick: ((Int, Int)) => Int, dflt: Int): String =
+        BandRates.toSeq.sortBy(_._1)
+          .map { case (g, r) => s"WHEN '$g' THEN ${pick(r)}" }
+          .mkString("CASE band ", " ", s" ELSE $dflt END")
+      s"""WITH RECURSIVE
+         |$capstoneCtes,
+         |${lmCteN(3, "flu", "fb")},
+         |${materializeCtes(
+          s"""bcen AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sn,
+             |  CAST(sum(CASE WHEN matched_ord >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS hi
+             | FROM fbsc GROUP BY doc_id),
+             |bpm AS (SELECT doc_id, (hi * 1000) // sn AS fluency_pm FROM bcen),
+             |brk AS (SELECT doc_id, fluency_pm,
+             |  row_number() OVER (ORDER BY fluency_pm ASC) AS vr,
+             |  count(*) OVER () AS n
+             | FROM bpm),
+             |bth AS (SELECT
+             |  max(CASE WHEN vr = (n-1)*1//3+1 THEN fluency_pm END) AS p33,
+             |  max(CASE WHEN vr = (n-1)*2//3+1 THEN fluency_pm END) AS p66
+             | FROM brk),
+             |bbd AS (SELECT p.doc_id, p.fluency_pm,
+             |  CASE WHEN p.fluency_pm <= t.p33 THEN 'tail'
+             |       WHEN p.fluency_pm <= t.p66 THEN 'middle'
+             |       ELSE 'head' END AS band
+             | FROM bpm p CROSS JOIN bth t)""".stripMargin)}
+         |SELECT doc_id, fluency_pm, band FROM bbd
          |WHERE CAST($h AS HUGEINT) % ${caseOf(_._2, 1)}
          |    < ${caseOf(_._1, 0)}""".stripMargin
     },

@@ -191,6 +191,47 @@ object NgramLm {
   }
 
   /**
+   * CCNet §4.3 banded-sampling admission — the full recipe as ONE
+   * decision rule: per-doc integer fluency permille
+   * ⌊1000·(order-≥2 matched tokens)/scored⌋ over [[backoffCensus]],
+   * per-group tercile banding by exact histogram edges
+   * ([[CorpusStats.bandByGroupQuantiles]] — value-vs-edge, ties share a
+   * band), and the per-band hash-RATE draw
+   * ([[Sampling.hashSampleByGroup]] — a stateless fraction, the form
+   * that scales; rank quotas are for bounded mixes). `groupCol` names a
+   * language/source column of `docs`, or None for one global band set
+   * (the single-language case). Returns the admitted
+   * (idCol, fluency_pm, band) rows; a doc the model scores zero tokens
+   * for has no census row and is dropped (the
+   * [[fluencyThresholdFilter]] convention). One implementation shared
+   * by the CorpusPipeline stage 4a'' and the q149 gate, so the stage
+   * and the gate can never band or draw differently. Scale shape: the
+   * census is the two-shuffle scorer, the edges broadcast back at group
+   * cardinality, and the rate test adds zero exchanges.
+   */
+  def bandRateAdmission(docs: DataFrame, lm: DataFrame, totals: DataFrame,
+                        idCol: String, textCol: String,
+                        rates: Map[String, (Int, Int)],
+                        groupCol: Option[String] = None,
+                        n: Int = 3): DataFrame = {
+    val hiMass = (n to 2 by -1).map(k => s"o$k").mkString(" + ")
+    val pm = backoffCensus(scoreTokens(docs, lm, totals, idCol, textCol, n), n)
+      .select(col("id"),
+        // exact integer floor (`div` on non-negative longs)
+        expr(s"(($hiMass) * 1000) div scored_tokens").as("fluency_pm"))
+    val grouped = groupCol match {
+      case Some(g) => pm.join(
+        docs.select(col(idCol).as("id"), col(g).as("__bandgrp")), Seq("id"))
+      case None => pm.withColumn("__bandgrp", lit("all"))
+    }
+    val banded = CorpusStats.bandByGroupQuantiles(grouped, "__bandgrp",
+      "fluency_pm", Seq(("p33", 1, 3), ("p66", 2, 3)),
+      Seq("tail", "middle", "head"))
+    Sampling.hashSampleByGroup(banded, "band", "id", rates)
+      .select(col("id").as(idCol), col("fluency_pm"), col("band"))
+  }
+
+  /**
    * Per-document mean log-probability and perplexity (floats — the
    * engine-local tier; spec-pinned against a plain-Scala twin, not
    * oracle-gated). score(token) = α^backoffs · c_num/c_den;

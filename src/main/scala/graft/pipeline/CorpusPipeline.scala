@@ -400,11 +400,12 @@ object CorpusPipeline {
     }
 
     // 4a'' (optional): CCNet banded-sampling admission — the §4.3 recipe
-    // proper, one operator call per decision rule: the per-doc integer
-    // fluency permille is the backoffCensus grain (q132's), the per-group
-    // tercile banding is bandByGroupQuantiles (q144's operator), and the
-    // per-band draw is hashSampleByGroup (q148's — a stateless RATE, the
-    // form that scales; rank quotas are for bounded mixes). Group =
+    // proper. The stage IS NgramLm.bandRateAdmission under the
+    // self-trained (or lmTrainDocs) model — ONE implementation of the
+    // decision rule (census permille → per-group exact-histogram
+    // terciles via bandByGroupQuantiles → per-band stateless hash-rate
+    // draw via hashSampleByGroup), shared with the q149 gate so the
+    // stage and the gate can never band or draw differently. Group =
     // `bandGroupCol` (a language/source column carried through the
     // pipeline) or one global band set when None. Like stage 4a, a doc
     // the model scores zero tokens for has no census row and is dropped.
@@ -417,23 +418,11 @@ object CorpusPipeline {
         val base = fluent.localCheckpoint() // census + banding + draw join
         val nb = base.count()
         val trainDocs = lmTrainDocs.getOrElse(base)
-        val cen = graft.operators.NgramLm.backoffCensus(
-          graft.operators.NgramLm.scoreTokens(base,
+        val admitted = graft.operators.NgramLm.bandRateAdmission(base,
             graft.operators.NgramLm.lmCounts(trainDocs, textCol, n = 3, lmMinCount),
             graft.operators.NgramLm.lmTotals(trainDocs, textCol),
-            idCol, textCol))
-        val pm = cen.select(col("id"),
-          expr("((o3 + o2) * 1000) div scored_tokens").as("fluency_pm"))
-        val grouped = bandGroupCol match {
-          case Some(g) => pm.join(
-            base.select(col(idCol).as("id"), col(g).as("__bandgrp")), Seq("id"))
-          case None => pm.withColumn("__bandgrp", lit("all"))
-        }
-        val banded = graft.operators.CorpusStats.bandByGroupQuantiles(grouped,
-          "__bandgrp", "fluency_pm", Seq(("p33", 1, 3), ("p66", 2, 3)),
-          Seq("tail", "middle", "head"))
-        val admitted = graft.operators.Sampling.hashSampleByGroup(banded,
-          "band", "id", rates).select(col("id").as(idCol))
+            idCol, textCol, rates, bandGroupCol)
+          .select(col(idCol))
         val kept = base.join(admitted, Seq(idCol), "leftsemi").localCheckpoint()
         (kept, nb, kept.count())
     }
