@@ -1966,7 +1966,8 @@ object SparkEntry {
     "q149_capstone_banded" -> ((s, dir) => {
       val flu = capstoneShared(s, dir)._1.select(col("doc_id"), col("text"))
       graft.operators.NgramLm.bandRateAdmission(flu,
-        graft.operators.NgramLm.lmCounts(flu, "text", n = 3, minCount = 2L),
+        graft.operators.NgramLm.lmCounts(flu, "text", n = 3,
+          minCount = LmMinCount),
         graft.operators.NgramLm.lmTotals(flu, "text"),
         "doc_id", "text", BandRates)
     }),
@@ -2250,6 +2251,14 @@ object SparkEntry {
     * a rate is a stateless per-row test, a quota is a rank). */
   private val BandRates: Map[String, (Int, Int)] =
     Map("head" -> ((9, 10)), "middle" -> ((1, 2)), "tail" -> ((1, 10)))
+
+  /** The per-band CASE arm of the rate draw's hash-threshold test — ONE
+    * builder for both rate-draw oracles (q148, q149), deterministic
+    * branch order (sorted band names). */
+  private def bandRateCaseSql(pick: ((Int, Int)) => Int, dflt: Int): String =
+    BandRates.toSeq.sortBy(_._1)
+      .map { case (g, r) => s"WHEN '$g' THEN ${pick(r)}" }
+      .mkString("CASE band ", " ", s" ELSE $dflt END")
 
   /** DuckDB twin of ngramJaccardPairs (n=3, threshold 0.5, uncapped);
     * shared by q18 and q36's component oracle. */
@@ -2823,6 +2832,34 @@ object SparkEntry {
     * ending in `bd(doc_id, source, fluency_pm, band)` — ONE copy shared
     * by q144 and the band-mixture composition (q146), so the banding
     * gate and its downstream draw can never band differently. */
+  /** Row-grain tercile edges + value-vs-edge band assignment over a
+    * permille CTE `pmCte(..., fluency_pm)` — ONE copy of the banding
+    * recipe read by every banding oracle (q144/q146/q148 partitioned by
+    * source; q149 global). Emits `<p>rk`/`<p>th`/`<p>bd`; `<p>bd` is
+    * pmCte's columns plus `band`. */
+  private def tercileBandSql(p: String, pmCte: String,
+                             grpCol: Option[String]): String = {
+    val gsel = grpCol.map(g => s"$g, ").getOrElse("")
+    val part = grpCol.map(g => s"PARTITION BY $g ").getOrElse("")
+    val cnt = grpCol.map(g => s"PARTITION BY $g").getOrElse("")
+    val grp = grpCol.map(g => s" GROUP BY $g").getOrElse("")
+    val join = grpCol.map(g => s"JOIN ${p}th t USING ($g)")
+      .getOrElse(s"CROSS JOIN ${p}th t")
+    s"""${p}rk AS (SELECT $gsel fluency_pm,
+       |  row_number() OVER (${part}ORDER BY fluency_pm ASC) AS vr,
+       |  count(*) OVER ($cnt) AS n
+       | FROM $pmCte),
+       |${p}th AS (SELECT $gsel
+       |  max(CASE WHEN vr = (n-1)*1//3+1 THEN fluency_pm END) AS p33,
+       |  max(CASE WHEN vr = (n-1)*2//3+1 THEN fluency_pm END) AS p66
+       | FROM ${p}rk$grp),
+       |${p}bd AS (SELECT p.*,
+       |  CASE WHEN p.fluency_pm <= t.p33 THEN 'tail'
+       |       WHEN p.fluency_pm <= t.p66 THEN 'middle'
+       |       ELSE 'head' END AS band
+       | FROM $pmCte p $join)""".stripMargin
+  }
+
   private lazy val fluencyBandCtes: String =
     s"""$lmCte,
        |cen AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sn,
@@ -2831,19 +2868,7 @@ object SparkEntry {
        |pm AS (SELECT d.doc_id, d.source,
        |  (c.hi * 1000) // c.sn AS fluency_pm
        | FROM documents d JOIN cen c ON d.doc_id = c.doc_id),
-       |rk AS (SELECT source, fluency_pm,
-       |  row_number() OVER (PARTITION BY source ORDER BY fluency_pm ASC) AS vr,
-       |  count(*) OVER (PARTITION BY source) AS n
-       | FROM pm),
-       |th AS (SELECT source,
-       |  max(CASE WHEN vr = (n-1)*1//3+1 THEN fluency_pm END) AS p33,
-       |  max(CASE WHEN vr = (n-1)*2//3+1 THEN fluency_pm END) AS p66
-       | FROM rk GROUP BY source),
-       |bd AS (SELECT p.doc_id, p.source, p.fluency_pm,
-       |  CASE WHEN p.fluency_pm <= t.p33 THEN 'tail'
-       |       WHEN p.fluency_pm <= t.p66 THEN 'middle'
-       |       ELSE 'head' END AS band
-       | FROM pm p JOIN th t USING (source))""".stripMargin
+       |${tercileBandSql("", "pm", Some("source"))}""".stripMargin
 
   /** q62's oracle — merged duplicated-span ranges; shared verbatim by
     * q120 (the winnow-accelerated plan must reproduce it exactly). */
@@ -4457,14 +4482,10 @@ object SparkEntry {
     // built from the same shared BandRates.
     "q148_band_rate_sample" -> {
       val h = duckHash("CAST(doc_id AS VARCHAR)")
-      def caseOf(pick: ((Int, Int)) => Int, dflt: Int): String =
-        BandRates.toSeq.sortBy(_._1)
-          .map { case (g, r) => s"WHEN '$g' THEN ${pick(r)}" }
-          .mkString("CASE band ", " ", s" ELSE $dflt END")
       s"""WITH $fluencyBandCtes
          |SELECT doc_id, source, fluency_pm, band FROM bd
-         |WHERE CAST($h AS HUGEINT) % ${caseOf(_._2, 1)}
-         |    < ${caseOf(_._1, 0)}""".stripMargin
+         |WHERE CAST($h AS HUGEINT) % ${bandRateCaseSql(_._2, 1)}
+         |    < ${bandRateCaseSql(_._1, 0)}""".stripMargin
     },
 
     // Banded capstone admission: the composed capstone chain (ending in
@@ -4474,10 +4495,6 @@ object SparkEntry {
     // global row-grain tercile edges, and the q148 hash-threshold draw.
     "q149_capstone_banded" -> {
       val h = duckHash("CAST(doc_id AS VARCHAR)")
-      def caseOf(pick: ((Int, Int)) => Int, dflt: Int): String =
-        BandRates.toSeq.sortBy(_._1)
-          .map { case (g, r) => s"WHEN '$g' THEN ${pick(r)}" }
-          .mkString("CASE band ", " ", s" ELSE $dflt END")
       s"""WITH RECURSIVE
          |$capstoneCtes,
          |${lmCteN(3, "flu", "fb")},
@@ -4486,22 +4503,10 @@ object SparkEntry {
              |  CAST(sum(CASE WHEN matched_ord >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS hi
              | FROM fbsc GROUP BY doc_id),
              |bpm AS (SELECT doc_id, (hi * 1000) // sn AS fluency_pm FROM bcen),
-             |brk AS (SELECT doc_id, fluency_pm,
-             |  row_number() OVER (ORDER BY fluency_pm ASC) AS vr,
-             |  count(*) OVER () AS n
-             | FROM bpm),
-             |bth AS (SELECT
-             |  max(CASE WHEN vr = (n-1)*1//3+1 THEN fluency_pm END) AS p33,
-             |  max(CASE WHEN vr = (n-1)*2//3+1 THEN fluency_pm END) AS p66
-             | FROM brk),
-             |bbd AS (SELECT p.doc_id, p.fluency_pm,
-             |  CASE WHEN p.fluency_pm <= t.p33 THEN 'tail'
-             |       WHEN p.fluency_pm <= t.p66 THEN 'middle'
-             |       ELSE 'head' END AS band
-             | FROM bpm p CROSS JOIN bth t)""".stripMargin)}
+             |${tercileBandSql("b", "bpm", None)}""".stripMargin)}
          |SELECT doc_id, fluency_pm, band FROM bbd
-         |WHERE CAST($h AS HUGEINT) % ${caseOf(_._2, 1)}
-         |    < ${caseOf(_._1, 0)}""".stripMargin
+         |WHERE CAST($h AS HUGEINT) % ${bandRateCaseSql(_._2, 1)}
+         |    < ${bandRateCaseSql(_._1, 0)}""".stripMargin
     },
 
     // Band-preferential mixture: the shared banding chain + the q56

@@ -214,6 +214,7 @@ object NgramLm {
                         rates: Map[String, (Int, Int)],
                         groupCol: Option[String] = None,
                         n: Int = 3): DataFrame = {
+    require(n >= 2, s"the order->=2 matched-mass permille needs n >= 2, got $n")
     val hiMass = (n to 2 by -1).map(k => s"o$k").mkString(" + ")
     val pm = backoffCensus(scoreTokens(docs, lm, totals, idCol, textCol, n), n)
       .select(col("id"),

@@ -415,8 +415,12 @@ object CorpusPipeline {
     val (bandKept, nPreBandRate, nBandKept) = bandRates match {
       case None => (fluent, -1L, -1L)
       case Some(rates) =>
-        val base = fluent.localCheckpoint() // census + banding + draw join
-        val nb = base.count()
+        // when 4a ran, `fluent` is already checkpointed and counted —
+        // never re-materialize the corpus between adjacent screens
+        val base =
+          if (nFluent >= 0) fluent
+          else fluent.localCheckpoint() // census + banding + draw join
+        val nb = if (nFluent >= 0) nFluent else base.count()
         val trainDocs = lmTrainDocs.getOrElse(base)
         val admitted = graft.operators.NgramLm.bandRateAdmission(base,
             graft.operators.NgramLm.lmCounts(trainDocs, textCol, n = 3, lmMinCount),
@@ -438,8 +442,14 @@ object CorpusPipeline {
     val (lmKept, nScreenCensus, nLmKept) = lmBandKeep match {
       case None => (bandKept, -1L, -1L)
       case Some((from, to)) =>
-        val base = bandKept.localCheckpoint() // census + scoring + band join
-        val nb = base.count()
+        // reuse the predecessor screen's checkpoint + count when one ran
+        val base =
+          if (nBandKept >= 0 || nFluent >= 0) bandKept
+          else bandKept.localCheckpoint() // census + scoring + band join
+        val nb =
+          if (nBandKept >= 0) nBandKept
+          else if (nFluent >= 0) nFluent
+          else base.count()
         val trainDocs = lmTrainDocs.getOrElse(base)
         val scoredToks = graft.operators.NgramLm.scoreTokens(base,
           graft.operators.NgramLm.lmCounts(trainDocs, textCol, n = 3, lmMinCount),
