@@ -51,7 +51,7 @@ object DiskScale {
     val knownOps = Set("all", "jac_capped", "jac_prefix08", "span_ranges",
       "span_sparse_w13", "winnow", "span_sparse_amz", "fuzzy_pairs",
       "quality_funnel", "lm_build", "lm_score", "lm5_build", "lm5_score",
-      "band_build", "band", "band_rate", "cls_score", "cap", "qtl_sketch", "qtl_exact")
+      "band_build", "band", "band_rate", "cls_score", "cap", "cap_banded", "qtl_sketch", "qtl_exact")
     val unknown = wanted -- knownOps
     require(unknown.isEmpty,
       s"unknown DiskScale op key(s): ${unknown.toSeq.sorted.mkString(", ")}; " +
@@ -260,6 +260,25 @@ object DiskScale {
             fluencyMin = Some(49 -> 50))
           noop(corpusOut)
           System.err.println(s"[diskscale] cap@$n report: $rep")
+        }
+      }
+      // the banded variant (stage 4a'' ON): cap_banded − cap isolates the
+      // stage's marginal — a second census over the fluent pool (the
+      // lm_score family's linear law at fluent-pool size) + flat banding
+      // + the free rate filter. Same single-eager-pass timing as cap.
+      if (want("cap_banded")) {
+        val corpus = docsH.where(col("doc_id") % 10 =!= 0)
+        val evalD = docsH.where(col("doc_id") % 10 === 0)
+        val capStages = qualStages.filterNot(_._1 == "r_stop_words")
+        rows("cap_banded") = time {
+          val (corpusOut, rep) = graft.pipeline.CorpusPipeline.run(
+            corpus, evalD, "doc_id", "text",
+            stages = capStages,
+            fluencyMin = Some(49 -> 50),
+            bandRates = Some(Map("head" -> ((9, 10)), "middle" -> ((1, 2)),
+              "tail" -> ((1, 10)))))
+          noop(corpusOut)
+          System.err.println(s"[diskscale] cap_banded@$n report: $rep")
         }
       }
 

@@ -4481,7 +4481,9 @@ object SparkEntry {
     // per-band hash-threshold test (hash mod denom < num), both CASEs
     // built from the same shared BandRates.
     "q148_band_rate_sample" -> {
-      val h = duckHash("CAST(doc_id AS VARCHAR)")
+      // '0 ' = the draw's seed domain (hashSampleByGroup's default seed
+      // prefix — domain-separated from the split hash by construction)
+      val h = duckHash("'0 ' || CAST(doc_id AS VARCHAR)")
       s"""WITH $fluencyBandCtes
          |SELECT doc_id, source, fluency_pm, band FROM bd
          |WHERE CAST($h AS HUGEINT) % ${bandRateCaseSql(_._2, 1)}
@@ -4494,7 +4496,7 @@ object SparkEntry {
     // chain censuses scr under scr's model, a different artifact), the
     // global row-grain tercile edges, and the q148 hash-threshold draw.
     "q149_capstone_banded" -> {
-      val h = duckHash("CAST(doc_id AS VARCHAR)")
+      val h = duckHash("'0 ' || CAST(doc_id AS VARCHAR)")
       s"""WITH RECURSIVE
          |$capstoneCtes,
          |${lmCteN(3, "flu", "fb")},

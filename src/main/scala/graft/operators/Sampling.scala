@@ -353,9 +353,17 @@ object Sampling {
 
   /** Deterministic fraction-of-keyspace sample: keeps rows whose key hashes
     * below `num`/`denom` of the hash range — stable under re-runs and
-    * engine-portable (unlike `sample(fraction, seed)`). */
-  def hashSample(df: DataFrame, keyCol: String, num: Int, denom: Int): DataFrame =
-    df.where(pmod(Hashing.stableHash60(col(keyCol).cast("string")), lit(denom)) < num)
+    * engine-portable (unlike `sample(fraction, seed)`). The seed prefixes
+    * the hashed key (the [[ppsSample]] convention): every threshold draw
+    * lives in its OWN hash domain, so composing a rate draw with the
+    * split assignment (or another draw) on the same key can never
+    * correlate — the hazard the cap_banded disk probe caught: an
+    * unsalted mod-10 draw upstream of the mod-10 split starves val/test
+    * entirely (tail survivors were exactly the train residue). */
+  def hashSample(df: DataFrame, keyCol: String, num: Int, denom: Int,
+                 seed: Long = 0L): DataFrame =
+    df.where(pmod(Hashing.stableHash60(concat_ws(" ",
+      lit(seed.toString), col(keyCol).cast("string"))), lit(denom)) < num)
 
   /**
    * Per-group rate admission: [[hashSample]] with GROUP-DEPENDENT
@@ -372,11 +380,13 @@ object Sampling {
    * edges). Groups absent from `rates` (or NULL) use `defaultRate`;
    * (0, d) drops the group, (d, d) keeps it whole. Deterministic branch
    * order (sorted keys) — map iteration order must never decide the
-   * expression tree.
+   * expression tree. The seed prefixes the hashed key ([[hashSample]]'s
+   * domain-separation discipline — see the correlation hazard there).
    */
   def hashSampleByGroup(df: DataFrame, groupCol: String, keyCol: String,
                         rates: Map[String, (Int, Int)],
-                        defaultRate: (Int, Int) = (0, 1)): DataFrame = {
+                        defaultRate: (Int, Int) = (0, 1),
+                        seed: Long = 0L): DataFrame = {
     require((rates.values.toSeq :+ defaultRate).forall {
       case (n, d) => d > 0 && n >= 0 && n <= d },
       "rates must satisfy 0 <= num <= denom, denom > 0")
@@ -386,7 +396,8 @@ object Sampling {
           Some(acc.fold(when(col(groupCol) === g, pick(r)))(
             _.when(col(groupCol) === g, pick(r))))
         }.fold(lit(dflt))(_.otherwise(dflt))
-    df.where(pmod(Hashing.stableHash60(col(keyCol).cast("string")),
+    df.where(pmod(Hashing.stableHash60(concat_ws(" ",
+        lit(seed.toString), col(keyCol).cast("string"))),
         caseOf(_._2, defaultRate._2).cast("long")) <
       caseOf(_._1, defaultRate._1).cast("long"))
   }

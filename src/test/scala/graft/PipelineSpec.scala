@@ -544,6 +544,11 @@ class PipelineSpec extends SparkSpec {
     assert(r1.bandRateFiltered == r0.corpus - direct.size && r1.bandRateFiltered > 0)
     assert(r1.afterBandRate == direct.size.toLong && r1.corpus == direct.size.toLong)
     assert(r1.contaminated == 0)
+    // the seeded draw is domain-separated from the split hash, so the
+    // admitted pool spans splits (the unsalted form could starve val/test
+    // whenever a draw denominator shared factors with the split modulus —
+    // the cap_banded disk-probe finding)
+    assert(r1.splitCounts.keySet.size >= 2, s"split starvation: ${r1.splitCounts}")
     // the head-preferential draw is live: every band contributes, and the
     // admitted set skews toward the head rate
     val byBand = Sampling.hashSampleByGroup(banded, "band", "doc_id", rates)
