@@ -244,18 +244,21 @@ object DiskScale {
       // contention). The Heaps corpus keeps near-dedup out of the
       // closed-vocab degeneracy, same as the jaccard rows; the stage
       // report prints to stderr so drops stay attributable.
+      // ONE corpus/eval holdout + stage list for both capstone rows — a
+      // convention change must move cap and cap_banded together or the
+      // cap_banded − cap marginal stops meaning anything. The stop-word
+      // rule is the per-language knob (SparkEntry localizes it to ITS
+      // corpus via Text.Stopwords); the synthetic vocabulary has no
+      // stopwords at all, so the rows run the other 20 screens — every
+      // expression still evaluates per doc, which is what the timing
+      // measures.
+      lazy val capCorpus = docsH.where(col("doc_id") % 10 =!= 0)
+      lazy val capEval = docsH.where(col("doc_id") % 10 === 0)
+      lazy val capStages = qualStages.filterNot(_._1 == "r_stop_words")
       if (want("cap")) {
-        val corpus = docsH.where(col("doc_id") % 10 =!= 0)
-        val evalD = docsH.where(col("doc_id") % 10 === 0)
-        // the stop-word rule is the per-language knob (SparkEntry
-        // localizes it to ITS corpus via Text.Stopwords); the synthetic
-        // vocabulary has no stopwords at all, so the row runs the other
-        // 20 screens — every expression still evaluates per doc, which is
-        // what the timing measures
-        val capStages = qualStages.filterNot(_._1 == "r_stop_words")
         rows("cap") = time {
           val (corpusOut, rep) = graft.pipeline.CorpusPipeline.run(
-            corpus, evalD, "doc_id", "text",
+            capCorpus, capEval, "doc_id", "text",
             stages = capStages,
             fluencyMin = Some(49 -> 50))
           noop(corpusOut)
@@ -267,12 +270,9 @@ object DiskScale {
       // lm_score family's linear law at fluent-pool size) + flat banding
       // + the free rate filter. Same single-eager-pass timing as cap.
       if (want("cap_banded")) {
-        val corpus = docsH.where(col("doc_id") % 10 =!= 0)
-        val evalD = docsH.where(col("doc_id") % 10 === 0)
-        val capStages = qualStages.filterNot(_._1 == "r_stop_words")
         rows("cap_banded") = time {
           val (corpusOut, rep) = graft.pipeline.CorpusPipeline.run(
-            corpus, evalD, "doc_id", "text",
+            capCorpus, capEval, "doc_id", "text",
             stages = capStages,
             fluencyMin = Some(49 -> 50),
             bandRates = Some(Map("head" -> ((9, 10)), "middle" -> ((1, 2)),

@@ -213,7 +213,7 @@ object NgramLm {
                         idCol: String, textCol: String,
                         rates: Map[String, (Int, Int)],
                         groupCol: Option[String] = None,
-                        n: Int = 3): DataFrame = {
+                        n: Int = 3, seed: Long = 0L): DataFrame = {
     require(n >= 2, s"the order->=2 matched-mass permille needs n >= 2, got $n")
     val hiMass = (n to 2 by -1).map(k => s"o$k").mkString(" + ")
     val pm = backoffCensus(scoreTokens(docs, lm, totals, idCol, textCol, n), n)
@@ -228,7 +228,7 @@ object NgramLm {
     val banded = CorpusStats.bandByGroupQuantiles(grouped, "__bandgrp",
       "fluency_pm", Seq(("p33", 1, 3), ("p66", 2, 3)),
       Seq("tail", "middle", "head"))
-    Sampling.hashSampleByGroup(banded, "band", "id", rates)
+    Sampling.hashSampleByGroup(banded, "band", "id", rates, seed = seed)
       .select(col("id").as(idCol), col("fluency_pm"), col("band"))
   }
 

@@ -362,8 +362,10 @@ object Sampling {
     * entirely (tail survivors were exactly the train residue). */
   def hashSample(df: DataFrame, keyCol: String, num: Int, denom: Int,
                  seed: Long = 0L): DataFrame =
-    df.where(pmod(Hashing.stableHash60(concat_ws(" ",
-      lit(seed.toString), col(keyCol).cast("string"))), lit(denom)) < num)
+    // concat (not concat_ws): a NULL key must stay NULL so the draw
+    // drops it — exactly like the oracle's null-propagating `||`
+    df.where(pmod(Hashing.stableHash60(concat(lit(s"$seed "),
+      col(keyCol).cast("string"))), lit(denom)) < num)
 
   /**
    * Per-group rate admission: [[hashSample]] with GROUP-DEPENDENT
@@ -396,8 +398,8 @@ object Sampling {
           Some(acc.fold(when(col(groupCol) === g, pick(r)))(
             _.when(col(groupCol) === g, pick(r))))
         }.fold(lit(dflt))(_.otherwise(dflt))
-    df.where(pmod(Hashing.stableHash60(concat_ws(" ",
-        lit(seed.toString), col(keyCol).cast("string"))),
+    df.where(pmod(Hashing.stableHash60(concat(lit(s"$seed "),
+        col(keyCol).cast("string"))),
         caseOf(_._2, defaultRate._2).cast("long")) <
       caseOf(_._1, defaultRate._1).cast("long"))
   }

@@ -202,6 +202,7 @@ object CorpusPipeline {
           fluencyMin: Option[(Int, Int)] = None,
           bandRates: Option[Map[String, (Int, Int)]] = None,
           bandGroupCol: Option[String] = None,
+          bandSeed: Long = 0L,
           lmBandKeep: Option[(Double, Double)] = None,
           lmMinCount: Long = 2L,
           lmAlpha: Double = 0.4,
@@ -425,7 +426,7 @@ object CorpusPipeline {
         val admitted = graft.operators.NgramLm.bandRateAdmission(base,
             graft.operators.NgramLm.lmCounts(trainDocs, textCol, n = 3, lmMinCount),
             graft.operators.NgramLm.lmTotals(trainDocs, textCol),
-            idCol, textCol, rates, bandGroupCol)
+            idCol, textCol, rates, bandGroupCol, seed = bandSeed)
           .select(col(idCol))
         val kept = base.join(admitted, Seq(idCol), "leftsemi").localCheckpoint()
         (kept, nb, kept.count())
