@@ -216,8 +216,11 @@ object Sampling {
     val weighted = df.withColumn("w", weightExpr.cast("long"))
       .where(col("w") > 0)
     val tot = weighted.agg(sum(col("w")).as("total"))
-    val h = Hashing.stableHash60(concat_ws(" ",
-      lit(seed.toString), col(idCol).cast("string")))
+    // concat (not concat_ws): a NULL id must hash NULL so the draw drops
+    // the row, matching the oracle's null-propagating `||` — the
+    // hashSample convention; identical bytes for non-null ids
+    val h = Hashing.stableHash60(concat(lit(s"$seed "),
+      col(idCol).cast("string")))
     weighted.crossJoin(broadcast(tot))
       .where(h.cast(dec) * col("total").cast(dec) <
         lit(targetRows).cast(dec) * col("w").cast(dec) *
@@ -242,8 +245,11 @@ object Sampling {
     require(targetRows > 0, "targetRows must be positive")
     require(total > 0, "total must be positive")
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val h = Hashing.stableHash60(concat_ws(" ",
-      lit(seed.toString), col(idCol).cast("string")))
+    // concat (not concat_ws): a NULL id must hash NULL so the draw drops
+    // the row, matching the oracle's null-propagating `||` — the
+    // hashSample convention; identical bytes for non-null ids
+    val h = Hashing.stableHash60(concat(lit(s"$seed "),
+      col(idCol).cast("string")))
     df.withColumn("w", weightExpr.cast("long")).where(col("w") > 0)
       .withColumn("total", lit(total))
       .where(h.cast(dec) * col("total").cast(dec) <
@@ -279,8 +285,11 @@ object Sampling {
     val weighted = df.withColumn("w", weightExpr.cast("long"))
       .where(col("w") > 0 && col(groupCol).isNotNull)
     val tot = weighted.groupBy(col(groupCol)).agg(sum(col("w")).as("__total"))
-    val h = Hashing.stableHash60(concat_ws(" ",
-      lit(seed.toString), col(idCol).cast("string")))
+    // concat (not concat_ws): a NULL id must hash NULL so the draw drops
+    // the row, matching the oracle's null-propagating `||` — the
+    // hashSample convention; identical bytes for non-null ids
+    val h = Hashing.stableHash60(concat(lit(s"$seed "),
+      col(idCol).cast("string")))
     // one plan row per group, enforced in-plan (the assert_true-in-filter
     // pattern — a duplicated group would silently MULTIPLY sampled rows
     // through the join); plan tables are group-cardinality, so the

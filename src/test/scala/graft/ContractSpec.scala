@@ -28,6 +28,59 @@ class ContractSpec extends SparkSpec {
     }
   }
 
+  test("hashSample / hashSampleByGroup reject malformed rates and drop NULL keys") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Sampling
+    val sess = spark; import sess.implicits._
+    val df = Seq(Some(1L), Some(2L), None).toDF("id")
+      .withColumn("grp", when(col("id").isNotNull, lit("g")).otherwise(lit("g")))
+    // rate contract: 0 <= num <= denom, denom > 0 — on every group's rate
+    // AND the default (a zero denom is a division-by-zero admission test;
+    // num > denom silently keeps everything)
+    for (bad <- Seq((-1, 2), (3, 2), (1, 0)))
+      intercept[IllegalArgumentException] {
+        Sampling.hashSampleByGroup(df, "grp", "id", Map("g" -> bad))
+      }
+    intercept[IllegalArgumentException] {
+      Sampling.hashSampleByGroup(df, "grp", "id", Map("g" -> ((1, 2))),
+        defaultRate = (2, 1))
+    }
+    // the quota twin (the q146 draw) rejects negative quotas the same way
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureSample(df, "grp", "id", Map("g" -> -1), defaultQuota = 0)
+    }
+    // the null-propagating concat convention: a NULL key hashes NULL, so
+    // a keep-everything rate still drops the NULL row (the oracle's `||`)
+    assert(Sampling.hashSample(df, "id", 1, 1).count() == 2)
+    assert(Sampling.hashSampleByGroup(df, "grp", "id", Map("g" -> ((1, 1))))
+      .count() == 2)
+    // ppsSample rides the same convention (ADVICE r8): certainty-weight
+    // rows enter iff their id is non-null
+    val w = df.withColumn("wt", lit(1000000L))
+    assert(Sampling.ppsSample(w, "id", col("wt"), targetRows = 100L,
+      seed = 7L).count() == 2)
+    assert(Sampling.ppsSampleWithTotal(w, "id", col("wt"), targetRows = 100L,
+      seed = 7L, total = 3000000L).count() == 2)
+  }
+
+  test("bandRateAdmission rejects orders below the order->=2 permille floor") {
+    import graft.operators.NgramLm
+    val sess = spark; import sess.implicits._
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val lm = NgramLm.lmCounts(docs, "text")
+    val tot = NgramLm.lmTotals(docs, "text")
+    intercept[IllegalArgumentException] {
+      NgramLm.bandRateAdmission(docs, lm, tot, "doc_id", "text",
+        Map("head" -> ((1, 1))), n = 1)
+    }
+    // and the rate contract propagates through the composed rule: the
+    // draw is built eagerly, so a malformed band rate fails at call time
+    intercept[IllegalArgumentException] {
+      NgramLm.bandRateAdmission(docs, lm, tot, "doc_id", "text",
+        Map("head" -> ((3, 2))))
+    }
+  }
+
   test("graft SQL functions evaluate after registration") {
     GraftExtensions.registerInto(spark)
     val r = spark.sql(

@@ -529,7 +529,7 @@ class StatefulOpsSpec extends SparkSpec {
     // fires instead of an NPE if the fixture ever stops producing
     // positive scores
     val total = docs.select(scoreOf.as("s")).where(col("s") > 0)
-      .agg(coalesce(sum("s"), lit(0L))).head.getLong(0)
+      .agg(coalesce(sum("s"), lit(0L))).head().getLong(0)
     assert(total > 0, "fixture must produce positive scores")
     // batch truth: the q147 composition against the known total; the
     // scoreColumn fold is spec-pinned ≡ scoreDocs, so this is q147's
@@ -648,11 +648,11 @@ class StatefulOpsSpec extends SparkSpec {
       .option("checkpointLocation", s"$root/ckpt").outputMode("complete").start()
     input.addData("a", "a", "b"); q.processAllAvailable()
     input.addData("b", "b", "c"); q.processAllAvailable()
-    val streamed = spark.sql("SELECT sk FROM cms_stream").head.getSeq[Long](0)
+    val streamed = spark.sql("SELECT sk FROM cms_stream").head().getSeq[Long](0)
     q.stop()
     // additive merge: streamed accumulation == one-shot batch sketch
     val batch = Seq("a", "a", "b", "b", "b", "c").toDF("token")
-      .agg(CountMinAgg.sketch(col("token"), depth, width)).head.getSeq[Long](0)
+      .agg(CountMinAgg.sketch(col("token"), depth, width)).head().getSeq[Long](0)
     assert(streamed == batch)
     assert(CountMinAgg.estimate(streamed, "b", depth, width) >= 3L)
   }
@@ -672,10 +672,10 @@ class StatefulOpsSpec extends SparkSpec {
     val rows = (1L to 40L).map(i => (i, i * 10L))
     input.addData(rows.take(25): _*); q.processAllAvailable()
     input.addData(rows.drop(25): _*); q.processAllAvailable()
-    val streamed = spark.sql("SELECT smp FROM bk_stream").head.getSeq[Long](0)
+    val streamed = spark.sql("SELECT smp FROM bk_stream").head().getSeq[Long](0)
     q.stop()
     // set-function state: streamed accumulation == one-shot batch sample
-    val batch = rows.toDF("id", "v").agg(smp).head.getSeq[Long](0)
+    val batch = rows.toDF("id", "v").agg(smp).head().getSeq[Long](0)
     assert(streamed == batch && streamed.length == k)
   }
 
@@ -693,10 +693,10 @@ class StatefulOpsSpec extends SparkSpec {
     // second batch RE-DELIVERS a and b — max-merge is idempotent, so
     // at-least-once delivery cannot corrupt the sketch (CMS would inflate)
     input.addData("a", "b", "c"); q.processAllAvailable()
-    val streamed = spark.sql("SELECT regs FROM hll_stream").head.getSeq[Int](0)
+    val streamed = spark.sql("SELECT regs FROM hll_stream").head().getSeq[Int](0)
     q.stop()
     val batch = Seq("a", "b", "c").toDF("v")
-      .agg(HllRegisterAgg.registers(col("v"), p)).head.getSeq[Int](0)
+      .agg(HllRegisterAgg.registers(col("v"), p)).head().getSeq[Int](0)
     assert(streamed == batch)
   }
 
