@@ -86,6 +86,16 @@ object DiskScale {
       val vocabH = math.max(400L, math.round(400.0 * math.cbrt(n / 80000.0)))
       val docsH = writeOnce(ScaleProbe.synthDocs(spark, n, vocabH), spark,
         s"$workdir/docsh_$n")
+      // Size-derived shuffle width (round 9, VERDICT-r8 gap 1): the
+      // 5M/15M bends all traced to aggregations spilling at the fixed
+      // session default, so the probe now sizes the width from the
+      // corpus actually ON DISK — the same rule a cluster job would
+      // apply from its input listing. The AQE ceiling already adapts
+      // keyed exchanges; this also moves the non-adaptive floor. A
+      // manual SPARK_GRAFT_SHUFFLE_PARTITIONS pin wins (diagnosis).
+      val width = GraftSession.sizeShuffleFor(spark,
+        GraftSession.bytesOnDisk(spark, s"$workdir/docsh_$n"))
+      System.err.println(s"[diskscale] n=$n shuffle width=$width")
       lazy val docs = writeOnce(ScaleProbe.synthDocs(spark, n), spark, s"$workdir/docs_$n")
       val pairId = expr("doc_id div 2")
       val block = concat_ws(" ", transform(sequence(lit(0), lit(23)),
@@ -290,7 +300,8 @@ object DiskScale {
         graft.operators.CorpusStats.exactQuantilesByGroup(lenDocs, "__grp",
           "__len", Seq(("p50", 1, 2), ("p90", 9, 10)))))
 
-      println((Seq(s""""n":$n""", s""""jac_vocab":$vocabH""") ++
+      println((Seq(s""""n":$n""", s""""jac_vocab":$vocabH""",
+        s""""width":$width""") ++
         rows.map { case (k, v) => s""""$k":${f2(v)}""" })
         .mkString("{", ",", "}"))
     }

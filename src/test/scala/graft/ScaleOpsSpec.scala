@@ -43,6 +43,44 @@ class ScaleOpsSpec extends SparkSpec {
     assert(saltsUsed == 8, s"hot key covered only $saltsUsed/8 salt buckets")
   }
 
+  test("shuffleWidthFor derives width from bytes, floored at cores, capped") {
+    // the r8-verdict gap-1 rule: partitions scale with DATA — one per
+    // 64 MiB of input — never below the core count, never unbounded
+    assert(GraftSession.shuffleWidthFor(0L, 32) == 32)
+    assert(GraftSession.shuffleWidthFor(1L << 30, 32) == 32)    // 16 < cores
+    assert(GraftSession.shuffleWidthFor(100L << 30, 32) == 1600)
+    assert(GraftSession.shuffleWidthFor(Long.MaxValue / 4, 32) == 4096)
+    assert(GraftSession.shuffleWidthFor((64L << 20) + 1, 1) == 2) // ceil, not floor
+    // the AQE pre-coalesce ceiling the local session pins
+    assert(GraftSession.initialPartitionsFor(32) == 1024)
+    assert(GraftSession.initialPartitionsFor(64) == 2048)
+    intercept[IllegalArgumentException] {
+      GraftSession.shuffleWidthFor(1L, 32, maxParts = 8) // cap below floor
+    }
+  }
+
+  test("sizeShuffleFor moves the live floor and keeps the AQE ceiling wide") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val beforeInit = spark.conf.getOption(
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+    try {
+      val w = GraftSession.sizeShuffleFor(spark, 200L << 30) // 200 GiB
+      assert(w == 3200 &&
+        spark.conf.get("spark.sql.shuffle.partitions") == "3200")
+      val init = spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum").toInt
+      assert(init >= w, s"AQE ceiling $init narrower than the floor $w")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", before)
+      beforeInit match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.adaptive.coalescePartitions.initialPartitionNum", v)
+        case None => spark.conf.unset(
+          "spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+      }
+    }
+  }
+
   test("AQE is live: post-shuffle partitions coalesce under the session contract") {
     // the spec session is built through GraftSession.configure (SparkSpec),
     // so this gates the CONTRACT's adaptive flags, not Spark defaults: a
