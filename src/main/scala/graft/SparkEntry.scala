@@ -1971,6 +1971,30 @@ object SparkEntry {
         graft.operators.NgramLm.lmTotals(flu, "text"),
         "doc_id", "text", BandRates)
     }),
+
+    // The multilingual production shape of q149 (VERDICT r8 gap 3): the
+    // CCNet recipe bands PER LANGUAGE — each source's fluency
+    // distribution gets its own tercile edges, so a verbose source
+    // can't push a terse source's docs into the tail. Same composed
+    // capstone pool, same self-trained model, same rates and seed; the
+    // ONLY change from q149 is `groupCol = source`, so the q149/q150
+    // pair is a direct global-vs-grouped A/B of one argument. Scale
+    // shape unchanged: the edges frame grows to |sources|×2 values,
+    // still broadcast; the corpus still never sorts or shuffles.
+    "q150_capstone_banded_by_source" -> ((s, dir) => {
+      val flu = capstoneShared(s, dir)._1.select(col("doc_id"), col("text"))
+      // re-attach source to the memoized pool: both sides doc-cardinality,
+      // so hash the narrow (doc_id, source) side instead of sorting both
+      val docs = flu.join(
+        t(s, dir, "documents").select(col("doc_id"), col("source"))
+          .hint("shuffle_hash"),
+        Seq("doc_id"))
+      graft.operators.NgramLm.bandRateAdmission(docs,
+        graft.operators.NgramLm.lmCounts(flu, "text", n = 3,
+          minCount = LmMinCount),
+        graft.operators.NgramLm.lmTotals(flu, "text"),
+        "doc_id", "text", BandRates, groupCol = Some("source"))
+    }),
   )
 
   /** Shared trainer for q137/q138 (train once per call site; the sample
@@ -4507,6 +4531,28 @@ object SparkEntry {
              |bpm AS (SELECT doc_id, (hi * 1000) // sn AS fluency_pm FROM bcen),
              |${tercileBandSql("b", "bpm", None)}""".stripMargin)}
          |SELECT doc_id, fluency_pm, band FROM bbd
+         |WHERE CAST($h AS HUGEINT) % ${bandRateCaseSql(_._2, 1)}
+         |    < ${bandRateCaseSql(_._1, 0)}""".stripMargin
+    },
+
+    // Per-source banded capstone admission: q149's chain with the
+    // second census joined back to each doc's source and the tercile
+    // edges computed PER SOURCE (the tercileBandSql grouped form q144
+    // uses on the raw corpus) — the multilingual CCNet shape over the
+    // composed capstone pool. Same '0 '-seeded draw domain as q148/q149.
+    "q150_capstone_banded_by_source" -> {
+      val h = duckHash("'0 ' || CAST(doc_id AS VARCHAR)")
+      s"""WITH RECURSIVE
+         |$capstoneCtes,
+         |${lmCteN(3, "flu", "fb")},
+         |${materializeCtes(
+          s"""bcen AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sn,
+             |  CAST(sum(CASE WHEN matched_ord >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS hi
+             | FROM fbsc GROUP BY doc_id),
+             |bpm AS (SELECT c.doc_id, d.source, (c.hi * 1000) // c.sn AS fluency_pm
+             | FROM bcen c JOIN documents d ON c.doc_id = d.doc_id),
+             |${tercileBandSql("b", "bpm", Some("source"))}""".stripMargin)}
+         |SELECT doc_id, source, fluency_pm, band FROM bbd
          |WHERE CAST($h AS HUGEINT) % ${bandRateCaseSql(_._2, 1)}
          |    < ${bandRateCaseSql(_._1, 0)}""".stripMargin
     },

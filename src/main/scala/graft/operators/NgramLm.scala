@@ -207,7 +207,9 @@ object NgramLm {
    * by the CorpusPipeline stage 4a'' and the q149 gate, so the stage
    * and the gate can never band or draw differently. Scale shape: the
    * census is the two-shuffle scorer, the edges broadcast back at group
-   * cardinality, and the rate test adds zero exchanges.
+   * cardinality, and the rate test adds zero exchanges. With a
+   * `groupCol` the admitted rows carry the group column too (the
+   * per-language audit needs to know WHICH band set admitted a doc).
    */
   def bandRateAdmission(docs: DataFrame, lm: DataFrame, totals: DataFrame,
                         idCol: String, textCol: String,
@@ -221,15 +223,23 @@ object NgramLm {
         // exact integer floor (`div` on non-negative longs)
         expr(s"(($hiMass) * 1000) div scored_tokens").as("fluency_pm"))
     val grouped = groupCol match {
+      // shuffle_hash on the narrow (id, group) side: both sides are
+      // doc-cardinality so a broadcast is wrong, but sorting two
+      // corpus-sized frames for a sort-merge is a worse trade than
+      // hashing the two-column build side (the q92 fetch-join rule)
       case Some(g) => pm.join(
-        docs.select(col(idCol).as("id"), col(g).as("__bandgrp")), Seq("id"))
+        docs.select(col(idCol).as("id"), col(g).as("__bandgrp"))
+          .hint("shuffle_hash"), Seq("id"))
       case None => pm.withColumn("__bandgrp", lit("all"))
     }
     val banded = CorpusStats.bandByGroupQuantiles(grouped, "__bandgrp",
       "fluency_pm", Seq(("p33", 1, 3), ("p66", 2, 3)),
       Seq("tail", "middle", "head"))
-    Sampling.hashSampleByGroup(banded, "band", "id", rates, seed = seed)
-      .select(col("id").as(idCol), col("fluency_pm"), col("band"))
+    val admitted = Sampling.hashSampleByGroup(banded, "band", "id", rates,
+      seed = seed)
+    admitted.select(Seq(col("id").as(idCol)) ++
+      groupCol.map(g => col("__bandgrp").as(g)).toSeq ++
+      Seq(col("fluency_pm"), col("band")): _*)
   }
 
   /**

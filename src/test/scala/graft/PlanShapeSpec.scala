@@ -80,6 +80,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
 
+  test("per-source banded capstone: the doc-cardinality id joins hash, " +
+    "never sort, and banding adds no range partitioning (q150)") {
+    val p = plan("q150_capstone_banded_by_source")
+    // the source re-attach and the census-to-group join are both
+    // corpus×corpus on doc id: shuffle-hash on the narrow side — a sort
+    // of two corpus-sized frames is the plan this pin forbids
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
   test("dimension joins broadcast (no sort-merge join on the dim side)") {
     val p = plan("q02_revenue_by_nation")
     assert(p.contains("BroadcastHashJoin"))
