@@ -5,6 +5,8 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local(cpus.toInt, "graft-bench")
+    // width from the data, not a constant (the session contract)
+    GraftSession.sizeShuffleFor(spark, GraftSession.bytesOnDisk(spark, sfDir))
     GraftSession.quietWindowWarnings() // harness tail: aggregated-cardinality windows only
     spark.sparkContext.setLogLevel("WARN")
     // optional args = query-name prefixes to run (local iteration); default all

@@ -7,18 +7,20 @@ import org.apache.spark.sql.SparkSession
  *
  * Local mode floors shuffle partitions at the core count (the 200
  * default just makes 32-core local runs schedule 6× too many tiny
- * tasks) and lets AQE derive the EFFECTIVE width from the data: the
- * pre-coalesce fan-out ([[initialPartitionsFor]]) is wide, and adaptive
- * coalescing merges post-shuffle partitions back to the advisory size
- * measured in bytes — so a shuffle's width scales with its data, never
- * with a constant (the round-8 15M-doc lesson: every growth-law bend
- * traced to a fixed width, SCALE.md). On a real cluster the same
- * contract reads: floor at ~2-3× total executor cores, ceiling at the
- * width your largest shuffle needs, AQE coalesces the rest — the
+ * tasks). Shuffle width is SIZE-DERIVED, not constant (the round-8
+ * 15M-doc lesson: every growth-law bend traced to a fixed width,
+ * SCALE.md): paths that know their input size call [[sizeShuffleFor]],
+ * which scales both the non-AQE floor and the AQE pre-coalesce ceiling
+ * with the bytes on disk, and AQE then coalesces post-shuffle
+ * partitions back to the advisory size measured in bytes. Sessions
+ * that never state a size get a modest ceiling
+ * ([[initialPartitionsFor]]) — fan-out has a real per-shuffle cost, so
+ * blind width is bounded in both directions. On a real cluster the
+ * same contract reads: floor at ~2-3× total executor cores, ceiling at
+ * the width your largest shuffle needs, AQE coalesces the rest — the
  * skew-join and coalesce flags below are what keep 100 TB shuffles
  * healthy; they are on by default in Spark 4 but pinned here as part
- * of the engine contract. Paths that know their input size can set the
- * floor explicitly via [[sizeShuffleFor]].
+ * of the engine contract.
  */
 object GraftSession {
 
@@ -27,13 +29,10 @@ object GraftSession {
     // AND AQE ceiling) for diagnosis runs — the knob that proved the
     // 15M-doc bends were the fixed-width spill, not the operators
     // (SCALE.md round 8). Absent the pin, the FLOOR is the core count
-    // (tiny local queries shouldn't schedule 200 tasks) but the AQE
-    // ceiling is wide: shuffles fan out to `initialPartitionNum` map
-    // buckets and AQE coalesces them back by MEASURED bytes, so the
-    // effective width is derived from the data, not from a constant —
-    // a 5M-doc aggregation holds ~64 MB partitions instead of spilling
-    // at width 32, while an 8-group count still collapses to a handful
-    // of tasks. This is the round-9 fix for the r8 verdict's gap 1.
+    // (tiny local queries shouldn't schedule 200 tasks) and the AQE
+    // ceiling is a modest multiple of it; harness paths that know
+    // their input size re-derive BOTH from the bytes on disk via
+    // sizeShuffleFor — the round-9 fix for the r8 verdict's gap 1.
     val pinned = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
     val shuffleParts = pinned.getOrElse(cores.toString)
     val initialParts = pinned.getOrElse(initialPartitionsFor(cores).toString)
@@ -49,14 +48,18 @@ object GraftSession {
   }
 
   /**
-   * Default AQE pre-coalesce fan-out for a local session: wide enough
-   * that the biggest local-tier workload (the 15M-doc disk probe) never
-   * sees a partition grow past memory, bounded so the per-shuffle
-   * bookkeeping (map-status entries = maps × buckets) stays trivial.
-   * On a cluster the same rule is "initialPartitionNum ≈ the width your
-   * largest shuffle would need; let AQE coalesce the rest".
+   * Default AQE pre-coalesce fan-out for a session that has NOT told us
+   * its input size: a modest multiple of the core count. The fan-out is
+   * not free — every map task writes `initialPartitionNum` buckets and
+   * the coalesce planner walks them, a per-shuffle fixed cost that a
+   * measured 150-query sf0.1 bench put at ~+37% query time under a
+   * 1024-bucket ceiling (round 9) — so the blind default only buys
+   * 4× headroom over the core floor, and paths that KNOW their input
+   * size buy real headroom through [[sizeShuffleFor]], which scales
+   * the ceiling with the data in both directions (down to the core
+   * floor on small inputs, up to 4096 on probe-scale corpora).
    */
-  def initialPartitionsFor(cores: Int): Int = math.max(32 * cores, 1024)
+  def initialPartitionsFor(cores: Int): Int = math.max(4 * cores, 128)
 
   /**
    * Size-derived shuffle width: one partition per `bytesPerPartition`
@@ -79,18 +82,27 @@ object GraftSession {
 
   /**
    * Apply [[shuffleWidthFor]] to a live session: sets the shuffle width
-   * (the non-AQE floor) and keeps the AQE pre-coalesce fan-out at least
-   * as wide. A manual SPARK_GRAFT_SHUFFLE_PARTITIONS pin wins — a
-   * diagnosis run must measure the width it asked for. Returns the
-   * width actually in force.
+   * (the non-AQE floor, one partition per 64 MiB of input) AND the AQE
+   * pre-coalesce ceiling (one bucket per 4 MiB of input — headroom for
+   * the up-to-~16× input-to-shuffle blowup of gram/shingle explosions,
+   * which is where the fixed-width spills actually lived). Both scale
+   * with the DATA: a 17 MB bench directory collapses the ceiling to the
+   * core floor (fan-out overhead is a measured ~+37% on small-query
+   * benches at a blind 1024), while the 15M-doc probe corpus raises it
+   * to ~700 so the gram aggregations hold ~64 MB partitions instead of
+   * spilling. A manual SPARK_GRAFT_SHUFFLE_PARTITIONS pin wins on both
+   * knobs — a diagnosis run must measure the width it asked for.
+   * Returns the floor width in force.
    */
   def sizeShuffleFor(spark: SparkSession, inputBytes: Long): Int = {
     val cores = spark.sparkContext.defaultParallelism
-    val width = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS").map(_.toInt)
-      .getOrElse(shuffleWidthFor(inputBytes, cores))
+    val pinned = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS").map(_.toInt)
+    val width = pinned.getOrElse(shuffleWidthFor(inputBytes, cores))
+    val ceiling = pinned.getOrElse(math.max(width,
+      shuffleWidthFor(inputBytes, cores, bytesPerPartition = 4L << 20)))
     spark.conf.set("spark.sql.shuffle.partitions", width.toString)
     spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-      math.max(width, initialPartitionsFor(cores)).toString)
+      ceiling.toString)
     width
   }
 

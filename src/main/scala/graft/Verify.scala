@@ -8,6 +8,8 @@ object Verify {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local(cpus.toInt, "graft-verify")
+    // width from the data, not a constant (the session contract)
+    GraftSession.sizeShuffleFor(spark, GraftSession.bytesOnDisk(spark, sfDir))
     GraftSession.quietWindowWarnings() // harness tail: aggregated-cardinality windows only
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

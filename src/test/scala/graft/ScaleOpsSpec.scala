@@ -51,9 +51,10 @@ class ScaleOpsSpec extends SparkSpec {
     assert(GraftSession.shuffleWidthFor(100L << 30, 32) == 1600)
     assert(GraftSession.shuffleWidthFor(Long.MaxValue / 4, 32) == 4096)
     assert(GraftSession.shuffleWidthFor((64L << 20) + 1, 1) == 2) // ceil, not floor
-    // the AQE pre-coalesce ceiling the local session pins
-    assert(GraftSession.initialPartitionsFor(32) == 1024)
-    assert(GraftSession.initialPartitionsFor(64) == 2048)
+    // the blind-default AQE pre-coalesce ceiling (no size stated): a
+    // modest multiple of cores — fan-out has a measured per-shuffle cost
+    assert(GraftSession.initialPartitionsFor(32) == 128)
+    assert(GraftSession.initialPartitionsFor(64) == 256)
     intercept[IllegalArgumentException] {
       GraftSession.shuffleWidthFor(1L, 32, maxParts = 8) // cap below floor
     }
@@ -70,6 +71,16 @@ class ScaleOpsSpec extends SparkSpec {
       val init = spark.conf.get(
         "spark.sql.adaptive.coalescePartitions.initialPartitionNum").toInt
       assert(init >= w, s"AQE ceiling $init narrower than the floor $w")
+      // and the ceiling scales DOWN with small data: a bench-sized
+      // directory collapses the fan-out to the core floor (blind-wide
+      // buckets measurably tax every small shuffle)
+      val cores = spark.sparkContext.defaultParallelism
+      val w2 = GraftSession.sizeShuffleFor(spark, 17L << 20) // 17 MiB
+      val init2 = spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum").toInt
+      val want = math.max(cores, 5) // ceil(17 MiB / 4 MiB) = 5
+      assert(w2 == cores && init2 == want,
+        s"small input should collapse near the core floor, got ($w2, $init2)")
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", before)
       beforeInit match {
