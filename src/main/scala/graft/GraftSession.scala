@@ -64,16 +64,21 @@ object GraftSession {
   /**
    * Size-derived shuffle width: one partition per `bytesPerPartition`
    * of INPUT data, floored at the core count and capped at `maxParts`.
-   * 64 MiB of (compressed, columnar) parquet decodes to a few hundred
-   * MB of row data — about what one post-shuffle partition should hold
-   * so sort-aggregations stay in memory. This is the explicit form of
-   * the sizing rule the AQE ceiling applies implicitly; harness paths
-   * that know their input size (the disk probe) call [[sizeShuffleFor]]
-   * so even non-adaptive shuffles (e.g. streaming state) scale with
-   * the data instead of riding a fixed default.
+   * The default charges 16 MiB of input per partition: compressed
+   * parquet text decodes ~4× and the engine's widest hot paths (gram /
+   * shingle streams) then expand the row count again, so 16 MiB of
+   * input is roughly one healthy post-shuffle partition at the widest
+   * point. Calibration is MEASURED, not assumed (SCALE.md round 9): at
+   * 15M docs (2.8 GB input) this rule gives ~176 partitions, squarely
+   * in family with the 160-partition diagnosis run that recovered the
+   * round-8 lm_score spill (645.7 → 498.6 s); at bench scale (17 MB) it
+   * collapses to the core floor. A more aggressive rule (4 MiB → width
+   * 235 at 5M docs) was measured and REJECTED: per-shuffle fan-out
+   * overhead taxed every non-spilling op (+77% on the broadcast LM
+   * scorer, +12% on the capstone) for one win on the worst spiller.
    */
   def shuffleWidthFor(inputBytes: Long, cores: Int,
-                      bytesPerPartition: Long = 64L << 20,
+                      bytesPerPartition: Long = 16L << 20,
                       maxParts: Int = 4096): Int = {
     require(bytesPerPartition > 0 && cores > 0 && maxParts >= cores)
     val byData = (inputBytes + bytesPerPartition - 1) / bytesPerPartition
@@ -81,28 +86,21 @@ object GraftSession {
   }
 
   /**
-   * Apply [[shuffleWidthFor]] to a live session: sets the shuffle width
-   * (the non-AQE floor, one partition per 64 MiB of input) AND the AQE
-   * pre-coalesce ceiling (one bucket per 4 MiB of input — headroom for
-   * the up-to-~16× input-to-shuffle blowup of gram/shingle explosions,
-   * which is where the fixed-width spills actually lived). Both scale
-   * with the DATA: a 17 MB bench directory collapses the ceiling to the
-   * core floor (fan-out overhead is a measured ~+37% on small-query
-   * benches at a blind 1024), while the 15M-doc probe corpus raises it
-   * to ~700 so the gram aggregations hold ~64 MB partitions instead of
-   * spilling. A manual SPARK_GRAFT_SHUFFLE_PARTITIONS pin wins on both
-   * knobs — a diagnosis run must measure the width it asked for.
-   * Returns the floor width in force.
+   * Apply [[shuffleWidthFor]] to a live session: ONE width, set as both
+   * the shuffle-partition floor and the AQE pre-coalesce fan-out, so
+   * every shuffle starts at the data-derived width and AQE coalesces
+   * the small ones back down (downward adaptivity is nearly free;
+   * upward fan-out is the measured tax above). A manual
+   * SPARK_GRAFT_SHUFFLE_PARTITIONS pin wins — a diagnosis run must
+   * measure the width it asked for. Returns the width in force.
    */
   def sizeShuffleFor(spark: SparkSession, inputBytes: Long): Int = {
     val cores = spark.sparkContext.defaultParallelism
-    val pinned = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS").map(_.toInt)
-    val width = pinned.getOrElse(shuffleWidthFor(inputBytes, cores))
-    val ceiling = pinned.getOrElse(math.max(width,
-      shuffleWidthFor(inputBytes, cores, bytesPerPartition = 4L << 20)))
+    val width = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS").map(_.toInt)
+      .getOrElse(shuffleWidthFor(inputBytes, cores))
     spark.conf.set("spark.sql.shuffle.partitions", width.toString)
     spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-      ceiling.toString)
+      width.toString)
     width
   }
 

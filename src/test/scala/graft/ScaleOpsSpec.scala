@@ -45,12 +45,13 @@ class ScaleOpsSpec extends SparkSpec {
 
   test("shuffleWidthFor derives width from bytes, floored at cores, capped") {
     // the r8-verdict gap-1 rule: partitions scale with DATA — one per
-    // 64 MiB of input — never below the core count, never unbounded
+    // 16 MiB of input (the measured blowup calibration, SCALE.md r9) —
+    // never below the core count, never unbounded
     assert(GraftSession.shuffleWidthFor(0L, 32) == 32)
-    assert(GraftSession.shuffleWidthFor(1L << 30, 32) == 32)    // 16 < cores
-    assert(GraftSession.shuffleWidthFor(100L << 30, 32) == 1600)
+    assert(GraftSession.shuffleWidthFor(1L << 30, 32) == 64)
+    assert(GraftSession.shuffleWidthFor(100L << 30, 32) == 4096) // capped
     assert(GraftSession.shuffleWidthFor(Long.MaxValue / 4, 32) == 4096)
-    assert(GraftSession.shuffleWidthFor((64L << 20) + 1, 1) == 2) // ceil, not floor
+    assert(GraftSession.shuffleWidthFor((16L << 20) + 1, 1) == 2) // ceil, not floor
     // the blind-default AQE pre-coalesce ceiling (no size stated): a
     // modest multiple of cores — fan-out has a measured per-shuffle cost
     assert(GraftSession.initialPartitionsFor(32) == 128)
@@ -65,22 +66,22 @@ class ScaleOpsSpec extends SparkSpec {
     val beforeInit = spark.conf.getOption(
       "spark.sql.adaptive.coalescePartitions.initialPartitionNum")
     try {
-      val w = GraftSession.sizeShuffleFor(spark, 200L << 30) // 200 GiB
-      assert(w == 3200 &&
-        spark.conf.get("spark.sql.shuffle.partitions") == "3200")
+      val w = GraftSession.sizeShuffleFor(spark, 10L << 30) // 10 GiB
+      assert(w == 640 &&
+        spark.conf.get("spark.sql.shuffle.partitions") == "640")
       val init = spark.conf.get(
         "spark.sql.adaptive.coalescePartitions.initialPartitionNum").toInt
-      assert(init >= w, s"AQE ceiling $init narrower than the floor $w")
-      // and the ceiling scales DOWN with small data: a bench-sized
+      assert(init == w, s"one width, both knobs: got ceiling $init, floor $w")
+      // and the width scales DOWN with small data: a bench-sized
       // directory collapses the fan-out to the core floor (blind-wide
-      // buckets measurably tax every small shuffle)
+      // buckets measurably tax every small shuffle — the rejected-4MiB
+      // measurement in SCALE.md round 9)
       val cores = spark.sparkContext.defaultParallelism
       val w2 = GraftSession.sizeShuffleFor(spark, 17L << 20) // 17 MiB
       val init2 = spark.conf.get(
         "spark.sql.adaptive.coalescePartitions.initialPartitionNum").toInt
-      val want = math.max(cores, 5) // ceil(17 MiB / 4 MiB) = 5
-      assert(w2 == cores && init2 == want,
-        s"small input should collapse near the core floor, got ($w2, $init2)")
+      assert(w2 == cores && init2 == cores,
+        s"small input should collapse to the core floor, got ($w2, $init2)")
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", before)
       beforeInit match {
