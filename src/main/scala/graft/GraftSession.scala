@@ -53,13 +53,15 @@ object GraftSession {
    * not free — every map task writes `initialPartitionNum` buckets and
    * the coalesce planner walks them, a per-shuffle fixed cost that a
    * measured 150-query sf0.1 bench put at ~+37% query time under a
-   * 1024-bucket ceiling (round 9) — so the blind default only buys
-   * 4× headroom over the core floor, and paths that KNOW their input
-   * size buy real headroom through [[sizeShuffleFor]], which scales
-   * the ceiling with the data in both directions (down to the core
-   * floor on small inputs, up to 4096 on probe-scale corpora).
+   * 1024-bucket ceiling (round 9) — so the blind default buys exactly
+   * 4× headroom over the core floor (no absolute floor: a 4-core
+   * user-facing session gets 16, not an unmeasured 128-bucket tax —
+   * ADVICE r9), and paths that KNOW their input size buy real headroom
+   * through [[sizeShuffleFor]], which scales the ceiling with the data
+   * in both directions (down to the core floor on small inputs, up to
+   * 4096 on probe-scale corpora).
    */
-  def initialPartitionsFor(cores: Int): Int = math.max(4 * cores, 128)
+  def initialPartitionsFor(cores: Int): Int = 4 * cores
 
   /**
    * Size-derived shuffle width: one partition per `bytesPerPartition`
@@ -69,7 +71,7 @@ object GraftSession {
    * shingle streams) then expand the row count again, so 16 MiB of
    * input is roughly one healthy post-shuffle partition at the widest
    * point. Calibration is MEASURED, not assumed (SCALE.md round 9): at
-   * 15M docs (2.8 GB input) this rule gives ~176 partitions, squarely
+   * 15M docs (2.9 GB input) this rule gives 182 partitions, squarely
    * in family with the 160-partition diagnosis run that recovered the
    * round-8 lm_score spill (645.7 → 498.6 s); at bench scale (17 MB) it
    * collapses to the core floor. A more aggressive rule (4 MiB → width

@@ -22,6 +22,28 @@ object Hashing {
   def stableHash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /**
+   * Seed-domain draw key — the ONE structural definition of the engine's
+   * hash-threshold convention (VERDICT r9 ask 3). Two laws, both load-
+   * bearing and both pinned by ContractSpec/SamplingSpec:
+   *
+   *  1. The seed PREFIXES the key, so every threshold draw lives in its
+   *     own hash domain — composing a rate draw with a split assignment
+   *     (or another draw) on the same key can never correlate. The
+   *     hazard is real: an unsalted mod-10 draw upstream of a mod-10
+   *     split starved val/test entirely on the cap_banded disk probe.
+   *  2. The concat is NULL-PROPAGATING (`concat`, not `concat_ws`): a
+   *     NULL key hashes NULL, so any `hash < threshold` test drops the
+   *     row — exactly the oracle's null-propagating `||`.
+   *
+   * Every hash-threshold operator (PPS family, hashSample family, the
+   * band-rate admission riding them) MUST build its draw through this
+   * helper; the five formerly comment-enforced call sites in Sampling
+   * now cannot drift.
+   */
+  def domain(seed: Long, key: Column): Column =
+    stableHash60(concat(lit(s"$seed "), key.cast("string")))
+
   /** Plain-Scala twin of [[stableHash60]] — same value for the same string.
     * For code that hashes OUTSIDE a Column expression (streaming state
     * functions, driver-side draws); HashingSpec pins the equality. */

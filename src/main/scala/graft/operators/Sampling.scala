@@ -207,20 +207,20 @@ object Sampling {
    *
    * Scale shape: one one-row total aggregation broadcast back + a narrow
    * codegen filter — the corpus never shuffles. Zero-weight rows are
-   * excluded (prob 0).
+   * excluded (prob 0), and so are NULL-id rows: the null-propagating
+   * draw can never admit them, so keeping their weight in Σw would bias
+   * every Horvitz-Thompson estimate (ADVICE r9) — the denominator is the
+   * SAMPLEABLE population.
    */
   def ppsSample(df: DataFrame, idCol: String, weightExpr: Column,
                 targetRows: Long, seed: Long): DataFrame = {
     require(targetRows > 0, "targetRows must be positive")
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val weighted = df.withColumn("w", weightExpr.cast("long"))
-      .where(col("w") > 0)
+      .where(col("w") > 0 && col(idCol).isNotNull)
     val tot = weighted.agg(sum(col("w")).as("total"))
-    // concat (not concat_ws): a NULL id must hash NULL so the draw drops
-    // the row, matching the oracle's null-propagating `||` — the
-    // hashSample convention; identical bytes for non-null ids
-    val h = Hashing.stableHash60(concat(lit(s"$seed "),
-      col(idCol).cast("string")))
+    val h = Hashing.domain(seed, col(idCol)) // null-propagating seed-domain draw
+
     weighted.crossJoin(broadcast(tot))
       .where(h.cast(dec) * col("total").cast(dec) <
         lit(targetRows).cast(dec) * col("w").cast(dec) *
@@ -245,12 +245,12 @@ object Sampling {
     require(targetRows > 0, "targetRows must be positive")
     require(total > 0, "total must be positive")
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    // concat (not concat_ws): a NULL id must hash NULL so the draw drops
-    // the row, matching the oracle's null-propagating `||` — the
-    // hashSample convention; identical bytes for non-null ids
-    val h = Hashing.stableHash60(concat(lit(s"$seed "),
-      col(idCol).cast("string")))
-    df.withColumn("w", weightExpr.cast("long")).where(col("w") > 0)
+    val h = Hashing.domain(seed, col(idCol)) // null-propagating seed-domain draw
+    // NULL-id rows are dropped up front (the draw could never admit
+    // them); the CALLER's census must likewise exclude NULL ids for the
+    // external `total` to match the sampleable population (ADVICE r9)
+    df.withColumn("w", weightExpr.cast("long"))
+      .where(col("w") > 0 && col(idCol).isNotNull)
       .withColumn("total", lit(total))
       .where(h.cast(dec) * col("total").cast(dec) <
         lit(targetRows).cast(dec) * col("w").cast(dec) *
@@ -282,14 +282,12 @@ object Sampling {
                        weightExpr: Column, targets: DataFrame,
                        seed: Long): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    // NULL-id rows excluded from the per-group Σw for the same HT-bias
+    // reason as [[ppsSample]] (ADVICE r9)
     val weighted = df.withColumn("w", weightExpr.cast("long"))
-      .where(col("w") > 0 && col(groupCol).isNotNull)
+      .where(col("w") > 0 && col(groupCol).isNotNull && col(idCol).isNotNull)
     val tot = weighted.groupBy(col(groupCol)).agg(sum(col("w")).as("__total"))
-    // concat (not concat_ws): a NULL id must hash NULL so the draw drops
-    // the row, matching the oracle's null-propagating `||` — the
-    // hashSample convention; identical bytes for non-null ids
-    val h = Hashing.stableHash60(concat(lit(s"$seed "),
-      col(idCol).cast("string")))
+    val h = Hashing.domain(seed, col(idCol)) // null-propagating seed-domain draw
     // one plan row per group, enforced in-plan (the assert_true-in-filter
     // pattern — a duplicated group would silently MULTIPLY sampled rows
     // through the join); plan tables are group-cardinality, so the
@@ -371,10 +369,7 @@ object Sampling {
     * entirely (tail survivors were exactly the train residue). */
   def hashSample(df: DataFrame, keyCol: String, num: Int, denom: Int,
                  seed: Long = 0L): DataFrame =
-    // concat (not concat_ws): a NULL key must stay NULL so the draw
-    // drops it — exactly like the oracle's null-propagating `||`
-    df.where(pmod(Hashing.stableHash60(concat(lit(s"$seed "),
-      col(keyCol).cast("string"))), lit(denom)) < num)
+    df.where(pmod(Hashing.domain(seed, col(keyCol)), lit(denom)) < num)
 
   /**
    * Per-group rate admission: [[hashSample]] with GROUP-DEPENDENT
@@ -407,8 +402,7 @@ object Sampling {
           Some(acc.fold(when(col(groupCol) === g, pick(r)))(
             _.when(col(groupCol) === g, pick(r))))
         }.fold(lit(dflt))(_.otherwise(dflt))
-    df.where(pmod(Hashing.stableHash60(concat(lit(s"$seed "),
-        col(keyCol).cast("string"))),
+    df.where(pmod(Hashing.domain(seed, col(keyCol)),
         caseOf(_._2, defaultRate._2).cast("long")) <
       caseOf(_._1, defaultRate._1).cast("long"))
   }

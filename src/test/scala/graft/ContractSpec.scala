@@ -61,6 +61,14 @@ class ContractSpec extends SparkSpec {
       seed = 7L).count() == 2)
     assert(Sampling.ppsSampleWithTotal(w, "id", col("wt"), targetRows = 100L,
       seed = 7L, total = 3000000L).count() == 2)
+    // and the Σw DENOMINATOR is the SAMPLEABLE population (ADVICE r9):
+    // the NULL-id row's weight must not dilute incl_prob/ht_weight —
+    // two sampleable 1M-weight rows at target 1 means incl_prob is
+    // exactly 0.5 (not 1/3 against a 3M total that includes the
+    // permanently unsampleable NULL row)
+    val probs = Sampling.ppsSample(w, "id", col("wt"), targetRows = 1L,
+      seed = 7L).select("incl_prob").collect().map(_.getDouble(0))
+    assert(probs.forall(_ == 0.5), s"HT denominator biased: ${probs.toSeq}")
   }
 
   test("bandRateAdmission rejects orders below the order->=2 permille floor") {

@@ -56,12 +56,19 @@ class ScaleOpsSpec extends SparkSpec {
     // modest multiple of cores — fan-out has a measured per-shuffle cost
     assert(GraftSession.initialPartitionsFor(32) == 128)
     assert(GraftSession.initialPartitionsFor(64) == 256)
+    // exactly 4× — no hidden absolute floor: a small-core user-facing
+    // session must not pay an unmeasured wide-bucket tax (ADVICE r9)
+    assert(GraftSession.initialPartitionsFor(4) == 16)
     intercept[IllegalArgumentException] {
       GraftSession.shuffleWidthFor(1L, 32, maxParts = 8) // cap below floor
     }
   }
 
   test("sizeShuffleFor moves the live floor and keeps the AQE ceiling wide") {
+    // the diagnosis pin deliberately overrides sizeShuffleFor, so this
+    // test is only meaningful when the pin is absent (ADVICE r9)
+    assume(sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS").isEmpty,
+      "SPARK_GRAFT_SHUFFLE_PARTITIONS pin active — sized-width assertions skipped")
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     val beforeInit = spark.conf.getOption(
       "spark.sql.adaptive.coalescePartitions.initialPartitionNum")
