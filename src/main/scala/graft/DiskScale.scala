@@ -93,9 +93,21 @@ object DiskScale {
       // apply from its input listing. The AQE ceiling already adapts
       // keyed exchanges; this also moves the non-adaptive floor. A
       // manual SPARK_GRAFT_SHUFFLE_PARTITIONS pin wins (diagnosis).
-      val width = GraftSession.sizeShuffleFor(spark,
-        GraftSession.bytesOnDisk(spark, s"$workdir/docsh_$n"))
-      System.err.println(s"[diskscale] n=$n shuffle width=$width")
+      val corpusBytes = GraftSession.bytesOnDisk(spark, s"$workdir/docsh_$n")
+      val width = GraftSession.sizeShuffleFor(spark, corpusBytes)
+      // Per-op width hint (VERDICT r9 ask 1): the gram-stream count
+      // builds are the measured worst spillers (lm5_build 323 → 242 s
+      // under the rejected session-global 4 MiB rule, SCALE.md round 9),
+      // so THEY get the 4 MiB charge through a scoped withShuffleWidth
+      // block while every other row keeps the session width.
+      // SPARK_GRAFT_OP_WIDTH=off disables the hint — the A/B control
+      // arm is a flag flip on the same binary.
+      val opWidthOff = sys.env.get("SPARK_GRAFT_OP_WIDTH").contains("off")
+      val blowW = GraftSession.blowupWidthFor(corpusBytes, cpus)
+      def hinted[T](f: => T): T =
+        if (opWidthOff) f else GraftSession.withShuffleWidth(spark, blowW)(f)
+      System.err.println(s"[diskscale] n=$n shuffle width=$width " +
+        s"gram-agg width=${if (opWidthOff) "off" else blowW.toString}")
       lazy val docs = writeOnce(ScaleProbe.synthDocs(spark, n), spark, s"$workdir/docs_$n")
       val pairId = expr("doc_id div 2")
       val block = concat_ws(" ", transform(sequence(lit(0), lit(23)),
@@ -166,11 +178,11 @@ object DiskScale {
       // scoreTokens' default (explicit broadcast — the round-8 fix; the
       // planner's size-estimate choice was the measured 13× cliff,
       // SCALE.md).
-      lazy val lmTbl = writeOnce(
+      lazy val lmTbl = hinted(writeOnce(
         graft.operators.NgramLm.lmCounts(docsH, "text", n = 3, minCount = 5),
-        spark, s"$workdir/lm_$n")
-      row("lm_build")(noop(
-        graft.operators.NgramLm.lmCounts(docsH, "text", n = 3, minCount = 5)))
+        spark, s"$workdir/lm_$n"))
+      row("lm_build")(hinted(noop(
+        graft.operators.NgramLm.lmCounts(docsH, "text", n = 3, minCount = 5))))
       lazy val totalsH = graft.operators.NgramLm.lmTotals(docsH, "text")
       row("lm_score")(noop(
         graft.operators.NgramLm.scoreTokens(docsH, lmTbl, totalsH,
@@ -181,11 +193,11 @@ object DiskScale {
       // per-token fan-out in the repo. The "two shuffles at any order"
       // contract is only meaningful if this row stays linear with the
       // same broadcast-lookup law as the trigram row.
-      lazy val lm5Tbl = writeOnce(
+      lazy val lm5Tbl = hinted(writeOnce(
         graft.operators.NgramLm.lmCounts(docsH, "text", n = 5, minCount = 5),
-        spark, s"$workdir/lm5_$n")
-      row("lm5_build")(noop(
-        graft.operators.NgramLm.lmCounts(docsH, "text", n = 5, minCount = 5)))
+        spark, s"$workdir/lm5_$n"))
+      row("lm5_build")(hinted(noop(
+        graft.operators.NgramLm.lmCounts(docsH, "text", n = 5, minCount = 5))))
       row("lm5_score")(noop(
         graft.operators.NgramLm.scoreTokens(docsH, lm5Tbl, totalsH,
           "doc_id", "text", n = 5)))
@@ -270,7 +282,8 @@ object DiskScale {
           val (corpusOut, rep) = graft.pipeline.CorpusPipeline.run(
             capCorpus, capEval, "doc_id", "text",
             stages = capStages,
-            fluencyMin = Some(49 -> 50))
+            fluencyMin = Some(49 -> 50),
+            gramWidth = if (opWidthOff) None else Some(blowW))
           noop(corpusOut)
           System.err.println(s"[diskscale] cap@$n report: $rep")
         }
@@ -286,7 +299,8 @@ object DiskScale {
             stages = capStages,
             fluencyMin = Some(49 -> 50),
             bandRates = Some(Map("head" -> ((9, 10)), "middle" -> ((1, 2)),
-              "tail" -> ((1, 10)))))
+              "tail" -> ((1, 10)))),
+            gramWidth = if (opWidthOff) None else Some(blowW))
           noop(corpusOut)
           System.err.println(s"[diskscale] cap_banded@$n report: $rep")
         }
@@ -301,7 +315,8 @@ object DiskScale {
           "__len", Seq(("p50", 1, 2), ("p90", 9, 10)))))
 
       println((Seq(s""""n":$n""", s""""jac_vocab":$vocabH""",
-        s""""width":$width""") ++
+        s""""width":$width""",
+        s""""op_width":${if (opWidthOff) 0 else blowW}""") ++
         rows.map { case (k, v) => s""""$k":${f2(v)}""" })
         .mkString("{", ",", "}"))
     }

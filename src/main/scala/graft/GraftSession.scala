@@ -106,6 +106,53 @@ object GraftSession {
     width
   }
 
+  /**
+   * PER-OPERATOR width for the known row-blowup aggregations — the gram
+   * streams ([[graft.operators.NgramLm.lmCounts]]: ~n× the token stream
+   * before aggregating) and the shingle posting lists. The round-9
+   * 4 MiB-per-partition A/B proved BOTH halves of this trade at 5M docs
+   * (SCALE.md): session-global it rescued the worst spiller (lm5_build
+   * 323 → 242 s) but taxed every non-spilling op (lm_score +77%, cap
+   * +12%) — so the 4 MiB charge belongs to the blowup operators ONLY,
+   * applied through [[withShuffleWidth]] around just their exchanges
+   * while the session keeps the 16 MiB global rule. `inputBytes` is the
+   * bytes feeding the OPERATOR (its pre-screen upper bound is fine —
+   * mild over-width is cheap; the measured tax came from blanket
+   * session-wide fan-out, not a 2× overshoot on one exchange).
+   */
+  def blowupWidthFor(inputBytes: Long, cores: Int): Int =
+    shuffleWidthFor(inputBytes, cores, bytesPerPartition = 4L << 20)
+
+  /**
+   * Scoped shuffle width: run `f` with BOTH width knobs (shuffle floor +
+   * AQE pre-coalesce ceiling) set to `width`, restoring the session
+   * values after — the per-operator form of [[sizeShuffleFor]]. The
+   * width binds at ACTION time, so `f` must MATERIALIZE the frame whose
+   * exchanges it means to widen (write / count / localCheckpoint inside
+   * the block); a lazy frame escaping the block picks up whatever the
+   * session width is when it finally executes. A manual
+   * SPARK_GRAFT_SHUFFLE_PARTITIONS pin wins, as everywhere — a
+   * diagnosis run must measure the width it asked for.
+   */
+  def withShuffleWidth[T](spark: SparkSession, width: Int)(f: => T): T = {
+    if (sys.env.contains("SPARK_GRAFT_SHUFFLE_PARTITIONS")) f
+    else {
+      val floorKey = "spark.sql.shuffle.partitions"
+      val ceilKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+      val oldFloor = spark.conf.get(floorKey)
+      val oldCeil = spark.conf.getOption(ceilKey)
+      spark.conf.set(floorKey, width.toString)
+      spark.conf.set(ceilKey, width.toString)
+      try f finally {
+        spark.conf.set(floorKey, oldFloor)
+        oldCeil match {
+          case Some(v) => spark.conf.set(ceilKey, v)
+          case None    => spark.conf.unset(ceilKey)
+        }
+      }
+    }
+  }
+
   /** Bytes on disk under `path` (parquet dir or file) — the input-size
     * probe [[sizeShuffleFor]] feeds on. */
   def bytesOnDisk(spark: SparkSession, path: String): Long = {

@@ -209,7 +209,8 @@ object CorpusPipeline {
           lmTrainDocs: Option[DataFrame] = None,
           tokenBudgetDocs: Option[Long] = None,
           budgetSeed: Long = 0L,
-          emitJsonlPath: Option[String] = None): (DataFrame, Report) = {
+          emitJsonlPath: Option[String] = None,
+          gramWidth: Option[Int] = None): (DataFrame, Report) = {
     // Argument-only checks fail BEFORE any cluster work — stage 5's
     // quota math must not be the first place a bad weight list surfaces.
     if (stratifyBy.isDefined)
@@ -385,6 +386,26 @@ object CorpusPipeline {
     // IncrementalDedup.attachFluencyScreen — StatefulOpsSpec pins the
     // parity). The stage IS that operator applied to the self-trained
     // (or lmTrainDocs) model — one decision rule, one implementation.
+    // Shared trigram-model build for stages 4a/4a''/4a' — the pipeline's
+    // one row-BLOWUP aggregation (the gram stream is ~3× the token stream
+    // before it aggregates). With `gramWidth` stated (the per-op hint,
+    // VERDICT r9 ask 1: GraftSession.blowupWidthFor's 4 MiB charge from
+    // the bytes the CALLER read off disk), the model materializes INSIDE
+    // the scoped-width block so only ITS exchanges widen; scoring and
+    // every other stage keep the session width — the measured round-9
+    // A/B showed the 4 MiB rule applied session-globally rescues the
+    // build but taxes every non-spilling op. Default None keeps the
+    // lazy build exactly as before (gates unchanged).
+    def buildLm(trainDocs: DataFrame): DataFrame = gramWidth match {
+      case Some(w) =>
+        graft.GraftSession.withShuffleWidth(docs.sparkSession, w) {
+          graft.operators.NgramLm.lmCounts(trainDocs, textCol, n = 3, lmMinCount)
+            .localCheckpoint()
+        }
+      case None =>
+        graft.operators.NgramLm.lmCounts(trainDocs, textCol, n = 3, lmMinCount)
+    }
+
     val (fluent, nScreenedPreFluency, nFluent) = fluencyMin match {
       case None => (screened, -1L, -1L)
       case Some((num, den)) =>
@@ -394,7 +415,7 @@ object CorpusPipeline {
         val nb = base.count()
         val trainDocs = lmTrainDocs.getOrElse(base)
         val kept = graft.operators.NgramLm.fluencyThresholdFilter(base,
-            graft.operators.NgramLm.lmCounts(trainDocs, textCol, n = 3, lmMinCount),
+            buildLm(trainDocs),
             graft.operators.NgramLm.lmTotals(trainDocs, textCol),
             idCol, textCol, num, den).localCheckpoint()
         (kept, nb, kept.count())
@@ -424,7 +445,7 @@ object CorpusPipeline {
         val nb = if (nFluent >= 0) nFluent else base.count()
         val trainDocs = lmTrainDocs.getOrElse(base)
         val admitted = graft.operators.NgramLm.bandRateAdmission(base,
-            graft.operators.NgramLm.lmCounts(trainDocs, textCol, n = 3, lmMinCount),
+            buildLm(trainDocs),
             graft.operators.NgramLm.lmTotals(trainDocs, textCol),
             idCol, textCol, rates, bandGroupCol, seed = bandSeed)
           .select(col(idCol))
@@ -453,7 +474,7 @@ object CorpusPipeline {
           else base.count()
         val trainDocs = lmTrainDocs.getOrElse(base)
         val scoredToks = graft.operators.NgramLm.scoreTokens(base,
-          graft.operators.NgramLm.lmCounts(trainDocs, textCol, n = 3, lmMinCount),
+          buildLm(trainDocs),
           graft.operators.NgramLm.lmTotals(trainDocs, textCol), idCol, textCol)
         val kept = graft.operators.NgramLm
           .pplBandFilter(base, scoredToks, idCol, from, to, lmAlpha)
