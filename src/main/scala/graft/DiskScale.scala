@@ -279,11 +279,17 @@ object DiskScale {
       lazy val capStages = qualStages.filterNot(_._1 == "r_stop_words")
       if (want("cap")) {
         rows("cap") = time {
+          // NO gramWidth here — measured round 10 (same-day 5M A/B): the
+          // pipeline's fused stage-4a build is LAZY inside one query, so
+          // scoping a width forces a localCheckpoint whose model store
+          // pass costs more than the non-spilling exchange win
+          // (cap 736.7 → 844.3 s, +15%). The hint pays only where the
+          // model materializes anyway (the standalone artifact builds
+          // above, −9.5%/−17% same day).
           val (corpusOut, rep) = graft.pipeline.CorpusPipeline.run(
             capCorpus, capEval, "doc_id", "text",
             stages = capStages,
-            fluencyMin = Some(49 -> 50),
-            gramWidth = if (opWidthOff) None else Some(blowW))
+            fluencyMin = Some(49 -> 50))
           noop(corpusOut)
           System.err.println(s"[diskscale] cap@$n report: $rep")
         }
@@ -299,8 +305,7 @@ object DiskScale {
             stages = capStages,
             fluencyMin = Some(49 -> 50),
             bandRates = Some(Map("head" -> ((9, 10)), "middle" -> ((1, 2)),
-              "tail" -> ((1, 10)))),
-            gramWidth = if (opWidthOff) None else Some(blowW))
+              "tail" -> ((1, 10))))) // no gramWidth — see the cap row
           noop(corpusOut)
           System.err.println(s"[diskscale] cap_banded@$n report: $rep")
         }
