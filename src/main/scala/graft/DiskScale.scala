@@ -95,19 +95,22 @@ object DiskScale {
       // manual SPARK_GRAFT_SHUFFLE_PARTITIONS pin wins (diagnosis).
       val corpusBytes = GraftSession.bytesOnDisk(spark, s"$workdir/docsh_$n")
       val width = GraftSession.sizeShuffleFor(spark, corpusBytes)
-      // Per-op width hint (VERDICT r9 ask 1): the gram-stream count
-      // builds are the measured worst spillers (lm5_build 323 → 242 s
-      // under the rejected session-global 4 MiB rule, SCALE.md round 9),
-      // so THEY get the 4 MiB charge through a scoped withShuffleWidth
-      // block while every other row keeps the session width.
-      // SPARK_GRAFT_OP_WIDTH=off disables the hint — the A/B control
-      // arm is a flag flip on the same binary.
-      val opWidthOff = sys.env.get("SPARK_GRAFT_OP_WIDTH").contains("off")
+      // Per-op width hint (VERDICT r9 ask 1) — measured BOTH ways in
+      // round 10 and OFF by default (SPARK_GRAFT_OP_WIDTH=on opts in for
+      // diagnosis): the 4 MiB charge on the gram-count builds won at 5M
+      // (lm5_build −17%, lm_build −9.5%, scoring flat) but INVERTED at
+      // 15M (width 725: lm_build +97%, lm5_build +10% vs the session's
+      // 182) — the 16 MiB session rule already clears the spill point
+      // there and extra width is pure fan-out tax. A width rule that
+      // helps at one size and hurts at 3× is not a law; the session's
+      // size-derived single width stays the shipped default (SCALE.md
+      // round 10).
+      val opWidthOn = sys.env.get("SPARK_GRAFT_OP_WIDTH").contains("on")
       val blowW = GraftSession.blowupWidthFor(corpusBytes, cpus)
       def hinted[T](f: => T): T =
-        if (opWidthOff) f else GraftSession.withShuffleWidth(spark, blowW)(f)
+        if (opWidthOn) GraftSession.withShuffleWidth(spark, blowW)(f) else f
       System.err.println(s"[diskscale] n=$n shuffle width=$width " +
-        s"gram-agg width=${if (opWidthOff) "off" else blowW.toString}")
+        s"gram-agg width=${if (opWidthOn) blowW.toString else "off"}")
       lazy val docs = writeOnce(ScaleProbe.synthDocs(spark, n), spark, s"$workdir/docs_$n")
       val pairId = expr("doc_id div 2")
       val block = concat_ws(" ", transform(sequence(lit(0), lit(23)),
@@ -321,7 +324,7 @@ object DiskScale {
 
       println((Seq(s""""n":$n""", s""""jac_vocab":$vocabH""",
         s""""width":$width""",
-        s""""op_width":${if (opWidthOff) 0 else blowW}""") ++
+        s""""op_width":${if (opWidthOn) blowW else 0}""") ++
         rows.map { case (k, v) => s""""$k":${f2(v)}""" })
         .mkString("{", ",", "}"))
     }

@@ -109,16 +109,18 @@ object GraftSession {
   /**
    * PER-OPERATOR width for the known row-blowup aggregations — the gram
    * streams ([[graft.operators.NgramLm.lmCounts]]: ~n× the token stream
-   * before aggregating) and the shingle posting lists. The round-9
-   * 4 MiB-per-partition A/B proved BOTH halves of this trade at 5M docs
-   * (SCALE.md): session-global it rescued the worst spiller (lm5_build
-   * 323 → 242 s) but taxed every non-spilling op (lm_score +77%, cap
-   * +12%) — so the 4 MiB charge belongs to the blowup operators ONLY,
-   * applied through [[withShuffleWidth]] around just their exchanges
-   * while the session keeps the 16 MiB global rule. `inputBytes` is the
-   * bytes feeding the OPERATOR (its pre-screen upper bound is fine —
-   * mild over-width is cheap; the measured tax came from blanket
-   * session-wide fan-out, not a 2× overshoot on one exchange).
+   * before aggregating) and the shingle posting lists — a DIAGNOSIS
+   * tool, not a shipped default. The evidence, all same-day flag-flip
+   * A/Bs (SCALE.md rounds 9-10): session-global the 4 MiB charge
+   * rescued the worst spiller but taxed every non-spilling op (round
+   * 9); scoped through [[withShuffleWidth]] it won at 5M (lm5_build
+   * −17%, lm_build −9.5%, scoring flat) but INVERTED at 15M (lm_build
+   * +97%, lm5_build +10% vs the session's width-182) — at that size
+   * the 16 MiB session rule already clears the spill point and extra
+   * width is pure fan-out tax. A charge that helps at one size and
+   * hurts at 3× is not a law, so nothing applies this automatically;
+   * it exists for A/Bs against the session width when a specific
+   * build's spill is diagnosed.
    */
   def blowupWidthFor(inputBytes: Long, cores: Int): Int =
     shuffleWidthFor(inputBytes, cores, bytesPerPartition = 4L << 20)

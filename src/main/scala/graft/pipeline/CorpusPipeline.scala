@@ -395,12 +395,14 @@ object CorpusPipeline {
     // every other stage keep the session width — the measured round-9
     // A/B showed the 4 MiB rule applied session-globally rescues the
     // build but taxes every non-spilling op. CAVEAT (measured round 10,
-    // same-day 5M A/B): the scoped width requires materializing a model
-    // the fused lazy plan never stores, and that store pass cost MORE
-    // than the exchange win below the spill tier (cap 736.7 → 844.3 s,
-    // +15% at 5M). State a width only when the build actually spills at
-    // the session width (the 15M+ self-trained tier); the default None
-    // keeps the lazy fused build — gates unchanged.
+    // two same-day A/Bs): the scoped width requires materializing a
+    // model the fused lazy plan never stores, and that store pass cost
+    // MORE than the exchange win at 5M (cap 736.7 → 844.3 s, +15%); at
+    // 15M even the standalone builds showed the 4 MiB width itself
+    // inverting (lm_build +97% vs the session width). NO measured size
+    // profits yet — state a width only on a DIAGNOSED spill whose cost
+    // exceeds one model store pass; the default None keeps the lazy
+    // fused build — gates unchanged.
     def buildLm(trainDocs: DataFrame): DataFrame = gramWidth match {
       case Some(w) =>
         graft.GraftSession.withShuffleWidth(docs.sparkSession, w) {
