@@ -183,6 +183,15 @@ object GraftSession {
   /** Apply the engine's config contract to any builder (cluster or local). */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.session.timeZone", "UTC")
+    // Shuffle-file reclamation is reference-driven (ContextCleaner), so
+    // on a BIG heap a long multi-stage job barely GCs and dead stages'
+    // shuffle files accumulate on scratch disk until it fills — measured
+    // round 10: the 15M banded capstone at 48 GB heap died on "No space
+    // left on device" after 72 min / ~111 stages with only the default
+    // 30-min periodic GC. A 5-min sweep bounds the dead-file window at
+    // negligible cost (one System.gc per 5 min); on a cluster the same
+    // contract keeps executor scratch disks from paging dead shuffles.
+    .config("spark.cleaner.periodicGC.interval", "5min")
     // events.ts test data is nanosecond parquet (see SparkEntry.t)
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.adaptive.enabled", "true")
