@@ -56,15 +56,19 @@ object FluencyOrderProbe {
       val lm = graft.operators.NgramLm.lmCounts(pool, "text", n = n,
         minCount = 2L) // the pipeline's lmMinCount default
       val tot = graft.operators.NgramLm.lmTotals(pool, "text")
+      // ONE census materialization per order (ADVICE r10): kept and every
+      // distribution below derive from this checkpoint, so the printed
+      // `sec` is one LM build + one scoring join — not two
       val cen = graft.operators.NgramLm.backoffCensus(
         graft.operators.NgramLm.scoreTokens(pool, lm, tot,
-          "doc_id", "text", n = n), n)
+          "doc_id", "text", n = n), n).localCheckpoint()
       val hiMass = (n to 2 by -1).map(k => s"o$k").mkString(" + ")
       val pm = cen.select(col("id"),
-          expr(s"(($hiMass) * 1000) div scored_tokens").as("fluency_pm"))
-        .localCheckpoint()
-      // the stage's exact 49/50 cross-multiplication, expressed on the
-      // same census frame (fluencyThresholdFilter's decision rule)
+        expr(s"(($hiMass) * 1000) div scored_tokens").as("fluency_pm"))
+      // the stage's 49/50 bar off the SAME checkpointed census (the exact
+      // cross-multiplication; note floor(1000·hi/sn) ≥ 980 ⟺ hi·50 ≥
+      // 49·sn, so pm ≥ 980 would count identically — integer threshold
+      // commutes with the floor)
       val kept = cen.where(
         expr(s"($hiMass) * 50 >= 49 * scored_tokens")).count()
       val qs = pm.select(expr(
@@ -76,6 +80,38 @@ object FluencyOrderProbe {
         f""""pm_min":$mn%.1f,"pm_p10":$p10%.1f,"pm_p33":$p33%.1f,""" +
         f""""pm_p50":$p50%.1f,"pm_p66":$p66%.1f,"pm_p90":$p90%.1f,""" +
         f""""pm_max":$mx%.1f,"sec":$sec%.2f}""")
+
+      // HIGH-ORDER screen probe (VERDICT r10 ask 3, sharpened): by the
+      // sub-gram count bound, ANY screen over matched_ord ≥ K mass is
+      // order-invariant — a token matches order ≥ K iff its order-K
+      // sub-gram survives pruning (c(suffix) ≥ c(gram), so a surviving
+      // 4/5-gram implies its order-3 suffix survives), which an n = K
+      // model already sees. So (o5+o4+o3) at n = 5 EQUALS o3-mass at
+      // n = 3; the only screens order 5 can change read o4/o5
+      // SEPARATELY. Probe: the (o_n..o_4) hi-order permille — its
+      // distribution and the kept count at candidate bars — the numbers
+      // that decide whether an order-sensitive screen separates docs at
+      // all on this corpus.
+      if (n > 3) {
+        val hoMass = (n to 4 by -1).map(k => s"o$k").mkString(" + ")
+        val ho = cen.select(col("id"),
+          expr(s"(($hoMass) * 1000) div scored_tokens").as("ho_pm"))
+        val hqs = ho.select(expr(
+          "percentile(ho_pm, array(0.0, 0.1, 0.33, 0.5, 0.66, 0.9, 1.0))"))
+          .head().getSeq[Double](0)
+        val bars = Seq(100L, 250L, 500L, 750L, 900L)
+        val barCounts = ho.select(
+          bars.map(b => sum(when(col("ho_pm") >= b, 1L).otherwise(0L))
+            .as(s"ge$b")): _*).head()
+        val Seq(hmn, hp10, hp33, hp50, hp66, hp90, hmx) = hqs.toSeq
+        val barStr = bars.zipWithIndex
+          .map { case (b, i) => s""""kept_ge$b":${barCounts.getLong(i)}""" }
+          .mkString(",")
+        println(f"""{"n":$n,"screen":"hi_order_o4plus",""" +
+          f""""ho_min":$hmn%.1f,"ho_p10":$hp10%.1f,"ho_p33":$hp33%.1f,""" +
+          f""""ho_p50":$hp50%.1f,"ho_p66":$hp66%.1f,"ho_p90":$hp90%.1f,""" +
+          f""""ho_max":$hmx%.1f,$barStr}""")
+      }
     }
     spark.stop()
   }

@@ -135,6 +135,15 @@ object GraftSession {
    * session width is when it finally executes. A manual
    * SPARK_GRAFT_SHUFFLE_PARTITIONS pin wins, as everywhere — a
    * diagnosis run must measure the width it asked for.
+   *
+   * SINGLE-THREADED-DRIVER assumption (ADVICE r10): the two conf knobs
+   * are session-global runtime conf, so a concurrent query on the same
+   * SparkSession would silently inherit the scoped width, and two
+   * overlapping scoped blocks could restore a stale value. Every current
+   * call site (DiskScale, CorpusPipeline.buildLm) drives the session
+   * from one thread; a future multi-threaded driver must either clone
+   * the session (`spark.newSession()` — per-session conf) or serialize
+   * scoped blocks externally.
    */
   def withShuffleWidth[T](spark: SparkSession, width: Int)(f: => T): T = {
     if (sys.env.contains("SPARK_GRAFT_SHUFFLE_PARTITIONS")) f
@@ -191,7 +200,11 @@ object GraftSession {
     // 30-min periodic GC. A 5-min sweep bounds the dead-file window at
     // negligible cost (one System.gc per 5 min); on a cluster the same
     // contract keeps executor scratch disks from paging dead shuffles.
-    .config("spark.cleaner.periodicGC.interval", "5min")
+    // Bench-tier receipt (round 11, same-day flag-flip sf0.1 pair): free
+    // — see NOTES. SPARK_GRAFT_PERIODIC_GC overrides for exactly such
+    // A/Bs (a diagnosis knob, same convention as the width pin).
+    .config("spark.cleaner.periodicGC.interval",
+      sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "5min"))
     // events.ts test data is nanosecond parquet (see SparkEntry.t)
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.adaptive.enabled", "true")

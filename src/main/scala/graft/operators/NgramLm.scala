@@ -216,13 +216,37 @@ object NgramLm {
                         rates: Map[String, (Int, Int)],
                         groupCol: Option[String] = None,
                         n: Int = 3, seed: Long = 0L): DataFrame = {
+    val admitted = bandRateFromScores(
+      fluencyPermille(docs, lm, totals, idCol, textCol, groupCol, n),
+      rates, seed)
+    admitted.select(Seq(col("id").as(idCol)) ++
+      groupCol.map(g => col("__bandgrp").as(g)).toSeq ++
+      Seq(col("fluency_pm"), col("band")): _*)
+  }
+
+  /**
+   * The CCNet SCORE FILE — the per-doc integer fluency permille
+   * (id, __bandgrp, fluency_pm) that [[bandRateAdmission]] bands on.
+   * Split out (round 11) so the STAGED deployment shape can persist
+   * exactly this frame between jobs ("CCNet ships score files", Wenzek
+   * 2020 §4.3: LM scoring runs once, banding/admission read the stored
+   * scores): parquet round-trips the two longs and the group string
+   * bit-exactly, so a staged run's admission equals the fused stage's —
+   * one implementation of the scoring grain for the fused stage, the
+   * staged job, and the q149/q150 gates. `__bandgrp` is the banding
+   * group (`groupCol`, or the literal "all" for one global band set).
+   */
+  def fluencyPermille(docs: DataFrame, lm: DataFrame, totals: DataFrame,
+                      idCol: String, textCol: String,
+                      groupCol: Option[String] = None,
+                      n: Int = 3): DataFrame = {
     require(n >= 2, s"the order->=2 matched-mass permille needs n >= 2, got $n")
     val hiMass = (n to 2 by -1).map(k => s"o$k").mkString(" + ")
     val pm = backoffCensus(scoreTokens(docs, lm, totals, idCol, textCol, n), n)
       .select(col("id"),
         // exact integer floor (`div` on non-negative longs)
         expr(s"(($hiMass) * 1000) div scored_tokens").as("fluency_pm"))
-    val grouped = groupCol match {
+    groupCol match {
       // shuffle_hash on the narrow (id, group) side: both sides are
       // doc-cardinality so a broadcast is wrong, but sorting two
       // corpus-sized frames for a sort-merge is a worse trade than
@@ -232,14 +256,23 @@ object NgramLm {
           .hint("shuffle_hash"), Seq("id"))
       case None => pm.withColumn("__bandgrp", lit("all"))
     }
-    val banded = CorpusStats.bandByGroupQuantiles(grouped, "__bandgrp",
+  }
+
+  /**
+   * Banding + admission off a (possibly persisted) score file — the READ
+   * side of [[bandRateAdmission]]: per-group tercile edges by exact
+   * histogram, then the stateless per-band hash-rate draw. `scores`
+   * carries (id, __bandgrp, fluency_pm) — [[fluencyPermille]]'s frame,
+   * live or read back from parquet; the decision is a pure function of
+   * the score rows, so fused and staged runs can never band or draw
+   * differently. Returns the admitted rows with their band and permille.
+   */
+  def bandRateFromScores(scores: DataFrame, rates: Map[String, (Int, Int)],
+                         seed: Long = 0L): DataFrame = {
+    val banded = CorpusStats.bandByGroupQuantiles(scores, "__bandgrp",
       "fluency_pm", Seq(("p33", 1, 3), ("p66", 2, 3)),
       Seq("tail", "middle", "head"))
-    val admitted = Sampling.hashSampleByGroup(banded, "band", "id", rates,
-      seed = seed)
-    admitted.select(Seq(col("id").as(idCol)) ++
-      groupCol.map(g => col("__bandgrp").as(g)).toSeq ++
-      Seq(col("fluency_pm"), col("band")): _*)
+    Sampling.hashSampleByGroup(banded, "band", "id", rates, seed = seed)
   }
 
   /**

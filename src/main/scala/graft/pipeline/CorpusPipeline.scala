@@ -175,48 +175,47 @@ object CorpusPipeline {
     (cur, edited, cur.count())
   }
 
-  def run(docs: DataFrame, evalDocs: DataFrame, idCol: String, textCol: String,
-          stages: Seq[(String, Column)],
-          nearDupThreshold: Double = 0.5,
-          contaminationThreshold: Double = 0.5,
-          splits: Seq[(String, Int)] = Seq("train" -> 8, "val" -> 1, "test" -> 1),
-          maxTokens: Int = 512,
-          packShards: Int = 4,
-          bloomBits: Int = 0, // 0 = auto-size from the eval set (fpp 3%)
+  /** Counts from [[phaseClean]] (stages 0–2b). Optional stages that did
+    * not run repeat their predecessor's count, as run()'s Report always
+    * did. */
+  final case class CleanCounts(
+      input: Long, markupEdited: Long, cleaned: Long,
+      lineEdited: Long, afterLineDedup: Long, afterExactDedup: Long,
+      selfRepeatEdited: Long, afterSelfRepeatCut: Long,
+      spanEdited: Long, afterSpanCut: Long)
 
-          embeddings: Option[DataFrame] = None,
-          semanticThreshold: Double = 0.4,
-          semanticNprobe: Int = 2,
-          sentenceChunkTokens: Option[Int] = None,
-          emitPath: Option[String] = None,
-          spanCutWindow: Option[Int] = None,
-          spanCutMaxBucket: Int = 10000,
-          evalCutWindow: Option[Int] = None,
-          lineDedupMinDocs: Option[Long] = None,
-          lineDedupSep: String = "\n",
-          selfRepeatWindow: Option[Int] = None,
-          stratifyBy: Option[String] = None,
-          stratifySeed: Long = 0L,
-          nearDupRepScore: Option[Column] = None,
-          stripMarkupFirst: Boolean = false,
-          fluencyMin: Option[(Int, Int)] = None,
-          bandRates: Option[Map[String, (Int, Int)]] = None,
-          bandGroupCol: Option[String] = None,
-          bandSeed: Long = 0L,
-          lmBandKeep: Option[(Double, Double)] = None,
-          lmMinCount: Long = 2L,
-          lmAlpha: Double = 0.4,
-          lmTrainDocs: Option[DataFrame] = None,
-          tokenBudgetDocs: Option[Long] = None,
-          budgetSeed: Long = 0L,
-          emitJsonlPath: Option[String] = None,
-          gramWidth: Option[Int] = None): (DataFrame, Report) = {
-    // Argument-only checks fail BEFORE any cluster work — stage 5's
-    // quota math must not be the first place a bad weight list surfaces.
-    if (stratifyBy.isDefined)
-      require(100 % splits.map(_._2).sum == 0,
-        s"stratifyBy needs split weights whose total divides 100, " +
-          s"got ${splits.map(_._2).sum}")
+  /** Counts + corpus frame from [[phaseFinish]] (stages 5–8). */
+  final case class FinishOut(
+      corpus: DataFrame, corpusDocs: Long, splitCounts: Map[String, Long],
+      trainSequences: Long, sentenceChunks: Long, emittedShards: Int)
+
+  // ── Staged deployment phases ──────────────────────────────────────────
+  // run() composes the phases below into one fused job; a STAGED
+  // deployment (the CCNet score-file architecture — Wenzek 2020 run LM
+  // scoring once and ship score files that banding/admission jobs read)
+  // runs each phase as its own job with parquet handoffs, which (a) makes
+  // a 100 TB pipeline resumable at stage grain and (b) bounds each job's
+  // LIVE scratch footprint to its own deepest stage — the constraint the
+  // round-10 15M single-box probe hit (SCALE.md: one fused run's
+  // in-flight spill crested the machine's scratch budget; per-job, each
+  // stage's spill dies with its session). Every phase decision is
+  // hash/integer-driven on columns parquet round-trips bit-exactly, so a
+  // staged run's decision set EQUALS the fused run's (PipelineSpec pins
+  // the Report identity). graft.StagedCapstone is the reference driver.
+
+  /**
+   * Stages 0–2b as one job: markup strip, quality funnel, line-frequency
+   * dedup, normalized exact dedup, de-stutter cut, boilerplate span cut.
+   * Returns the cut frame (checkpointed) and the phase counts.
+   */
+  def phaseClean(docs: DataFrame, idCol: String, textCol: String,
+                 stages: Seq[(String, Column)],
+                 stripMarkupFirst: Boolean = false,
+                 lineDedupMinDocs: Option[Long] = None,
+                 lineDedupSep: String = "\n",
+                 selfRepeatWindow: Option[Int] = None,
+                 spanCutWindow: Option[Int] = None,
+                 spanCutMaxBucket: Int = 10000): (DataFrame, CleanCounts) = {
     val input = docs.count()
 
     // 0 (optional): markup → text extraction — the crawl-ingest cleaner
@@ -289,7 +288,24 @@ object CorpusPipeline {
         iteratedCut(destut, idCol, textCol,
           d => Dedup.duplicatedSpanRanges(d, idCol, textCol, w, spanCutMaxBucket))
     }
+    (spanCut, CleanCounts(input, nMarkupEdited, nCleaned, nLineEdited, nLined,
+      nExact, nSelfEdited, nDestut, nSpanEdited, nSpanCut))
+  }
 
+  /**
+   * Stages 3 + 3b as one job: minhash near-dedup (pairs → components →
+   * drop non-keepers) and the optional embedding semantic near-dedup.
+   * This is the pipeline's deepest-spilling phase at corpus scale (the
+   * posting-list pair expansion + iterative components) — the one a
+   * staged deployment most wants in its own scratch lifetime. Returns
+   * (surviving frame, count after minhash, count after semantic).
+   */
+  def phaseNearDedup(spanCut: DataFrame, idCol: String, textCol: String,
+                     nearDupThreshold: Double = 0.5,
+                     nearDupRepScore: Option[Column] = None,
+                     embeddings: Option[DataFrame] = None,
+                     semanticThreshold: Double = 0.4,
+                     semanticNprobe: Int = 2): (DataFrame, Long, Long) = {
     // 3: near-dedup — pairs, components, drop every non-representative.
     // Default representative = the smallest-id keeper; with nearDupRepScore
     // set, each group keeps its BEST-scored member instead (the group
@@ -333,7 +349,22 @@ object CorpusPipeline {
         }
     }
     val nSem = if (embeddings.isEmpty) nNear else sem.count()
+    (sem, nNear, nSem)
+  }
 
+  /**
+   * Stages 3c + 4 as one job: optional surgical eval-passage cut, then
+   * the bloom-pruned exact decontamination screen. Returns the screened
+   * frame LAZY (the caller's next consumer — the fluency phase or the
+   * split — checkpoints and counts it exactly once, run()'s convention),
+   * plus (eval-cut edited docs, count after the cut).
+   */
+  def phaseDecontaminate(sem: DataFrame, nSem: Long, evalDocs: DataFrame,
+                         idCol: String, textCol: String,
+                         contaminationThreshold: Double = 0.5,
+                         bloomBits: Int = 0,
+                         evalCutWindow: Option[Int] = None)
+      : (DataFrame, Long, Long) = {
     // 3c (optional): SURGICAL decontamination — cut verbatim leaked eval
     // passages out of surviving docs BEFORE the drop screen, so a long
     // document that merely quotes one eval item keeps its clean content;
@@ -368,141 +399,80 @@ object CorpusPipeline {
         Dedup.hashedShingles(flagged, idCol, textCol, n = 3), Int.MaxValue)
       .where(col("contamination") >= contaminationThreshold)
       .select(col("test_id").as(idCol))
-    val screened = decut.join(dirty, Seq(idCol), "left_anti")
+    (decut.join(dirty, Seq(idCol), "left_anti"), nEvalCut, nDecut)
+  }
 
-    // 4a (optional): INTEGER-grain fluency screen — the oracle-gateable
-    // tier of the CCNet fluency idea: train the Stupid Backoff trigram
-    // model (on the screened corpus itself, or `lmTrainDocs`), take the
-    // per-doc backoff census, and keep documents whose token mass the
-    // model recognizes at order ≥ 2 for at least num/den of their
-    // scored tokens — (o3 + o2)·den ≥ num·scored_tokens, exact
-    // cross-multiplication (the q133 discipline), so the kept set is
-    // engine- and partitioning-independent, unlike the float
-    // perplexity band below. Runs AFTER dedup and decontamination (the
-    // CCNet order) so duplicated or leaked text never inflates its own
-    // n-gram counts. Note: the self-trained model is a global artifact,
-    // so this stage is batch-shaped; the streamable twin is the same
-    // operator under a FROZEN model (NgramLm.fluencyThresholdFilter via
-    // IncrementalDedup.attachFluencyScreen — StatefulOpsSpec pins the
-    // parity). The stage IS that operator applied to the self-trained
-    // (or lmTrainDocs) model — one decision rule, one implementation.
-    // Shared trigram-model build for stages 4a/4a''/4a' — the pipeline's
-    // one row-BLOWUP aggregation (the gram stream is ~3× the token stream
-    // before it aggregates). With `gramWidth` stated (the per-op hint,
-    // VERDICT r9 ask 1: GraftSession.blowupWidthFor's 4 MiB charge from
-    // the bytes the CALLER read off disk), the model materializes INSIDE
-    // the scoped-width block so only ITS exchanges widen; scoring and
-    // every other stage keep the session width — the measured round-9
-    // A/B showed the 4 MiB rule applied session-globally rescues the
-    // build but taxes every non-spilling op. CAVEAT (measured round 10,
-    // two same-day A/Bs): the scoped width requires materializing a
-    // model the fused lazy plan never stores, and that store pass cost
-    // MORE than the exchange win at 5M (cap 736.7 → 844.3 s, +15%); at
-    // 15M even the standalone builds showed the 4 MiB width itself
-    // inverting (lm_build +97% vs the session width). NO measured size
-    // profits yet — state a width only on a DIAGNOSED spill whose cost
-    // exceeds one model store pass; the default None keeps the lazy
-    // fused build — gates unchanged.
-    def buildLm(trainDocs: DataFrame): DataFrame = gramWidth match {
-      case Some(w) =>
-        graft.GraftSession.withShuffleWidth(docs.sparkSession, w) {
-          graft.operators.NgramLm.lmCounts(trainDocs, textCol, n = 3, lmMinCount)
-            .localCheckpoint()
-        }
-      case None =>
+  /** Shared trigram-model build for the fluency/banding/ppl screens — the
+    * pipeline's one row-BLOWUP aggregation (the gram stream is ~3× the
+    * token stream before it aggregates). `gramWidth` is the per-op width
+    * hint measured and REJECTED as a default in round 10 (see run()'s
+    * parameter doc); None keeps the lazy fused build. */
+  private def buildLm(trainDocs: DataFrame, textCol: String, lmMinCount: Long,
+                      gramWidth: Option[Int]): DataFrame = gramWidth match {
+    case Some(w) =>
+      graft.GraftSession.withShuffleWidth(trainDocs.sparkSession, w) {
         graft.operators.NgramLm.lmCounts(trainDocs, textCol, n = 3, lmMinCount)
-    }
-
-    val (fluent, nScreenedPreFluency, nFluent) = fluencyMin match {
-      case None => (screened, -1L, -1L)
-      case Some((num, den)) =>
-        require(num >= 0 && den > 0, s"fluencyMin must be a non-negative " +
-          s"rational with positive denominator, got $num/$den")
-        val base = screened.localCheckpoint() // census + scoring + keep join
-        val nb = base.count()
-        val trainDocs = lmTrainDocs.getOrElse(base)
-        val kept = graft.operators.NgramLm.fluencyThresholdFilter(base,
-            buildLm(trainDocs),
-            graft.operators.NgramLm.lmTotals(trainDocs, textCol),
-            idCol, textCol, num, den).localCheckpoint()
-        (kept, nb, kept.count())
-    }
-
-    // 4a'' (optional): CCNet banded-sampling admission — the §4.3 recipe
-    // proper. The stage IS NgramLm.bandRateAdmission under the
-    // self-trained (or lmTrainDocs) model — ONE implementation of the
-    // decision rule (census permille → per-group exact-histogram
-    // terciles via bandByGroupQuantiles → per-band stateless hash-rate
-    // draw via hashSampleByGroup), shared with the q149 gate so the
-    // stage and the gate can never band or draw differently. Group =
-    // `bandGroupCol` (a language/source column carried through the
-    // pipeline) or one global band set when None. Like stage 4a, a doc
-    // the model scores zero tokens for has no census row and is dropped.
-    // The self-trained edges make this stage batch-shaped; the streamable
-    // twin is bandByEdges (frozen calibration frame) + the same rate
-    // filter — both stream-pinned in StatefulOpsSpec.
-    val (bandKept, nPreBandRate, nBandKept) = bandRates match {
-      case None => (fluent, -1L, -1L)
-      case Some(rates) =>
-        // when 4a ran, `fluent` is already checkpointed and counted —
-        // never re-materialize the corpus between adjacent screens
-        val base =
-          if (nFluent >= 0) fluent
-          else fluent.localCheckpoint() // census + banding + draw join
-        val nb = if (nFluent >= 0) nFluent else base.count()
-        val trainDocs = lmTrainDocs.getOrElse(base)
-        val admitted = graft.operators.NgramLm.bandRateAdmission(base,
-            buildLm(trainDocs),
-            graft.operators.NgramLm.lmTotals(trainDocs, textCol),
-            idCol, textCol, rates, bandGroupCol, seed = bandSeed)
-          .select(col(idCol))
-        val kept = base.join(admitted, Seq(idCol), "leftsemi").localCheckpoint()
-        (kept, nb, kept.count())
-    }
-
-    // 4a' (optional): LM perplexity-band screen — train the Stupid
-    // Backoff trigram model (on the screened corpus itself, or
-    // `lmTrainDocs` when a trusted reference corpus is available), score
-    // every surviving doc, keep the [from,to) perplexity band. Runs
-    // AFTER dedup and decontamination (the CCNet order) so duplicated or
-    // leaked text never inflates its own n-gram counts; BEFORE the
-    // budget sample so budget is never spent on disfluent docs. Floats
-    // at the band edge — spec-pinned, not oracle-gated.
-    val (lmKept, nScreenCensus, nLmKept) = lmBandKeep match {
-      case None => (bandKept, -1L, -1L)
-      case Some((from, to)) =>
-        // reuse the predecessor screen's checkpoint + count when one ran
-        val base =
-          if (nBandKept >= 0 || nFluent >= 0) bandKept
-          else bandKept.localCheckpoint() // census + scoring + band join
-        val nb =
-          if (nBandKept >= 0) nBandKept
-          else if (nFluent >= 0) nFluent
-          else base.count()
-        val trainDocs = lmTrainDocs.getOrElse(base)
-        val scoredToks = graft.operators.NgramLm.scoreTokens(base,
-          buildLm(trainDocs),
-          graft.operators.NgramLm.lmTotals(trainDocs, textCol), idCol, textCol)
-        val kept = graft.operators.NgramLm
-          .pplBandFilter(base, scoredToks, idCol, from, to, lmAlpha)
           .localCheckpoint()
-        (kept, nb, kept.count())
-    }
+      }
+    case None =>
+      graft.operators.NgramLm.lmCounts(trainDocs, textCol, n = 3, lmMinCount)
+  }
 
-    // 4b (optional): token-budget downsample — PPS sampling ∝ token count
-    // over the CLEAN, decontaminated corpus (sampling earlier would spend
-    // budget on docs later stages drop). Exact-integer inclusion
-    // (Sampling.ppsSample) keeps the kept-set reproducible anywhere.
-    val (corpusBase, nPreBudget, nBudget) = tokenBudgetDocs match {
-      case None => (lmKept, -1L, -1L)
-      case Some(target) =>
-        val base = lmKept.localCheckpoint() // census + sample + join
-        val picked = Sampling.ppsSample(base.select(col(idCol), col(textCol)),
-            idCol, Text.tokenCount(col(textCol)), target, budgetSeed)
-          .select(col(idCol))
-        val kept = base.join(picked, Seq(idCol), "left_semi").localCheckpoint()
-        (kept, base.count(), kept.count())
-    }
+  /**
+   * Stage 4a as one job: the INTEGER fluency screen — self-trained (or
+   * `lmTrainDocs`) Stupid Backoff trigram model, keep documents the model
+   * recognizes at order ≥ 2 for ≥ num/den of their scored tokens (exact
+   * cross-multiplied integers — NgramLm.fluencyThresholdFilter's rule).
+   * Returns (kept frame checkpointed, count before, count after).
+   */
+  def phaseFluency(screened: DataFrame, idCol: String, textCol: String,
+                   num: Int, den: Int, lmMinCount: Long = 2L,
+                   lmTrainDocs: Option[DataFrame] = None,
+                   gramWidth: Option[Int] = None): (DataFrame, Long, Long) = {
+    require(num >= 0 && den > 0, s"fluencyMin must be a non-negative " +
+      s"rational with positive denominator, got $num/$den")
+    val base = screened.localCheckpoint() // census + scoring + keep join
+    val nb = base.count()
+    val trainDocs = lmTrainDocs.getOrElse(base)
+    val kept = graft.operators.NgramLm.fluencyThresholdFilter(base,
+        buildLm(trainDocs, textCol, lmMinCount, gramWidth),
+        graft.operators.NgramLm.lmTotals(trainDocs, textCol),
+        idCol, textCol, num, den).localCheckpoint()
+    (kept, nb, kept.count())
+  }
+
+  /**
+   * The staged score-file build: [[graft.operators.NgramLm.fluencyPermille]]
+   * over a (persisted) screened pool under its self-trained (or
+   * `lmTrainDocs`) trigram model — the frame a staged deployment writes
+   * to parquet ("CCNet ships score files") and the admission job reads.
+   * The fused stage 4a'' computes EXACTLY this frame in-plan; one
+   * implementation, so staged and fused runs can never score differently.
+   */
+  def fluencyScoreFile(pool: DataFrame, idCol: String, textCol: String,
+                       bandGroupCol: Option[String] = None,
+                       lmMinCount: Long = 2L,
+                       lmTrainDocs: Option[DataFrame] = None,
+                       gramWidth: Option[Int] = None): DataFrame = {
+    val trainDocs = lmTrainDocs.getOrElse(pool)
+    graft.operators.NgramLm.fluencyPermille(pool,
+      buildLm(trainDocs, textCol, lmMinCount, gramWidth),
+      graft.operators.NgramLm.lmTotals(trainDocs, textCol),
+      idCol, textCol, bandGroupCol)
+  }
+
+  /**
+   * Stages 5–8 as one job: split assignment, split census, train-split
+   * packing, optional sentence-chunk census and release emit.
+   */
+  def phaseFinish(corpusBase: DataFrame, idCol: String, textCol: String,
+                  splits: Seq[(String, Int)] =
+                    Seq("train" -> 8, "val" -> 1, "test" -> 1),
+                  maxTokens: Int = 512, packShards: Int = 4,
+                  stratifyBy: Option[String] = None, stratifySeed: Long = 0L,
+                  sentenceChunkTokens: Option[Int] = None,
+                  emitPath: Option[String] = None,
+                  emitJsonlPath: Option[String] = None): FinishOut = {
     val corpus = (stratifyBy match {
       case None =>
         corpusBase.withColumn("split", Sampling.splitColumn(col(idCol), splits))
@@ -548,6 +518,201 @@ object CorpusPipeline {
       graft.operators.Layout.writeCorpusRelease(corpus, p, idCol, textCol, packShards))
     emitJsonlPath.foreach(p => graft.operators.Layout.writeJsonl(
       corpus, p, idCol, Seq(idCol, "split", textCol), packShards))
+    FinishOut(corpus, nCorpus, splitCounts, nSeqs, nChunks,
+      emitted.map(_.shards.size).getOrElse(0))
+  }
+
+  def run(docs: DataFrame, evalDocs: DataFrame, idCol: String, textCol: String,
+          stages: Seq[(String, Column)],
+          nearDupThreshold: Double = 0.5,
+          contaminationThreshold: Double = 0.5,
+          splits: Seq[(String, Int)] = Seq("train" -> 8, "val" -> 1, "test" -> 1),
+          maxTokens: Int = 512,
+          packShards: Int = 4,
+          bloomBits: Int = 0, // 0 = auto-size from the eval set (fpp 3%)
+
+          embeddings: Option[DataFrame] = None,
+          semanticThreshold: Double = 0.4,
+          semanticNprobe: Int = 2,
+          sentenceChunkTokens: Option[Int] = None,
+          emitPath: Option[String] = None,
+          spanCutWindow: Option[Int] = None,
+          spanCutMaxBucket: Int = 10000,
+          evalCutWindow: Option[Int] = None,
+          lineDedupMinDocs: Option[Long] = None,
+          lineDedupSep: String = "\n",
+          selfRepeatWindow: Option[Int] = None,
+          stratifyBy: Option[String] = None,
+          stratifySeed: Long = 0L,
+          nearDupRepScore: Option[Column] = None,
+          stripMarkupFirst: Boolean = false,
+          fluencyMin: Option[(Int, Int)] = None,
+          bandRates: Option[Map[String, (Int, Int)]] = None,
+          bandGroupCol: Option[String] = None,
+          bandSeed: Long = 0L,
+          lmBandKeep: Option[(Double, Double)] = None,
+          lmMinCount: Long = 2L,
+          lmAlpha: Double = 0.4,
+          lmTrainDocs: Option[DataFrame] = None,
+          tokenBudgetDocs: Option[Long] = None,
+          budgetSeed: Long = 0L,
+          emitJsonlPath: Option[String] = None,
+          gramWidth: Option[Int] = None): (DataFrame, Report) = {
+    // Argument-only checks fail BEFORE any cluster work — stage 5's
+    // quota math must not be the first place a bad weight list surfaces.
+    if (stratifyBy.isDefined)
+      require(100 % splits.map(_._2).sum == 0,
+        s"stratifyBy needs split weights whose total divides 100, " +
+          s"got ${splits.map(_._2).sum}")
+    // stages 0–4 delegate to the staged-deployment phases above — run()
+    // IS the fused composition of the same phase functions a staged
+    // driver runs one job each, so the two shapes cannot diverge
+    val (spanCut, cc) = phaseClean(docs, idCol, textCol, stages,
+      stripMarkupFirst, lineDedupMinDocs, lineDedupSep, selfRepeatWindow,
+      spanCutWindow, spanCutMaxBucket)
+    val input = cc.input
+    val nCleaned = cc.cleaned
+    val nLineEdited = cc.lineEdited
+    val nLined = cc.afterLineDedup
+    val nExact = cc.afterExactDedup
+    val nSelfEdited = cc.selfRepeatEdited
+    val nDestut = cc.afterSelfRepeatCut
+    val nSpanEdited = cc.spanEdited
+    val nSpanCut = cc.afterSpanCut
+    val nMarkupEdited = cc.markupEdited
+
+    val (sem, nNear, nSem) = phaseNearDedup(spanCut, idCol, textCol,
+      nearDupThreshold, nearDupRepScore, embeddings, semanticThreshold,
+      semanticNprobe)
+
+    val (screened, nEvalCut, nDecut) = phaseDecontaminate(sem, nSem,
+      evalDocs, idCol, textCol, contaminationThreshold, bloomBits,
+      evalCutWindow)
+
+    // 4a (optional): INTEGER-grain fluency screen — the oracle-gateable
+    // tier of the CCNet fluency idea: train the Stupid Backoff trigram
+    // model (on the screened corpus itself, or `lmTrainDocs`), take the
+    // per-doc backoff census, and keep documents whose token mass the
+    // model recognizes at order ≥ 2 for at least num/den of their
+    // scored tokens — (o3 + o2)·den ≥ num·scored_tokens, exact
+    // cross-multiplication (the q133 discipline), so the kept set is
+    // engine- and partitioning-independent, unlike the float
+    // perplexity band below. Runs AFTER dedup and decontamination (the
+    // CCNet order) so duplicated or leaked text never inflates its own
+    // n-gram counts. Note: the self-trained model is a global artifact,
+    // so this stage is batch-shaped; the streamable twin is the same
+    // operator under a FROZEN model (NgramLm.fluencyThresholdFilter via
+    // IncrementalDedup.attachFluencyScreen — StatefulOpsSpec pins the
+    // parity). The stage IS that operator applied to the self-trained
+    // (or lmTrainDocs) model — one decision rule, one implementation.
+    // The trigram-model builds for stages 4a/4a''/4a' share [[buildLm]].
+    // With `gramWidth` stated (the per-op hint, VERDICT r9 ask 1:
+    // GraftSession.blowupWidthFor's 4 MiB charge from the bytes the
+    // CALLER read off disk), the model materializes INSIDE the
+    // scoped-width block so only ITS exchanges widen; scoring and every
+    // other stage keep the session width — the measured round-9 A/B
+    // showed the 4 MiB rule applied session-globally rescues the build
+    // but taxes every non-spilling op. CAVEAT (measured round 10, two
+    // same-day A/Bs): the scoped width requires materializing a model
+    // the fused lazy plan never stores, and that store pass cost MORE
+    // than the exchange win at 5M (cap 736.7 → 844.3 s, +15%); at 15M
+    // even the standalone builds showed the 4 MiB width itself
+    // inverting (lm_build +97% vs the session width). NO measured size
+    // profits yet — state a width only on a DIAGNOSED spill whose cost
+    // exceeds one model store pass; the default None keeps the lazy
+    // fused build — gates unchanged.
+    val (fluent, nScreenedPreFluency, nFluent) = fluencyMin match {
+      case None => (screened, -1L, -1L)
+      case Some((num, den)) =>
+        phaseFluency(screened, idCol, textCol, num, den, lmMinCount,
+          lmTrainDocs, gramWidth)
+    }
+
+    // 4a'' (optional): CCNet banded-sampling admission — the §4.3 recipe
+    // proper. The stage IS NgramLm.bandRateAdmission under the
+    // self-trained (or lmTrainDocs) model — ONE implementation of the
+    // decision rule (census permille → per-group exact-histogram
+    // terciles via bandByGroupQuantiles → per-band stateless hash-rate
+    // draw via hashSampleByGroup), shared with the q149 gate so the
+    // stage and the gate can never band or draw differently. Group =
+    // `bandGroupCol` (a language/source column carried through the
+    // pipeline) or one global band set when None. Like stage 4a, a doc
+    // the model scores zero tokens for has no census row and is dropped.
+    // The self-trained edges make this stage batch-shaped; the streamable
+    // twin is bandByEdges (frozen calibration frame) + the same rate
+    // filter — both stream-pinned in StatefulOpsSpec.
+    val (bandKept, nPreBandRate, nBandKept) = bandRates match {
+      case None => (fluent, -1L, -1L)
+      case Some(rates) =>
+        // when 4a ran, `fluent` is already checkpointed and counted —
+        // never re-materialize the corpus between adjacent screens
+        val base =
+          if (nFluent >= 0) fluent
+          else fluent.localCheckpoint() // census + banding + draw join
+        val nb = if (nFluent >= 0) nFluent else base.count()
+        // the stage = fluencyScoreFile (the frame a staged deployment
+        // persists) + bandRateFromScores (the frame its admission job
+        // reads) — composed lazily here, so the fused plan is unchanged
+        // while the staged run shares every line of the decision rule
+        val admitted = graft.operators.NgramLm.bandRateFromScores(
+            fluencyScoreFile(base, idCol, textCol, bandGroupCol, lmMinCount,
+              lmTrainDocs, gramWidth),
+            rates, seed = bandSeed)
+          .select(col("id").as(idCol))
+        val kept = base.join(admitted, Seq(idCol), "leftsemi").localCheckpoint()
+        (kept, nb, kept.count())
+    }
+
+    // 4a' (optional): LM perplexity-band screen — train the Stupid
+    // Backoff trigram model (on the screened corpus itself, or
+    // `lmTrainDocs` when a trusted reference corpus is available), score
+    // every surviving doc, keep the [from,to) perplexity band. Runs
+    // AFTER dedup and decontamination (the CCNet order) so duplicated or
+    // leaked text never inflates its own n-gram counts; BEFORE the
+    // budget sample so budget is never spent on disfluent docs. Floats
+    // at the band edge — spec-pinned, not oracle-gated.
+    val (lmKept, nScreenCensus, nLmKept) = lmBandKeep match {
+      case None => (bandKept, -1L, -1L)
+      case Some((from, to)) =>
+        // reuse the predecessor screen's checkpoint + count when one ran
+        val base =
+          if (nBandKept >= 0 || nFluent >= 0) bandKept
+          else bandKept.localCheckpoint() // census + scoring + band join
+        val nb =
+          if (nBandKept >= 0) nBandKept
+          else if (nFluent >= 0) nFluent
+          else base.count()
+        val trainDocs = lmTrainDocs.getOrElse(base)
+        val scoredToks = graft.operators.NgramLm.scoreTokens(base,
+          buildLm(trainDocs, textCol, lmMinCount, gramWidth),
+          graft.operators.NgramLm.lmTotals(trainDocs, textCol), idCol, textCol)
+        val kept = graft.operators.NgramLm
+          .pplBandFilter(base, scoredToks, idCol, from, to, lmAlpha)
+          .localCheckpoint()
+        (kept, nb, kept.count())
+    }
+
+    // 4b (optional): token-budget downsample — PPS sampling ∝ token count
+    // over the CLEAN, decontaminated corpus (sampling earlier would spend
+    // budget on docs later stages drop). Exact-integer inclusion
+    // (Sampling.ppsSample) keeps the kept-set reproducible anywhere.
+    val (corpusBase, nPreBudget, nBudget) = tokenBudgetDocs match {
+      case None => (lmKept, -1L, -1L)
+      case Some(target) =>
+        val base = lmKept.localCheckpoint() // census + sample + join
+        val picked = Sampling.ppsSample(base.select(col(idCol), col(textCol)),
+            idCol, Text.tokenCount(col(textCol)), target, budgetSeed)
+          .select(col(idCol))
+        val kept = base.join(picked, Seq(idCol), "left_semi").localCheckpoint()
+        (kept, base.count(), kept.count())
+    }
+    // stages 5–8 delegate to the finish phase (split, census, pack,
+    // chunk, emit) — the staged admission job runs the same function
+    val fin = phaseFinish(corpusBase, idCol, textCol, splits, maxTokens,
+      packShards, stratifyBy, stratifySeed, sentenceChunkTokens, emitPath,
+      emitJsonlPath)
+    val corpus = fin.corpus
+    val nCorpus = fin.corpusDocs
 
     // stage-4 screen drops, measured on the post-cut text: whenever a
     // downstream optional stage runs (fluency, LM band, budget), the
@@ -561,9 +726,10 @@ object CorpusPipeline {
       else nCorpus
     (corpus, Report(input, nCleaned, nExact, nNear,
       contaminated = nDecut - nAfterScreen,
-      corpus = nCorpus, splitCounts = splitCounts, trainSequences = nSeqs,
-      afterSemanticDedup = nSem, sentenceChunks = nChunks,
-      emittedShards = emitted.map(_.shards.size).getOrElse(0),
+      corpus = nCorpus, splitCounts = fin.splitCounts,
+      trainSequences = fin.trainSequences,
+      afterSemanticDedup = nSem, sentenceChunks = fin.sentenceChunks,
+      emittedShards = fin.emittedShards,
       spanEditedDocs = nSpanEdited, afterSpanCut = nSpanCut,
       evalCutDocs = nEvalCut, afterEvalCut = nDecut,
       lineEditedDocs = nLineEdited, afterLineDedup = nLined,

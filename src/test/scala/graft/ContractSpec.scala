@@ -68,6 +68,12 @@ class ContractSpec extends SparkSpec {
     // permanently unsampleable NULL row)
     val probs = Sampling.ppsSample(w, "id", col("wt"), targetRows = 1L,
       seed = 7L).select("incl_prob").collect().map(_.getDouble(0))
+    // non-vacuity (ADVICE r10): at the CORRECT 0.5 inclusion probability
+    // and seed 7 both sampleable rows' draws admit, so an empty `probs`
+    // means the denominator regressed to the biased 3M total (whose 1/3
+    // probability rejects both draws) — the forall alone cannot see that
+    assert(probs.length == 2, s"expected both rows admitted at p=0.5, " +
+      s"got ${probs.length} — denominator regressed to the full total?")
     assert(probs.forall(_ == 0.5), s"HT denominator biased: ${probs.toSeq}")
   }
 

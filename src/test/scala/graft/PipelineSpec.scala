@@ -585,6 +585,74 @@ class PipelineSpec extends SparkSpec {
     assert(r2.bandRateFiltered == r1.bandRateFiltered)
   }
 
+  test("staged deployment (parquet handoffs, the CCNet score-file shape) " +
+    "equals the fused run: same Report fields, same corpus and splits") {
+    // The StagedCapstone decomposition: each phase's output round-trips
+    // through parquet (a separate job's handoff artifact) and the
+    // admission job reads the PERSISTED lmf score file — the staged
+    // decision set must equal the fused run's bit-for-bit, which is what
+    // licenses quoting a staged 15M wall-clock against the fused row
+    // (SCALE.md round 11).
+    import graft.pipeline.CorpusPipeline
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // planted contamination (the stage-4 exercise): eval twins of 3 docs
+    val eval = docs.where(col("doc_id").isin(5L, 17L, 42L))
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val stages = Seq("nonempty" -> (length(col("text")) > 0),
+      "min_tokens" -> (graft.functions.Text.tokenCount(col("text")) >= 10))
+    val rates = Map("head" -> ((9, 10)), "middle" -> ((1, 2)),
+      "tail" -> ((1, 10)))
+
+    val (fusedCorpus, fr) = CorpusPipeline.run(docs, eval, "doc_id", "text",
+      stages, fluencyMin = Some(49 -> 50), bandRates = Some(rates))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-staged").toString
+    // job 1: clean (funnel + exact dedup)
+    val (cut, cc) = CorpusPipeline.phaseClean(docs, "doc_id", "text", stages)
+    cut.write.parquet(s"$dir/pool_clean")
+    // job 2: near-dedup
+    val pool1 = spark.read.parquet(s"$dir/pool_clean")
+    val (sem, nNear, nSem) =
+      CorpusPipeline.phaseNearDedup(pool1, "doc_id", "text")
+    sem.write.parquet(s"$dir/pool_near")
+    // job 3: decontaminate + integer fluency screen
+    val pool2 = spark.read.parquet(s"$dir/pool_near")
+    val (screened, _, _) = CorpusPipeline.phaseDecontaminate(
+      pool2, nSem, eval, "doc_id", "text")
+    val (fluent, nPre, nFluent) = CorpusPipeline.phaseFluency(
+      screened, "doc_id", "text", num = 49, den = 50)
+    fluent.write.parquet(s"$dir/pool_fluent")
+    // job 4: the lmf score file (self-trained model over the fluent pool)
+    val pool3 = spark.read.parquet(s"$dir/pool_fluent")
+    CorpusPipeline.fluencyScoreFile(pool3, "doc_id", "text")
+      .write.parquet(s"$dir/lmf_scores")
+    // job 5: banding + admission off the STORED scores, then finish
+    val scores = spark.read.parquet(s"$dir/lmf_scores")
+    val admitted = graft.operators.NgramLm.bandRateFromScores(scores, rates)
+      .select(col("id").as("doc_id"))
+    val kept = pool3.join(admitted, Seq("doc_id"), "leftsemi").localCheckpoint()
+    val nKept = kept.count()
+    val fin = CorpusPipeline.phaseFinish(kept, "doc_id", "text")
+
+    // Report identity, field by field across the staged counts
+    assert(cc.input == fr.input && cc.cleaned == fr.cleaned &&
+      cc.afterExactDedup == fr.afterExactDedup)
+    assert(nNear == fr.afterNearDedup)
+    assert(fr.contaminated == nSem - nPre)
+    assert(nPre - nFluent == fr.fluencyFiltered && nFluent == fr.afterFluency)
+    assert(nFluent - nKept == fr.bandRateFiltered && nKept == fr.afterBandRate)
+    assert(fin.corpusDocs == fr.corpus && fin.splitCounts == fr.splitCounts &&
+      fin.trainSequences == fr.trainSequences)
+    // and the corpus itself, down to (doc_id, split)
+    val f = fusedCorpus.select("doc_id", "split").collect()
+      .map(x => (x.getLong(0), x.getString(1))).toSet
+    val s = fin.corpus.select("doc_id", "split").collect()
+      .map(x => (x.getLong(0), x.getString(1))).toSet
+    assert(f == s)
+    assert(fr.bandRateFiltered > 0, "band draw must be live for the parity to mean anything")
+  }
+
   test("trainingStream: release + epoch-ordered train order ship together") {
     import graft.pipeline.CorpusPipeline
     import graft.operators.Sampling
