@@ -59,11 +59,19 @@ object NgramLm {
   def lmCounts(docs: DataFrame, textCol: String, n: Int = 3,
                minCount: Long = 1L): DataFrame = {
     require(n >= 1, "order must be >= 1")
-    val grams = (1 to n).map { k =>
-      docs.select(explode(graft.functions.Text.shingles(col(textCol), k)).as("gram"))
-        .select(lit(k).as("ord"), col("gram"))
-    }.reduce(_ unionByName _)
-    grams.groupBy("ord", "gram").agg(count(lit(1)).as("c"))
+    // ONE corpus scan for all orders (round 11; guide §2.3 "project
+    // early / fewer passes"): each order's positional gram array is
+    // tagged with its order in-row and the n arrays concatenate before
+    // a single explode. The previous shape unioned n separate
+    // scan+explode branches — n reads of the text column building the
+    // same (ord, gram) stream this builds in one.
+    val tagged = (1 to n).map { k =>
+      transform(graft.functions.Text.shingles(col(textCol), k),
+        g => struct(lit(k).as("ord"), g.as("gram")))
+    }
+    docs.select(explode(flatten(array(tagged: _*))).as("og"))
+      .select(col("og.ord").as("ord"), col("og.gram").as("gram"))
+      .groupBy("ord", "gram").agg(count(lit(1)).as("c"))
       .where(col("c") >= minCount)
   }
 
@@ -105,6 +113,21 @@ object NgramLm {
    * corpus. For model-∝-corpus analytics (self-scoring at minCount=1)
    * pass `shuffle_hash`: both sides shuffle by gram but NOTHING SORTS;
    * `auto` restores the planner's size-estimate choice.
+   *
+   * PLAN SHAPE by strategy (round 11): under `broadcast` the lookup is
+   * 2n−1 consecutive BroadcastHashJoins — one per slot, all probing the
+   * SAME broadcast relation (one BroadcastExchange + 2n−2
+   * ReusedExchange) — so the token stream never explodes and never
+   * re-groups: the corpus flows through the scorer with ZERO keyed
+   * exchanges (guide §2.4 — the (doc,pos) re-group existed only to fold
+   * the exploded slot stream back to token grain, and per-slot probes
+   * of a broadcast table need no fold). Downstream per-doc reductions
+   * (census, fluency) then start from token-grain rows and map-side
+   * combine straight to doc cardinality — one doc-cardinality exchange
+   * where the exploded shape paid a token-cardinality one first.
+   * `shuffle_hash`/`auto` keep the exploded single-join + pivot shape:
+   * per-slot joins against a corpus-sized model would shuffle the token
+   * stream once PER SLOT, which is exactly backwards there.
    */
   def scoreTokens(docs: DataFrame, lm: DataFrame, totals: DataFrame,
                   idCol: String, textCol: String, n: Int = 3,
@@ -120,33 +143,65 @@ object NgramLm {
     // than g<k−1>, which ENDS at pos); plus the unigram, whose
     // denominator is the corpus total rather than a slot. slice() is
     // 1-based, pos is 0-based; positions with too little context yield
-    // null grams and drop from the candidate stream.
+    // null grams (a null key matches nothing in either lookup shape —
+    // the slot simply resolves to a null count).
     val tk = col("tk")
     def gram(from: Int, len: Int): Column = // from = offset back from pos
       when(col("pos") >= from, concat_ws(" ", slice(tk, col("pos") - from + 1, lit(len))))
-    val slots = (n to 2 by -1).flatMap { k =>
-      Seq(struct(lit(s"g$k").as("slot"), gram(k - 1, k).as("gram")),
-          struct(lit(s"b${k - 1}").as("slot"), gram(k - 1, k - 1).as("gram")))
-    } :+ struct(lit("g1").as("slot"), col("w").as("gram"))
-    val cand = withToks
-      .select(col("id"), tk, posexplode(tk).as(Seq("pos", "w")))
-      .select(col("id"), col("pos"), array(slots: _*).as("cands"))
-      .select(col("id"), col("pos"), explode(col("cands")).as("cd"))
-      .select(col("id"), col("pos"), col("cd.slot").as("slot"), col("cd.gram").as("gram"))
-      .where(col("gram").isNotNull)
-    def slotMax(s: String) = max(when(col("slot") === s, col("c")))
-    val pivots = (n to 2 by -1).flatMap { k =>
-      Seq(slotMax(s"g$k").as(s"c$k"), slotMax(s"b${k - 1}").as(s"b${k - 1}"))
-    } :+ slotMax("g1").as("c1")
-    val lmSide = modelJoin match {
-      case "broadcast"    => broadcast(lm.select(col("gram"), col("c")))
-      case "shuffle_hash" => lm.select(col("gram"), col("c")).hint("shuffle_hash")
-      case _              => lm.select(col("gram"), col("c"))
+    // slot name → candidate gram, in backoff-chain order; the looked-up
+    // count lands in a column of the slot's name (c<k> for grams, b<k−1>
+    // for backoff contexts) whichever lookup shape runs below
+    val slotDefs: Seq[(String, Column)] = (n to 2 by -1).flatMap { k =>
+      Seq(s"c$k" -> gram(k - 1, k), s"b${k - 1}" -> gram(k - 1, k - 1))
+    } :+ ("c1" -> col("w"))
+    val looked = modelJoin match {
+      case "broadcast" =>
+        // per-slot probes of the one broadcast model — no explode, no
+        // re-group; each left join resolves one slot column in place.
+        // Every probe broadcasts the IDENTICAL projection of `lm` (alias
+        // it per-slot and the subplans canonicalize differently, so the
+        // ReuseExchange rule builds the model 2n−1 times instead of once
+        // — measured while pinning the plan shape); the slot's name is
+        // applied to the looked-up count AFTER the join instead. The
+        // projection is localCheckpoint-ed first: a PERSISTED model
+        // defeats AQE's broadcast-exchange reuse (Spark 4.1's per-join
+        // TableCacheQueryStage instances don't canonicalize equal —
+        // measured: 2n−1 separate broadcast builds, i.e. 2n−1× model
+        // memory on every executor), while a checkpointed child reuses
+        // (1 build + 2n−2 ReusedExchange, plan-pinned). It also bounds
+        // an UNcached caller to exactly one model computation whatever
+        // the reuse rule decides. The model is a pruned vocabulary-
+        // cardinality artifact by the lmCounts contract, so the copy is
+        // cheap at any corpus size.
+        val base = withToks
+          .select(col("id"), posexplode(tk).as(Seq("pos", "w")), tk)
+          .select(col("id") +: col("pos") +:
+            slotDefs.map { case (nm, g) => g.as(s"__g_$nm") }: _*)
+        val lmSel = lm.select(col("gram"), col("c")).localCheckpoint()
+        slotDefs.foldLeft(base) { case (df, (nm, _)) =>
+          df.join(broadcast(lmSel), df(s"__g_$nm") === lmSel("gram"), "left")
+            .drop("gram").withColumnRenamed("c", nm).drop(s"__g_$nm")
+        }
+      case _ =>
+        val slots = slotDefs.map { case (nm, g) =>
+          struct(lit(nm).as("slot"), g.as("gram"))
+        }
+        val cand = withToks
+          .select(col("id"), tk, posexplode(tk).as(Seq("pos", "w")))
+          .select(col("id"), col("pos"), array(slots: _*).as("cands"))
+          .select(col("id"), col("pos"), explode(col("cands")).as("cd"))
+          .select(col("id"), col("pos"), col("cd.slot").as("slot"), col("cd.gram").as("gram"))
+          .where(col("gram").isNotNull)
+        def slotMax(s: String) = max(when(col("slot") === s, col("c")))
+        val pivots = slotDefs.map { case (nm, _) => slotMax(nm).as(nm) }
+        val lmSide =
+          if (modelJoin == "shuffle_hash") lm.select(col("gram"), col("c")).hint("shuffle_hash")
+          else lm.select(col("gram"), col("c"))
+        cand
+          .join(lmSide, Seq("gram"), "left")
+          .groupBy("id", "pos")
+          .agg(pivots.head, pivots.tail: _*)
     }
-    val looked = cand
-      .join(lmSide, Seq("gram"), "left")
-      .groupBy("id", "pos")
-      .agg(pivots.head, pivots.tail: _*)
     val avail = least(lit(n).cast("long"), col("pos") + 1L)
     // first matched order from n down; a matched g<k> (k ≥ 2) always has
     // a non-null b<k−1> by the count-table pruning consistency

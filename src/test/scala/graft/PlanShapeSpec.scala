@@ -259,21 +259,43 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("LM scoring: the count table broadcasts into the candidate stream; " +
-    "the corpus shuffles only at the (doc,pos) re-group — at EVERY order " +
-    "(the model order widens the slot stream, never the exchange count)") {
-    Seq("q131_lm_token_scores", "q143_lm5_token_scores").foreach { q =>
-      val p = plan(q)
-      withClue(q) {
-        assert(p.contains("BroadcastHashJoin"),
-          "the vocabulary-cardinality count table must broadcast")
-        assert(!p.contains("SortMergeJoin"),
-          "a sort-merge lookup would shuffle the token stream by gram text")
-        assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2,
-          "count-table build + (doc,pos) re-group are the only keyed exchanges")
-        // the corpus total is the sanctioned one-row broadcast, not a shuffle
-        assert(p.linesIterator.count(_.contains("Exchange SinglePartition")) <= 1)
-      }
+  test("LM scoring (broadcast path): per-slot probes of ONE broadcast model — " +
+    "the token stream never explodes, never re-groups, and the only keyed " +
+    "exchange is the count-table build itself, at EVERY order (the model " +
+    "order adds BroadcastHashJoins that reuse one exchange, never a shuffle)") {
+    Seq("q131_lm_token_scores" -> 3, "q143_lm5_token_scores" -> 5).foreach {
+      case (q, n) =>
+        // assert on the FINAL adaptive plan after collect(): exchange
+        // reuse is an AQE runtime substitution invisible in the initial
+        // plan (and a noop write plans a SEPARATE QueryExecution, so it
+        // would leave df's own plan unfinalized)
+        val df = SparkEntry.queries(q)(spark, sf)
+        df.collect()
+        // a finalized AdaptiveSparkPlan prints "== Final Plan ==" AND
+        // "== Initial Plan ==" — count nodes in the final section only
+        val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+        withClue(q) {
+          assert(p.contains("BroadcastHashJoin"),
+            "the vocabulary-cardinality count table must broadcast")
+          assert(!p.contains("SortMergeJoin"),
+            "a sort-merge lookup would shuffle the token stream by gram text")
+          assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 0,
+            "the corpus never shuffles in the scorer — the r11 per-slot-" +
+              "probe shape removed the (doc,pos) re-group, and the model " +
+              "build runs as the checkpoint's own job")
+          // 2n−1 slot probes share ONE broadcast BUILD of the model: one
+          // BroadcastExchange materializes, the other 2n−2 are runtime
+          // reuses (a persisted model child would defeat the reuse rule —
+          // the reason scoreTokens checkpoints its model projection)
+          val builds = p.linesIterator.count(l =>
+            l.contains("BroadcastExchange HashedRelationBroadcastMode") &&
+              !l.contains("ReusedExchange"))
+          assert(builds == 1, s"one model broadcast build expected, got $builds")
+          assert(p.linesIterator.count(_.contains("ReusedExchange")) == 2 * n - 2,
+            "every further slot probe must reuse the model broadcast")
+          // the corpus total is the sanctioned one-row broadcast, not a shuffle
+          assert(p.linesIterator.count(_.contains("Exchange SinglePartition")) <= 1)
+        }
     }
   }
 
