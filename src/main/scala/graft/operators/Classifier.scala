@@ -141,9 +141,16 @@ object Classifier {
                       sampleN: Int = 32, epochs: Int = 2,
                       withStats: Boolean = false): PerceptronModel = {
     require(sampleN > 0 && epochs > 0 && buckets > 0)
+    // checkpoint the bounded sample (sampleN rows): the two collects
+    // below are separate actions, and without it each re-runs the full
+    // corpus scan + label expression + top-N — at the gate config the
+    // label is the 21-rule capstone battery, so the scan is the
+    // dominant training cost and it was paid twice (guide §1.2: don't
+    // compute things twice before tuning what's computed)
     val sample = docs.orderBy(col(idCol)).limit(sampleN)
       .select(col(idCol).as("id"), col(labelCol).cast("boolean").as("y"),
         col(textCol).as("text"))
+      .localCheckpoint()
     // bounded collects: sampleN labels; sampleN × (doc tokens) features
     val labels = sample.select("id", "y").collect()
       .map(r => r.get(0).toString.toLong -> (if (r.getBoolean(1)) 1L else -1L))
