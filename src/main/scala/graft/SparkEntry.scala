@@ -1509,8 +1509,8 @@ object SparkEntry {
     // Index holds only each doc's prefix hashes — no false negatives by
     // the prefix theorem; candidates verified exactly.
     "q117_jaccard_prefix" -> ((s, dir) =>
-      graft.operators.Dedup.jaccardPairsPrefix(t(s, dir, "documents"),
-        "doc_id", "text", n = 3, threshold = 0.8,
+      graft.operators.Dedup.jaccardPairsPrefixFromHashed(
+        hashedShinglesShared(s, dir), threshold = 0.8,
         maxBucket = Int.MaxValue)),
 
     // Multi-level ROLLUP aggregation (corpus census by lang → lang×source

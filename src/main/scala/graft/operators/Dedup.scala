@@ -1038,9 +1038,19 @@ object Dedup {
    */
   def jaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
                          n: Int, threshold: Double,
-                         maxBucket: Int = 10000): DataFrame = {
-    val (_, afterLength) =
-      prefixStages(docs, idCol, textCol, n, threshold, maxBucket)
+                         maxBucket: Int = 10000): DataFrame =
+    jaccardPairsPrefixFromHashed(hashedShingles(docs, idCol, textCol, n),
+      threshold, maxBucket)
+
+  /** [[jaccardPairsPrefix]] over a (possibly pre-staged) hashed shingle
+    * stream — the same `sh` contract as [[jaccardPairsFromHashed]] /
+    * [[overlapPairsFromHashed]], so a deployment that stores the hashed
+    * stream (or a bench that stages it) doesn't re-run the
+    * scan+explode+md5 pass per consumer (round 11; the other pair
+    * operators have taken a hashed stream since round 3). */
+  def jaccardPairsPrefixFromHashed(sh: DataFrame, threshold: Double,
+                                   maxBucket: Int = 10000): DataFrame = {
+    val (_, afterLength) = prefixStagesFromHashed(sh, threshold, maxBucket)
     verifyPrefixCandidates(afterLength, threshold)
   }
 
@@ -1067,9 +1077,14 @@ object Dedup {
     * positional filter, for 256 true pairs; at t=0.9, 20,849 → 7,719). */
   private[graft] def prefixStages(docs: DataFrame, idCol: String,
                                   textCol: String, n: Int, threshold: Double,
-                                  maxBucket: Int): (DataFrame, DataFrame) = {
+                                  maxBucket: Int): (DataFrame, DataFrame) =
+    prefixStagesFromHashed(hashedShingles(docs, idCol, textCol, n),
+      threshold, maxBucket)
+
+  private[graft] def prefixStagesFromHashed(sh: DataFrame, threshold: Double,
+                                            maxBucket: Int): (DataFrame, DataFrame) = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0,1]")
-    val sets = hashedShingles(docs, idCol, textCol, n)
+    val sets = sh
       .groupBy("id").agg(sort_array(collect_list(col("h"))).as("__hs"))
       .withColumn("__sz", size(col("__hs")))
       .localCheckpoint() // consumed by the prefix index AND twice by verify
