@@ -857,11 +857,16 @@ object Dedup {
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
                         maxBucket: Int = 10000): DataFrame = {
     val s = col("__s")
+    // xxhash64, not the portable stableHash60: this hash is a BLOCKING
+    // key only (collisions add candidates, verification removes them —
+    // see the scaladoc), never part of the output or the oracle contract,
+    // so the engine-native hash applies; it drops an md5 + hex-conv per
+    // variant, the stream's dominant per-row cost (~|s| variants/row).
     val variants = df
       .select(col(idCol).as("id"), col(strCol).as("__s"))
       .select(col("id"),
         explode(sequence(lit(0), length(s))).as("__i"), s)
-      .select(col("id"), Hashing.stableHash60(
+      .select(col("id"), xxhash64(
         when(col("__i") === 0, s).otherwise(concat(
           s.substr(lit(1), col("__i") - 1),
           s.substr(col("__i") + 1, length(s) - col("__i"))))).as("h"))
