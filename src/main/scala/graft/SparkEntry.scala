@@ -115,6 +115,13 @@ object SparkEntry {
       f.count()
       key -> ((System.nanoTime() - t0) / 1e9)
     }
+    // non-frame artifact build (the perceptron model memo): time the
+    // eager construction itself — there is no frame to count()
+    def tmU(key: String)(f: => Unit): (String, Double) = {
+      val t0 = System.nanoTime()
+      f
+      key -> ((System.nanoTime() - t0) / 1e9)
+    }
     Seq(
       tm("enr")(enrichedFullShared(s, dir)),
       tm("shg")(hashedShinglesShared(s, dir)),
@@ -134,6 +141,12 @@ object SparkEntry {
       // lmf = the per-doc fluency score table (rescores the corpus
       // against the already-staged lmc model — the CCNet score file)
       tm("lmf")(lmFluencyShared(s, dir)),
+      // pcm = the distilled-classifier TRAINING (one corpus scan under
+      // the 21-rule battery + the bounded driver fit) — the model every
+      // classifier gate probes; memoized per (session, sf-dir), so this
+      // row carries the one-shot cost and q137-q139/q147 report the
+      // per-probe marginal (the PQ pqe/pqi rationale)
+      tmU("pcm")(pcptModel(s, dir)),
       // cap = the composed CorpusPipeline run (q127/q128): `run` executes
       // eagerly inside the memo build, so this row carries the whole
       // pipeline cost and the two gate rows report marginal reads
@@ -152,6 +165,9 @@ object SparkEntry {
     // capstone results are localCheckpoint-backed (no persist to release);
     // dropping the entry lets the checkpoint blocks age out with the session
     capstoneMemo.keys.filter(_._1 == s).foreach(capstoneMemo.remove)
+    // the perceptron model is a driver-side value; drop the entry so a
+    // stopped session's key cannot pin the SparkSession object
+    pcptMemo.keys.filter(_._1 == s).foreach(pcptMemo.remove)
   }
 
   private def enrichedFullShared(s: SparkSession, dir: String): DataFrame =
@@ -2026,18 +2042,33 @@ object SparkEntry {
     }),
   )
 
-  /** Shared trainer for q137/q138 (train once per call site; the sample
-    * collect is bounded by PcptSampleN × doc tokens). The label is the
-    * capstone battery's own verdict — the one stage list shared with
+  /** Shared trainer for q137/q138/q139/q147. The label is the capstone
+    * battery's own verdict — the one stage list shared with
     * q127/q133/q134/q136, so classifier and teacher can never screen
-    * with different rules. */
+    * with different rules.
+    *
+    * Trained ONCE per (session, sf-dir) and memoized (round 11): the
+    * model is an ingest-time TRAINING artifact every consumer probes —
+    * the same amortized-store rationale as the staged PQ index — and
+    * its cost is the full corpus scan evaluating the 21-rule battery to
+    * draw the sample, which q138/q139/q147 each re-paid. Training is
+    * eager (bounded driver collects inside) and deterministic
+    * (hash/id-ordered sample, fixed epochs), so the memo holds a
+    * finished, engine-independent model; q137 — the model gate itself —
+    * is alphabetically the first bench consumer, so the one-shot
+    * training cost stays measured on the training gate's own row. */
+  private val pcptMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.operators.Classifier.PerceptronModel]
   private def pcptModel(s: SparkSession, dir: String)
-      : graft.operators.Classifier.PerceptronModel =
-    graft.operators.Classifier.trainPerceptron(
-      t(s, dir, "documents").withColumn("is_pass",
-        capstoneFunnelStages.map(_._2).reduce(_ && _)),
-      "doc_id", "is_pass", "text", ns = PcptOrders, buckets = FeatBuckets,
-      sampleN = PcptSampleN, epochs = PcptEpochs, withStats = PcptStats)
+      : graft.operators.Classifier.PerceptronModel = {
+    pcptMemo.keys.filter(_._1.sparkContext.isStopped).foreach(pcptMemo.remove)
+    pcptMemo.getOrElseUpdate((s, dir),
+      graft.operators.Classifier.trainPerceptron(
+        t(s, dir, "documents").withColumn("is_pass",
+          capstoneFunnelStages.map(_._2).reduce(_ && _)),
+        "doc_id", "is_pass", "text", ns = PcptOrders, buckets = FeatBuckets,
+        sampleN = PcptSampleN, epochs = PcptEpochs, withStats = PcptStats))
+  }
 
   /** The gate-config scored corpus (doc_id, score, keep) — ONE engine-side
     * copy shared by q138 and its PPS consumer q147, mirroring the oracle's
