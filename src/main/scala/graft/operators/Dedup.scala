@@ -209,7 +209,19 @@ object Dedup {
     val words = BloomExprs.buildBitmap(te, "h", mBits)
     val trFull = hashedShingles(train, idCol, textCol, n)
     val trHits = trFull.where(BloomExprs.mightContain(col("h"), words, mBits))
-    contaminationFromHashed(trHits, trFull, te, maxBucket)
+    // |train set| needs no hashes, only the DISTINCT-shingle count —
+    // size(shingleSet) is the same number as groupBy(id).count() over
+    // the hashed stream (hashedShingles explodes exactly that set), as
+    // a zero-shuffle per-row projection: the second full explode+md5
+    // pass over the train corpus (round 11) disappears. Shingle-less
+    // docs never reach a posting list, so the inner size join ignores
+    // them either way; the filter keeps the frame pair-relevant.
+    val sizesTr = train
+      .select(col(idCol).as("train_id"),
+        size(graft.functions.Text.shingleSet(col(textCol), n)).cast("long")
+          .as("size_r"))
+      .where(col("size_r") >= 1)
+    contaminationWithSizes(trHits, sizesTr, te, maxBucket)
   }
 
   /**
@@ -240,8 +252,17 @@ object Dedup {
    * Jaccard denominator.
    */
   private[graft] def contaminationFromHashed(tr: DataFrame, trSizes: DataFrame,
-                                             te: DataFrame, maxBucket: Int): DataFrame = {
-    val sizesTr = trSizes.groupBy(col("id").as("train_id")).agg(count(lit(1)).as("size_r"))
+                                             te: DataFrame, maxBucket: Int): DataFrame =
+    contaminationWithSizes(tr,
+      trSizes.groupBy(col("id").as("train_id")).agg(count(lit(1)).as("size_r")),
+      te, maxBucket)
+
+  /** [[contaminationFromHashed]] with the train-side set sizes already
+    * computed — callers that can derive |train set| without a second
+    * pass over the hashed stream (a per-row `size(shingleSet)`
+    * projection) hand the (train_id, size_r) frame in directly. */
+  private[graft] def contaminationWithSizes(tr: DataFrame, sizesTr: DataFrame,
+                                            te: DataFrame, maxBucket: Int): DataFrame = {
     val sizesTe = te.groupBy(col("id").as("test_id")).agg(count(lit(1)).as("size_t"))
     val shared = tr.withColumn("side", lit(0)).unionByName(te.withColumn("side", lit(1)))
       .groupBy("h")
