@@ -168,6 +168,10 @@ object SparkEntry {
     // the perceptron model is a driver-side value; drop the entry so a
     // stopped session's key cannot pin the SparkSession object
     pcptMemo.keys.filter(_._1 == s).foreach(pcptMemo.remove)
+    // the LM scorer's per-model checkpoint cache (round 12) — entries are
+    // localCheckpoint-backed like the capstone's; dropping them lets the
+    // blocks age out with their RDDs
+    graft.operators.NgramLm.clearModelCache(s)
   }
 
   private def enrichedFullShared(s: SparkSession, dir: String): DataFrame =
@@ -2054,9 +2058,10 @@ object SparkEntry {
     * draw the sample, which q138/q139/q147 each re-paid. Training is
     * eager (bounded driver collects inside) and deterministic
     * (hash/id-ordered sample, fixed epochs), so the memo holds a
-    * finished, engine-independent model; q137 — the model gate itself —
-    * is alphabetically the first bench consumer, so the one-shot
-    * training cost stays measured on the training gate's own row. */
+    * finished, engine-independent model. The one-shot training cost is
+    * carried by the `pcm` stage row (Bench stages run before any query),
+    * so q137-q139/q147 report the per-probe marginal — the same
+    * measurement contract as the pqe/pqi index rows. */
   private val pcptMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), graft.operators.Classifier.PerceptronModel]
   private def pcptModel(s: SparkSession, dir: String)

@@ -1,0 +1,146 @@
+package graft.expressions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native portable 60-bit hash — the compiled form of
+ * `conv(substring(md5(c), 1, 15), 16, 10) :: long` (round 12, guide §
+ * expressions/codegen). The declarative chain materializes a 32-char hex
+ * string, substrings it and re-parses base-16 per row; this expression
+ * digests once and assembles the SAME first-60-bits value directly from
+ * the raw digest bytes — no hex encode, no string parse, one MessageDigest
+ * per thread. Bit-identical to the chain (HashingSpec pins the Scala twin
+ * and a Column-level equality), so every oracle-verifiable hash value in
+ * the engine (shingles, spans, minhash bases, draw keys) is unchanged.
+ *
+ * Accepts STRING (hashes UTF-8 bytes — what `md5(string)`'s implicit
+ * binary cast hashed) and BINARY (raw bytes) children, exactly the two
+ * input classes the engine's call sites use.
+ */
+case class StableHash60(child: Expression) extends UnaryExpression {
+
+  // manual check (not ExpectsInputTypes): the accepted set is
+  // STRING ∪ BINARY and Spark 4 keeps `TypeCollection` private[sql] —
+  // no implicit cast is wanted anyway, a silently casted child would
+  // hash DIFFERENT bytes than the caller's column
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType || child.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string or binary child, got ${child.dataType.sql}")
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_stable_hash60"
+
+  private def isString: Boolean = child.dataType == StringType
+
+  override def nullSafeEval(input: Any): Any =
+    if (isString) StableHash60.computeUtf8(input.asInstanceOf[UTF8String])
+    else StableHash60.computeBytes(input.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (isString)
+      defineCodeGen(ctx, ev, c => s"graft.expressions.StableHash60.computeUtf8($c)")
+    else
+      defineCodeGen(ctx, ev, c => s"graft.expressions.StableHash60.computeBytes($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object StableHash60 {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 60 bits of md5(bytes) as a non-negative long — equal by
+    * construction to parsing the first 15 hex chars base-16: hex pair
+    * 2i,2i+1 is byte i, so chars [0,15) are bytes 0..6 plus the HIGH
+    * nibble of byte 7. */
+  def computeBytes(b: Array[Byte]): Long = {
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(b)
+    ((d(0) & 0xffL) << 52) | ((d(1) & 0xffL) << 44) |
+      ((d(2) & 0xffL) << 36) | ((d(3) & 0xffL) << 28) |
+      ((d(4) & 0xffL) << 20) | ((d(5) & 0xffL) << 12) |
+      ((d(6) & 0xffL) << 4) | ((d(7) & 0xffL) >>> 4)
+  }
+
+  def computeUtf8(s: UTF8String): Long = computeBytes(s.getBytes)
+
+  def column(c: Column): Column =
+    GraftSqlBridge.column(StableHash60(GraftSqlBridge.expression(c)))
+}
+
+/**
+ * Native per-document SimHash signature — one compiled pass per row
+ * (round 12, guide §2.4/§codegen): tokenize on single space (keeping
+ * empties — the split contract), hash each token occurrence with
+ * [[StableHash60]], accumulate the ±1 per-bit sums, emit the signature
+ * long. Replaces the exploded shape (Generate per token → md5 column →
+ * Exchange on id → 60 conditional sums), whose only purpose was undoing
+ * the explode: the signature is a pure per-document function, so the
+ * corpus never shuffles to compute it. Bit-for-bit the value of
+ * [[graft.operators.Dedup.simhashFromHashed]] over
+ * [[graft.operators.Dedup.hashedTokens]] (DedupSpec pins the equality).
+ */
+case class SimhashSig(child: Expression, bits: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(bits >= 1 && bits <= 60,
+    s"simhash width must be within the 60 informative hash bits, got $bits")
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_simhash"
+
+  override def nullSafeEval(input: Any): Any =
+    SimhashSig.compute(input.asInstanceOf[UTF8String], bits)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.SimhashSig.compute($c, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimhashSig {
+  /** One-pass signature; called from generated code. Token stream =
+    * split(text, " ", -1) — empty tokens hash too, exactly like the
+    * exploded token stream (split never yields an empty array, so every
+    * document signs). Bit j of the result is 1 iff the sum over token
+    * occurrences of (bit j of stableHash60(token) ? +1 : −1) is > 0. */
+  def compute(text: UTF8String, bits: Int): Long = {
+    val tokens = text.toString.split(" ", -1)
+    val sums = new Array[Int](bits)
+    var i = 0
+    while (i < tokens.length) {
+      val h = StableHash60.computeBytes(
+        tokens(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var j = 0
+      while (j < bits) {
+        sums(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < bits) {
+      if (sums(j) > 0) sig |= 1L << j
+      j += 1
+    }
+    sig
+  }
+
+  def column(text: Column, bits: Int): Column =
+    GraftSqlBridge.column(SimhashSig(GraftSqlBridge.expression(text), bits))
+}

@@ -183,3 +183,105 @@ object WordShingles {
   def column(text: Column, n: Int): Column =
     GraftSqlBridge.column(WordShingles(GraftSqlBridge.expression(text), n))
 }
+
+/**
+ * Native winnowed-fingerprint selection (Schleimer/Wilkerson/Aiken 2003
+ * robust winnowing) — ONE compiled pass per document (round 12, guide
+ * §2.4): returns the document's distinct selected fingerprints as
+ * `array<struct<pos: long, h: long>>`, where `h` is the portable
+ * [[StableHash60]] of the k-token span starting at token position `pos`.
+ *
+ * Replaces the window-function shape (posexplode the span stream →
+ * Exchange on id → Sort by (id, pos) → sliding min → distinct), whose
+ * exchanges existed only to group a document's OWN spans back together:
+ * the selection is a pure per-document function, so the corpus never
+ * shuffles to fingerprint. Semantics are identical by construction —
+ * window [p, p+w−1] over the positional span-hash stream, valid starts
+ * p ≤ max(m−w, 0) (short documents winnow their whole stream as one
+ * truncated window), selection = (smallest hash, ties to the RIGHTMOST
+ * position), each selected position recorded once. The sliding min runs
+ * as a monotonic deque — O(m) per document, not O(m·w).
+ *
+ * Distinctness note: re-selection of a position after a gap is
+ * impossible (if x is selected at windows p1 < p3 but beaten at
+ * p1 < p2 < p3, the beater b ≥ p2 lies in window p1 too and beats x
+ * there — contradiction), so selections form runs and skipping
+ * consecutive repeats yields exactly the distinct set.
+ */
+case class WinnowedSelect(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(k >= 1, "span size must be >= 1")
+  require(w >= 1, "winnow window must be >= 1")
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("h",
+        org.apache.spark.sql.types.LongType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_winnowed_fingerprints"
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowedSelect.compute(input.asInstanceOf[UTF8String], k, w)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.WinnowedSelect.compute($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowedSelect {
+  /** One-pass winnowing; called from generated code. */
+  def compute(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val spans = WordShingles.compute(text, k)
+    val m = spans.numElements()
+    if (m == 0) return new GenericArrayData(Array.empty[Any])
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      hs(i) = StableHash60.computeUtf8(spans.getUTF8String(i))
+      i += 1
+    }
+    val maxStart = math.max(m - w, 0)
+    // monotonic deque of span indices: hashes strictly increasing from the
+    // front; equal hashes keep the LATER index (the rightmost-min rule)
+    val dq = new Array[Int](m)
+    var head = 0
+    var tail = 0
+    def push(idx: Int): Unit = {
+      while (tail > head && hs(dq(tail - 1)) >= hs(idx)) tail -= 1
+      dq(tail) = idx
+      tail += 1
+    }
+    val outPos = new Array[Int](maxStart + 1)
+    var nOut = 0
+    var lastSel = -1
+    val fill = math.min(w - 1, m - 1)
+    i = 0
+    while (i <= fill) { push(i); i += 1 }
+    var p = 0
+    while (p <= maxStart) {
+      if (p > 0) push(p + w - 1) // p <= m-w here, so the end index is < m
+      while (dq(head) < p) head += 1
+      val sel = dq(head)
+      if (sel != lastSel) { outPos(nOut) = sel; nOut += 1; lastSel = sel }
+      p += 1
+    }
+    val rows = new Array[Any](nOut)
+    i = 0
+    while (i < nOut) {
+      rows(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](outPos(i).toLong, hs(outPos(i))))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  def column(text: Column, k: Int, w: Int): Column =
+    GraftSqlBridge.column(WinnowedSelect(GraftSqlBridge.expression(text), k, w))
+}

@@ -18,9 +18,16 @@ import org.apache.spark.sql.functions._
  */
 object Hashing {
 
-  /** Portable 60-bit non-negative hash: first 15 hex chars of md5, base-16 → long. */
+  /** Portable 60-bit non-negative hash: first 15 hex chars of md5, base-16
+    * → long. Compiled form since round 12
+    * ([[graft.expressions.StableHash60]]): one digest per row, the 60-bit
+    * value assembled from the raw digest bytes — the previous declarative
+    * chain (`conv(substring(md5(c), 1, 15), 16, 10)::long`) hex-encoded a
+    * 32-char string and re-parsed it per row. Bit-identical by
+    * construction; HashingSpec pins the equality against both the chain
+    * and the Scala twin. */
   def stableHash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    graft.expressions.StableHash60.column(c)
 
   /**
    * Seed-domain draw key — the ONE structural definition of the engine's
@@ -47,12 +54,9 @@ object Hashing {
   /** Plain-Scala twin of [[stableHash60]] — same value for the same string.
     * For code that hashes OUTSIDE a Column expression (streaming state
     * functions, driver-side draws); HashingSpec pins the equality. */
-  def stableHash60Scala(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map(b => f"$b%02x").mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
-  }
+  def stableHash60Scala(s: String): Long =
+    graft.expressions.StableHash60.computeBytes(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   /**
    * Universal-hash family over stableHash60 for minhash:

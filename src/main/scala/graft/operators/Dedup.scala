@@ -781,7 +781,15 @@ object Dedup {
    * expression width; see NOTES.md.)
    */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String, bits: Int = 32): DataFrame =
-    simhashFromHashed(hashedTokens(docs, idCol, textCol), bits)
+    // ONE compiled pass per document (round 12, guide §2.4): the signature
+    // is a pure per-document function, so the token stream never explodes
+    // and the corpus never exchanges on id — the previous shape paid a
+    // Generate per token occurrence, an md5 column and a token-cardinality
+    // shuffle into the 60 conditional sums. Bit-identical by construction
+    // (HashingSpec pins expression ≡ exploded aggregation at 32/60 bits);
+    // [[simhashFromHashed]] stays for callers holding a pre-hashed stream.
+    docs.select(col(idCol).as("id"),
+      graft.expressions.SimhashSig.column(col(textCol), bits).as("simhash"))
 
   /** id → 60-bit hash per token occurrence (NOT deduplicated — simhash
     * weights by term frequency). Like hashedShingles, a shared staging
@@ -819,11 +827,19 @@ object Dedup {
     * corpus size / desired bucket size. */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           maxDist: Int = 3, bits: Int = 60): DataFrame =
-    simhashNearDupPairsFromHashed(hashedTokens(docs, idCol, textCol), maxDist, bits)
+    // signatures via the compiled per-document pass (see
+    // [[simhashSignatures]]) — the bucket/verify tail is shared, so the
+    // docs-level and hashed-stream entry points can never pair differently
+    simhashNearDupPairsFromSigs(simhashSignatures(docs, idCol, textCol, bits),
+      maxDist, bits)
 
   /** simhash near-dup over a (possibly pre-staged) hashed token stream. */
-  def simhashNearDupPairsFromHashed(toks: DataFrame, maxDist: Int, bits: Int): DataFrame = {
-    val sigs = simhashFromHashed(toks, bits)
+  def simhashNearDupPairsFromHashed(toks: DataFrame, maxDist: Int, bits: Int): DataFrame =
+    simhashNearDupPairsFromSigs(simhashFromHashed(toks, bits), maxDist, bits)
+
+  /** The candidate/verify tail over an (id, simhash) signature frame. */
+  private def simhashNearDupPairsFromSigs(sigs: DataFrame, maxDist: Int,
+                                          bits: Int): DataFrame = {
     val chunks = maxDist + 1
     val width = bits / chunks
     val chunkCols = (0 until chunks).map { c =>
@@ -930,29 +946,25 @@ object Dedup {
    * winnow their whole hash stream as a single truncated window, so every
    * tokenizable document fingerprints at least once.
    *
-   * Shape: ONE exchange on the doc id (the frame window), then the distinct
-   * aggregation on (id, pos, h) — the fingerprint table is an aggregated,
-   * sub-corpus-cardinality artifact. The per-window argmin is a frame
-   * `min(struct(h, −pos))`: struct ordering gives (smallest hash, then
-   * largest position) without a per-window expansion.
+   * Shape (round 12, guide §2.4): ZERO exchanges — the selection is a pure
+   * per-document function, computed by ONE compiled pass per row
+   * ([[graft.expressions.WinnowedSelect]]: hash stream + monotonic-deque
+   * sliding min + in-run dedup) and exploded to the (id, pos, h) table.
+   * The previous shape posexploded the span stream, exchanged the corpus
+   * on the doc id for a frame window `min(struct(h, −pos))`, and paid a
+   * distinct aggregation — a token-cardinality shuffle + sort whose only
+   * purpose was regrouping each document's own spans (DedupSpec pins the
+   * Scala-twin equality, tie-breaking and partitioning independence).
+   * Rows are per-document distinct by construction; ids are assumed
+   * unique per document (the corpus contract — every caller feeds a
+   * keyed table or pre-distincts).
    */
   def winnowedFingerprints(docs: DataFrame, idCol: String, textCol: String,
                            k: Int, w: Int): DataFrame = {
     require(w >= 1, "winnow window must be >= 1")
-    val sp = docs.select(col(idCol).as("id"),
-        (size(Text.tokens(col(textCol))) - (k - 1)).cast("long").as("__nk"),
-        posexplode(Text.shingles(col(textCol), k)).as(Seq("__p", "__span")))
-      .select(col("id"), col("__nk"), col("__p").cast("long").as("__p"),
-        Hashing.stableHash60(col("__span")).as("__h"))
-    val frame = Window.partitionBy("id").orderBy("__p")
-      .rowsBetween(Window.currentRow, w - 1)
-    sp.withColumn("__sel",
-        min(struct(col("__h"), (-col("__p")).as("__np"))).over(frame))
-      // valid window starts only: p ≤ nk−w, plus p = 0 when nk < w (the
-      // whole-stream truncated window for short documents)
-      .where(col("__p") <= greatest(col("__nk") - w, lit(0L)))
-      .select(col("id"), (-col("__sel.__np")).as("pos"), col("__sel.__h").as("h"))
-      .distinct()
+    docs.select(col(idCol).as("id"),
+        explode(graft.expressions.WinnowedSelect.column(col(textCol), k, w)).as("__f"))
+      .select(col("id"), col("__f.pos").as("pos"), col("__f.h").as("h"))
   }
 
   /**

@@ -47,6 +47,37 @@ object NgramLm {
   private def toks(textCol: String): Column = split(col(textCol), " ")
 
   /**
+   * ONE checkpointed model artifact per distinct (session, model plan) —
+   * round 12. [[scoreTokens]]' broadcast path previously
+   * `localCheckpoint`-ed its (gram, c) projection on EVERY call, so each
+   * bench pass / capstone phase / streaming micro-batch re-ran the model
+   * job and left another set of never-released executor-pinned checkpoint
+   * blocks behind (VERDICT r11: the growing block population was the
+   * prime suspect for the 32-core anti-scaling cluster). Keyed by the
+   * CANONICALIZED analyzed plan, so a structurally identical model built
+   * fresh per call (the q149/q150 shape: `lmCounts` over the memoized
+   * capstone pool) still hits; distinct corpora/orders/prunings get
+   * distinct entries. Entries of stopped sessions are evicted on every
+   * access; `SparkEntry.releaseStaged` clears the live session's
+   * explicitly. Memoizing changes no values: the checkpoint is a
+   * materialization of a deterministic projection.
+   */
+  private val modelMemo = scala.collection.concurrent.TrieMap.empty[
+    (org.apache.spark.sql.SparkSession,
+     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), DataFrame]
+  private def checkpointedModel(lm: DataFrame): DataFrame = {
+    val sel = lm.select(col("gram"), col("c"))
+    modelMemo.keys.filter(_._1.sparkContext.isStopped).foreach(modelMemo.remove)
+    modelMemo.getOrElseUpdate(
+      (sel.sparkSession, sel.queryExecution.analyzed.canonicalized),
+      sel.localCheckpoint())
+  }
+  /** Drop this session's cached model checkpoints (the blocks age out with
+    * the RDDs once unreferenced — ContextCleaner reclaims them). */
+  def clearModelCache(s: org.apache.spark.sql.SparkSession): Unit =
+    modelMemo.keys.filter(_._1 == s).foreach(modelMemo.remove)
+
+  /**
    * Count tables for all orders 1..n in one frame: (ord, gram, c).
    * Positional n-grams WITH multiplicity (`Text.shingles` semantics);
    * grams of different orders cannot collide (an order-k gram has
@@ -128,6 +159,18 @@ object NgramLm {
    * `shuffle_hash`/`auto` keep the exploded single-join + pivot shape:
    * per-slot joins against a corpus-sized model would shuffle the token
    * stream once PER SLOT, which is exactly backwards there.
+   *
+   * Contract notes (ADVICE r11): under `broadcast` the first call per
+   * distinct model EAGERLY runs the model computation (the checkpoint
+   * materializes it; subsequent calls on the same session reuse the
+   * artifact) — callers that build but never execute the scoring plan
+   * still pay the model build once. `localCheckpoint` blocks are
+   * executor-local and unrecoverable on executor loss; a long-running
+   * cluster deployment that must survive executor churn should persist
+   * the model to reliable storage and pass the read-back frame instead.
+   * `lm` must have UNIQUE gram keys (the [[lmCounts]] contract): the
+   * per-slot left joins would multiply token rows on duplicate grams,
+   * where the exploded pivot shape collapsed them via max().
    */
   def scoreTokens(docs: DataFrame, lm: DataFrame, totals: DataFrame,
                   idCol: String, textCol: String, n: Int = 3,
@@ -177,7 +220,7 @@ object NgramLm {
           .select(col("id"), posexplode(tk).as(Seq("pos", "w")), tk)
           .select(col("id") +: col("pos") +:
             slotDefs.map { case (nm, g) => g.as(s"__g_$nm") }: _*)
-        val lmSel = lm.select(col("gram"), col("c")).localCheckpoint()
+        val lmSel = checkpointedModel(lm)
         slotDefs.foldLeft(base) { case (df, (nm, _)) =>
           df.join(broadcast(lmSel), df(s"__g_$nm") === lmSel("gram"), "left")
             .drop("gram").withColumnRenamed("c", nm).drop(s"__g_$nm")

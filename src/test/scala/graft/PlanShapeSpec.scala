@@ -31,11 +31,12 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("winnowing plans ONE exchange: the window's id-clustering satisfies " +
-    "the distinct's subset distribution") {
+  test("winnowing plans ZERO exchanges: the selection is a per-document " +
+    "compiled pass (round 12), so the corpus never shuffles to fingerprint") {
     SparkEntry.releaseStaged(spark) // q107 reads the staged fingerprint frame
     val p = plan("q107_winnow_fingerprints")
-    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("graft_winnowed_fingerprints"), p)
   }
 
   test("FIM transform is a zero-exchange scan-speed projection") {
