@@ -34,6 +34,21 @@ object CapProfile {
     val train = docs.where(col("doc_id") % 10 =!= 0)
     val eval = docs.where(col("doc_id") % 10 === 0)
 
+    // JIT/classloader warmup at sf0.001 — the bench times cap LAST in a
+    // warm JVM; a cold first phase here would misattribute ~8 s of JVM
+    // startup to phaseClean
+    {
+      val wd = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val (sc0, _) = phaseClean(wd.where(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", stages)
+      val (sem0, _, n0) = phaseNearDedup(sc0, "doc_id", "text", 0.5)
+      val (scr0, _, _) = phaseDecontaminate(sem0, n0,
+        wd.where(col("doc_id") % 10 === 0), "doc_id", "text", 0.5, 0)
+      val (fl0, _, _) = phaseFluency(scr0, "doc_id", "text", 49, 50)
+      phaseFinish(fl0, "doc_id", "text")
+      println("[cap-profile] warmup done")
+    }
+
     val total0 = System.nanoTime()
     val (spanCut, _) = tm("clean")(phaseClean(train, "doc_id", "text", stages))
     val (sem, _, nSem) = tm("neardup")(phaseNearDedup(spanCut, "doc_id", "text", 0.5))

@@ -194,9 +194,15 @@ object SparkEntry {
   // artifacts — signatures, candidate pairs — which are corpus-cardinality,
   // not token-cardinality. At 100 TB the same rule holds: a persisted token
   // stream is a cluster-wide memory/disk flood for zero algorithmic benefit.
+  // round 12: the sig build is the compiled per-document pass (zero
+  // exchanges, one documents scan) instead of a groupBy over the staged
+  // shingle stream — same frame bit-for-bit (HashingSpec), but the build
+  // no longer shuffles token-cardinality rows; shg keeps serving the
+  // jaccard/overlap/candidate consumers that need shingle identity
   private def minhashSigsShared(s: SparkSession, dir: String): DataFrame =
     staged(s, dir, "mhsig")(
-      Dedup.minhashFromHashed(hashedShinglesShared(s, dir), numHashes = 16))
+      Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, numHashes = 16))
   private def lshCandidatesShared(s: SparkSession, dir: String): DataFrame =
     staged(s, dir, "mhcands")(
       Dedup.minhashLshCandidates(minhashSigsShared(s, dir), numHashes = 16, bands = 4))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -110,6 +111,81 @@ case class SimhashSig(child: Expression, bits: Int)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/**
+ * Native per-document MinHash signature — one compiled pass per row
+ * (round 12, guide §2.4): shingle the document, [[StableHash60]] each
+ * shingle, fold the `numHashes` universal-hash minima, emit the
+ * signature as `array<long>` (EMPTY when the document has fewer than n
+ * tokens — the rows [[graft.operators.Dedup.minhashFromHashed]]'s
+ * groupBy drops; callers filter `size > 0`). Replaces the from-scratch
+ * shape (explode the shingle set → md5 column → Exchange on id → 16
+ * min() aggregates): the signature is a pure per-document function of
+ * the shingle set, and min() over occurrences equals min() over the
+ * distinct set, so the corpus never shuffles to sign. Values are
+ * bit-identical to the aggregation (HashingSpec pins it): the
+ * universal-hash arithmetic `(a·(h mod p) + b) mod p`, p = 2^31−1,
+ * over non-negative 60-bit h is the same Java long arithmetic the
+ * Column form evaluates.
+ */
+case class MinhashSig(child: Expression, n: Int, numHashes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(n >= 1, "shingle size must be >= 1")
+  require(numHashes >= 1, "numHashes must be >= 1")
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_minhash"
+
+  override def nullSafeEval(input: Any): Any =
+    MinhashSig.compute(input.asInstanceOf[UTF8String], n, numHashes)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.MinhashSig.compute($c, $n, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinhashSig {
+  private val P = graft.functions.Hashing.MersennePrime
+  // (a_i, b_i) rows of Hashing.coeffs, cached per signature width
+  private val coeffCache =
+    scala.collection.concurrent.TrieMap.empty[Int, (Array[Long], Array[Long])]
+  private def coeffsFor(numHashes: Int): (Array[Long], Array[Long]) =
+    coeffCache.getOrElseUpdate(numHashes, {
+      val pairs = (0 until numHashes).map(graft.functions.Hashing.coeffs)
+      (pairs.map(_._1).toArray, pairs.map(_._2).toArray)
+    })
+
+  /** One-pass signature; called from generated code. */
+  def compute(text: UTF8String, n: Int, numHashes: Int): ArrayData = {
+    val spans = WordShingles.compute(text, n)
+    val m = spans.numElements()
+    if (m == 0) return new GenericArrayData(Array.empty[Long])
+    val (as, bs) = coeffsFor(numHashes)
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < m) {
+      val hp = StableHash60.computeUtf8(spans.getUTF8String(i)) % P
+      var j = 0
+      while (j < numHashes) {
+        val v = (as(j) * hp + bs(j)) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  def column(text: Column, n: Int, numHashes: Int): Column =
+    GraftSqlBridge.column(MinhashSig(GraftSqlBridge.expression(text), n, numHashes))
 }
 
 object SimhashSig {

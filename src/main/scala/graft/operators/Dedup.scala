@@ -293,8 +293,22 @@ object Dedup {
    * signature width is a constant (numHashes longs per doc).
    */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, numHashes: Int): DataFrame =
-    minhashFromHashed(hashedShingles(docs, idCol, textCol, n), numHashes)
+                        n: Int, numHashes: Int): DataFrame = {
+    // ONE compiled pass per document (round 12, guide §2.4): the signature
+    // is a pure per-document function of the shingle set (min over
+    // occurrences = min over the distinct set), so the shingle stream
+    // never explodes and the corpus never exchanges on id — the previous
+    // shape paid a Generate + md5 column + token-cardinality shuffle into
+    // 16 min() aggregates. Bit-identical row set by construction: docs
+    // with fewer than n tokens produce an empty signature here and no
+    // group there (HashingSpec pins the frame equality);
+    // [[minhashFromHashed]] stays for callers holding a pre-hashed stream.
+    val mh = graft.expressions.MinhashSig.column(col(textCol), n, numHashes)
+    docs.select(col(idCol).as("id"), mh.as("__mh"))
+      .where(size(col("__mh")) > 0)
+      .select(col("id") +:
+        (0 until numHashes).map(i => col("__mh").getItem(i).as(s"mh_$i")): _*)
+  }
 
   /** Minhash signatures over a (possibly pre-staged) hashed shingle stream —
     * the same artifact the jaccard path consumes. */
