@@ -54,6 +54,17 @@ object CapProfile {
     val (sem, _, nSem) = tm("neardup")(phaseNearDedup(spanCut, "doc_id", "text", 0.5))
     val (screened, _, _) = tm("decontam")(
       phaseDecontaminate(sem, nSem, eval, "doc_id", "text", 0.5, 0))
+    // fluency sub-steps (same operations phaseFluency composes, timed
+    // separately; the phase call below then re-times the composition)
+    val base0 = tm("flu:ckpt+cnt") { val b = screened.localCheckpoint(); b.count(); b }
+    tm("flu:model")(graft.operators.NgramLm
+      .lmCounts(base0, "text", n = 3, minCount = 2L).count())
+    tm("flu:score") {
+      graft.operators.NgramLm.fluencyThresholdFilter(base0,
+        graft.operators.NgramLm.lmCounts(base0, "text", n = 3, minCount = 2L),
+        graft.operators.NgramLm.lmTotals(base0, "text"),
+        "doc_id", "text", 49, 50).localCheckpoint().count()
+    }
     val (fluent, _, _) = tm("fluency")(
       phaseFluency(screened, "doc_id", "text", 49, 50))
     tm("finish")(phaseFinish(fluent, "doc_id", "text"))

@@ -921,11 +921,20 @@ object Dedup {
         when(col("__i") === 0, s).otherwise(concat(
           s.substr(lit(1), col("__i") - 1),
           s.substr(col("__i") + 1, length(s) - col("__i"))))).as("h"))
+    // the candidate distinct runs ON the id_a partitioning the string
+    // fetch below needs, so the dedup and the first join share ONE
+    // exchange (round 12, guide §2.4 "two operations keyed the same way").
+    // Unlike the jaccard/overlap pair counts, pre-partitioning loses
+    // nothing here: a candidate's multiplicity is ~1 (an edit-distance-1
+    // pair shares one deletion variant; only repeated-character edits
+    // duplicate), so the partial aggregation the keyed distinct would run
+    // before its own exchange has nothing to compress
     val cand = variants.groupBy("h")
       .agg(sort_array(collect_set(col("id"))).as("ids"))
       .where(size(col("ids")).between(2, maxBucket))
       .select(explode(pairsFromSorted(col("ids"))).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .repartition(col("id_a"))
       .distinct()
     val strs = df.select(col(idCol).as("id"), col(strCol).as("__str"))
       .hint("shuffle_hash")
