@@ -285,3 +285,107 @@ object WinnowedSelect {
   def column(text: Column, k: Int, w: Int): Column =
     GraftSqlBridge.column(WinnowedSelect(GraftSqlBridge.expression(text), k, w))
 }
+
+/**
+ * Native T5-style span corruption — ONE compiled pass per document
+ * (round 12, guide §2.4): seeded per-token mask draws, consecutive
+ * masked tokens merged into one sentinel span, returns
+ * `struct<input_text, target_text, n_masked: long, n_spans: long>`.
+ *
+ * Replaces the window-function shape (posexplode the token stream →
+ * Exchange on id → Sort → lag/run-id windows → TWO groupBy(id)
+ * collect_list aggregations → join), whose exchanges existed only to
+ * regroup each document's own tokens: the transform is a pure
+ * per-document function of (text, id), so the corpus never shuffles to
+ * corrupt. Bit-identical by construction: the mask draw is
+ * stableHash60("<seed> m <id> <pos>") % 100 < noisePct — the exact
+ * string the Column shape hashed — and the in-order rebuild reproduces
+ * array_join's separator rule (a space BETWEEN collected tokens, empty
+ * tokens keeping their separators). TrainingOpsSpec pins losslessness,
+ * partitioning independence and the no-mask degenerate row;
+ * StatefulOpsSpec pins the streaming parity.
+ */
+case class SpanCorrupt(text: Expression, idStr: Expression,
+                       noisePct: Int, seed: Long)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+
+  require(noisePct > 0 && noisePct < 100, "noisePct must be in (0,100)")
+
+  override def left: Expression = text
+  override def right: Expression = idStr
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("input_text", StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("target_text", StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_masked",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_spans",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_span_corrupt"
+
+  override def nullSafeEval(t: Any, id: Any): Any =
+    SpanCorrupt.compute(t.asInstanceOf[UTF8String],
+      id.asInstanceOf[UTF8String], noisePct, seed)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, id) =>
+      s"graft.expressions.SpanCorrupt.compute($t, $id, $noisePct, ${seed}L)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(text = newLeft, idStr = newRight)
+}
+
+object SpanCorrupt {
+  /** One-pass corruption; called from generated code. */
+  def compute(text: UTF8String, id: UTF8String,
+              noisePct: Int, seed: Long): Any = {
+    val toks = text.toString.split(" ", -1)
+    val prefix = seed.toString + " m " + id.toString + " "
+    val in = new java.lang.StringBuilder
+    val tgt = new java.lang.StringBuilder
+    var inFirst = true
+    var tgtFirst = true
+    def appendIn(s: String): Unit = {
+      if (!inFirst) in.append(' ')
+      in.append(s); inFirst = false
+    }
+    var runId = 0L
+    var nMasked = 0L
+    var prevMasked = false
+    var i = 0
+    while (i < toks.length) {
+      val draw = StableHash60.computeBytes(
+        (prefix + i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val masked = draw % 100 < noisePct
+      if (masked) {
+        nMasked += 1
+        if (!prevMasked) {
+          runId += 1
+          appendIn("<extra_id_" + (runId - 1) + ">")
+          if (!tgtFirst) tgt.append(' ')
+          tgt.append("<extra_id_").append(runId - 1).append("> ").append(toks(i))
+          tgtFirst = false
+        } else {
+          tgt.append(' ').append(toks(i))
+        }
+      } else {
+        appendIn(toks(i))
+      }
+      prevMasked = masked
+      i += 1
+    }
+    val target =
+      if (nMasked == 0L) "<extra_id_0>"
+      else tgt.append(" <extra_id_").append(runId).append('>').toString
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      UTF8String.fromString(in.toString), UTF8String.fromString(target),
+      nMasked, runId))
+  }
+
+  def column(text: Column, idStr: Column, noisePct: Int, seed: Long): Column =
+    GraftSqlBridge.column(SpanCorrupt(GraftSqlBridge.expression(text),
+      GraftSqlBridge.expression(idStr), noisePct, seed))
+}

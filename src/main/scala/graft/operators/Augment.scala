@@ -43,40 +43,22 @@ object Augment {
   def spanCorruption(docs: DataFrame, idCol: String, textCol: String,
                      noisePct: Int, seed: Long): DataFrame = {
     require(noisePct > 0 && noisePct < 100, "noisePct must be in (0,100)")
-    val base = docs
-      .select(col(idCol).as("id"),
-        posexplode(Text.tokens(col(textCol))).as(Seq("pos", "tok")))
-      .withColumn("masked",
-        Hashing.stableHash60(concat_ws(" ", lit(seed.toString), lit("m"),
-          col("id").cast("string"), col("pos").cast("string"))) % 100 < noisePct)
-    val w = Window.partitionBy("id").orderBy("pos")
-    val runs = base
-      .withColumn("run_start",
-        col("masked") && !coalesce(lag(col("masked"), 1).over(w), lit(false)))
-      .withColumn("run_id", sum(when(col("run_start"), 1L).otherwise(0L))
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    def inOrder(tokCol: String) = array_join(
-      transform(sort_array(collect_list(struct(col("pos"), col(tokCol).as("t")))),
-        x => x.getField("t")), " ")
-    val inputAgg = runs.where(!col("masked") || col("run_start"))
-      .withColumn("out_tok", when(col("masked"),
-        concat(lit("<extra_id_"), (col("run_id") - 1).cast("string"), lit(">")))
-        .otherwise(col("tok")))
-      .groupBy("id").agg(inOrder("out_tok").as("input_text"))
-    val targetAgg = runs.where(col("masked"))
-      .withColumn("out_tok", when(col("run_start"),
-        concat(lit("<extra_id_"), (col("run_id") - 1).cast("string"), lit("> "),
-          col("tok")))
-        .otherwise(col("tok")))
-      .groupBy("id").agg(inOrder("out_tok").as("target_core"),
-        count(lit(1)).as("n_masked"), max(col("run_id")).as("n_spans"))
-      .withColumn("target_text", concat(col("target_core"),
-        lit(" <extra_id_"), col("n_spans").cast("string"), lit(">")))
-    inputAgg.join(targetAgg, Seq("id"), "left")
-      .select(col("id"), col("input_text"),
-        coalesce(col("target_text"), lit("<extra_id_0>")).as("target_text"),
-        coalesce(col("n_masked"), lit(0L)).as("n_masked"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+    // ONE compiled pass per document (round 12, guide §2.4): the corruption
+    // is a pure per-document function of (text, id), so the token stream
+    // never explodes and the corpus never exchanges — the previous shape
+    // paid a posexplode, an id-window (exchange + sort) for the run ids,
+    // TWO collect_list aggregations and a join, all to regroup each
+    // document's own tokens. Mask draws, sentinel numbering and the
+    // space-join semantics are reproduced bit-exactly
+    // (graft.expressions.SpanCorrupt; TrainingOpsSpec pins losslessness +
+    // partitioning independence, StatefulOpsSpec the streaming parity).
+    docs.select(col(idCol).as("id"),
+        graft.expressions.SpanCorrupt.column(col(textCol),
+          col(idCol).cast("string"), noisePct, seed).as("__sc"))
+      .select(col("id"), col("__sc.input_text").as("input_text"),
+        col("__sc.target_text").as("target_text"),
+        col("__sc.n_masked").as("n_masked"),
+        col("__sc.n_spans").as("n_spans"))
   }
 
   /**
