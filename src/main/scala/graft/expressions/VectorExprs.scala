@@ -248,3 +248,115 @@ object VectorExprs {
     GraftSqlBridge.column(L2SqDistance(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 }
+
+/**
+ * Nearest eval vector by cosine — ONE compiled pass per (train row ×
+ * broadcast eval array), round 12. Replaces the higher-order-function
+ * chain in `Similarity.semanticContamination` (`transform` to a score
+ * struct array → `array_max` → `filter` by equality → `array_min`):
+ * HOFs are interpreted per element AND push the whole projection out of
+ * whole-stage codegen, so the screen paid object allocation per
+ * (train, eval) pair. Returns `struct<eval_id, cos>`, both fields null
+ * when no eval vector yields a score (empty eval set, or every
+ * dimension mismatched — the zip_with-null contract).
+ *
+ * Semantics are the HOF chain's exactly: cosine per element with
+ * [[CosineSimilarity]]'s fold (null on length mismatch, skipped like
+ * array_max skips nulls); max under Spark's double ordering
+ * (0.0 == −0.0, NaN greatest); ties resolved to the smallest eval id
+ * under Spark's float equality (NaN == NaN true); null eval ids
+ * skipped like array_min skips nulls. SimilaritySpec pins the
+ * brute-force equality, smallest-id ties, the cosine-1 duplicate and
+ * the empty-eval pass-through.
+ */
+case class NearestEval(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(
+    ArrayType(FloatType),
+    ArrayType(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("emb", ArrayType(FloatType))))))
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("eval_id",
+      org.apache.spark.sql.types.LongType, nullable = true),
+    org.apache.spark.sql.types.StructField("cos", DoubleType, nullable = true)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_nearest_eval"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    NearestEval.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.NearestEval.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object NearestEval {
+  /** Spark's double comparison (SQLOrderingUtil): 0.0 == −0.0, NaN
+    * greater than everything. */
+  private def cmp(a: Double, b: Double): Int =
+    if (a == b) 0 else java.lang.Double.compare(a, b)
+
+  /** One-pass arg-max; called from generated code. */
+  def compute(emb: ArrayData, evals: ArrayData): Any = {
+    val n = evals.numElements()
+    val m = emb.numElements()
+    val cos = new Array[Double](n)
+    val miss = new Array[Boolean](n)
+    var best = 0.0
+    var hasBest = false
+    var i = 0
+    while (i < n) {
+      val e = evals.getStruct(i, 2)
+      val v = e.getArray(1)
+      if (v.numElements() != m) miss(i) = true
+      else {
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var j = 0
+        while (j < m) {
+          val x = emb.getFloat(j).toDouble
+          val y = v.getFloat(j).toDouble
+          dot += x * y; na += x * x; nb += y * y
+          j += 1
+        }
+        val c = dot / (math.sqrt(na) * math.sqrt(nb))
+        cos(i) = c
+        if (!hasBest || cmp(c, best) > 0) { best = c; hasBest = true }
+      }
+      i += 1
+    }
+    if (!hasBest)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](null, null))
+    var minId = 0L
+    var found = false
+    i = 0
+    while (i < n) {
+      if (!miss(i)) {
+        // Spark float equality: NaN == NaN is true
+        val eq = (java.lang.Double.isNaN(cos(i)) &&
+          java.lang.Double.isNaN(best)) || cos(i) == best
+        if (eq) {
+          val e = evals.getStruct(i, 2)
+          if (!e.isNullAt(0)) { // array_min skips null ids
+            val id = e.getLong(0)
+            if (!found || id < minId) { minId = id; found = true }
+          }
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](if (found) minId else null, best))
+  }
+
+  def column(emb: Column, evals: Column): Column =
+    GraftSqlBridge.column(NearestEval(
+      GraftSqlBridge.expression(emb), GraftSqlBridge.expression(evals)))
+}

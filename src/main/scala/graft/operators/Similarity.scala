@@ -411,20 +411,21 @@ object Similarity {
       // returns null when the bound holds, so the row always survives
       .where(assert_true(size(col("evals")) <= maxEval,
         lit(s"semanticContamination: eval set exceeds maxEval=$maxEval")).isNull)
-    val scores = transform(col("evals"), e =>
-      struct(e.getField("id").as("eval_id"),
-        VectorExprs.cosine(col(embCol), e.getField("emb")).as("cos")))
-    val bestCos = array_max(transform(col("scores"), s => s.getField("cos")))
-    val nearest = array_min(transform(
-      filter(col("scores"), s => s.getField("cos") === bestCos),
-      s => s.getField("eval_id")))
+    // ONE compiled arg-max pass per train row (round 12): the previous
+    // transform→array_max→filter→array_min chain ran interpreted per eval
+    // element (higher-order functions are CodegenFallback) and allocated a
+    // score struct per (train, eval) pair; graft_nearest_eval folds the
+    // cosine and the smallest-id tie rule in a tight loop with identical
+    // semantics (SimilaritySpec pins brute-force equality, ties, the
+    // empty-eval pass-through)
     train.select(col(idCol).as("train_id"), col(embCol))
       .crossJoin(broadcast(evalArr))
-      .withColumn("scores", scores)
+      .withColumn("__nn",
+        graft.expressions.NearestEval.column(col(embCol), col("evals")))
       .select(col("train_id"),
-        nearest.as("nearest_eval_id"),
-        bestCos.as("eval_cos"),
-        coalesce(bestCos >= threshold, lit(false)).as("flagged"))
+        col("__nn.eval_id").as("nearest_eval_id"),
+        col("__nn.cos").as("eval_cos"),
+        coalesce(col("__nn.cos") >= threshold, lit(false)).as("flagged"))
   }
 
   // ------------------------------------------------------------------ PQ
