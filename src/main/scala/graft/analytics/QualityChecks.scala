@@ -59,6 +59,13 @@ object QualityChecks {
     // caller-supplied names (spaces, dots, quotes — all legal) must never
     // be string-interpolated into a parsed expression
     def c(name: String): Column = col("`" + name.replace("`", "``") + "`")
+    // NOTE (round 12, measured): folding n_distinct into this aggregation
+    // as multi-column countDistinct looks like "one scan instead of two"
+    // but plans as an Expand — every row multiplied (#distinct-cols + 1)×
+    // before ANY partial aggregation — and benched 2.7× SLOWER at sf0.1
+    // (q71 1.27 → 3.46 s at 32c, 1.2 → 4.1 s at 8c). The two-pass shape
+    // below (moments in one scan; distincts via explode + partial-agg +
+    // join) keeps map-side reduction on both paths and stays.
     val aggs = cols.zipWithIndex.flatMap { case (name, i) =>
       Seq(count(c(name)).as(s"__n_$i"),
         sum(when(c(name).isNull, 1L).otherwise(0L)).as(s"__nn_$i"),
