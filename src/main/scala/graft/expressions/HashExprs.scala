@@ -220,3 +220,76 @@ object SimhashSig {
   def column(text: Column, bits: Int): Column =
     GraftSqlBridge.column(SimhashSig(GraftSqlBridge.expression(text), bits))
 }
+
+/**
+ * Upper-triangle pair expansion of a sorted bucket —
+ * `[a,b,c] → [(a,b),(a,c),(b,c)]` — in one compiled pass (round 12,
+ * guide §"expressions/codegen"). The declarative form
+ * `flatten(transform(ids, (x,i) => transform(slice(ids,i+2,…), …)))` is
+ * a higher-order-function chain: interpreted per element AND `slice`
+ * COPIES the tail of the array for every outer element, so a bucket of
+ * k members paid O(k²) array copies plus a lambda dispatch per pair.
+ * This is the in-bucket expansion under EVERY posting-list pair
+ * operator (jaccard, overlap, LSH candidates, simhash chunks, deletion
+ * blocking) — the hot inner loop of the pair family. Output order and
+ * values are identical (outer index i, inner j > i, ascending); element
+ * type is generic (doc ids, source names, (id, simhash) structs).
+ */
+case class SortedPairs(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: org.apache.spark.sql.types.ArrayType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array child, got ${other.sql}")
+  }
+
+  private def elementType: DataType =
+    child.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+  private def elementNullable: Boolean =
+    child.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].containsNull
+
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id_a", elementType, elementNullable),
+      org.apache.spark.sql.types.StructField("id_b", elementType, elementNullable))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_sorted_pairs"
+
+  override def nullSafeEval(input: Any): Any =
+    SortedPairs.compute(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      elementType)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val et = ctx.addReferenceObj("elemType", elementType)
+    defineCodeGen(ctx, ev, c => s"graft.expressions.SortedPairs.compute($c, $et)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SortedPairs {
+  /** Two-loop expansion; called from generated code. */
+  def compute(arr: ArrayData, et: DataType): ArrayData = {
+    val k = arr.numElements()
+    val vals = arr.toObjectArray(et)
+    val out = new Array[Any](k * (k - 1) / 2)
+    var idx = 0
+    var i = 0
+    while (i < k) {
+      var j = i + 1
+      while (j < k) {
+        out(idx) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](vals(i), vals(j)))
+        idx += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def column(ids: Column): Column =
+    GraftSqlBridge.column(SortedPairs(GraftSqlBridge.expression(ids)))
+}

@@ -326,10 +326,12 @@ object Dedup {
    * (no UDF); bucket arrays are small by LSH design, so the quadratic
    * expansion is bounded per bucket.
    */
+  // one compiled two-loop pass since round 12 (graft_sorted_pairs): the
+  // declarative flatten(transform(slice…)) chain ran interpreted per
+  // element and slice() copied the array tail per outer element — O(k²)
+  // copies per bucket in the pair family's hottest loop
   private def pairsFromSorted(ids: Column): Column =
-    flatten(transform(ids, (x, i) =>
-      transform(slice(ids, i + 2, size(ids)),
-        y => struct(x.as("id_a"), y.as("id_b")))))
+    graft.expressions.SortedPairs.column(ids)
 
   /** Banded bucket keys over a minhash signature frame — ONE definition
     * shared by the full and incremental candidate generators (a band-key
