@@ -293,3 +293,82 @@ object SortedPairs {
   def column(ids: Column): Column =
     GraftSqlBridge.column(SortedPairs(GraftSqlBridge.expression(ids)))
 }
+
+/**
+ * Cross-set pair expansion — `[a,b] × [x,y] → [(a,x),(a,y),(b,x),(b,y)]`
+ * — in one compiled pass (round 12): the interpreted nested-transform
+ * chain under the cross-set contamination and incremental-LSH buckets
+ * allocated through a lambda dispatch per (left, right) pair. Left
+ * element arrives as `id_a`, right as `id_b` (callers normalize order
+ * post-explode where they need least/greatest); element types must
+ * match. Output order is the nested-loop order of the chain it
+ * replaces (left outer, right inner).
+ */
+case class CrossPairs(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (a: org.apache.spark.sql.types.ArrayType,
+          b: org.apache.spark.sql.types.ArrayType)
+      if org.apache.spark.sql.types.DataType.equalsIgnoreNullability(
+        a.elementType, b.elementType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (a, b) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two arrays of the same element type, got ${a.sql} and ${b.sql}")
+  }
+
+  private def elementType: DataType =
+    left.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+  private def elementNullable: Boolean =
+    left.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].containsNull ||
+      right.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].containsNull
+
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id_a", elementType, elementNullable),
+      org.apache.spark.sql.types.StructField("id_b", elementType, elementNullable))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_cross_pairs"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CrossPairs.compute(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], elementType)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val et = ctx.addReferenceObj("elemType", elementType)
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.CrossPairs.compute($a, $b, $et)")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object CrossPairs {
+  /** Nested-loop expansion; called from generated code. */
+  def compute(a: ArrayData, b: ArrayData, et: DataType): ArrayData = {
+    val n = a.numElements()
+    val m = b.numElements()
+    val as = a.toObjectArray(et)
+    val bs = b.toObjectArray(et)
+    val out = new Array[Any](n * m)
+    var idx = 0
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j < m) {
+        out(idx) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](as(i), bs(j)))
+        idx += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def column(a: Column, b: Column): Column =
+    GraftSqlBridge.column(CrossPairs(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+}

@@ -270,10 +270,12 @@ object Dedup {
         collect_set(when(col("side") === 1, col("id"))).as("test_ids"))
       .where(size(col("train_ids")) >= 1 && size(col("test_ids")) >= 1 &&
         size(col("train_ids")) + size(col("test_ids")) <= maxBucket)
-      .select(explode(flatten(transform(col("test_ids"), t =>
-        transform(col("train_ids"), r =>
-          struct(t.as("test_id"), r.as("train_id")))))).as("p"))
-      .groupBy(col("p.test_id").as("test_id"), col("p.train_id").as("train_id"))
+      // compiled cross-set expansion (round 12, graft_cross_pairs): left
+      // element = test id, right = train id — same nested-loop order as
+      // the interpreted transform chain it replaces
+      .select(explode(graft.expressions.CrossPairs.column(
+        col("test_ids"), col("train_ids"))).as("p"))
+      .groupBy(col("p.id_a").as("test_id"), col("p.id_b").as("train_id"))
       .agg(count(lit(1)).as("shared"))
     val scored = shared
       .join(sizesTe, Seq("test_id"))
@@ -456,13 +458,15 @@ object Dedup {
         sort_array(collect_set(when(col("is_new") === 0, col("id")))).as("old_ids"))
       .where(size(col("new_ids")) >= 1 &&
         (size(col("new_ids")) + size(col("old_ids"))).between(2, maxBucket))
+      // new×old cross pairs ++ new×new within-pairs; old×old never expands
+      // (both compiled — round 12). Orientation normalizes POST-explode:
+      // least/greatest is the old in-array rule for the cross rows and the
+      // identity for the already-sorted new×new rows
       .select(explode(concat(
-        // new×old cross pairs ++ new×new within-pairs; old×old never expands
-        flatten(transform(col("new_ids"), a =>
-          transform(col("old_ids"), b =>
-            struct(least(a, b).as("id_a"), greatest(a, b).as("id_b"))))),
+        graft.expressions.CrossPairs.column(col("new_ids"), col("old_ids")),
         pairsFromSorted(col("new_ids")))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
+      .select(least(col("p.id_a"), col("p.id_b")).as("id_a"),
+        greatest(col("p.id_a"), col("p.id_b")).as("id_b"))
       .where(col("id_a") =!= col("id_b"))
       .distinct()
   }
@@ -755,9 +759,15 @@ object Dedup {
       // needs); empty past maxBucket, so the buffer never exceeds the cap
       .agg(BoundedCollectAgg.occsCapped(col("id"), col("pos"), lit(1), maxBucket).as("occs"))
       .where(size(array_distinct(transform(col("occs"), o => o.getField("id")))) >= 2)
-      .select(col("h"), explode(crossDocPairs(col("occs"))).as("p"))
-      .select(col("h"), col("p.id_a").as("id_a"), col("p.pos_a").as("pos_a"),
-        col("p.id_b").as("id_b"), col("p.pos_b").as("pos_b"))
+      // compiled upper-triangle expansion (round 12, graft_sorted_pairs);
+      // the same-document filter and field flatten run post-explode at row
+      // level inside codegen, where the old crossDocPairs helper ran them
+      // as interpreted array lambdas over O(k²) slice copies
+      .select(col("h"),
+        explode(graft.expressions.SortedPairs.column(col("occs"))).as("p"))
+      .where(col("p.id_a.id") =!= col("p.id_b.id"))
+      .select(col("h"), col("p.id_a.id").as("id_a"), col("p.id_a.pos").as("pos_a"),
+        col("p.id_b.id").as("id_b"), col("p.id_b.pos").as("pos_b"))
       .localCheckpoint() // two aggregation consumers below
     val shared = pairs.groupBy("id_a", "id_b")
       .agg(countDistinct(col("h")).as("shared_spans"))
@@ -775,17 +785,6 @@ object Dedup {
       .where(col("shared_spans") >= minShared)
       .select("id_a", "id_b", "shared_spans", "longest_token_run")
   }
-
-  /** Cross-document (a,b) position pairs from a (id,pos)-sorted occurrence
-    * array: upper-triangle expansion (so id_a ≤ id_b), same-document pairs
-    * dropped. The positional sibling of [[pairsFromSorted]]. */
-  private def crossDocPairs(occs: Column): Column =
-    filter(
-      flatten(transform(occs, (x, i) =>
-        transform(slice(occs, i + 2, size(occs)), y =>
-          struct(x.getField("id").as("id_a"), x.getField("pos").as("pos_a"),
-            y.getField("id").as("id_b"), y.getField("pos").as("pos_b"))))),
-      p => p.getField("id_a") =!= p.getField("id_b"))
 
   /**
    * SimHash: locality-sensitive signature. Bit j of the signature is 1 iff
@@ -1200,12 +1199,13 @@ object Dedup {
     val buckets = entries.groupBy("h")
       .agg(sort_array(collect_list(col("e"))).as("es"))
       .where(size(col("es")).between(2, maxBucket))
-    val raw = buckets.select(col("h"), explode(flatten(transform(col("es"),
-        (x, i) => transform(slice(col("es"), i + 2, size(col("es"))),
-          y => struct(x.as("a"), y.as("b")))))).as("p"))
+    // compiled upper-triangle expansion (round 12, graft_sorted_pairs —
+    // the interpreted transform(slice…) chain paid O(k²) array copies)
+    val raw = buckets.select(col("h"),
+        explode(graft.expressions.SortedPairs.column(col("es"))).as("p"))
       .select(col("h"),
-        col("p.a.id").as("id_a"), col("p.a.pos").as("ia"), col("p.a.sz").as("na"),
-        col("p.b.id").as("id_b"), col("p.b.pos").as("ib"), col("p.b.sz").as("nb"))
+        col("p.id_a.id").as("id_a"), col("p.id_a.pos").as("ia"), col("p.id_a.sz").as("na"),
+        col("p.id_b.id").as("id_b"), col("p.id_b.pos").as("ib"), col("p.id_b.sz").as("nb"))
     val firstHit = raw.groupBy("id_a", "id_b")
       .agg(min_by(struct(col("ia"), col("ib"), col("na"), col("nb")), col("h")).as("f"))
       .select(col("id_a"), col("id_b"), col("f.ia").as("ia"), col("f.ib").as("ib"),

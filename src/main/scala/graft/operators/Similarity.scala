@@ -185,8 +185,8 @@ object Similarity {
       .groupBy(col("rp_sig"))
       .agg(sort_array(collect_set(col("vec_id"))).as("ids"))
       .where(size(col("ids")) >= 2)
-      .select(explode(expr(
-        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))")).as("p"))
+      // compiled upper-triangle expansion (round 12, graft_sorted_pairs)
+      .select(explode(graft.expressions.SortedPairs.column(col("ids"))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
 
   /**
