@@ -3,7 +3,7 @@ package graft.expressions
 import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /**
@@ -359,4 +359,132 @@ object NearestEval {
   def column(emb: Column, evals: Column): Column =
     GraftSqlBridge.column(NearestEval(
       GraftSqlBridge.expression(emb), GraftSqlBridge.expression(evals)))
+}
+
+/**
+ * Top-k nearest centroids by cosine over a broadcast one-row centroid
+ * array — ONE compiled pass per vector row (round 12). Replaces the
+ * assignment join shape (vectors × |centroids| BroadcastNestedLoopJoin
+ * rows → per-vector aggregate): the n·k intermediate rows and the
+ * vec_id exchange existed only to undo the enumeration, while the
+ * choice is a pure per-row function of (embedding, centroid array).
+ *
+ * Returns the centroid ids in rank order, length min(k, #centroids);
+ * `sparkTies` selects the tie semantics of the aggregate each branch
+ * replaces, preserved exactly:
+ *  - `true` (the nprobe=1 `max_by(cid, struct(ccos, −cid))` contract):
+ *    Spark struct ordering — cosine compared with 0.0 == −0.0 and NaN
+ *    greatest (a NaN cosine WINS), ties → smallest id.
+ *  - `false` (the nprobe>1 `BoundedTopKAgg(−ccos, cid)` contract):
+ *    Scala total ordering on the NEGATED cosine — −0.0 < 0.0 distinct,
+ *    NaN keys rank LAST, ties → smallest id.
+ * Centroids whose vector length mismatches are skipped (the join shape
+ * produced a null cosine there, which both aggregates rank behind every
+ * real score).
+ */
+case class TopCentroids(emb: Expression, cents: Expression,
+                        k: Int, sparkTies: Boolean)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  require(k >= 1, "k must be >= 1")
+
+  override def left: Expression = emb
+  override def right: Expression = cents
+  override def inputTypes: Seq[DataType] = Seq(
+    ArrayType(FloatType),
+    ArrayType(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cid",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cv", ArrayType(FloatType))))))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_top_centroids"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TopCentroids.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      k, sparkTies)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.TopCentroids.compute($a, $b, $k, $sparkTies)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(emb = newLeft, cents = newRight)
+}
+
+object TopCentroids {
+  /** One-pass ranking; called from generated code. */
+  def compute(emb: ArrayData, cents: ArrayData, k: Int,
+              sparkTies: Boolean): ArrayData = {
+    val n = cents.numElements()
+    val m = emb.numElements()
+    val cos = new Array[Double](n)
+    val ids = new Array[Long](n)
+    var valid = 0
+    var i = 0
+    while (i < n) {
+      val c = cents.getStruct(i, 2)
+      val v = c.getArray(1)
+      if (v.numElements() == m) {
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var j = 0
+        while (j < m) {
+          val x = emb.getFloat(j).toDouble
+          val y = v.getFloat(j).toDouble
+          dot += x * y; na += x * x; nb += y * y
+          j += 1
+        }
+        cos(valid) = dot / (math.sqrt(na) * math.sqrt(nb))
+        ids(valid) = c.getLong(0)
+        valid += 1
+      }
+      i += 1
+    }
+    if (valid == 0)
+      return new GenericArrayData(Array.empty[Long])
+    if (k == 1) {
+      // argmax scan under the branch's ordering
+      var bi = 0
+      i = 1
+      while (i < valid) {
+        val c = cmp(cos(i), cos(bi), sparkTies)
+        if (c > 0 || (c == 0 && ids(i) < ids(bi))) bi = i
+        i += 1
+      }
+      return new GenericArrayData(Array(ids(bi)))
+    }
+    // rank by (better cosine first, then smaller id); insertion sort on the
+    // index array — centroid lists are small by construction
+    val ord = Array.tabulate(valid)(identity)
+    i = 1
+    while (i < valid) {
+      val x = ord(i)
+      var j = i - 1
+      while (j >= 0 && {
+        val c = cmp(cos(x), cos(ord(j)), sparkTies)
+        c > 0 || (c == 0 && ids(x) < ids(ord(j)))
+      }) { ord(j + 1) = ord(j); j -= 1 }
+      ord(j + 1) = x
+      i += 1
+    }
+    val out = new Array[Long](math.min(k, valid))
+    i = 0
+    while (i < out.length) { out(i) = ids(ord(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** "c1 ranks before c2" comparison on raw cosines, per branch contract:
+    * sparkTies — Spark double ordering on the cosine (±0.0 equal, NaN
+    * greatest = selected first); total ordering — Scala/Java ordering on
+    * the NEGATED cosine (−0.0 < 0.0 distinct, NaN last). Returns >0 when
+    * c1 is strictly better, 0 on exact tie. */
+  private def cmp(c1: Double, c2: Double, sparkTies: Boolean): Int =
+    if (sparkTies) { if (c1 == c2) 0 else java.lang.Double.compare(c1, c2) }
+    else java.lang.Double.compare(-c2, -c1)
+
+  def column(emb: Column, cents: Column, k: Int, sparkTies: Boolean): Column =
+    GraftSqlBridge.column(TopCentroids(GraftSqlBridge.expression(emb),
+      GraftSqlBridge.expression(cents), k, sparkTies))
 }

@@ -44,27 +44,26 @@ object Similarity {
    * regardless of centroid count.
    */
   def assignToCentroids(vectors: DataFrame, centroids: DataFrame, nprobe: Int = 1): DataFrame = {
-    val c = broadcast(centroids.select(col("vec_id").as("centroid_id"), col("embedding").as("centv")))
-    val scored = vectors.select(col("vec_id"), col("embedding"))
-      .join(c)
-      .select(col("vec_id"), col("embedding"), col("centroid_id"),
-        VectorExprs.cosine(col("embedding"), col("centv")).as("ccos"))
-    if (nprobe == 1)
-      scored.groupBy("vec_id")
-        .agg(
-          max_by(col("centroid_id"), struct(col("ccos"), -col("centroid_id"))).as("centroid_id"),
-          first(col("embedding")).as("embedding"))
-    else
-      // top-nprobe via a BOUNDED top-k aggregate in the same single
-      // shuffle: (−cos, id) ascending = cosine desc with smallest-id
-      // tie-break. Bounded state matters — collect_list+slice holds all k
-      // centroid scores per vector in the aggregation buffer
-      scored.groupBy("vec_id")
-        .agg(
-          graft.expressions.BoundedTopKAgg
-            .topIdsByKey(-col("ccos"), col("centroid_id"), nprobe).as("tops"),
-          first(col("embedding")).as("embedding"))
-        .select(col("vec_id"), explode(col("tops")).as("centroid_id"), col("embedding"))
+    // ONE compiled per-row pass over a one-row broadcast centroid array
+    // (round 12): the selection is a pure per-row function of (embedding,
+    // centroid set), but the previous shape enumerated vectors × centroids
+    // through a broadcast join and re-aggregated per vector (max_by at
+    // nprobe=1, BoundedTopKAgg above) — n·k intermediate rows plus a
+    // vec_id-keyed aggregation whose only purpose was undoing the
+    // enumeration. graft_top_centroids preserves each branch's tie/NaN
+    // contract exactly (Spark struct ordering for the argmax, the bounded
+    // top-k's total ordering on the negated cosine for nprobe>1);
+    // SimilaritySpec pins assignment values and q22/q23/q24 stay
+    // oracle-EXACT at all three SFs.
+    val centArr = centroids
+      .agg(array_sort(collect_list(struct(col("vec_id").as("cid"),
+        col("embedding").as("cv")))).as("cents"))
+    vectors.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centArr))
+      .select(col("vec_id"),
+        explode(graft.expressions.TopCentroids.column(col("embedding"),
+          col("cents"), nprobe, sparkTies = nprobe == 1)).as("centroid_id"),
+        col("embedding"))
   }
 
   /**
